@@ -1,0 +1,747 @@
+"""Named query library: each entry is (spark, sf_dir) -> DataFrame plus a
+DuckDB-equivalent ANSI-SQL oracle string.
+
+This is the engine's demonstration surface over the driver's TPC-H-ish
+testdata. Coverage maps SURVEY §2: the reference's entire physical algebra
+(scan / filter / project / partial+final agg / shuffle —
+``worker/src/task_executor.rs:116-123``) plus everything the reference
+lacks but Spark provides natively (§2.6): joins of all flavors, set ops,
+windows, rollup, scalar functions.
+
+Conventions for oracle hash-matching:
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- double aggregates are rounded (2dp money, 4-6dp ratios) so that
+  summation-order differences between engines cannot flip the hash;
+- integer sums are cast to BIGINT in DuckDB (its SUM(BIGINT) returns
+  HUGEINT, Spark returns long);
+- every query has a total deterministic ORDER BY in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's Parquet reader
+    rejects (PARQUET_TYPE_ILLEGAL). Read the physical INT64 and convert
+    ns→µs; sub-µs precision is dropped, matching Spark's native timestamp
+    resolution."""
+    df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity operators (SURVEY §2.1-§2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_full",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+)
+def scan_full(spark, sf_dir):
+    """SCAN (task_executor.rs:151-192): read a whole table."""
+    return _load(spark, sf_dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+@query(
+    "filter_comparison",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity >= 49
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def filter_comparison(spark, sf_dir):
+    """MAP_FILTER (task_executor.rs:195-250): single-comparison filter
+    fused with projection, expressed via the reference filter grammar."""
+    from mini_lakehouse_control_plane_executor_spark.functions.filters import parse_filter
+
+    return (
+        _load(spark, sf_dir, "lineitem")
+        .filter(parse_filter("l_quantity >= 49"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "project_columns",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey
+    """,
+)
+def project_columns(spark, sf_dir):
+    """MAP_PROJECT (task_executor.rs:253-305): column pruning reaches the
+    parquet scan (ReadSchema shows only 2 columns)."""
+    return _load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+@query(
+    "agg_groupby",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS count_star,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_groupby(spark, sf_dir):
+    """MAP_AGG + REDUCE_AGG (task_executor.rs:308-400): hash group-by with
+    the reference's five aggregate functions (count/sum/avg/min/max —
+    proto/common.proto:23-27). Spark plans partial+final automatically."""
+    return (
+        _load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("count_star"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price,
+           CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_discount,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark, sf_dir):
+    """Global (ungrouped) aggregation — reference REDUCE_AGG with empty
+    group_by."""
+    return _load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "filter_agg_fused",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def filter_agg_fused(spark, sf_dir):
+    """Filter→aggregate pipeline, the reference's fused map stage
+    (query_planner.go:259-273); Catalyst fuses into one codegen'd stage."""
+    return (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders(spark, sf_dir):
+    """ORDER BY + LIMIT → Spark TakeOrderedAndProject (no full sort);
+    reference has LIMIT only as reader config (§2.5)."""
+    return (
+        _load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-flavored analytics (beyond-reference relational: SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+           CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+           CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+           CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: the flagship scan→filter→wide-agg pipeline. Aggregates
+    over expressions (the reference's aspirational-but-unimplemented SQL,
+    golden_query_test.go:123-132) are native here."""
+    li = _load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+)
+def join_broadcast_dim(spark, sf_dir):
+    """Fact⋈dim with an explicit broadcast hint — at 100 TB the dim table
+    still fits in memory, so no shuffle of the fact side."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 20
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3: selective multi-join + agg + top-k."""
+    c = _load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = _load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q5_local_supplier",
+    oracle="""
+    SELECT n.n_name,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5: six-way join; small dims broadcast, fact joins shuffle on
+    their keys and AQE picks the final strategy."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    l = _load(spark, sf_dir, "lineitem")
+    s = _load(spark, sf_dir, "supplier")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "semi_join_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    ORDER BY c_custkey
+    """,
+)
+def semi_join_exists(spark, sf_dir):
+    """LEFT SEMI join ≡ EXISTS — no duplication, no payload columns
+    shuffled from the probe side."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "anti_join_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def anti_join_not_exists(spark, sf_dir):
+    """LEFT ANTI join ≡ NOT EXISTS."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "outer_join_coalesce",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(round(coalesce(sum(o.o_totalprice), 0.0), 2) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey ORDER BY c.c_custkey
+    """,
+)
+def outer_join_coalesce(spark, sf_dir):
+    """LEFT OUTER join preserving customers with no orders."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "union_distinct",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) ORDER BY nationkey
+    """,
+)
+def union_distinct(spark, sf_dir):
+    """UNION (distinct) set operation."""
+    c = _load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+@query(
+    "intersect_except",
+    oracle="""
+    SELECT nationkey, kind FROM (
+      SELECT c_nationkey AS nationkey, 'both' AS kind FROM customer
+      INTERSECT
+      SELECT s_nationkey, 'both' FROM supplier
+      UNION ALL
+      (SELECT c_nationkey AS nationkey, 'cust_only' AS kind FROM customer
+       EXCEPT
+       SELECT s_nationkey, 'cust_only' FROM supplier)
+    ) ORDER BY kind, nationkey
+    """,
+)
+def intersect_except(spark, sf_dir):
+    c = _load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("kind", F.lit("both"))
+    cust_only = c.subtract(s).withColumn("kind", F.lit("cust_only"))  # EXCEPT DISTINCT
+    return both.unionAll(cust_only).select("nationkey", "kind").orderBy("kind", "nationkey")
+
+
+@query(
+    "distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def distinct_agg(spark, sf_dir):
+    """COUNT(DISTINCT) — Spark expands to a two-level aggregate."""
+    return (
+        _load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "having_filter",
+    oracle="""
+    SELECT l_suppkey, CAST(round(sum(l_quantity), 2) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 15000
+    ORDER BY l_suppkey
+    """,
+)
+def having_filter(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 15000)
+        .select("l_suppkey", F.round("_raw_qty", 2).alias("total_qty"))
+        .orderBy("l_suppkey")
+    )
+
+
+@query(
+    "rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_flag_status(spark, sf_dir):
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    return (
+        _load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "window_topn_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rn
+      FROM part
+    ) WHERE rn <= 2 ORDER BY p_brand, rn
+    """,
+)
+def window_topn_per_group(spark, sf_dir):
+    """Top-N per group via row_number window — the scalable 'top-k per
+    key' pattern (single shuffle on the partition key)."""
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        _load(spark, sf_dir, "part")
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .orderBy("p_brand", "rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
+    FROM orders
+    WHERE o_custkey <= 10
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """Running aggregate window (cumulative spend per customer)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 10)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(round(o_totalprice - lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS DOUBLE) AS delta_prev
+    FROM orders WHERE o_custkey <= 10
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 10)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("delta_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "case_when_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           count(*) AS n_orders,
+           CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS avg_price
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+)
+def case_when_buckets(spark, sf_dir):
+    """Scalar CASE WHEN expression + aggregation."""
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        _load(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1, 2 ORDER BY order_year, order_month
+    """,
+)
+def date_functions(spark, sf_dir):
+    """Date part extraction + aggregation."""
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("order_year", "order_month")
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           CAST(length(c_name) AS INT) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           concat(c_mktsegment, ':', c_name) AS tagged
+    FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey
+    """,
+)
+def string_functions(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 50)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.length("c_name").alias("name_len"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling time-window aggregation over the event table — the batch
+    twin of the Structured Streaming version in streaming/windows.py."""
+    return (
+        _load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_f,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_o,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot (wide aggregation); expressed as FILTER aggregates in the
+    oracle — same shape Spark's pivot generates internally."""
+    return (
+        _load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("status_f"),
+            F.col("O").alias("status_o"),
+            F.col("P").alias("status_p"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,112 @@
+"""LakehouseSession: the user-facing control plane.
+
+Plays the role of the reference's coordinator API surface
+(``pkg/coordinator/rest_api.go:44-76`` route table): create table, insert
+data, structured query, SQL query, versions/time travel, compaction —
+minus the HTTP/gRPC transport (this is a library; wrap it in any server).
+Job tracking (ids + status + row metrics) mirrors
+``QueryExecutionMetrics`` (``distributed_query_executor.go:510-524``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mini_lakehouse_control_plane_executor_spark.plans.query import SimpleQuery, apply_query
+from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+from mini_lakehouse_control_plane_executor_spark.table.table import LakehouseTable
+
+
+@dataclass
+class JobInfo:
+    job_id: str
+    status: str  # PENDING | RUNNING | COMPLETED | FAILED
+    started_ms: int
+    finished_ms: int | None = None
+    error: str | None = None
+    extra: dict = dc_field(default_factory=dict)
+
+
+class LakehouseSession:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "tables"), exist_ok=True)
+        self._jobs: dict[str, JobInfo] = {}
+
+    # -- tables --------------------------------------------------------
+
+    def create_table(self, name: str, fields: list[Field]) -> LakehouseTable:
+        return LakehouseTable.create(self.spark, self.root, name, fields)
+
+    def table(self, name: str) -> LakehouseTable:
+        t = LakehouseTable(self.spark, self.root, name)
+        if not t.exists():
+            raise KeyError(f"no such table: {name}")
+        return t
+
+    def list_tables(self) -> list[str]:
+        base = os.path.join(self.root, "tables")
+        return sorted(
+            n for n in os.listdir(base)
+            if LakehouseTable(self.spark, self.root, n).exists()
+        )
+
+    def insert(self, name: str, df: DataFrame, txn_id: str | None = None) -> int:
+        return self.table(name).insert(df, txn_id=txn_id)
+
+    def versions(self, name: str) -> list[int]:
+        return self.table(name).versions()
+
+    def compact(self, name: str) -> int | None:
+        return self.table(name).compact()
+
+    # -- queries -------------------------------------------------------
+
+    def _resolve(self, table_name: str, version: int | None, filter_str: str | None) -> DataFrame:
+        return self.table(table_name).read(version=version, prune_filter=filter_str)
+
+    def query(self, q: SimpleQuery | dict) -> DataFrame:
+        """The reference's POST /queries path: snapshot-isolated structured
+        query (version pinned once at plan time)."""
+        if isinstance(q, dict):
+            q = SimpleQuery.from_json(q)
+        df = self._resolve(q.table_name, q.version, q.filter)
+        return apply_query(df, q)
+
+    def sql(self, statement: str, versions: dict[str, int] | None = None) -> DataFrame:
+        """Real SQL over snapshot views (the reference's POST /query
+        endpoint is mocked — ``rest_api.go:709-734``; this un-mocks it).
+        Every existing table is registered as a temp view pinned at
+        ``versions.get(name, latest)``."""
+        versions = versions or {}
+        for name in self.list_tables():
+            self.table(name).read(version=versions.get(name)).createOrReplaceTempView(name)
+        return self.spark.sql(statement)
+
+    # -- jobs ----------------------------------------------------------
+
+    def submit(self, q: SimpleQuery | dict) -> tuple[str, DataFrame]:
+        """Job-tracked query execution: returns (job_id, result df).
+        Status transitions mirror the reference job lifecycle."""
+        job_id = str(uuid.uuid4())
+        info = JobInfo(job_id, "RUNNING", started_ms=int(time.time() * 1000))
+        self._jobs[job_id] = info
+        try:
+            df = self.query(q)
+            info.status = "COMPLETED"
+            return job_id, df
+        except Exception as exc:
+            info.status = "FAILED"
+            info.error = str(exc)
+            raise
+        finally:
+            info.finished_ms = int(time.time() * 1000)
+
+    def job_status(self, job_id: str) -> JobInfo:
+        return self._jobs[job_id]

@@ -1,0 +1,259 @@
+"""JSON transaction log: versioned commits, OCC, idempotency, snapshots.
+
+Semantics are those of the reference's metadata service + storage log:
+
+- Log entry ``{version, timestamp_ms, txn_id, schema, adds[], removes[]}``
+  stored one-file-per-version at ``_log/<%020d>.json``
+  (reference: ``pkg/metadata/state.go:24-31``,
+  ``pkg/storage/transaction_log.go:44-52``, ``pkg/storage/paths.go:32-35``).
+- Optimistic concurrency: a commit carries ``base_version`` and is rejected
+  unless it equals the current latest version
+  (``pkg/metadata/state.go:124-195``). Here the CAS primitive is an atomic
+  put-if-absent of the next version's log file (``O_CREAT|O_EXCL``) — on a
+  local/posix filesystem this is exactly the conditional-put a
+  cloud-object-store implementation would use.
+- Txn-id idempotency: re-committing a txn_id already in the log returns the
+  original version instead of erroring (``pkg/metadata/state.go:144-158``).
+- Snapshot at version V = replay entries 1..V applying adds then removes to
+  a path-keyed map; file list sorted by path for determinism; latest schema
+  wins (``pkg/storage/transaction_log.go:156-218``,
+  ``pkg/metadata/state.go:323-369``).
+- Commit validation: removes must exist in the pre-image, adds must not
+  (``pkg/metadata/state.go:198-243``).
+
+The Raft replication of the reference is intentionally not rebuilt — this
+log IS the durable metadata; a single atomic-rename-capable store gives the
+same user-visible guarantees (linearizable commits, per-version
+determinism).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from mini_lakehouse_control_plane_executor_spark.table.schema import (
+    Field,
+    fields_from_json,
+    fields_to_json,
+)
+
+
+class CommitConflictError(Exception):
+    """Base-version CAS failed — another commit won this version."""
+
+    def __init__(self, expected: int, actual: int):
+        super().__init__(
+            f"commit conflict: base_version {expected} != latest {actual}"
+        )
+        self.expected = expected
+        self.actual = actual
+
+
+class CommitValidationError(Exception):
+    pass
+
+
+@dataclass(frozen=True)
+class FileAdd:
+    """Reference ``FileInfo`` (``proto/metadata.proto:94-113``): path +
+    row/byte counts + optional partition values and per-column min/max
+    stats. Unlike the reference (stats stored but never consulted —
+    ``pkg/coordinator/query_planner.go:249-255``), our snapshot reads use
+    min/max for file-level pruning."""
+
+    path: str
+    rows: int = 0
+    size: int = 0
+    partition: dict[str, str] = field(default_factory=dict)
+    min_values: dict[str, object] = field(default_factory=dict)
+    max_values: dict[str, object] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "size": self.size,
+            "partition": self.partition,
+            "stats": {"min_values": self.min_values, "max_values": self.max_values},
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "FileAdd":
+        stats = d.get("stats") or {}
+        return FileAdd(
+            path=d["path"],
+            rows=d.get("rows", 0),
+            size=d.get("size", 0),
+            partition=d.get("partition") or {},
+            min_values=stats.get("min_values") or {},
+            max_values=stats.get("max_values") or {},
+        )
+
+
+@dataclass(frozen=True)
+class LogEntry:
+    version: int
+    timestamp_ms: int
+    txn_id: str
+    schema: list[Field]
+    adds: list[FileAdd] = field(default_factory=list)
+    removes: list[str] = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "timestamp_ms": self.timestamp_ms,
+            "txn_id": self.txn_id,
+            "schema": fields_to_json(self.schema),
+            "adds": [a.to_json() for a in self.adds],
+            "removes": list(self.removes),
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "LogEntry":
+        return LogEntry(
+            version=d["version"],
+            timestamp_ms=d.get("timestamp_ms", 0),
+            txn_id=d.get("txn_id", ""),
+            schema=fields_from_json(d.get("schema") or []),
+            adds=[FileAdd.from_json(a) for a in d.get("adds") or []],
+            removes=list(d.get("removes") or []),
+        )
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    schema: list[Field]
+    files: list[FileAdd]  # sorted by path
+
+    @property
+    def file_paths(self) -> list[str]:
+        return [f.path for f in self.files]
+
+
+class TransactionLog:
+    """One table's commit log rooted at ``<table_dir>/_log/``."""
+
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self.log_dir = os.path.join(table_dir, "_log")
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------
+
+    def _entry_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.json")
+
+    # -- reads ---------------------------------------------------------
+
+    def list_versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json"):
+                try:
+                    out.append(int(name[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        versions = self.list_versions()
+        return versions[-1] if versions else 0
+
+    def read_entry(self, version: int) -> LogEntry:
+        with open(self._entry_path(version)) as fh:
+            return LogEntry.from_json(json.load(fh))
+
+    def find_txn(self, txn_id: str) -> int | None:
+        """Version previously committed under ``txn_id``, if any."""
+        for v in self.list_versions():
+            if self.read_entry(v).txn_id == txn_id:
+                return v
+        return None
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        """Replay entries 1..version (adds then removes), deterministic
+        path-sorted file list, latest-schema-wins."""
+        latest = self.latest_version()
+        if version is None or version == 0:
+            version = latest
+        if version > latest:
+            raise ValueError(f"version {version} > latest {latest}")
+        files: dict[str, FileAdd] = {}
+        schema: list[Field] = []
+        for v in self.list_versions():
+            if v > version:
+                break
+            entry = self.read_entry(v)
+            if entry.schema:
+                schema = entry.schema
+            for add in entry.adds:
+                files[add.path] = add
+            for rm in entry.removes:
+                files.pop(rm, None)
+        ordered = [files[p] for p in sorted(files)]
+        return Snapshot(version=version, schema=schema, files=ordered)
+
+    # -- writes --------------------------------------------------------
+
+    def commit(
+        self,
+        base_version: int,
+        txn_id: str,
+        schema: list[Field],
+        adds: list[FileAdd] | None = None,
+        removes: list[str] | None = None,
+    ) -> int:
+        """Atomically commit the next version. Returns the committed
+        version (the original one for an idempotent txn_id replay)."""
+        adds = adds or []
+        removes = removes or []
+
+        if txn_id:
+            existing = self.find_txn(txn_id)
+            if existing is not None:
+                return existing
+
+        latest = self.latest_version()
+        if base_version != latest:
+            raise CommitConflictError(base_version, latest)
+
+        # Validate against the pre-image (pkg/metadata/state.go:198-243).
+        if removes or adds:
+            pre = self.snapshot(latest) if latest else Snapshot(0, [], [])
+            have = set(pre.file_paths)
+            for rm in removes:
+                if rm not in have:
+                    raise CommitValidationError(f"remove of unknown file {rm!r}")
+            for add in adds:
+                if add.path in have:
+                    raise CommitValidationError(f"add of existing file {add.path!r}")
+
+        entry = LogEntry(
+            version=latest + 1,
+            timestamp_ms=int(time.time() * 1000),
+            txn_id=txn_id,
+            schema=schema,
+            adds=adds,
+            removes=removes,
+        )
+        payload = json.dumps(entry.to_json(), indent=None).encode()
+        path = self._entry_path(entry.version)
+        # Atomic put-if-absent with full content: stage the payload, then
+        # hard-link into place. link(2) fails if the target exists and a
+        # reader can never observe a partially-written entry.
+        tmp = f"{path}.{os.getpid()}.{id(entry)}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            # Lost the race: someone committed this version concurrently.
+            raise CommitConflictError(base_version, self.latest_version())
+        finally:
+            os.unlink(tmp)
+        return entry.version

@@ -1,0 +1,294 @@
+"""LakehouseTable: Parquet data files + transaction log, read through Spark.
+
+Mirrors the reference's table lifecycle (``pkg/coordinator/table_service.go``):
+layout ``<root>/tables/<name>/{_log/, data/, _tmp/}``
+(``pkg/storage/paths.go:17-92``), insert = stage into ``_tmp/<txn>/`` → move
+to ``data/part-%05d-<uuid>.parquet`` → OCC commit of adds
+(``table_service.go:121-307,399-474``), compaction = small-file bin-pack →
+rewrite → atomic adds+removes commit with retry/re-plan
+(``pkg/coordinator/compaction_service.go``).
+
+Spark-first differences from the reference:
+- per-file min/max stats are harvested from Parquet footers at commit time
+  and actually used for file-level pruning on filtered reads (the reference
+  stores placeholders and never prunes — ``table_service.go:416-425``,
+  ``query_planner.go:249-255``);
+- reads are ``spark.read.parquet(<snapshot file list>)`` so Catalyst gets
+  the real scan (column pruning, predicate pushdown, vectorized reader);
+- compaction rewrite is real (coalesced re-write), not simulated.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from mini_lakehouse_control_plane_executor_spark.table.log import (
+    CommitConflictError,
+    FileAdd,
+    Snapshot,
+    TransactionLog,
+)
+from mini_lakehouse_control_plane_executor_spark.table.schema import (
+    Field,
+    from_spark_schema,
+    to_spark_schema,
+    validate_schema,
+    validate_table_name,
+)
+
+# Compaction thresholds mirror the reference defaults
+# (pkg/coordinator/compaction_service.go:59-65).
+COMPACT_MIN_FILE_SIZE = 10 * 1024 * 1024
+COMPACT_TARGET_FILE_SIZE = 128 * 1024 * 1024
+COMPACT_MIN_CANDIDATES = 3
+COMMIT_MAX_RETRIES = 3  # pkg/coordinator/transaction_manager.go:174-179
+
+# Stats are harvested only for scalar leaf types we can JSON-roundtrip.
+_STATS_TYPES = {"int32", "int64", "float32", "float64", "string", "boolean"}
+
+
+def _footer_stats(path: str, fields: list[Field]) -> tuple[int, dict, dict]:
+    """(rows, min_values, max_values) from the Parquet footer — no data read."""
+    md = pq.ParquetFile(path).metadata
+    wanted = {f.name for f in fields if f.type in _STATS_TYPES}
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if name not in wanted:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn = mn.decode("utf-8", "replace")
+            if isinstance(mx, bytes):
+                mx = mx.decode("utf-8", "replace")
+            if name not in mins or mn < mins[name]:
+                mins[name] = mn
+            if name not in maxs or mx > maxs[name]:
+                maxs[name] = mx
+    return md.num_rows, mins, maxs
+
+
+class LakehouseTable:
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        self.spark = spark
+        self.name = name
+        self.dir = os.path.join(root, "tables", name)
+        self.data_dir = os.path.join(self.dir, "data")
+        self.tmp_dir = os.path.join(self.dir, "_tmp")
+        self.log = TransactionLog(self.dir)
+
+    # -- lifecycle -----------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession, root: str, name: str, fields: list[Field]
+    ) -> "LakehouseTable":
+        validate_table_name(name)
+        validate_schema(fields)
+        table = LakehouseTable(spark, root, name)
+        if table.log.latest_version() > 0:
+            raise ValueError(f"table {name!r} already exists")
+        os.makedirs(table.data_dir, exist_ok=True)
+        os.makedirs(table.tmp_dir, exist_ok=True)
+        # Version 1 = creation: schema only, no files.
+        table.log.commit(0, f"create-{uuid.uuid4()}", fields)
+        return table
+
+    def exists(self) -> bool:
+        return self.log.latest_version() > 0
+
+    @property
+    def fields(self) -> list[Field]:
+        return self.log.snapshot().schema
+
+    @property
+    def spark_schema(self):
+        return to_spark_schema(self.fields)
+
+    def versions(self) -> list[int]:
+        return self.log.list_versions()
+
+    # -- write path ----------------------------------------------------
+
+    def insert(self, df: DataFrame, txn_id: str | None = None) -> int:
+        """Append ``df`` as a new committed version (staged write → move →
+        OCC commit with bounded retry). Idempotent per ``txn_id``."""
+        txn_id = txn_id or str(uuid.uuid4())
+        prior = self.log.find_txn(txn_id)
+        if prior is not None:
+            return prior
+
+        fields = self.fields
+        schema = to_spark_schema(fields)
+        # Align column order/types to the table schema before writing.
+        df = df.select(
+            *[df[f.name].cast(schema[f.name].dataType).alias(f.name) for f in fields]
+        )
+
+        stage = os.path.join(self.tmp_dir, txn_id)
+        df.write.mode("overwrite").parquet(stage)
+        try:
+            adds = self._promote_staged(stage)
+            return self._commit_with_retry(txn_id, adds=adds, removes=[])
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def insert_path(
+        self, path: str, fmt: str = "parquet", txn_id: str | None = None, **options
+    ) -> int:
+        """Reference InsertData: load external file(s) then append
+        (``table_service.go:121-244``; CSV/JSON intent at ``:61``)."""
+        reader = self.spark.read
+        if fmt == "csv":
+            df = reader.options(header=True, inferSchema=True, **options).csv(path)
+        elif fmt == "json":
+            df = reader.options(**options).json(path)
+        else:
+            df = reader.options(**options).parquet(path)
+        return self.insert(df, txn_id=txn_id)
+
+    def _promote_staged(self, stage: str) -> list[FileAdd]:
+        """Move staged part files into data/ with reference-style names and
+        harvest footer stats (``table_service.go:455-474``)."""
+        fields = self.fields
+        adds: list[FileAdd] = []
+        staged = sorted(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        for i, fname in enumerate(staged):
+            src = os.path.join(stage, fname)
+            dst_name = f"part-{i:05d}-{uuid.uuid4()}.parquet"
+            dst = os.path.join(self.data_dir, dst_name)
+            shutil.move(src, dst)
+            rows, mins, maxs = _footer_stats(dst, fields)
+            adds.append(
+                FileAdd(
+                    path=os.path.join("data", dst_name),
+                    rows=rows,
+                    size=os.path.getsize(dst),
+                    min_values=mins,
+                    max_values=maxs,
+                )
+            )
+        return adds
+
+    def _commit_with_retry(
+        self, txn_id: str, adds: list[FileAdd], removes: list[str]
+    ) -> int:
+        """OCC commit, refreshing base_version on conflict, ≤3 retries
+        (``transaction_manager.go:124-233``)."""
+        last: Exception | None = None
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            base = self.log.latest_version()
+            try:
+                return self.log.commit(base, txn_id, self.fields, adds, removes)
+            except CommitConflictError as exc:
+                last = exc
+                time.sleep(0.01 * (attempt + 1))
+        raise last  # type: ignore[misc]
+
+    # -- read path -----------------------------------------------------
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        return self.log.snapshot(version)
+
+    def read(
+        self, version: int | None = None, prune_filter: str | None = None
+    ) -> DataFrame:
+        """Snapshot-isolated read. The file list is resolved ONCE from the
+        log (never by directory listing), so concurrent commits cannot
+        change what this DataFrame sees — the reference's snapshot
+        isolation guarantee (``pkg/coordinator/snapshot_isolation.go``).
+
+        ``prune_filter`` (reference filter grammar) additionally drops
+        whole files via log min/max stats before Spark ever lists them —
+        at 100 TB this is the difference between touching every object
+        and touching the few that can match.
+        """
+        snap = self.log.snapshot(version)
+        schema = to_spark_schema(snap.schema)
+        files = snap.files
+        if prune_filter:
+            from mini_lakehouse_control_plane_executor_spark.functions.filters import prune_files
+
+            files = prune_files(files, prune_filter)
+        paths = [os.path.join(self.dir, f.path) for f in files]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # -- compaction ----------------------------------------------------
+
+    def compaction_candidates(self, snap: Snapshot) -> list[list[FileAdd]]:
+        """Greedy bin-packing of small files into ≤target-size groups
+        (``compaction_service.go:79-141,144-200``)."""
+        small = [f for f in snap.files if f.size < COMPACT_MIN_FILE_SIZE]
+        if len(small) < COMPACT_MIN_CANDIDATES:
+            return []
+        groups: list[list[FileAdd]] = []
+        cur: list[FileAdd] = []
+        cur_size = 0
+        for f in sorted(small, key=lambda f: f.path):
+            if cur and cur_size + f.size > COMPACT_TARGET_FILE_SIZE:
+                groups.append(cur)
+                cur, cur_size = [], 0
+            cur.append(f)
+            cur_size += f.size
+        if len(cur) >= 2:
+            groups.append(cur)
+        return [g for g in groups if len(g) >= 2]
+
+    def compact(self) -> int | None:
+        """Rewrite small files into big ones; atomic adds+removes commit;
+        on OCC conflict re-plan from the fresh snapshot and retry ≤3
+        (``compaction_service.go:336-496,712-820``). Old versions remain
+        readable (property 30, ``design.md:401-403``). Returns the new
+        version, or None if nothing to compact."""
+        for _ in range(COMMIT_MAX_RETRIES + 1):
+            snap = self.log.snapshot()
+            groups = self.compaction_candidates(snap)
+            if not groups:
+                return None
+            txn_id = f"compact-{uuid.uuid4()}"
+            adds: list[FileAdd] = []
+            removes: list[str] = []
+            stage = os.path.join(self.tmp_dir, txn_id)
+            schema = to_spark_schema(snap.schema)
+            for gi, group in enumerate(groups):
+                paths = [os.path.join(self.dir, f.path) for f in group]
+                out = os.path.join(stage, f"g{gi}")
+                (
+                    self.spark.read.schema(schema).parquet(*paths)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(out)
+                )
+                adds.extend(self._promote_staged(out))
+                removes.extend(f.path for f in group)
+            shutil.rmtree(stage, ignore_errors=True)
+            try:
+                return self.log.commit(snap.version, txn_id, snap.schema, adds, removes)
+            except CommitConflictError:
+                # Another writer advanced the table: drop our rewrite
+                # output and re-plan against the new snapshot.
+                for add in adds:
+                    try:
+                        os.remove(os.path.join(self.dir, add.path))
+                    except FileNotFoundError:
+                        pass
+                continue
+        return None

@@ -1,0 +1,56 @@
+"""Local mirror of the driver's correctness gate: run every registered
+query through Spark AND its DuckDB oracle on the same parquet files,
+compare row count, column names, and values (column-name-sorted,
+row-sorted — order-insensitive like the driver's value hash)."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from mini_lakehouse_control_plane_executor_spark import queries as qlib
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+ORACLES = qlib.all_oracles()
+CASES = sorted(qlib.all_queries())
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_query_matches_oracle(name, spark, duck):
+    fn = qlib.all_queries()[name]
+    spark_pdf = fn(spark, SF_DIR).toPandas()
+    if name not in ORACLES:
+        assert len(spark_pdf) >= 0  # rows-only check, like the driver
+        return
+    duck_pdf = duck.execute(ORACLES[name]).fetchdf()
+
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), "column names differ"
+    assert len(spark_pdf) == len(duck_pdf), "row counts differ"
+
+    left = _normalize(spark_pdf)
+    right = _normalize(duck_pdf)
+    pd.testing.assert_frame_equal(left, right, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
