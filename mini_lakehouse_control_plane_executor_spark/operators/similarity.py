@@ -1,0 +1,193 @@
+"""Embedding similarity search over `array<float>` columns.
+
+Two paths, matching how ANN is actually deployed:
+
+- **Brute-force cosine top-k** — the exact baseline. The query set is
+  broadcast (it is small by construction); the corpus streams through a
+  single narrow stage: no shuffle of the big side, embarrassingly
+  parallel, the right answer at any scale where k·|Q| fits per task.
+- **Hyperplane-LSH buckets** — the scale path. Sign-bit signatures
+  against P deterministic hyperplanes put near-neighbors in the same
+  bucket with high probability; the top-k search then only touches
+  same-bucket candidates (one hash-shuffle instead of |Q|×|C| work).
+
+Hyperplanes are derived from md5 (not an RNG), so signatures — and
+therefore results — are bit-identical across engines and runs, which is
+what makes the DuckDB oracle possible.
+
+Vector math uses built-in higher-order functions (zip_with/aggregate):
+JVM-side, no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 16
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def hyperplane(p: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane p: component j is derived
+    from md5(f"plane:{p}:{j}") mapped into [-1, 1]."""
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"plane:{p}:{j}".encode()).hexdigest()[:15]
+        out.append((int(h, 16) % 2001 - 1000) / 1000.0)
+    return out
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    return [hyperplane(p, dim) for p in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p set iff vec·plane_p > 0."""
+    v = _as_double(vec)
+    out = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(c) for c in plane])
+        out = out + F.when(dot(v, lit_plane) > 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+    ``queries`` must have columns (id_col, vec_col); it is broadcast.
+    Self-matches (same id) are excluded. Ties break on corpus id after
+    rounding, so ranking is engine-independent."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = df.select(
+        F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket. At 100 TB the bucket join replaces the full cross join; the
+    recall/latency trade is tuned by n_planes."""
+    planes = hyperplanes(n_planes, dim)
+    c = df.select(
+        F.col(id_col).alias("c_id"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def brute_force_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Exact cosine pairs (id1 < id2, sim ≥ threshold). Quadratic — the
+    correctness baseline for ``neardup_pairs``; at scale use the
+    LSH-blocked variant."""
+    v = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    l = v.alias("l")
+    r = v.alias("r")
+    sim = F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6)
+    return (
+        l.join(r, F.col("l.vid") < F.col("r.vid"))
+        .select(
+            F.col("l.vid").alias("id1"),
+            F.col("r.vid").alias("id2"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, sim ≥ threshold)
+    via LSH-bucket blocking + exact verification inside buckets."""
+    planes = hyperplanes(N_PLANES, 64)
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    l = sigs.alias("l")
+    r = sigs.alias("r")
+    sim = F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6)
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id1"),
+            F.col("r.doc_id").alias("id2"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

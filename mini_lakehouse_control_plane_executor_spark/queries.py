@@ -745,3 +745,301 @@ def pivot_status_by_priority(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis) —
+# the engine's beyond-reference surface. All hashing is md5-derived, so
+# every operator has an exact generated SQL oracle.
+# ---------------------------------------------------------------------------
+
+from mini_lakehouse_control_plane_executor_spark.operators import dedup as _dedup
+from mini_lakehouse_control_plane_executor_spark.operators import similarity as _sim
+from mini_lakehouse_control_plane_executor_spark.operators import text as _text
+
+_STOP_ALL = sorted({w for ws in _text.LANG_STOPWORDS.values() for w in ws})
+
+
+def _sql_strlist(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _sql_shingles(n: int = 3) -> str:
+    """Shared DuckDB CTE prefix: tokens + distinct word-n-gram shingles."""
+    parts = "||' '||".join(f"ws[i+{j+1}]" for j in range(n))
+    return f"""
+    toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws FROM documents
+    ),
+    shingles AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(len(ws)-{n-1}), i -> {parts})) AS sh
+      FROM toks WHERE len(ws) >= {n}
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingles)
+    """
+
+
+_TEXT_STATS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\\w+') AS ws FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    CAST(len(ws) AS INT) AS n_tokens,
+    CASE WHEN len(ws) > 0 THEN round(
+        0.4 * least(length(text)/500.0, 1.0)
+      + 0.3 * least(5.0 * len(list_filter(ws, t -> list_contains({_sql_strlist(_STOP_ALL)}, t))) / len(ws), 1.0)
+      + 0.3 * (1.0 - least(abs(list_sum(list_transform(ws, t -> length(t))) / CAST(len(ws) AS DOUBLE) - 5.0) / 5.0, 1.0))
+    , 6) ELSE 0.0 END AS quality,
+    len(list_filter(ws, t -> list_contains({_sql_strlist(_text.LANG_STOPWORDS['en'])}, t))) AS s_en,
+    len(list_filter(ws, t -> list_contains({_sql_strlist(_text.LANG_STOPWORDS['de'])}, t))) AS s_de,
+    len(list_filter(ws, t -> list_contains({_sql_strlist(_text.LANG_STOPWORDS['es'])}, t))) AS s_es,
+    len(list_filter(ws, t -> list_contains({_sql_strlist(_text.LANG_STOPWORDS['fr'])}, t))) AS s_fr,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM toks
+)
+SELECT doc_id, n_tokens, quality,
+  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  fp
+FROM scored ORDER BY doc_id
+"""
+
+
+@query("text_stats", oracle=_TEXT_STATS_ORACLE)
+def text_stats(spark, sf_dir):
+    """Text analysis in one scan-only pass: token count, quality score,
+    language ID, content fingerprint. Pure column expressions — at 100 TB
+    this runs at parquet-scan speed with zero shuffles."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _text.token_count(F.col("text")).alias("n_tokens"),
+        _text.quality_score(F.col("text")).alias("quality"),
+        _text.lang_id(F.col("text")).alias("lang_pred"),
+        _text.fingerprint(F.col("text")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           count(*) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM documents GROUP BY 1 ORDER BY fp
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: one groupBy on the md5 fingerprint, min-id survivor.
+    No joins — the only shuffle key is the 128-bit fingerprint, which is
+    uniformly distributed (no skew at any scale)."""
+    d = _load(spark, sf_dir, "documents")
+    return _dedup.exact_duplicates(d, "doc_id", "text").orderBy("fp")
+
+
+_JACCARD_ORACLE = f"""
+WITH {_sql_shingles(3)},
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, jaccard FROM (
+  SELECT i.id1, i.id2,
+         round(i.c * 1.0 / (s1.n_sh + s2.n_sh - i.c), 4) AS jaccard
+  FROM inter i
+  JOIN sizes s1 ON i.id1 = s1.doc_id
+  JOIN sizes s2 ON i.id2 = s2.doc_id
+) WHERE jaccard >= 0.8 ORDER BY id1, id2
+"""
+
+
+@query("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.8). The
+    correctness baseline for MinHash-LSH; quadratic in shingle overlap,
+    so at scale it only runs AFTER candidate pruning."""
+    d = _load(spark, sf_dir, "documents")
+    return _dedup.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8).orderBy(
+        "id1", "id2"
+    )
+
+
+def _minhash_oracle(k: int = 12, band_rows: int = 3) -> str:
+    sig_cols = ", ".join(f"min(md5(s||':{i}')) AS h{i}" for i in range(k))
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sigs".format(
+            b=b,
+            key="||'|'||".join(f"h{i}" for i in range(b * band_rows, (b + 1) * band_rows)),
+        )
+        for b in range(k // band_rows)
+    )
+    return f"""
+WITH {_sql_shingles(3)},
+sigs AS (SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, jaccard FROM (
+  SELECT c.id1, c.id2,
+         round(i.c * 1.0 / (s1.n_sh + s2.n_sh - i.c), 4) AS jaccard
+  FROM cand c
+  JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
+  JOIN sizes s1 ON c.id1 = s1.doc_id
+  JOIN sizes s2 ON c.id2 = s2.doc_id
+) WHERE jaccard >= 0.8 ORDER BY id1, id2
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(12)+LSH(4 bands × 3) candidate generation, then exact
+    Jaccard verification of candidates only. The banded groupBy-joins
+    replace the all-pairs shingle join — this is the 100 TB dedup path."""
+    d = _load(spark, sf_dir, "documents")
+    return _dedup.minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.8).orderBy(
+        "id1", "id2"
+    )
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    terms = "\n      + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> ((h >> {j}) & 1))) > len(hs)"
+        f" THEN ({1 << j}::BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH {_sql_shingles(3)},
+hashes AS (
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x'||substr(md5(s), 1, 15))::BIGINT) AS hs
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id, {terms} AS sig FROM hashes
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+ORDER BY id1, id2
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_oracle())
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash(32-bit over word-3-gram shingles) near-dup pairs with
+    hamming ≤ 3, found via 4-band pigeonhole blocking (exact for ≤3) —
+    linear shuffle instead of a cross join."""
+    d = _load(spark, sf_dir, "documents")
+    return _dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3).orderBy(
+        "id1", "id2"
+    )
+
+
+def _sql_plane(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(c) for c in plane) + "]::DOUBLE[]"
+
+
+_ANN_BRUTE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+),
+s AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         round(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 6) AS sim
+  FROM q, embeddings c WHERE c.vec_id != q.q_id
+),
+r AS (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rank
+  FROM s
+)
+SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
+@query("ann_cosine_bruteforce", oracle=_ANN_BRUTE_ORACLE)
+def ann_cosine_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for 10 query vectors: broadcast the query set,
+    stream the corpus — a single narrow stage plus a per-query top-k, no
+    corpus shuffle. The ANN correctness baseline."""
+    e = _load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return _sim.brute_force_topk(e, "vec_id", "embedding", queries, k=5).orderBy(
+        "q_id", "rank"
+    )
+
+
+def _ann_lsh_oracle(n_planes: int = 6, dim: int = 64) -> str:
+    planes = _sim.hyperplanes(n_planes, dim)
+    bucket = "\n      + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_plane(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM base
+),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk WHERE vec_id < 10),
+s AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         round(list_cosine_similarity(q.qv, c.v), 6) AS sim
+  FROM q JOIN bk c ON q.bucket = c.bucket AND c.vec_id != q.q_id
+),
+r AS (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rank
+  FROM s
+)
+SELECT q_id, c_id, sim, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
+@query("ann_cosine_lsh", oracle=_ann_lsh_oracle())
+def ann_cosine_lsh(spark, sf_dir):
+    """Approximate top-5 via hyperplane-LSH bucketing (6 md5-derived
+    planes → 64 buckets): candidates share the query's bucket, so the
+    per-query work drops from |corpus| to |bucket|. Deterministic planes
+    make even the approximation oracle-checkable."""
+    e = _load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return _sim.lsh_topk(e, "vec_id", "embedding", queries, k=5, n_planes=6, dim=64).orderBy(
+        "q_id", "rank"
+    )
+
+
+_NEARDUP_EMB_ORACLE = """
+SELECT id1, id2, sim FROM (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE sim >= 0.45 ORDER BY id1, id2
+"""
+
+
+@query("embedding_neardup_exact", oracle=_NEARDUP_EMB_ORACLE)
+def embedding_neardup_exact(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (threshold tuned to this
+    corpus's similarity range). Quadratic baseline; the LSH-blocked
+    variant (operators.similarity.neardup_pairs) is the scale path."""
+    e = _load(spark, sf_dir, "embeddings")
+    return _sim.brute_force_pairs(e, "vec_id", "embedding", threshold=0.45).orderBy(
+        "id1", "id2"
+    )
