@@ -1,0 +1,162 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed through Arrow-batched ``mapInPandas``.
+
+The container has no media libraries, so the actual decode step is
+STUBBED: ``register_decoder`` lets a real deployment plug in
+PIL/torchaudio/ffmpeg; the default decoder is either a clearly-marked
+``NotImplementedError`` ("strict") or a deterministic fake
+("fake", md5-derived features) so the Spark-side plumbing — schema,
+partition sizing, UDF signature, Arrow batch shape — is real and
+testable end-to-end.
+
+Scale notes: media bytes stay in executor-side Arrow batches (never
+collected); ``repartition_for_media`` sizes partitions by byte budget,
+not row count, because row count is meaningless when one row is a 50 MB
+video. Feature extraction is a narrow map — no shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+Decoder = Callable[[bytes, str], list[float]]
+
+
+def fake_decoder(data: bytes, mime: str) -> list[float]:
+    """Deterministic stand-in for a real decode→featurize pipeline:
+    FEATURE_DIM floats derived from the md5 of the bytes. Reproducible
+    across runs/engines, so tests can assert exact values."""
+    h = hashlib.md5(data).digest()
+    return [round(b / 255.0, 6) for b in h[:FEATURE_DIM]]
+
+
+def strict_decoder(data: bytes, mime: str) -> list[float]:
+    """The real-decode slot. Media libraries (PIL/torchaudio/ffmpeg) are
+    not available in this container."""
+    raise NotImplementedError(
+        "media decoding requires PIL/torchaudio/ffmpeg — not installed; "
+        "register a real decoder via extract_features(decoder=...)"
+    )
+
+
+def repartition_for_media(
+    df: DataFrame, size_col: Column, target_bytes: int = 256 * 1024 * 1024
+) -> DataFrame:
+    """Partition by cumulative byte budget: media rows vary by orders of
+    magnitude, so partition count derives from total payload bytes, not
+    row count."""
+    total = df.agg(F.sum(size_col).alias("b")).collect()[0]["b"] or 0
+    n = max(1, int(total // target_bytes) + 1)
+    return df.repartition(n)
+
+
+def extract_features(
+    media_df: DataFrame, decoder: Decoder = fake_decoder, batch_size_hint: int = 64
+) -> DataFrame:
+    """Decode/featurize each media row via mapInPandas (Arrow batches in,
+    Arrow batches out). The decoder runs per-row inside a batch but the
+    transfer and schema handling are fully vectorized."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["media"].map(lambda b: len(b) if b is not None else 0),
+                "features": [
+                    decoder(bytes(b), m) if b is not None else None
+                    for b, m in zip(pdf["media"], pdf["mime"])
+                ],
+            }
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def image_resize(
+    media_df: DataFrame, width: int, height: int, decoder: Decoder | None = None
+) -> DataFrame:
+    """Resize plumbing: same mapInPandas shape, output is binary again.
+    Stubbed: without a real image library the 'resized' payload is the
+    md5 fingerprint of (bytes, target size) — deterministic, wrong, and
+    clearly labeled; swap in a PIL-based transform in deployment."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                hashlib.md5(bytes(b) + f":{width}x{height}".encode()).digest()
+                if b is not None
+                else None
+                for b in pdf["media"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media": resized,
+                    "mime": pdf["mime"],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+    return media_df.mapInPandas(run, schema=schema)
+
+
+def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: explode each video row into frame
+    timestamps from metadata (no decode needed — duration lives in
+    meta). The decode of each frame is then an extract_features call."""
+    n_frames = (F.col("meta.duration_ms") / every_ms).cast("int")
+    return (
+        media_df.filter(F.col("meta.duration_ms").isNotNull())
+        .select(
+            "media_id",
+            "mime",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+                    lambda i: i * every_ms,
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1043,3 +1043,91 @@ def embedding_neardup_exact(spark, sf_dir):
     return _sim.brute_force_pairs(e, "vec_id", "embedding", threshold=0.45).orderBy(
         "id1", "id2"
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (batch twins of the streaming/ operators)
+# ---------------------------------------------------------------------------
+
+
+_SESSIONIZE_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts_us, value,
+         epoch_us(ts::TIMESTAMP) AS us
+  FROM events
+),
+g AS (
+  SELECT user_id, ts_us, value, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, ts_us, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       CAST(sid AS INT) AS session_id,
+       date_trunc('second', min(ts_us)) AS session_start,
+       count(*) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_id
+"""
+
+
+@query("events_sessionize", oracle=_SESSIONIZE_ORACLE)
+def events_sessionize(spark, sf_dir):
+    """Sessionization as gaps-and-islands: a new session starts after
+    >30 min of user inactivity. One window shuffle on user_id — the batch
+    twin of streaming/windows.sessionize_stream (which uses
+    F.session_window state merging instead)."""
+    e = _load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    run = Window.partitionBy("user_id").orderBy(us).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = 30 * 60 * 1000 * 1000
+    is_new = F.when(
+        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("sid", F.sum("is_new").over(run))
+        .groupBy("user_id", F.col("sid").cast("int").alias("session_id"))
+        .agg(
+            F.date_trunc("second", F.min("ts")).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(avg(json_extract(props, '$.k')::INT), 4) AS DOUBLE) AS avg_k,
+           CAST(max(json_extract(props, '$.k')::INT) AS INT) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """Semi-structured JSON column access (get_json_object) + agg — the
+    props payload stays a string until the single extracted field is
+    needed; no full JSON parse, pushdown-friendly."""
+    e = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,112 @@
+"""Structured Streaming operators over the event stream.
+
+The reference has no streaming at all (SURVEY §2.6); this module is the
+beyond-reference stream surface: watermarked tumbling/sliding window
+aggregation and session windows, written so the SAME transformation
+function applies to a batch DataFrame and a streaming one — Spark's
+unified model. Tests run each against a file source with
+``trigger(availableNow=True)`` and assert equality with the batch twin.
+
+Scale notes: windowed aggregation state is partitioned by (window, key)
+— Spark distributes it across executors and expires it by watermark, so
+state size is bounded by (watermark horizon × key cardinality), not by
+stream length. Session windows use ``F.session_window``, whose state
+merges adjacent intervals per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of event rows (one parquet dir; new files are
+    discovered per micro-batch)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type. Works on both
+    batch and streaming DataFrames (watermark is a no-op in batch)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping-window aggregation (each event lands in window/slide
+    overlapping windows)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. Streaming state is merged per user by Spark's
+    session_window operator; batch mode gives the same result."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
+    """Drain a streaming DataFrame into an in-memory table with
+    availableNow (process-everything-then-stop) semantics; returns the
+    finished StreamingQuery."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

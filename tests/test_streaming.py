@@ -1,0 +1,134 @@
+"""Structured Streaming tests: each streaming operator drained with
+availableNow over a file source must equal its batch twin on the same
+rows — Spark's unified-model guarantee, checked for real."""
+
+import glob
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_lakehouse_control_plane_executor_spark.queries import _load_events
+from mini_lakehouse_control_plane_executor_spark.streaming import windows as W
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Events re-written as a clean parquet dir (µs timestamps) usable by
+    both batch and file-source streaming reads."""
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    _load_events(spark, SF_DIR).repartition(2).write.parquet(path)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _batch(spark, event_dir):
+    return spark.read.schema(W.EVENTS_SCHEMA).parquet(event_dir)
+
+
+def _drain(spark, stream_df, name, mode="complete"):
+    W.run_to_memory(stream_df, name, mode)
+    return spark.table(name)
+
+
+def _rows(df, keys):
+    return sorted(df.collect(), key=lambda r: tuple(str(r[k]) for k in keys))
+
+
+def test_tumbling_stream_equals_batch(spark, event_dir):
+    stream = W.tumbling_counts(W.stream_events(spark, event_dir))
+    batch = W.tumbling_counts(_batch(spark, event_dir))
+    got = _rows(_drain(spark, stream, "t_tumbling"), ["window_start", "event_type"])
+    want = _rows(batch, ["window_start", "event_type"])
+    assert got == want
+    assert len(want) > 0
+
+
+def test_sliding_stream_equals_batch(spark, event_dir):
+    stream = W.sliding_counts(W.stream_events(spark, event_dir))
+    batch = W.sliding_counts(_batch(spark, event_dir))
+    got = _rows(_drain(spark, stream, "t_sliding"), ["window_start"])
+    want = _rows(batch, ["window_start"])
+    assert got == want
+    # hopping: ~2 windows per hour → more windows than tumbling
+    assert len(want) > 0
+
+
+def test_session_stream_equals_batch(spark, event_dir):
+    stream = W.sessionize_stream(W.stream_events(spark, event_dir))
+    batch = W.sessionize_stream(_batch(spark, event_dir))
+    got = _rows(_drain(spark, stream, "t_session"), ["user_id", "session_start"])
+    want = _rows(batch, ["user_id", "session_start"])
+    assert got == want
+    # every user's sessions are disjoint and ordered
+    by_user = {}
+    for r in want:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        for a, b in zip(rows, rows[1:]):
+            assert a["session_end"] <= b["session_start"]
+
+
+def test_incremental_arrival(spark, event_dir, tmp_path):
+    """New files arriving between availableNow drains must be absorbed
+    into the same aggregation via checkpointed state."""
+    inc = str(tmp_path / "inc")
+    chk = str(tmp_path / "chk")
+    files = sorted(glob.glob(f"{event_dir}/part-*.parquet"))
+    assert len(files) >= 2
+
+    import os
+
+    os.makedirs(inc, exist_ok=True)
+    shutil.copy(files[0], f"{inc}/f0.parquet")
+
+    def drain():
+        q = (
+            W.tumbling_counts(W.stream_events(spark, inc))
+            .writeStream.format("memory")
+            .queryName("t_inc")
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table("t_inc")
+
+    first = drain().count()
+    shutil.copy(files[1], f"{inc}/f1.parquet")
+    second = drain()
+    batch = W.tumbling_counts(_batch(spark, event_dir))
+    assert _rows(second, ["window_start", "event_type"]) == _rows(
+        batch, ["window_start", "event_type"]
+    )
+    assert first <= second.count() or first > 0
+
+
+def test_stateful_user_profiles(spark, event_dir):
+    from mini_lakehouse_control_plane_executor_spark.streaming.stateful import user_profiles
+
+    stream = user_profiles(W.stream_events(spark, event_dir))
+    got = _drain(spark, stream, "t_profiles", mode="update")
+    # final emitted profile per user must equal the batch aggregate
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value"))
+    )
+    batch = (
+        _batch(spark, event_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    got_rows = _rows(final, ["user_id"])
+    want_rows = _rows(batch, ["user_id"])
+    assert [(r.user_id, r.n_events) for r in got_rows] == [
+        (r.user_id, r.n_events) for r in want_rows
+    ]
+    for g, w in zip(got_rows, want_rows):
+        assert abs(g.sum_value - w.sum_value) < 0.05
