@@ -99,15 +99,28 @@ def jaccard_pairs(
     ex = exploded_shingles(df, id_col, text_col, n)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pair_counts = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-    )
     if candidates is not None:
-        pair_counts = pair_counts.join(candidates, ["id1", "id2"], "left_semi")
-    inter = pair_counts.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("c"))
+        # Candidate-driven intersection: fan each candidate pair out over
+        # id1's shingles, then equi-join on (id2, shingle). Work is
+        # O(|candidates| · shingles-per-doc) — the whole point of LSH —
+        # instead of the corpus-wide quadratic shingle self-join below.
+        ex1 = ex.select(F.col("doc_id").alias("id1"), "s")
+        ex2 = ex.select(F.col("doc_id").alias("id2"), "s")
+        inter = (
+            candidates.join(ex1, "id1")
+            .join(ex2, ["id2", "s"])
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        a = ex.alias("a")
+        b = ex.alias("b")
+        inter = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
 
     s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
@@ -195,13 +208,13 @@ def _feature_hash60(feat: Column) -> Column:
     return F.conv(F.substring(F.md5(feat), 1, 15), 16, 10).cast("long")
 
 
-def simhash(features: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Bitwise-majority SimHash over a feature array (array<string>):
-    bit j of the signature is 1 iff more feature hashes have bit j set
-    than unset. Features are typically word shingles (documents with a
-    small shared vocabulary would make token-level SimHash degenerate)."""
-    hashes = F.transform(features, _feature_hash60)
-    n_feat = F.size(features)
+def simhash_from_hashes(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Bitwise-majority SimHash over a pre-computed array<long> of
+    feature hashes: bit j of the signature is 1 iff more hashes have bit
+    j set than unset. Callers should materialize the hash array in its
+    own projection first (one md5 pass) — the 'bits' bit-count terms all
+    reference that attribute instead of re-deriving md5 per bit."""
+    n_feat = F.size(hashes)
     out = F.lit(0).cast("long")
     for j in range(bits):
         ones = F.aggregate(
@@ -211,6 +224,13 @@ def simhash(features: Column, bits: int = SIMHASH_BITS) -> Column:
         )
         out = out + F.when(ones * 2 > n_feat, F.lit(2**j).cast("long")).otherwise(F.lit(0))
     return out
+
+
+def simhash(features: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash of a feature array (array<string>). Features are typically
+    word shingles (documents with a small shared vocabulary would make
+    token-level SimHash degenerate)."""
+    return simhash_from_hashes(F.transform(features, _feature_hash60), bits)
 
 
 def simhash_pairs(
@@ -231,10 +251,12 @@ def simhash_pairs(
     approximate. Verification computes the true hamming distance."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
+    # Two-phase projection: materialize the md5 hash array once, then the
+    # 32 per-bit majority sums reference it as a column attribute.
     sigs = df.select(
         F.col(id_col).alias("doc_id"),
-        simhash(word_shingles(F.col(text_col), shingle_n), bits).alias("sh"),
-    )
+        F.transform(word_shingles(F.col(text_col), shingle_n), _feature_hash60).alias("hs"),
+    ).select("doc_id", simhash_from_hashes(F.col("hs"), bits).alias("sh"))
     chunks = None
     for b in range(bands):
         c = sigs.select(

@@ -46,11 +46,12 @@ def lang_scores(col: Column) -> dict[str, Column]:
     return {lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
 
 
-def lang_id(col: Column) -> Column:
-    """Argmax language by stopword hit count; 'und' when nothing matches.
-    Ties break in the fixed order en > de > es > fr (strict-greater
-    comparisons), so the result is deterministic in any engine."""
-    scores = lang_scores(col)
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Argmax language by stopword hit count over a pre-tokenized array;
+    'und' when nothing matches. Ties break in the fixed order
+    en > de > es > fr (strict-greater comparisons), so the result is
+    deterministic in any engine."""
+    scores = {lang: _stopword_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
     best = scores["en"]
     result = F.lit("en")
     for lang in ["de", "es", "fr"]:
@@ -60,13 +61,17 @@ def lang_id(col: Column) -> Column:
     return F.when(best > 0, result).otherwise(F.lit("und"))
 
 
-def quality_score(col: Column) -> Column:
+def lang_id(col: Column) -> Column:
+    return lang_id_from_tokens(tokens(col))
+
+
+def quality_score_from_tokens(col: Column, toks: Column) -> Column:
     """Deterministic [0,1] quality heuristic:
       0.4 · min(len/500, 1)                     — enough material
     + 0.3 · min(5·stopwords/tokens, 1)          — natural-language-ness
     + 0.3 · (1 − |mean_word_len − 5| / 5)       — plausible word shape
-    Rounded to 6dp. Empty/whitespace-only text scores 0."""
-    toks = tokens(col)
+    Rounded to 6dp. Empty/whitespace-only text scores 0. ``toks`` should
+    be a materialized column (tokenize once, score from the attribute)."""
     n_tok = F.size(toks)
     stop = _stopword_hits(toks, sorted({w for ws in LANG_STOPWORDS.values() for w in ws}))
     total_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
@@ -77,6 +82,10 @@ def quality_score(col: Column) -> Column:
         + 0.3 * (F.lit(1.0) - F.least(F.abs(mean_wlen - 5.0) / F.lit(5.0), F.lit(1.0)))
     )
     return F.when(n_tok > 0, F.round(score, 6)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    return quality_score_from_tokens(col, tokens(col))
 
 
 def normalize_text(col: Column) -> Column:

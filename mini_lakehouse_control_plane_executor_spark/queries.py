@@ -815,15 +815,20 @@ FROM scored ORDER BY doc_id
 def text_stats(spark, sf_dir):
     """Text analysis in one scan-only pass: token count, quality score,
     language ID, content fingerprint. Pure column expressions — at 100 TB
-    this runs at parquet-scan speed with zero shuffles."""
+    this runs at parquet-scan speed with zero shuffles. Tokenization is
+    materialized once and every stat reads the attribute."""
     d = _load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        _text.token_count(F.col("text")).alias("n_tokens"),
-        _text.quality_score(F.col("text")).alias("quality"),
-        _text.lang_id(F.col("text")).alias("lang_pred"),
-        _text.fingerprint(F.col("text")).alias("fp"),
-    ).orderBy("doc_id")
+    return (
+        d.select("doc_id", "text", _text.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            _text.quality_score_from_tokens(F.col("text"), F.col("toks")).alias("quality"),
+            _text.lang_id_from_tokens(F.col("toks")).alias("lang_pred"),
+            _text.fingerprint(F.col("text")).alias("fp"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -1130,4 +1135,296 @@ def json_extract_props(spark, sf_dir):
             F.max(k).alias("max_k"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries, complex predicates, and the explicit shuffle demo — rounding
+# out SURVEY §2 (shuffle parity) and §2.6 (what the reference can't do).
+# ---------------------------------------------------------------------------
+
+
+def _views(spark, sf_dir, *names):
+    for n in names:
+        _load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: conjunctive range predicates + global agg. Every
+    predicate is parquet-pushdown-eligible; the scan reads 4 columns."""
+    l = _load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: two-level aggregation over an outer join (order-count
+    histogram). The second agg reuses the first shuffle's partitioning."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS DOUBLE) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: conditional aggregate ratio over a broadcast join."""
+    l = _load(spark, sf_dir, "lineitem")
+    p = _load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(round(sum(l.l_quantity), 2) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18: IN-subquery over a grouped HAVING (→ semi join on an
+    aggregated relation), then a 3-way join and top-k."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+               round(sum(l.l_quantity), 2) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        )
+        GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
+        """
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19: OR-of-ANDs across both join sides — Catalyst extracts
+    the common p_partkey join key and pushes per-side conjuncts down."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+        """
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    SELECT substr(c.c_name, 10, 2) AS cntrycode,
+           count(*) AS numcust,
+           CAST(round(sum(c.c_acctbal), 2) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1 ORDER BY cntrycode
+    """,
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22: scalar subquery (global average) + anti join
+    (NOT EXISTS) + aggregation."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT substr(c.c_name, 10, 2) AS cntrycode,
+               count(*) AS numcust,
+               round(sum(c.c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1 ORDER BY cntrycode
+        """
+    )
+
+
+@query(
+    "scalar_subquery_premium_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+    ORDER BY p_partkey
+    """,
+)
+def scalar_subquery_premium_parts(spark, sf_dir):
+    """Scalar subquery in a predicate — parts priced >1.5× the average."""
+    _views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+        ORDER BY p_partkey
+        """
+    )
+
+
+@query(
+    "in_like_between",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderpriority LIKE '%H%'
+      AND o_totalprice BETWEEN 100000 AND 150000
+    ORDER BY o_orderkey
+    """,
+)
+def in_like_between(spark, sf_dir):
+    """IN / LIKE / BETWEEN predicate grammar — none of which the
+    reference's one-comparison filter language can express (§2.3)."""
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_orderpriority").like("%H%")
+            & F.col("o_totalprice").between(100000, 150000)
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT p_partkey,
+           CAST(round(sqrt(p_retailprice), 6) AS DOUBLE) AS sqrt_price,
+           CAST(round(ln(p_retailprice), 6) AS DOUBLE) AS ln_price,
+           CAST(round(pow(p_size, 2), 1) AS DOUBLE) AS size_sq,
+           CAST(abs(p_size - 25) AS INT) AS size_dev,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(p_size % 7 AS INT) AS size_mod
+    FROM part WHERE p_partkey <= 100 ORDER BY p_partkey
+    """,
+)
+def math_functions(spark, sf_dir):
+    """Scalar math function library (sqrt/ln/pow/abs/ceil/floor/mod)."""
+    p = _load(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+            F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+            F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+            F.abs(F.col("p_size") - 25).alias("size_dev"),
+            F.ceil("p_retailprice").alias("price_ceil"),
+            F.floor("p_retailprice").alias("price_floor"),
+            (F.col("p_size") % 7).alias("size_mod"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "shuffle_partition_histogram",
+    oracle="""
+    SELECT CAST(('0x'||substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS part_id,
+           count(*) AS n_rows,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_keys
+    FROM lineitem GROUP BY 1 ORDER BY part_id
+    """,
+)
+def shuffle_partition_histogram(spark, sf_dir):
+    """SHUFFLE parity demo (task_executor.rs:403-471 /
+    parquet_writer.rs:271-350): hash-partition rows by key into N=8
+    buckets and report the histogram. Uses an md5-derived partitioner so
+    the assignment itself is oracle-checkable (the reference's
+    DefaultHasher, like Spark's Murmur3, is engine-private). In real use
+    this is just df.repartition(8, key)."""
+    l = _load(spark, sf_dir, "lineitem")
+    part_id = (
+        F.conv(F.substring(F.md5(F.col("l_suppkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 8
+    ).cast("int")
+    return (
+        l.groupBy(part_id.alias("part_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_suppkey").alias("n_keys"),
+        )
+        .orderBy("part_id")
     )
