@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from mini_lakehouse_control_plane_executor_spark.operators.text import fingerprint, tokens
 
@@ -28,6 +29,11 @@ from mini_lakehouse_control_plane_executor_spark.operators.text import fingerpri
 # P ≈ 1-(1-0.8³)⁴ ≈ 0.95 while keeping the band shuffle cheap.
 MINHASH_K = 12
 MINHASH_BAND_ROWS = 3
+
+# Carter-Wegman hash family modulus (2³¹−1, prime). The k min-hashes are
+# h_i = (a + i·b) mod P with (a, b) drawn from ONE md5 of the shingle —
+# one digest per shingle instead of k, and i·b stays < 2⁶³ for any sane k.
+MINHASH_P = (1 << 31) - 1
 
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8-bit bands → candidates share ≥1 byte
@@ -96,7 +102,10 @@ def jaccard_pairs(
     self-join); with a candidate pair DataFrame (id1, id2) the join is
     restricted to those pairs — the LSH-pruned path.
     """
-    ex = exploded_shingles(df, id_col, text_col, n)
+    # The shingle table feeds sizes plus both sides of the intersection
+    # join; persist it so tokenization+shingling runs once per pipeline
+    # (at cluster scale this is the "materialize shingles" stage).
+    ex = exploded_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if candidates is not None:
@@ -144,41 +153,54 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = MINHASH_K
 ) -> DataFrame:
-    """k min-hashes per doc: h_i = min over shingles of md5(shingle‖':'‖i).
-    md5 hex strings compare lexicographically ≡ numerically, and DuckDB
-    computes the identical value — fully oracle-checkable."""
+    """k min-hashes per doc via a Carter-Wegman family over ONE md5 per
+    shingle: (a, b) = the two 60-bit halves of md5(shingle) reduced mod
+    P=2³¹−1, then h_i = (a + i·b) mod P. One digest per shingle row (vs k
+    for the naive md5(s‖i) scheme); DuckDB computes identical values —
+    fully oracle-checkable."""
     ex = exploded_shingles(df, id_col, text_col, n)
+    h = F.md5(F.col("s"))
+    a = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % MINHASH_P
+    b = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % MINHASH_P
     return ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("s"), F.lit(f":{i}")))).alias(f"h{i}")
-            for i in range(k)
-        ]
+        *[F.min((a + F.lit(i) * b) % MINHASH_P).alias(f"h{i}") for i in range(k)]
     )
 
 
 def lsh_candidates(
     sigs: DataFrame, k: int = MINHASH_K, band_rows: int = MINHASH_BAND_ROWS
 ) -> DataFrame:
-    """Candidate pairs = docs sharing any band key. One groupBy-join per
-    band over (band_key) — the shuffle key is the band hash, so skew is
-    bounded by true near-dup cluster size."""
+    """Candidate pairs = docs sharing any band key. The signature table
+    is exploded into (doc_id, band, band_key) rows — posexplode of a
+    precomputed key array — and candidates come from ONE equi-self-join
+    on (band, band_key) instead of one join per band, so the signature
+    pipeline is evaluated once per side, not once per band per side. The
+    shuffle key is the band hash: skew is bounded by true near-dup
+    cluster size."""
     n_bands = k // band_rows
-    per_band = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{i}") for i in range(b * band_rows, (b + 1) * band_rows)]
-        band = sigs.select(
-            F.col("doc_id"), F.md5(F.concat_ws("|", *cols)).alias("bk")
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "|", *[F.col(f"h{i}") for i in range(b * band_rows, (b + 1) * band_rows)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select("doc_id", F.posexplode(keys).alias("band", "bk")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    l = bands.alias("l")
+    r = bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bk") == F.col("r.bk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        l = band.alias("l")
-        r = band.alias("r")
-        per_band.append(
-            l.join(r, (F.col("l.bk") == F.col("r.bk")) & (F.col("l.doc_id") < F.col("r.doc_id")))
-            .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
-        )
-    out = per_band[0]
-    for p in per_band[1:]:
-        out = out.unionAll(p)
-    return out.distinct()
+        .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
+        .distinct()
+    )
 
 
 def minhash_dedup_pairs(
@@ -252,20 +274,24 @@ def simhash_pairs(
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     # Two-phase projection: materialize the md5 hash array once, then the
-    # 32 per-bit majority sums reference it as a column attribute.
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(word_shingles(F.col(text_col), shingle_n), _feature_hash60).alias("hs"),
-    ).select("doc_id", simhash_from_hashes(F.col("hs"), bits).alias("sh"))
-    chunks = None
-    for b in range(bands):
-        c = sigs.select(
-            "doc_id",
-            "sh",
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("sh"), b * band_bits).bitwiseAND(F.lit(mask)).alias("ck"),
+    # 32 per-bit majority sums reference it as a column attribute. The
+    # signature table is persisted — it feeds both sides of the chunk
+    # join, and the majority-vote expression is the expensive part.
+    sigs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(word_shingles(F.col(text_col), shingle_n), _feature_hash60).alias("hs"),
         )
-        chunks = c if chunks is None else chunks.unionAll(c)
+        .select("doc_id", simhash_from_hashes(F.col("hs"), bits).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("sh"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    chunks = sigs.select("doc_id", "sh", F.posexplode(chunk_arr).alias("band", "ck"))
     l = chunks.alias("l")
     r = chunks.alias("r")
     cands = (

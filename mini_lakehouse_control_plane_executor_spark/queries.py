@@ -388,14 +388,17 @@ def semi_join_exists(spark, sf_dir):
     "anti_join_not_exists",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     ORDER BY c_custkey
     """,
 )
 def anti_join_not_exists(spark, sf_dir):
-    """LEFT ANTI join ≡ NOT EXISTS."""
+    """LEFT ANTI join ≡ NOT EXISTS: customers with no large (>300k)
+    order. The filter on the right side keeps the result non-empty —
+    every customer in this synthetic data has at least one order."""
     c = _load(spark, sf_dir, "customer")
-    o = _load(spark, sf_dir, "orders")
+    o = _load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -877,17 +880,26 @@ def dedup_jaccard_pairs(spark, sf_dir):
 
 
 def _minhash_oracle(k: int = 12, band_rows: int = 3) -> str:
-    sig_cols = ", ".join(f"min(md5(s||':{i}')) AS h{i}" for i in range(k))
+    p = _dedup.MINHASH_P
+    sig_cols = ", ".join(f"min((a + {i} * b) % {p}) AS h{i}" for i in range(k))
     bands = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, md5({key}) AS bk FROM sigs".format(
+        "  SELECT doc_id, {b} AS band, {key} AS bk FROM sigs".format(
             b=b,
-            key="||'|'||".join(f"h{i}" for i in range(b * band_rows, (b + 1) * band_rows)),
+            key="||'|'||".join(
+                f"h{i}::VARCHAR" for i in range(b * band_rows, (b + 1) * band_rows)
+            ),
         )
         for b in range(k // band_rows)
     )
     return f"""
 WITH {_sql_shingles(3)},
-sigs AS (SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id),
+ab AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(s), 1, 15))::BIGINT % {p} AS a,
+         ('0x'||substr(md5(s), 16, 15))::BIGINT % {p} AS b
+  FROM ex
+),
+sigs AS (SELECT doc_id, {sig_cols} FROM ab GROUP BY doc_id),
 bands AS (
 {bands}
 ),
@@ -1297,13 +1309,17 @@ def q19_disjunctive_predicates(spark, sf_dir):
            CAST(round(sum(c.c_acctbal), 2) AS DOUBLE) AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     GROUP BY 1 ORDER BY cntrycode
     """,
 )
 def q22_idle_customers(spark, sf_dir):
-    """TPC-H Q22: scalar subquery (global average) + anti join
-    (NOT EXISTS) + aggregation."""
+    """TPC-H Q22 shape: scalar subquery (global average) + anti join
+    (NOT EXISTS) + aggregation. The anti-join is against *urgent* orders
+    because this synthetic data gives every customer at least one order —
+    a bare NOT EXISTS would be vacuously empty."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(
         """
@@ -1312,7 +1328,9 @@ def q22_idle_customers(spark, sf_dir):
                round(sum(c.c_acctbal), 2) AS totacctbal
         FROM customer c
         WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
         GROUP BY 1 ORDER BY cntrycode
         """
     )
@@ -1323,18 +1341,20 @@ def q22_idle_customers(spark, sf_dir):
     oracle="""
     SELECT p_partkey, p_name, p_retailprice
     FROM part
-    WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+    WHERE p_retailprice > 1.01 * (SELECT avg(p_retailprice) FROM part)
     ORDER BY p_partkey
     """,
 )
 def scalar_subquery_premium_parts(spark, sf_dir):
-    """Scalar subquery in a predicate — parts priced >1.5× the average."""
+    """Scalar subquery in a predicate — parts priced above 1.01× the
+    average (synthetic retail prices cluster within ~±1% of the mean, so
+    a larger multiplier selects nothing)."""
     _views(spark, sf_dir, "part")
     return spark.sql(
         """
         SELECT p_partkey, p_name, p_retailprice
         FROM part
-        WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+        WHERE p_retailprice > 1.01 * (SELECT avg(p_retailprice) FROM part)
         ORDER BY p_partkey
         """
     )
