@@ -35,6 +35,8 @@ HEADLINE = [
     "text_stats",
     "dedup_minhash_lsh",
     "ann_cosine_bruteforce",
+    "ann_cosine_ivf",
+    "multimodal_features",
 ]
 
 

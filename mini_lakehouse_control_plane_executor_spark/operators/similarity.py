@@ -141,6 +141,67 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is bucketed by
+    nearest centroid; each query probes only its ``n_probe`` nearest
+    centroid lists. Centroids here are the first ``n_centroids`` corpus
+    vectors by id — deterministic, so the whole index build is
+    oracle-checkable. In a real deployment the centroids come from
+    k-means; the partition/probe dataflow is identical.
+
+    Scale shape: assignment is a broadcast join (centroids are tiny) +
+    one hash-shuffle on centroid id; the probe join touches
+    |corpus|·n_probe/n_centroids candidates per query instead of
+    |corpus|."""
+    c_tab = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_vec")
+    )
+    corpus = df.select(
+        F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    csim = F.round(cosine(F.col("c_vec"), F.col("cent_vec")), 6)
+    aw = Window.partitionBy("c_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(c_tab))
+        .select("c_id", "c_vec", "cent_id", csim.alias("csim"))
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("c_id", "c_vec", "cent_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    qsim = F.round(cosine(F.col("q_vec"), F.col("cent_vec")), 6)
+    qw = Window.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(c_tab))
+        .select("q_id", "q_vec", "cent_id", qsim.alias("qsim"))
+        .withColumn("qrn", F.row_number().over(qw))
+        .filter(F.col("qrn") <= n_probe)
+        .select("q_id", "q_vec", "cent_id")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    scored = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def brute_force_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:

@@ -88,6 +88,41 @@ def quality_score(col: Column) -> Column:
     return quality_score_from_tokens(col, tokens(col))
 
 
+# BPE-ish pre-tokenization regex (GPT-2 style, simplified to the subset
+# with identical semantics in Java regex and RE2): contraction suffixes,
+# space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+# punctuation runs, residual whitespace. Applied to lower-cased text.
+BPE_RE = r"'(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-style pre-tokens (the merge step of real BPE needs a learned
+    vocab; the pre-tokenizer split is what determines token-count scaling
+    and is shared by GPT-2/RoBERTa-family tokenizers)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_RE), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
+ROLLING_B = 31
+ROLLING_P = (1 << 31) - 1
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over token hashes:
+    h = fold(acc·B + t_i mod P). Unlike the md5 content fingerprint this
+    is incrementally maintainable (append a token = one mul-add), the
+    classic Rabin-Karp document fingerprint."""
+    th = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % ROLLING_P
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLLING_B + th(t)) % ROLLING_P,
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lower-case, collapse whitespace,
     trim."""

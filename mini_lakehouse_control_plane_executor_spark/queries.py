@@ -1448,3 +1448,229 @@ def shuffle_partition_histogram(spark, sf_dir):
         )
         .orderBy("part_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates, CUBE, deterministic sampling, IVF ANN, multimodal
+# feature extraction, BPE tokenization + rolling-hash fingerprints.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(quantile_cont(l_quantity, 0.5), 6) AS DOUBLE) AS median_qty,
+           CAST(round(quantile_cont(l_extendedprice, 0.25), 6) AS DOUBLE) AS p25_price,
+           CAST(round(quantile_cont(l_extendedprice, 0.75), 6) AS DOUBLE) AS p75_price,
+           CAST(round(stddev_samp(l_quantity), 6) AS DOUBLE) AS sd_qty,
+           CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qp,
+           CAST(round(covar_samp(l_quantity, l_discount), 6) AS DOUBLE) AS cov_qd
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_percentiles(spark, sf_dir):
+    """Statistical aggregate library: exact interpolated percentiles,
+    stddev, correlation, covariance. Spark's percentile() is the exact
+    sort-based aggregate (quantile_cont semantics), distributed as
+    partial-sort + final merge."""
+    l = _load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75_price"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qd"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "cube_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def cube_priority_status(spark, sf_dir):
+    """CUBE aggregation: all 2^2 grouping sets in one pass (Spark expands
+    the sets map-side; one shuffle). Complements rollup_flag_status."""
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "hash_sample_orders",
+    oracle="""
+    SELECT count(*) AS n_sampled,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sampled_total,
+           CAST(round(avg(o_totalprice), 4) AS DOUBLE) AS sampled_avg
+    FROM orders
+    WHERE ('0x'||substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10 = 0
+    """,
+)
+def hash_sample_orders(spark, sf_dir):
+    """Deterministic ~10% sample via key-hash bucketing — the
+    reproducible alternative to TABLESAMPLE (whose row choice is
+    engine-private). Hash-mod sampling is also stable under reruns and
+    co-sampled across tables sharing the key, which is what a training
+    pipeline needs for consistent holdouts."""
+    o = _load(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    return o.filter(bucket == 0).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("o_totalprice"), 2).alias("sampled_total"),
+        F.round(F.avg("o_totalprice"), 4).alias("sampled_avg"),
+    )
+
+
+def _ann_ivf_oracle(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < {n_centroids}),
+assigned AS (
+  SELECT c_id, v, cent_id FROM (
+    SELECT b.vec_id AS c_id, b.v, c.cent_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.cent_id
+           ) AS arn
+    FROM base b CROSS JOIN cents c
+  ) WHERE arn = 1
+),
+probes AS (
+  SELECT q_id, qv, cent_id FROM (
+    SELECT b.vec_id AS q_id, b.v AS qv, c.cent_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.cent_id
+           ) AS qrn
+    FROM base b CROSS JOIN cents c WHERE b.vec_id < 10
+  ) WHERE qrn <= {n_probe}
+),
+scored AS (
+  SELECT p.q_id, a.c_id,
+         round(list_cosine_similarity(p.qv, a.v), 6) AS sim
+  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id AND a.c_id != p.q_id
+),
+r AS (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, sim, rank FROM r WHERE rank <= {k} ORDER BY q_id, rank
+"""
+
+
+@query("ann_cosine_ivf", oracle=_ann_ivf_oracle())
+def ann_cosine_ivf(spark, sf_dir):
+    """IVF approximate top-5: corpus bucketed by nearest of 16
+    deterministic centroids, queries probe their 2 nearest lists. The
+    third ANN strategy next to brute-force (exact) and hyperplane-LSH."""
+    e = _load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return _sim.ivf_topk(
+        e, "vec_id", "embedding", queries, k=5, n_centroids=16, n_probe=2
+    ).orderBy("q_id", "rank")
+
+
+def _mm_feature_cols() -> str:
+    return ",\n           ".join(
+        f"CAST(round((('0x'||substr(md5(text), {2 * i + 1}, 2))::INT) / 255.0, 6) AS DOUBLE) AS f{i}"
+        for i in range(8)
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           {_mm_feature_cols()}
+    FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """The multimodal decode→featurize path, end to end: documents.text
+    re-encoded as an opaque binary media column, pushed through the
+    Arrow-batched mapInPandas extractor (operators.multimodal) with the
+    deterministic fake decoder (md5-derived features — the container has
+    no media libs; see multimodal.strict_decoder for the real-decode
+    slot). Oracle-checkable because the fake decoder's features are pure
+    md5 of the payload bytes. Feature floats are stored float32 and
+    re-rounded at 6dp on read-out so both engines agree exactly."""
+    from mini_lakehouse_control_plane_executor_spark.operators import multimodal as _mm
+
+    d = _load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        F.lit("text/plain").alias("mime"),
+    )
+    feats = _mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    ).orderBy("media_id")
+
+
+@query(
+    "text_bpe_rolling",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_text.BPE_RE.replace(chr(39), chr(39) * 2)}') AS bts,
+             regexp_extract_all(lower(text), '\\w+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(bts) AS INT) AS n_bpe_tokens,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(ws, t -> ('0x'||substr(md5(t), 1, 15))::BIGINT % {_text.ROLLING_P})),
+             (acc, x) -> (acc * {_text.ROLLING_B} + x) % {_text.ROLLING_P}
+           ) AS rolling_fp
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_bpe_rolling(spark, sf_dir):
+    """BPE-style pre-tokenizer count (the token-count scaling law input)
+    and Rabin-Karp rolling-hash fingerprint (order-sensitive, where the
+    md5 fingerprint is whitespace-normalized content identity)."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "text", _text.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            _text.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+            _text.rolling_fingerprint(F.col("toks")).alias("rolling_fp"),
+        )
+        .orderBy("doc_id")
+    )
