@@ -49,19 +49,29 @@ def main() -> None:
     registry = qlib.all_queries()
 
     # Untimed warmup pass: JVM/codegen/parquet-footer warm, then measure.
+    # clearCache between queries drops the persisted intermediates some
+    # operators (LSH dedup) create, so later queries aren't measured
+    # under another query's cache/GC pressure.
     for name in HEADLINE:
         fn = registry.get(name)
         if fn is not None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
 
+    # Two timed passes, per-query minimum: single-shot timings on a
+    # shared box are noise-dominated (GC, co-tenant CPU); min-of-2 is the
+    # standard cheap estimator of the true cost.
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = registry.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, elapsed), elapsed)
+            spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

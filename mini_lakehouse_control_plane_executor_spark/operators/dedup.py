@@ -39,11 +39,16 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8-bit bands → candidates share ≥1 byte
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>).
-    Pure column expression: tokenize → sliding window via sequence +
-    element_at → distinct."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column: sliding window via sequence + element_at → distinct.
+
+    ``toks`` must be a column attribute, not an inline ``tokens(text)``
+    expression: higher-order lambdas are interpreted (no codegen CSE), so
+    an inlined tokenizer would re-run regexp_extract_all for every
+    element_at — O(tokens) regex passes per row. Phase-separated
+    projections keep it to one (CollapseProject declines to merge
+    projections that would duplicate non-cheap expressions)."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
     return F.when(
@@ -51,10 +56,19 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Shingles straight from a text column — only safe where the result
+    is the projection's single use of the text (see shingles_from_tokens
+    for the hot path)."""
+    return shingles_from_tokens(tokens(col), n)
+
+
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+        )
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("toks"), n)).alias("s"))
     )
 
 
@@ -278,10 +292,9 @@ def simhash_pairs(
     # signature table is persisted — it feeds both sides of the chunk
     # join, and the majority-vote expression is the expensive part.
     sigs = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.transform(word_shingles(F.col(text_col), shingle_n), _feature_hash60).alias("hs"),
-        )
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks"), shingle_n).alias("shl"))
+        .select("doc_id", F.transform(F.col("shl"), _feature_hash60).alias("hs"))
         .select("doc_id", simhash_from_hashes(F.col("hs"), bits).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -73,6 +73,17 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _paired_sim() -> Column:
+    """cosine(q, c) with the norms read from per-row attributes computed
+    BEFORE the join — per pair only the dot product and one divide
+    remain (vs 3 full array passes when norms are re-derived per pair).
+    The arithmetic (dot / (nq · nc), then round) is identical to
+    ``cosine``, so results are bit-equal to the naive form."""
+    return F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,
@@ -86,15 +97,14 @@ def brute_force_topk(
     rounding, so ranking is engine-independent."""
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
     c = df.select(
         F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("c_vec")
-    )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    ).withColumn("c_nrm", norm(F.col("c_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", sim.alias("sim"))
+        .select("q_id", "c_id", _paired_sim().alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
@@ -121,17 +131,16 @@ def lsh_topk(
         F.col(id_col).alias("c_id"),
         _as_double(F.col(vec_col)).alias("c_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("c_nrm", norm(F.col("c_vec")))
     q = queries.select(
         F.col(id_col).alias("q_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", sim.alias("sim"))
+        .select("q_id", "c_id", _paired_sim().alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
@@ -163,36 +172,39 @@ def ivf_topk(
     |corpus|."""
     c_tab = df.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_vec")
-    )
+    ).withColumn("cent_nrm", norm(F.col("cent_vec")))
     corpus = df.select(
         F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("c_nrm", norm(F.col("c_vec")))
+    csim = F.round(
+        dot(F.col("c_vec"), F.col("cent_vec")) / (F.col("c_nrm") * F.col("cent_nrm")), 6
     )
-    csim = F.round(cosine(F.col("c_vec"), F.col("cent_vec")), 6)
     aw = Window.partitionBy("c_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
     assigned = (
         corpus.crossJoin(F.broadcast(c_tab))
-        .select("c_id", "c_vec", "cent_id", csim.alias("csim"))
+        .select("c_id", "c_vec", "c_nrm", "cent_id", csim.alias("csim"))
         .withColumn("arn", F.row_number().over(aw))
         .filter(F.col("arn") == 1)
-        .select("c_id", "c_vec", "cent_id")
+        .select("c_id", "c_vec", "c_nrm", "cent_id")
     )
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
+    qsim = F.round(
+        dot(F.col("q_vec"), F.col("cent_vec")) / (F.col("q_nrm") * F.col("cent_nrm")), 6
     )
-    qsim = F.round(cosine(F.col("q_vec"), F.col("cent_vec")), 6)
     qw = Window.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("cent_id"))
     probes = (
         q.crossJoin(F.broadcast(c_tab))
-        .select("q_id", "q_vec", "cent_id", qsim.alias("qsim"))
+        .select("q_id", "q_vec", "q_nrm", "cent_id", qsim.alias("qsim"))
         .withColumn("qrn", F.row_number().over(qw))
         .filter(F.col("qrn") <= n_probe)
-        .select("q_id", "q_vec", "cent_id")
+        .select("q_id", "q_vec", "q_nrm", "cent_id")
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
     scored = (
         assigned.join(F.broadcast(probes), "cent_id")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", sim.alias("sim"))
+        .select("q_id", "c_id", _paired_sim().alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
@@ -210,10 +222,12 @@ def brute_force_pairs(
     LSH-blocked variant."""
     v = df.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
-    )
+    ).withColumn("nrm", norm(F.col("vec")))
     l = v.alias("l")
     r = v.alias("r")
-    sim = F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6)
+    sim = F.round(
+        dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+    )
     return (
         l.join(r, F.col("l.vid") < F.col("r.vid"))
         .select(
@@ -235,10 +249,12 @@ def neardup_pairs(
         F.col(id_col).alias("doc_id"),
         _as_double(F.col(vec_col)).alias("vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("nrm", norm(F.col("vec")))
     l = sigs.alias("l")
     r = sigs.alias("r")
-    sim = F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6)
+    sim = F.round(
+        dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+    )
     return (
         l.join(
             r,

@@ -1674,3 +1674,88 @@ def text_bpe_rolling(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts::TIMESTAMP AS tsv, value, epoch_us(ts::TIMESTAMP) AS us
+  FROM events
+),
+g AS (
+  SELECT user_id, tsv, value, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, tsv, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       date_trunc('second', min(tsv)) AS session_start,
+       date_trunc('second', max(tsv)) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+@query("events_session_window", oracle=_SESSION_WINDOW_ORACLE)
+def events_session_window(spark, sf_dir):
+    """The STREAMING sessionizer (streaming/windows.sessionize_stream,
+    F.session_window state merging) run in batch mode — Spark's unified
+    model means the identical transformation serves both; the streaming
+    drain is proven equal to this in tests/test_streaming.py. Session
+    boundary: a new session starts when the inter-event gap is >= 30min
+    (session intervals are end-exclusive). Timestamps are truncated to
+    seconds for the oracle because session_window floors to µs identically
+    in both engines but DuckDB's interval add keeps ns precision."""
+    from mini_lakehouse_control_plane_executor_spark.streaming import windows as _sw
+
+    e = _load(spark, sf_dir, "events")
+    out = _sw.sessionize_stream(e)
+    return out.select(
+        "user_id",
+        F.date_trunc("second", F.col("session_start")).alias("session_start"),
+        F.date_trunc("second", F.col("session_end")).alias("session_end"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "salted_agg_skew",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS total_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def salted_agg_skew(spark, sf_dir):
+    """Explicit salting for skewed aggregation keys: l_returnflag has ~3
+    distinct values, so a naive groupBy funnels 1/3 of 100 TB through
+    single reducers. Phase 1 groups by (key, salt16) — 16-way fan-out of
+    each hot key — phase 2 merges the partials (sums of counts/sums are
+    exact, so the result is identical to the unsalted plan, which is what
+    the oracle checks). Spark's AQE skew handling covers joins; salting
+    is the aggregation-side tool."""
+    l = _load(spark, sf_dir, "lineitem")
+    salt = (F.col("l_orderkey") % 16).alias("salt")
+    partial = (
+        l.groupBy("l_returnflag", salt)
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("l_extendedprice").alias("ps"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").alias("n_rows"),
+            F.round(F.sum("ps"), 2).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )
