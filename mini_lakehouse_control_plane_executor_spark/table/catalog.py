@@ -11,6 +11,7 @@ Job tracking (ids + status + row metrics) mirrors
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field as dc_field
@@ -32,12 +33,18 @@ class JobInfo:
     extra: dict = dc_field(default_factory=dict)
 
 
+COMPACT_MAX_CONCURRENT = 3  # compaction_service.go:654
+
+
 class LakehouseSession:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(os.path.join(root, "tables"), exist_ok=True)
         self._jobs: dict[str, JobInfo] = {}
+        self._compacting: set[str] = set()
+        self._compact_mu = threading.Lock()
+        self._compact_slots = threading.BoundedSemaphore(COMPACT_MAX_CONCURRENT)
 
     # -- tables --------------------------------------------------------
 
@@ -63,8 +70,25 @@ class LakehouseSession:
     def versions(self, name: str) -> list[int]:
         return self.table(name).versions()
 
-    def compact(self, name: str) -> int | None:
-        return self.table(name).compact()
+    def compact(self, name: str, force: bool = False) -> int | None:
+        """SafeExecuteCompaction semantics (``compaction_service.go:
+        659-709``): per-table mutual exclusion, at most
+        COMPACT_MAX_CONCURRENT compactions session-wide, and the
+        ShouldCompact ratio trigger (skipped with ``force=True``).
+        Returns the new version, or None if skipped / nothing to do."""
+        with self._compact_mu:
+            if name in self._compacting:
+                raise RuntimeError(f"compaction already in progress for {name!r}")
+            self._compacting.add(name)
+        try:
+            with self._compact_slots:
+                t = self.table(name)
+                if not force and not t.should_compact():
+                    return None
+                return t.compact()
+        finally:
+            with self._compact_mu:
+                self._compacting.discard(name)
 
     # -- queries -------------------------------------------------------
 

@@ -47,6 +47,9 @@ from mini_lakehouse_control_plane_executor_spark.table.schema import (
 COMPACT_MIN_FILE_SIZE = 10 * 1024 * 1024
 COMPACT_TARGET_FILE_SIZE = 128 * 1024 * 1024
 COMPACT_MIN_CANDIDATES = 3
+# Trigger: compact only when small files are also a meaningful fraction
+# of the table (``compaction_service.go:315-332``).
+COMPACT_SMALL_RATIO = 0.10
 COMMIT_MAX_RETRIES = 3  # pkg/coordinator/transaction_manager.go:174-179
 
 # Stats are harvested only for scalar leaf types we can JSON-roundtrip.
@@ -232,6 +235,19 @@ class LakehouseTable:
         return self.spark.read.schema(schema).parquet(*paths)
 
     # -- compaction ----------------------------------------------------
+
+    def should_compact(self, snap: Snapshot | None = None) -> bool:
+        """The reference's ShouldCompact trigger: ≥3 small files AND
+        small-file count over 10% of the snapshot
+        (``compaction_service.go:315-332``)."""
+        snap = snap if snap is not None else self.log.snapshot()
+        if not snap.files:
+            return False
+        small = [f for f in snap.files if f.size < COMPACT_MIN_FILE_SIZE]
+        return (
+            len(small) >= COMPACT_MIN_CANDIDATES
+            and len(small) / len(snap.files) > COMPACT_SMALL_RATIO
+        )
 
     def compaction_candidates(self, snap: Snapshot) -> list[list[FileAdd]]:
         """Greedy bin-packing of small files into ≤target-size groups

@@ -100,3 +100,40 @@ def test_insert_path_csv(lake, spark, tmp_path):
     lake.table("t").insert_path(str(csv), fmt="csv")
     rows = lake.table("t").read().orderBy("k").collect()
     assert [(r.k, r.v, r.x) for r in rows] == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_compaction_trigger_and_exclusion(lake, spark):
+    """ShouldCompact ratio trigger + SafeExecuteCompaction per-table
+    exclusion (compaction_service.go:315-332, 659-709)."""
+    import threading
+
+    import pytest
+
+    lake.create_table("guard", SCHEMA)
+    lake.insert("guard", _df(spark, 0, 10))
+    lake.insert("guard", _df(spark, 10, 20))
+    lake.insert("guard", _df(spark, 20, 30))
+    t = lake.table("guard")
+    # All files are tiny → small-file ratio 100% > 10%, ≥3 files.
+    assert t.should_compact()
+    # Session-level compact honors the trigger and compacts.
+    assert lake.compact("guard") is not None
+    # Single remaining file → below min-candidates, trigger off.
+    assert not t.should_compact()
+    assert lake.compact("guard") is None          # trigger declines
+    assert lake.compact("guard", force=True) is None  # no candidates either
+
+    # Per-table mutual exclusion: a second compact while one is "running"
+    # is refused rather than queued.
+    with lake._compact_mu:
+        lake._compacting.add("guard")
+    try:
+        with pytest.raises(RuntimeError, match="in progress"):
+            lake.compact("guard")
+    finally:
+        with lake._compact_mu:
+            lake._compacting.discard("guard")
+
+    # Unknown table still raises cleanly through the guard.
+    with pytest.raises(KeyError):
+        lake.compact("nope")
