@@ -11,6 +11,7 @@ Job tracking (ids + status + row metrics) mirrors
 from __future__ import annotations
 
 import os
+import shutil
 import threading
 import time
 import uuid
@@ -64,8 +65,20 @@ class LakehouseSession:
             if LakehouseTable(self.spark, self.root, n).exists()
         )
 
-    def insert(self, name: str, df: DataFrame, txn_id: str | None = None) -> int:
-        return self.table(name).insert(df, txn_id=txn_id)
+    def insert(
+        self, name: str, df: DataFrame, txn_id: str | None = None, mode: str = "append"
+    ) -> int:
+        return self.table(name).insert(df, txn_id=txn_id, mode=mode)
+
+    def delete(self, name: str, filter_str: str, txn_id: str | None = None):
+        """Copy-on-write row delete; returns (new_version|None, rows_deleted)."""
+        return self.table(name).delete(filter_str, txn_id=txn_id)
+
+    def drop_table(self, name: str) -> None:
+        """DROP TABLE — implemented for real (the reference's DELETE
+        /tables/{t} endpoint is a placeholder, ``rest_api.go:676-687``)."""
+        t = self.table(name)  # raises KeyError if absent
+        shutil.rmtree(t.dir, ignore_errors=True)
 
     def versions(self, name: str) -> list[int]:
         return self.table(name).versions()

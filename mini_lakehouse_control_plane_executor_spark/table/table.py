@@ -126,9 +126,16 @@ class LakehouseTable:
 
     # -- write path ----------------------------------------------------
 
-    def insert(self, df: DataFrame, txn_id: str | None = None) -> int:
-        """Append ``df`` as a new committed version (staged write → move →
-        OCC commit with bounded retry). Idempotent per ``txn_id``."""
+    def insert(self, df: DataFrame, txn_id: str | None = None, mode: str = "append") -> int:
+        """Commit ``df`` as a new version (staged write → move → OCC
+        commit with bounded retry). Idempotent per ``txn_id``.
+
+        ``mode='append'`` adds files; ``mode='overwrite'`` additionally
+        removes every file visible at commit time (refreshed on each OCC
+        retry, so a concurrent append cannot survive an overwrite that
+        committed after it)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown insert mode {mode!r}")
         txn_id = txn_id or str(uuid.uuid4())
         prior = self.log.find_txn(txn_id)
         if prior is not None:
@@ -145,9 +152,76 @@ class LakehouseTable:
         df.write.mode("overwrite").parquet(stage)
         try:
             adds = self._promote_staged(stage)
-            return self._commit_with_retry(txn_id, adds=adds, removes=[])
+            if mode == "append":
+                return self._commit_with_retry(txn_id, adds=adds, removes=[])
+            last: Exception | None = None
+            for attempt in range(COMMIT_MAX_RETRIES + 1):
+                snap = self.log.snapshot()
+                try:
+                    return self.log.commit(
+                        snap.version, txn_id, fields, adds, [f.path for f in snap.files]
+                    )
+                except CommitConflictError as exc:
+                    last = exc
+                    time.sleep(0.01 * (attempt + 1))
+            raise last  # type: ignore[misc]
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+
+    def delete(self, filter_str: str, txn_id: str | None = None) -> tuple[int | None, int]:
+        """Copy-on-write DELETE: rows matching ``filter_str`` (reference
+        grammar or any SQL predicate) are removed by rewriting ONLY the
+        files whose min/max stats admit matches — untouched files carry
+        over by reference, exactly Delta's DELETE dataflow. Returns
+        (new_version | None, rows_deleted); no version is committed when
+        nothing matches. Old versions remain readable (the rewrite adds
+        files and removes files; it never mutates them).
+
+        The reference stubs DeleteTable and has no row deletes
+        (``rest_api.go:676-687``); this is beyond-reference surface.
+        """
+        from mini_lakehouse_control_plane_executor_spark.functions.filters import parse_filter, prune_files
+
+        pred = parse_filter(filter_str)
+        txn_id = txn_id or f"delete-{uuid.uuid4()}"
+        prior = self.log.find_txn(txn_id)
+        if prior is not None:
+            return prior, 0
+
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            snap = self.log.snapshot()
+            candidates = prune_files(snap.files, filter_str)
+            if not candidates:
+                return None, 0
+            schema = to_spark_schema(snap.schema)
+            paths = [os.path.join(self.dir, f.path) for f in candidates]
+            src = self.spark.read.schema(schema).parquet(*paths)
+            n_match = src.filter(pred).count()
+            if n_match == 0:
+                return None, 0
+            stage = os.path.join(self.tmp_dir, txn_id)
+            keep = src.filter(~pred).coalesce(max(1, len(candidates)))
+            keep.write.mode("overwrite").parquet(stage)
+            try:
+                adds = self._promote_staged(stage)
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+            try:
+                version = self.log.commit(
+                    snap.version, txn_id, snap.schema, adds,
+                    [f.path for f in candidates],
+                )
+                return version, n_match
+            except CommitConflictError:
+                # Concurrent commit: drop our rewrite and re-plan against
+                # the fresh snapshot (same loop as compaction).
+                for add in adds:
+                    try:
+                        os.remove(os.path.join(self.dir, add.path))
+                    except FileNotFoundError:
+                        pass
+                time.sleep(0.01 * (attempt + 1))
+        raise CommitConflictError(f"delete on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races")
 
     def insert_path(
         self, path: str, fmt: str = "parquet", txn_id: str | None = None, **options

@@ -137,3 +137,56 @@ def test_compaction_trigger_and_exclusion(lake, spark):
     # Unknown table still raises cleanly through the guard.
     with pytest.raises(KeyError):
         lake.compact("nope")
+
+
+def test_delete_copy_on_write(lake, spark):
+    """DELETE rewrites only stat-pruned files; old versions unchanged;
+    idempotent per txn_id; no-op when nothing matches."""
+    lake.create_table("del", SCHEMA)
+    t = lake.table("del")
+    t.insert(_df(spark, 0, 100))     # k in [0,100)
+    t.insert(_df(spark, 100, 200))   # k in [100,200)
+    v_before = t.versions()[-1]
+    files_before = {f.path for f in t.snapshot().files}
+
+    version, n = t.delete("k < 50", txn_id="d1")
+    assert n == 50 and version == v_before + 1
+    assert t.read().count() == 150
+    # Time travel: the pre-delete version still has all rows.
+    assert t.read(version=v_before).count() == 200
+    # Stats pruning: the second insert's files (k>=100) were not rewritten.
+    files_after = {f.path for f in t.snapshot().files}
+    assert any(p in files_after for p in files_before), "untouched files must carry over"
+
+    # Idempotency: same txn_id is a no-op returning the original version.
+    again, n2 = t.delete("k < 50", txn_id="d1")
+    assert again == version and n2 == 0
+    assert t.read().count() == 150
+
+    # No rows match → no new version.
+    assert t.delete("k < 0") == (None, 0)
+    assert t.versions()[-1] == version
+
+
+def test_insert_overwrite(lake, spark):
+    lake.create_table("ow", SCHEMA)
+    t = lake.table("ow")
+    t.insert(_df(spark, 0, 50))
+    v_append = t.versions()[-1]
+    t.insert(_df(spark, 1000, 1010), mode="overwrite")
+    assert t.read().count() == 10
+    assert t.read().agg(F.min("k")).collect()[0][0] == 1000
+    # Pre-overwrite version still readable (P30-style).
+    assert t.read(version=v_append).count() == 50
+
+
+def test_drop_table(lake, spark):
+    import pytest
+
+    lake.create_table("gone", SCHEMA)
+    lake.insert("gone", _df(spark, 0, 10))
+    assert "gone" in lake.list_tables()
+    lake.drop_table("gone")
+    assert "gone" not in lake.list_tables()
+    with pytest.raises(KeyError):
+        lake.table("gone")
