@@ -1759,3 +1759,30 @@ def salted_agg_skew(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+_SLIDING_ORACLE = """
+WITH e AS (SELECT ts::TIMESTAMP AS tsv FROM events),
+w AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, tsv),
+                 time_bucket(INTERVAL 30 MINUTE, tsv) - INTERVAL 30 MINUTE]) AS window_start,
+         tsv
+  FROM e
+)
+SELECT window_start, count(*) AS n_events
+FROM w
+WHERE tsv >= window_start AND tsv < window_start + INTERVAL 60 MINUTE
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("events_sliding_window", oracle=_SLIDING_ORACLE)
+def events_sliding_window(spark, sf_dir):
+    """Hopping-window aggregation (1h window / 30min slide) via the
+    STREAMING operator's batch twin (streaming/windows.sliding_counts).
+    Each event lands in exactly window/slide = 2 windows; the oracle
+    reconstructs the window set with time_bucket + unnest."""
+    from mini_lakehouse_control_plane_executor_spark.streaming import windows as _sw
+
+    e = _load(spark, sf_dir, "events")
+    return _sw.sliding_counts(e).orderBy("window_start")

@@ -74,6 +74,16 @@ class LakehouseSession:
         """Copy-on-write row delete; returns (new_version|None, rows_deleted)."""
         return self.table(name).delete(filter_str, txn_id=txn_id)
 
+    def update(
+        self,
+        name: str,
+        filter_str: str,
+        assignments: dict[str, str],
+        txn_id: str | None = None,
+    ):
+        """Copy-on-write UPDATE; returns (new_version|None, rows_updated)."""
+        return self.table(name).update(filter_str, assignments, txn_id=txn_id)
+
     def drop_table(self, name: str) -> None:
         """DROP TABLE — implemented for real (the reference's DELETE
         /tables/{t} endpoint is a placeholder, ``rest_api.go:676-687``)."""

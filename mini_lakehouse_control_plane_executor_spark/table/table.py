@@ -223,6 +223,71 @@ class LakehouseTable:
                 time.sleep(0.01 * (attempt + 1))
         raise CommitConflictError(f"delete on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races")
 
+    def update(
+        self, filter_str: str, assignments: dict[str, str], txn_id: str | None = None
+    ) -> tuple[int | None, int]:
+        """Copy-on-write UPDATE: in files whose stats admit matches, rows
+        matching ``filter_str`` get each column in ``assignments`` set to
+        the given SQL expression (evaluated against the pre-update row);
+        all other rows — and all other files — carry over unchanged.
+        Returns (new_version | None, rows_updated). Same dataflow,
+        OCC-retry, idempotency, and time-travel behavior as ``delete``."""
+        from pyspark.sql import functions as F
+
+        from mini_lakehouse_control_plane_executor_spark.functions.filters import parse_filter, prune_files
+
+        pred = parse_filter(filter_str)
+        txn_id = txn_id or f"update-{uuid.uuid4()}"
+        prior = self.log.find_txn(txn_id)
+        if prior is not None:
+            return prior, 0
+        unknown = set(assignments) - {f.name for f in self.fields}
+        if unknown:
+            raise ValueError(f"UPDATE of unknown column(s): {sorted(unknown)}")
+
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            snap = self.log.snapshot()
+            candidates = prune_files(snap.files, filter_str)
+            if not candidates:
+                return None, 0
+            schema = to_spark_schema(snap.schema)
+            paths = [os.path.join(self.dir, f.path) for f in candidates]
+            src = self.spark.read.schema(schema).parquet(*paths)
+            n_match = src.filter(pred).count()
+            if n_match == 0:
+                return None, 0
+            out = src.select(
+                *[
+                    F.when(pred, F.expr(assignments[f.name]))
+                    .otherwise(F.col(f.name))
+                    .cast(schema[f.name].dataType)
+                    .alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in snap.schema
+                ]
+            ).coalesce(max(1, len(candidates)))
+            stage = os.path.join(self.tmp_dir, txn_id)
+            out.write.mode("overwrite").parquet(stage)
+            try:
+                adds = self._promote_staged(stage)
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+            try:
+                version = self.log.commit(
+                    snap.version, txn_id, snap.schema, adds,
+                    [f.path for f in candidates],
+                )
+                return version, n_match
+            except CommitConflictError:
+                for add in adds:
+                    try:
+                        os.remove(os.path.join(self.dir, add.path))
+                    except FileNotFoundError:
+                        pass
+                time.sleep(0.01 * (attempt + 1))
+        raise CommitConflictError(f"update on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races")
+
     def insert_path(
         self, path: str, fmt: str = "parquet", txn_id: str | None = None, **options
     ) -> int:

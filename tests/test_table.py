@@ -190,3 +190,31 @@ def test_drop_table(lake, spark):
     assert "gone" not in lake.list_tables()
     with pytest.raises(KeyError):
         lake.table("gone")
+
+
+def test_update_copy_on_write(lake, spark):
+    """UPDATE rewrites only stat-pruned files, applies SQL-expression
+    assignments to matching rows, preserves old versions."""
+    lake.create_table("upd", SCHEMA)
+    t = lake.table("upd")
+    t.insert(_df(spark, 0, 100))
+    t.insert(_df(spark, 100, 200))
+    v_before = t.versions()[-1]
+
+    version, n = t.update("k < 10", {"v": "'patched'", "x": "x * 2"}, txn_id="u1")
+    assert n == 10 and version == v_before + 1
+    got = t.read().filter(F.col("k") < 10).orderBy("k").collect()
+    assert all(r["v"] == "patched" for r in got)
+    assert got[3]["x"] == 3 * 1.5 * 2  # k=3: original 4.5 doubled
+    # Non-matching rows untouched; totals unchanged.
+    assert t.read().count() == 200
+    assert t.read().filter(F.col("v") == "patched").count() == 10
+    # Old version still shows pre-update values.
+    assert t.read(version=v_before).filter(F.col("v") == "patched").count() == 0
+    # Idempotency.
+    assert t.update("k < 10", {"v": "'patched'"}, txn_id="u1") == (version, 0)
+    # Unknown column rejected.
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update("k < 10", {"nope": "1"})
