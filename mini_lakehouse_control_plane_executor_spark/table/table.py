@@ -36,6 +36,7 @@ from mini_lakehouse_control_plane_executor_spark.table.log import (
 )
 from mini_lakehouse_control_plane_executor_spark.table.schema import (
     Field,
+    SchemaError,
     from_spark_schema,
     to_spark_schema,
     validate_schema,
@@ -287,6 +288,124 @@ class LakehouseTable:
                         pass
                 time.sleep(0.01 * (attempt + 1))
         raise CommitConflictError(f"update on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races")
+
+    def merge(
+        self, source: DataFrame, key: str, txn_id: str | None = None
+    ) -> tuple[int, int, int]:
+        """Copy-on-write MERGE (upsert) on ``key``: rows in the table
+        whose key appears in ``source`` are replaced by the source row;
+        source rows with unseen keys are appended. Only files whose
+        [min,max] range for ``key`` intersects the source's key range are
+        rewritten — everything else carries over by reference. Returns
+        (new_version, rows_updated, rows_inserted).
+
+        The source is materialized once (it is read for its key range,
+        the anti/join, and the append)."""
+        from pyspark.sql import functions as F
+        from pyspark.storagelevel import StorageLevel
+
+        txn_id = txn_id or f"merge-{uuid.uuid4()}"
+        prior = self.log.find_txn(txn_id)
+        if prior is not None:
+            return prior, 0, 0
+
+        fields = self.fields
+        schema = to_spark_schema(fields)
+        if key not in {f.name for f in fields}:
+            raise ValueError(f"merge key {key!r} not in table schema")
+        source = source.select(
+            *[source[f.name].cast(schema[f.name].dataType).alias(f.name) for f in fields]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        bounds = source.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        if bounds["n"] == 0:
+            source.unpersist()
+            raise ValueError("merge source is empty")
+
+        try:
+            for attempt in range(COMMIT_MAX_RETRIES + 1):
+                snap = self.log.snapshot()
+
+                def _overlaps(f: FileAdd) -> bool:
+                    mn, mx = f.min_values.get(key), f.max_values.get(key)
+                    if mn is None or mx is None:
+                        return True  # no stats: stay conservative
+                    try:
+                        return not (mx < bounds["lo"] or mn > bounds["hi"])
+                    except TypeError:
+                        return True
+                candidates = [f for f in snap.files if _overlaps(f)]
+                n_updated = 0
+                adds: list[FileAdd] = []
+                stage = os.path.join(self.tmp_dir, txn_id)
+                if candidates:
+                    paths = [os.path.join(self.dir, f.path) for f in candidates]
+                    cur = self.spark.read.schema(schema).parquet(*paths)
+                    n_updated = cur.join(
+                        source.select(key).distinct(), key, "left_semi"
+                    ).count()
+                    kept = cur.join(source.select(key).distinct(), key, "left_anti")
+                    kept.coalesce(max(1, len(candidates))).write.mode("overwrite").parquet(
+                        os.path.join(stage, "kept")
+                    )
+                source.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(stage, "src")
+                )
+                try:
+                    if candidates:
+                        adds.extend(self._promote_staged(os.path.join(stage, "kept")))
+                    adds.extend(self._promote_staged(os.path.join(stage, "src")))
+                finally:
+                    shutil.rmtree(stage, ignore_errors=True)
+                try:
+                    version = self.log.commit(
+                        snap.version, txn_id, fields, adds,
+                        [f.path for f in candidates],
+                    )
+                    return version, n_updated, bounds["n"] - n_updated
+                except CommitConflictError:
+                    for add in adds:
+                        try:
+                            os.remove(os.path.join(self.dir, add.path))
+                        except FileNotFoundError:
+                            pass
+                    time.sleep(0.01 * (attempt + 1))
+            raise CommitConflictError(
+                f"merge on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races"
+            )
+        finally:
+            source.unpersist()
+
+    def add_columns(self, new_fields: list[Field], txn_id: str | None = None) -> int:
+        """Additive schema evolution: append nullable columns. Existing
+        files are NOT rewritten — the snapshot read applies the latest
+        schema (replay is already latest-schema-wins, as the reference's
+        log replay is: ``transaction_log.go:191-194``) and Parquet scans
+        surface missing columns as nulls."""
+        txn_id = txn_id or f"alter-{uuid.uuid4()}"
+        prior = self.log.find_txn(txn_id)
+        if prior is not None:
+            return prior
+        current = self.fields
+        names = {f.name for f in current}
+        for f in new_fields:
+            if f.name in names:
+                raise SchemaError(f"column {f.name!r} already exists")
+            if not f.nullable:
+                raise SchemaError(
+                    f"new column {f.name!r} must be nullable (existing rows have no value)"
+                )
+        merged = list(current) + list(new_fields)
+        validate_schema(merged)
+        last: Exception | None = None
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            try:
+                return self.log.commit(self.log.latest_version(), txn_id, merged)
+            except CommitConflictError as exc:
+                last = exc
+                time.sleep(0.01 * (attempt + 1))
+        raise last  # type: ignore[misc]
 
     def insert_path(
         self, path: str, fmt: str = "parquet", txn_id: str | None = None, **options

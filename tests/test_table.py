@@ -218,3 +218,51 @@ def test_update_copy_on_write(lake, spark):
 
     with pytest.raises(ValueError, match="unknown column"):
         t.update("k < 10", {"nope": "1"})
+
+
+def test_merge_upsert(lake, spark):
+    """MERGE: matched keys replaced, unseen keys appended, files outside
+    the source key range untouched, old versions intact."""
+    lake.create_table("mrg", SCHEMA)
+    t = lake.table("mrg")
+    t.insert(_df(spark, 0, 100))
+    t.insert(_df(spark, 100, 200))
+    v_before = t.versions()[-1]
+    files_before = {f.path for f in t.snapshot().files}
+
+    # Source: keys 95..104 (update 10 rows) + 500..504 (insert 5 rows).
+    src = _df(spark, 95, 105).union(_df(spark, 500, 505)).withColumn(
+        "v", F.lit("merged")
+    )
+    version, n_upd, n_ins = t.merge(src, "k", txn_id="m1")
+    assert (n_upd, n_ins) == (10, 5)
+    assert t.read().count() == 205
+    assert t.read().filter(F.col("v") == "merged").count() == 15
+    # Old version pre-merge unchanged.
+    assert t.read(version=v_before).filter(F.col("v") == "merged").count() == 0
+    assert t.read(version=v_before).count() == 200
+    # Idempotent replay.
+    assert t.merge(src, "k", txn_id="m1") == (version, 0, 0)
+
+
+def test_add_columns_schema_evolution(lake, spark):
+    import pytest
+
+    from mini_lakehouse_control_plane_executor_spark.table.schema import SchemaError
+
+    lake.create_table("evo", SCHEMA)
+    t = lake.table("evo")
+    t.insert(_df(spark, 0, 10))
+    t.add_columns([Field("note", "string", True)])
+    # Old files surface the new column as NULL.
+    assert t.read().filter(F.col("note").isNull()).count() == 10
+    # New inserts carry it.
+    t.insert(
+        _df(spark, 10, 15).withColumn("note", F.lit("n")), txn_id="evo2"
+    )
+    assert t.read().filter(F.col("note") == "n").count() == 5
+    assert t.read().count() == 15
+    with pytest.raises(SchemaError, match="already exists"):
+        t.add_columns([Field("note", "string", True)])
+    with pytest.raises(SchemaError, match="nullable"):
+        t.add_columns([Field("req", "string", False)])
