@@ -109,17 +109,23 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs (id1 < id2) with shingle-Jaccard ≥ threshold.
 
     Without ``candidates`` this is the exact quadratic algorithm (shingle
     self-join); with a candidate pair DataFrame (id1, id2) the join is
-    restricted to those pairs — the LSH-pruned path.
+    restricted to those pairs — the LSH-pruned path. ``shingles`` lets a
+    caller that already materialized the (doc_id, s) exploded-shingle
+    table (e.g. the MinHash pipeline) hand it in so the corpus is
+    tokenized once, not once per stage.
     """
     # The shingle table feeds sizes plus both sides of the intersection
     # join; persist it so tokenization+shingling runs once per pipeline
     # (at cluster scale this is the "materialize shingles" stage).
-    ex = exploded_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = shingles if shingles is not None else exploded_shingles(
+        df, id_col, text_col, n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if candidates is not None:
@@ -165,14 +171,19 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = MINHASH_K
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k min-hashes per doc via a Carter-Wegman family over ONE md5 per
     shingle: (a, b) = the two 60-bit halves of md5(shingle) reduced mod
     P=2³¹−1, then h_i = (a + i·b) mod P. One digest per shingle row (vs k
     for the naive md5(s‖i) scheme); DuckDB computes identical values —
     fully oracle-checkable."""
-    ex = exploded_shingles(df, id_col, text_col, n)
+    ex = shingles if shingles is not None else exploded_shingles(df, id_col, text_col, n)
     h = F.md5(F.col("s"))
     a = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % MINHASH_P
     b = F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % MINHASH_P
@@ -227,10 +238,14 @@ def minhash_dedup_pairs(
     band_rows: int = MINHASH_BAND_ROWS,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates → exact
-    Jaccard verification of candidates only."""
-    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    Jaccard verification of candidates only. The exploded shingle table
+    is materialized ONCE and shared by signature generation and Jaccard
+    verification — at cluster scale that's one corpus tokenization pass,
+    not two."""
+    ex = exploded_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(df, id_col, text_col, n, k, shingles=ex)
     cands = lsh_candidates(sigs, k, band_rows)
-    return jaccard_pairs(df, id_col, text_col, n, threshold, candidates=cands)
+    return jaccard_pairs(df, id_col, text_col, n, threshold, candidates=cands, shingles=ex)
 
 
 # ---------------------------------------------------------------------------
