@@ -47,9 +47,10 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns→µs; sub-µs precision is dropped, matching Spark's native timestamp
     resolution."""
     df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # Integer division: ``ts / 1000`` promotes to double, whose 2^53
+    # mantissa cannot represent epoch-nanos (~1.7e18) exactly and can be
+    # off by ~256 ns at boundaries. ``div`` stays in 64-bit integers.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def query(name: str, oracle: str | None = None):

@@ -52,6 +52,18 @@ class CommitConflictError(Exception):
         self.actual = actual
 
 
+class CommitRetriesExhausted(CommitConflictError):
+    """An OCC write lost every allowed retry attempt. Subclasses
+    CommitConflictError so callers catching conflicts also see exhaustion
+    (reference surfaces the same error after max attempts,
+    ``pkg/coordinator/transaction_manager.go:174-179``)."""
+
+    def __init__(self, message: str):
+        Exception.__init__(self, message)
+        self.expected = None
+        self.actual = None
+
+
 class CommitValidationError(Exception):
     pass
 

@@ -27,9 +27,11 @@ import uuid
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mini_lakehouse_control_plane_executor_spark.table.log import (
     CommitConflictError,
+    CommitRetriesExhausted,
     FileAdd,
     Snapshot,
     TransactionLog,
@@ -153,6 +155,9 @@ class LakehouseTable:
         df.write.mode("overwrite").parquet(stage)
         try:
             adds = self._promote_staged(stage)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        try:
             if mode == "append":
                 return self._commit_with_retry(txn_id, adds=adds, removes=[])
             last: Exception | None = None
@@ -165,9 +170,17 @@ class LakehouseTable:
                 except CommitConflictError as exc:
                     last = exc
                     time.sleep(0.01 * (attempt + 1))
-            raise last  # type: ignore[misc]
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
+            raise CommitRetriesExhausted(
+                f"insert overwrite on {self.name!r} lost "
+                f"{COMMIT_MAX_RETRIES + 1} OCC races"
+            ) from last
+        except BaseException:
+            # Terminal commit failure: the promoted files were never made
+            # visible by any log entry — reclaim them rather than leaking
+            # orphans into data/ (reference cleans per-attempt staging,
+            # ``table_service.go:477-494``).
+            self._remove_adds(adds)
+            raise
 
     def delete(self, filter_str: str, txn_id: str | None = None) -> tuple[int | None, int]:
         """Copy-on-write DELETE: rows matching ``filter_str`` (reference
@@ -201,7 +214,12 @@ class LakehouseTable:
             if n_match == 0:
                 return None, 0
             stage = os.path.join(self.tmp_dir, txn_id)
-            keep = src.filter(~pred).coalesce(max(1, len(candidates)))
+            # SQL DELETE semantics: a row is deleted only when the predicate
+            # is TRUE. ``~pred`` alone would also drop NULL-evaluating rows
+            # (e.g. ``DELETE WHERE x > 5`` must keep rows with x IS NULL).
+            keep = src.filter(~F.coalesce(pred, F.lit(False))).coalesce(
+                max(1, len(candidates))
+            )
             keep.write.mode("overwrite").parquet(stage)
             try:
                 adds = self._promote_staged(stage)
@@ -216,13 +234,11 @@ class LakehouseTable:
             except CommitConflictError:
                 # Concurrent commit: drop our rewrite and re-plan against
                 # the fresh snapshot (same loop as compaction).
-                for add in adds:
-                    try:
-                        os.remove(os.path.join(self.dir, add.path))
-                    except FileNotFoundError:
-                        pass
+                self._remove_adds(adds)
                 time.sleep(0.01 * (attempt + 1))
-        raise CommitConflictError(f"delete on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races")
+        raise CommitRetriesExhausted(
+            f"delete on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races"
+        )
 
     def update(
         self, filter_str: str, assignments: dict[str, str], txn_id: str | None = None
@@ -233,8 +249,6 @@ class LakehouseTable:
         all other rows — and all other files — carry over unchanged.
         Returns (new_version | None, rows_updated). Same dataflow,
         OCC-retry, idempotency, and time-travel behavior as ``delete``."""
-        from pyspark.sql import functions as F
-
         from mini_lakehouse_control_plane_executor_spark.functions.filters import parse_filter, prune_files
 
         pred = parse_filter(filter_str)
@@ -281,13 +295,11 @@ class LakehouseTable:
                 )
                 return version, n_match
             except CommitConflictError:
-                for add in adds:
-                    try:
-                        os.remove(os.path.join(self.dir, add.path))
-                    except FileNotFoundError:
-                        pass
+                self._remove_adds(adds)
                 time.sleep(0.01 * (attempt + 1))
-        raise CommitConflictError(f"update on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races")
+        raise CommitRetriesExhausted(
+            f"update on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races"
+        )
 
     def merge(
         self, source: DataFrame, key: str, txn_id: str | None = None
@@ -301,7 +313,6 @@ class LakehouseTable:
 
         The source is materialized once (it is read for its key range,
         the anti/join, and the append)."""
-        from pyspark.sql import functions as F
         from pyspark.storagelevel import StorageLevel
 
         txn_id = txn_id or f"merge-{uuid.uuid4()}"
@@ -349,9 +360,10 @@ class LakehouseTable:
                     kept.coalesce(max(1, len(candidates))).write.mode("overwrite").parquet(
                         os.path.join(stage, "kept")
                     )
-                source.coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(stage, "src")
-                )
+                # Write the source at its natural parallelism — a large
+                # upsert source must not serialize through one task. Tiny
+                # sources still bin down via the small-file compactor later.
+                source.write.mode("overwrite").parquet(os.path.join(stage, "src"))
                 try:
                     if candidates:
                         adds.extend(self._promote_staged(os.path.join(stage, "kept")))
@@ -365,13 +377,9 @@ class LakehouseTable:
                     )
                     return version, n_updated, bounds["n"] - n_updated
                 except CommitConflictError:
-                    for add in adds:
-                        try:
-                            os.remove(os.path.join(self.dir, add.path))
-                        except FileNotFoundError:
-                            pass
+                    self._remove_adds(adds)
                     time.sleep(0.01 * (attempt + 1))
-            raise CommitConflictError(
+            raise CommitRetriesExhausted(
                 f"merge on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races"
             )
         finally:
@@ -446,6 +454,16 @@ class LakehouseTable:
                 )
             )
         return adds
+
+    def _remove_adds(self, adds: list[FileAdd]) -> None:
+        """Reclaim files promoted into data/ whose commit never landed
+        (conflict re-plan or terminal failure) — they are invisible to
+        every snapshot, so deleting them is safe for all readers."""
+        for add in adds:
+            try:
+                os.remove(os.path.join(self.dir, add.path))
+            except FileNotFoundError:
+                pass
 
     def _commit_with_retry(
         self, txn_id: str, adds: list[FileAdd], removes: list[str]
@@ -559,10 +577,6 @@ class LakehouseTable:
             except CommitConflictError:
                 # Another writer advanced the table: drop our rewrite
                 # output and re-plan against the new snapshot.
-                for add in adds:
-                    try:
-                        os.remove(os.path.join(self.dir, add.path))
-                    except FileNotFoundError:
-                        pass
+                self._remove_adds(adds)
                 continue
         return None

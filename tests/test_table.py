@@ -266,3 +266,95 @@ def test_add_columns_schema_evolution(lake, spark):
         t.add_columns([Field("note", "string", True)])
     with pytest.raises(SchemaError, match="nullable"):
         t.add_columns([Field("req", "string", False)])
+
+
+def test_delete_keeps_null_predicate_rows(lake, spark):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    are NOT deleted (DuckDB/ANSI: delete only where TRUE)."""
+    lake.create_table("nul", SCHEMA)
+    t = lake.table("nul")
+    rows = [(1, "a", 1.0), (2, "b", None), (3, "c", 9.0), (4, "d", None)]
+    t.insert(spark.createDataFrame(rows, t.spark_schema))
+
+    version, n = t.delete("x > 5")
+    assert n == 1  # only k=3 matches TRUE; NULLs neither match nor die
+    got = sorted((r.k, r.x) for r in t.read().collect())
+    assert got == [(1, 1.0), (2, None), (4, None)]
+
+
+def test_retries_exhausted_is_typed_error(lake, spark, monkeypatch):
+    """After losing every OCC retry, delete/update/merge raise
+    CommitRetriesExhausted (a CommitConflictError), not a TypeError."""
+    import pytest
+
+    from mini_lakehouse_control_plane_executor_spark.table.log import (
+        CommitConflictError,
+        CommitRetriesExhausted,
+    )
+
+    lake.create_table("occ", SCHEMA)
+    t = lake.table("occ")
+    t.insert(_df(spark, 0, 20))
+
+    def always_conflict(base, txn_id, schema, adds=None, removes=None):
+        raise CommitConflictError(base, base + 1)
+
+    monkeypatch.setattr(t.log, "commit", always_conflict)
+    with pytest.raises(CommitRetriesExhausted, match="delete"):
+        t.delete("k < 5")
+    with pytest.raises(CommitRetriesExhausted, match="update"):
+        t.update("k < 5", {"v": "'z'"})
+    with pytest.raises(CommitRetriesExhausted, match="merge"):
+        t.merge(_df(spark, 0, 5), "k")
+    with pytest.raises(CommitConflictError):  # subclass relationship holds
+        t.insert(_df(spark, 20, 25))
+
+
+def test_merge_source_parallel_write(lake, spark):
+    """merge writes the source at its natural parallelism — a
+    multi-partition source must produce multiple part files, never
+    serialize through one task."""
+    lake.create_table("mrgp", SCHEMA)
+    t = lake.table("mrgp")
+    t.insert(_df(spark, 0, 10).coalesce(1))
+
+    # Non-overlapping key range → pure insert; 4 source partitions.
+    src = _df(spark, 1000, 1400).repartition(4)
+    version, n_upd, n_ins = t.merge(src, "k")
+    assert (n_upd, n_ins) == (0, 400)
+    entry = t.log.read_entry(version)
+    assert len(entry.adds) >= 2, "source must not be coalesced to one file"
+    assert t.read().count() == 410
+
+
+def test_insert_cleanup_on_terminal_commit_failure(lake, spark, monkeypatch):
+    """Promoted-but-never-committed files are reclaimed from data/ when
+    the commit fails terminally (no orphan leak)."""
+    import os
+
+    import pytest
+
+    from mini_lakehouse_control_plane_executor_spark.table.log import (
+        CommitConflictError,
+        CommitRetriesExhausted,
+    )
+
+    lake.create_table("orph", SCHEMA)
+    t = lake.table("orph")
+    t.insert(_df(spark, 0, 10))
+    files_before = sorted(os.listdir(t.data_dir))
+
+    real_commit = t.log.commit
+
+    def always_conflict(base, txn_id, schema, adds=None, removes=None):
+        raise CommitConflictError(base, base + 1)
+
+    monkeypatch.setattr(t.log, "commit", always_conflict)
+    with pytest.raises(CommitConflictError):
+        t.insert(_df(spark, 10, 20))
+    with pytest.raises(CommitRetriesExhausted):
+        t.insert(_df(spark, 10, 20), mode="overwrite")
+    monkeypatch.setattr(t.log, "commit", real_commit)
+
+    assert sorted(os.listdir(t.data_dir)) == files_before
+    assert t.read().count() == 10
