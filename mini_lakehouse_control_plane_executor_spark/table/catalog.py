@@ -43,6 +43,7 @@ class LakehouseSession:
         self.root = root
         os.makedirs(os.path.join(root, "tables"), exist_ok=True)
         self._jobs: dict[str, JobInfo] = {}
+        self._tables: dict[str, LakehouseTable] = {}
         self._compacting: set[str] = set()
         self._compact_mu = threading.Lock()
         self._compact_slots = threading.BoundedSemaphore(COMPACT_MAX_CONCURRENT)
@@ -50,12 +51,19 @@ class LakehouseSession:
     # -- tables --------------------------------------------------------
 
     def create_table(self, name: str, fields: list[Field]) -> LakehouseTable:
-        return LakehouseTable.create(self.spark, self.root, name, fields)
+        t = LakehouseTable.create(self.spark, self.root, name, fields)
+        self._tables[name] = t
+        return t
 
     def table(self, name: str) -> LakehouseTable:
-        t = LakehouseTable(self.spark, self.root, name)
-        if not t.exists():
-            raise KeyError(f"no such table: {name}")
+        # Handles are cached so the transaction log's in-memory replay
+        # state (see TransactionLog) persists across calls.
+        t = self._tables.get(name)
+        if t is None:
+            t = LakehouseTable(self.spark, self.root, name)
+            if not t.exists():
+                raise KeyError(f"no such table: {name}")
+            self._tables[name] = t
         return t
 
     def list_tables(self) -> list[str]:
@@ -88,6 +96,7 @@ class LakehouseSession:
         """DROP TABLE — implemented for real (the reference's DELETE
         /tables/{t} endpoint is a placeholder, ``rest_api.go:676-687``)."""
         t = self.table(name)  # raises KeyError if absent
+        self._tables.pop(name, None)
         shutil.rmtree(t.dir, ignore_errors=True)
 
     def versions(self, name: str) -> list[int]:

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -147,27 +148,63 @@ class Snapshot:
         return [f.path for f in self.files]
 
 
+# Write a checkpoint every N commits: snapshot()/find_txn() then read at
+# most (1 checkpoint + N entries) instead of the whole history. Mirrors
+# the reference's reserved ``checkpoint_%020d.json`` log-compaction slot
+# (``pkg/storage/paths.go``); Delta Lake uses the same design.
+CHECKPOINT_INTERVAL = 10
+
+
 class TransactionLog:
-    """One table's commit log rooted at ``<table_dir>/_log/``."""
+    """One table's commit log rooted at ``<table_dir>/_log/``.
+
+    Replay cost is bounded two ways (the O(V)-per-read / O(V²)-lifetime
+    trap the reference avoids by holding state in its Raft FSM):
+
+    - **in-memory cache**: one replayed state (files, schema, txn→version)
+      advances monotonically; repeat reads replay only NEW entries;
+    - **checkpoints**: ``_log/<v>.checkpoint.json`` holds the full replayed
+      state at v, so a fresh instance (new process, new ``lake.table()``
+      handle) cold-starts from the newest checkpoint, not version 1.
+    """
 
     def __init__(self, table_dir: str):
         self.table_dir = table_dir
         self.log_dir = os.path.join(table_dir, "_log")
         os.makedirs(self.log_dir, exist_ok=True)
+        self._mu = threading.Lock()
+        self._state_version = 0
+        self._state_files: dict[str, FileAdd] = {}
+        self._state_schema: list[Field] = []
+        self._state_txns: dict[str, int] = {}
 
     # -- paths ---------------------------------------------------------
 
     def _entry_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.json")
 
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
+
     # -- reads ---------------------------------------------------------
 
     def list_versions(self) -> list[int]:
         out = []
         for name in os.listdir(self.log_dir):
-            if name.endswith(".json"):
+            if name.endswith(".json") and ".checkpoint." not in name:
                 try:
                     out.append(int(name[:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def list_checkpoints(self) -> list[int]:
+        suffix = ".checkpoint.json"
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(suffix):
+                try:
+                    out.append(int(name[: -len(suffix)]))
                 except ValueError:
                     continue
         return sorted(out)
@@ -181,34 +218,132 @@ class TransactionLog:
             return LogEntry.from_json(json.load(fh))
 
     def find_txn(self, txn_id: str) -> int | None:
-        """Version previously committed under ``txn_id``, if any."""
-        for v in self.list_versions():
-            if self.read_entry(v).txn_id == txn_id:
-                return v
-        return None
+        """Version previously committed under ``txn_id``, if any.
+        O(new entries) via the cached txn→version map, not O(V)."""
+        with self._mu:
+            self._advance_locked(self.latest_version())
+            return self._state_txns.get(txn_id)
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         """Replay entries 1..version (adds then removes), deterministic
-        path-sorted file list, latest-schema-wins."""
+        path-sorted file list, latest-schema-wins. Reads at most
+        (1 checkpoint + CHECKPOINT_INTERVAL entries + entries newer than
+        the in-memory state), never the whole history."""
         latest = self.latest_version()
         if version is None or version == 0:
             version = latest
         if version > latest:
             raise ValueError(f"version {version} > latest {latest}")
-        files: dict[str, FileAdd] = {}
-        schema: list[Field] = []
+        with self._mu:
+            if version >= self._state_version:
+                self._advance_locked(version)
+                files, schema = self._state_files, self._state_schema
+                ordered = [files[p] for p in sorted(files)]
+                return Snapshot(version=version, schema=list(schema), files=ordered)
+        # Time travel behind the cache: cold replay from the newest
+        # checkpoint ≤ version (does not disturb the forward cache).
+        files, schema, _ = self._replay_cold(version)
+        ordered = [files[p] for p in sorted(files)]
+        return Snapshot(version=version, schema=list(schema), files=ordered)
+
+    # -- replay machinery ----------------------------------------------
+
+    @staticmethod
+    def _apply(
+        entry: LogEntry,
+        files: dict[str, FileAdd],
+        schema: list[Field],
+        txns: dict[str, int],
+    ) -> list[Field]:
+        if entry.schema:
+            schema = entry.schema
+        for add in entry.adds:
+            files[add.path] = add
+        for rm in entry.removes:
+            files.pop(rm, None)
+        if entry.txn_id:
+            txns.setdefault(entry.txn_id, entry.version)
+        return schema
+
+    def _advance_locked(self, target: int) -> None:
+        """Advance the cached state to ``target`` (≥ current). Cold-starts
+        from the newest checkpoint ≤ target when the cache is empty."""
+        if target <= self._state_version:
+            return
+        if self._state_version == 0:
+            ckpts = [c for c in self.list_checkpoints() if c <= target]
+            if ckpts:
+                files, schema, txns = self._load_checkpoint(ckpts[-1])
+                self._state_version = ckpts[-1]
+                self._state_files = files
+                self._state_schema = schema
+                self._state_txns = txns
         for v in self.list_versions():
-            if v > version:
+            if v <= self._state_version:
+                continue
+            if v > target:
                 break
             entry = self.read_entry(v)
-            if entry.schema:
-                schema = entry.schema
-            for add in entry.adds:
-                files[add.path] = add
-            for rm in entry.removes:
-                files.pop(rm, None)
-        ordered = [files[p] for p in sorted(files)]
-        return Snapshot(version=version, schema=schema, files=ordered)
+            self._state_schema = self._apply(
+                entry, self._state_files, self._state_schema, self._state_txns
+            )
+        self._state_version = target
+
+    def _replay_cold(
+        self, version: int
+    ) -> tuple[dict[str, FileAdd], list[Field], dict[str, int]]:
+        files: dict[str, FileAdd] = {}
+        schema: list[Field] = []
+        txns: dict[str, int] = {}
+        start = 0
+        ckpts = [c for c in self.list_checkpoints() if c <= version]
+        if ckpts:
+            files, schema, txns = self._load_checkpoint(ckpts[-1])
+            start = ckpts[-1]
+        for v in self.list_versions():
+            if v <= start:
+                continue
+            if v > version:
+                break
+            schema = self._apply(self.read_entry(v), files, schema, txns)
+        return files, schema, txns
+
+    # -- checkpoints ----------------------------------------------------
+
+    def _load_checkpoint(
+        self, version: int
+    ) -> tuple[dict[str, FileAdd], list[Field], dict[str, int]]:
+        with open(self._checkpoint_path(version)) as fh:
+            d = json.load(fh)
+        files = {a["path"]: FileAdd.from_json(a) for a in d.get("files") or []}
+        schema = fields_from_json(d.get("schema") or [])
+        txns = {k: int(v) for k, v in (d.get("txn_versions") or {}).items()}
+        return files, schema, txns
+
+    def _write_checkpoint_locked(self, version: int) -> None:
+        """Persist the cached state (which must be at ``version``) as
+        ``<v>.checkpoint.json``. Atomic rename; concurrent writers of the
+        same version produce identical content (replay is deterministic),
+        so last-rename-wins is safe. Never fails the caller."""
+        payload = json.dumps(
+            {
+                "version": version,
+                "schema": fields_to_json(self._state_schema),
+                "files": [self._state_files[p].to_json() for p in sorted(self._state_files)],
+                "txn_versions": self._state_txns,
+            }
+        ).encode()
+        path = self._checkpoint_path(version)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            os.replace(tmp, path)
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     # -- writes --------------------------------------------------------
 
@@ -268,4 +403,17 @@ class TransactionLog:
             raise CommitConflictError(base_version, self.latest_version())
         finally:
             os.unlink(tmp)
+
+        # Fold the committed entry into the cache and checkpoint on the
+        # interval boundary so later readers replay a bounded suffix.
+        with self._mu:
+            if self._state_version == entry.version - 1:
+                self._state_schema = self._apply(
+                    entry, self._state_files, self._state_schema, self._state_txns
+                )
+                self._state_version = entry.version
+            else:
+                self._advance_locked(entry.version)
+            if entry.version % CHECKPOINT_INTERVAL == 0:
+                self._write_checkpoint_locked(entry.version)
         return entry.version

@@ -138,3 +138,63 @@ def test_name_and_schema_validation():
         validate_schema([Field("a", "int64"), Field("a", "string")])
     with pytest.raises(SchemaError):
         validate_schema([Field("a", "uuid")])
+
+
+def _commit_n(log, n, start_version=0):
+    v = start_version
+    for i in range(n):
+        adds = [FileAdd(f"data/f{v + 1}.parquet", rows=1, size=10)]
+        removes = [f"data/f{v}.parquet"] if v % 3 == 0 and v > 0 else []
+        v = log.commit(v, f"txn-{v + 1}", SCHEMA, adds, removes)
+    return v
+
+
+def test_checkpoint_bounds_replay(tmp_path):
+    """A fresh instance reads ≤ (1 checkpoint + CHECKPOINT_INTERVAL
+    entries) per snapshot — not the whole history."""
+    from mini_lakehouse_control_plane_executor_spark.table.log import CHECKPOINT_INTERVAL
+
+    log = TransactionLog(str(tmp_path))
+    last = _commit_n(log, 57)
+    assert log.list_checkpoints(), "interval checkpoints must be written"
+    expected = log.snapshot().file_paths
+
+    fresh = TransactionLog(str(tmp_path))
+    reads = []
+    orig = fresh.read_entry
+    fresh.read_entry = lambda v: (reads.append(v), orig(v))[1]
+    snap = fresh.snapshot()
+    assert snap.version == last and snap.file_paths == expected
+    assert len(reads) <= CHECKPOINT_INTERVAL, f"read {len(reads)} entries"
+    # Repeat read replays nothing new.
+    reads.clear()
+    assert fresh.snapshot().file_paths == expected
+    assert reads == []
+
+
+def test_checkpoint_time_travel_correct(tmp_path):
+    """Cold time travel to versions behind/ahead of checkpoints matches a
+    checkpoint-free replay."""
+    log = TransactionLog(str(tmp_path))
+    _commit_n(log, 25)
+    # Ground truth: replay with checkpoints hidden.
+    control = TransactionLog(str(tmp_path))
+    control.list_checkpoints = lambda: []
+    fresh = TransactionLog(str(tmp_path))
+    for v in [1, 5, 10, 11, 19, 20, 21, 25]:
+        assert fresh.snapshot(v).file_paths == control.snapshot(v).file_paths, v
+
+
+def test_find_txn_bounded_and_correct(tmp_path):
+    from mini_lakehouse_control_plane_executor_spark.table.log import CHECKPOINT_INTERVAL
+
+    log = TransactionLog(str(tmp_path))
+    _commit_n(log, 34)
+    fresh = TransactionLog(str(tmp_path))
+    reads = []
+    orig = fresh.read_entry
+    fresh.read_entry = lambda v: (reads.append(v), orig(v))[1]
+    assert fresh.find_txn("txn-7") == 7      # behind the newest checkpoint
+    assert fresh.find_txn("txn-34") == 34    # after it
+    assert fresh.find_txn("txn-999") is None
+    assert len(reads) <= CHECKPOINT_INTERVAL
