@@ -102,6 +102,13 @@ class LakehouseSession:
     def versions(self, name: str) -> list[int]:
         return self.table(name).versions()
 
+    def vacuum(
+        self, name: str, retain_versions: int = 1, min_age_seconds: float = 3600.0
+    ) -> dict:
+        """Reclaim files unreferenced by the newest ``retain_versions``
+        versions; see LakehouseTable.vacuum for the safety contract."""
+        return self.table(name).vacuum(retain_versions, min_age_seconds)
+
     def compact(self, name: str, force: bool = False) -> int | None:
         """SafeExecuteCompaction semantics (``compaction_service.go:
         659-709``): per-table mutual exclusion, at most

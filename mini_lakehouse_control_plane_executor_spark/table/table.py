@@ -54,6 +54,9 @@ COMPACT_MIN_CANDIDATES = 3
 # of the table (``compaction_service.go:315-332``).
 COMPACT_SMALL_RATIO = 0.10
 COMMIT_MAX_RETRIES = 3  # pkg/coordinator/transaction_manager.go:174-179
+# Staging dirs older than this are crash leftovers: no writer keeps a
+# stage alive for an hour (stage → promote → commit is one call).
+TMP_SWEEP_AGE_SECONDS = 3600.0
 
 # Stats are harvested only for scalar leaf types we can JSON-roundtrip.
 _STATS_TYPES = {"int32", "int64", "float32", "float64", "string", "boolean"}
@@ -151,6 +154,7 @@ class LakehouseTable:
             *[df[f.name].cast(schema[f.name].dataType).alias(f.name) for f in fields]
         )
 
+        self._sweep_stale_stages()
         stage = os.path.join(self.tmp_dir, txn_id)
         df.write.mode("overwrite").parquet(stage)
         try:
@@ -455,6 +459,27 @@ class LakehouseTable:
             )
         return adds
 
+    def _sweep_stale_stages(self) -> None:
+        """Next-writer recovery from a crashed predecessor: remove
+        staging dirs older than TMP_SWEEP_AGE_SECONDS (a crash between
+        stage-write and promote leaves its ``_tmp/<txn>/`` behind; the
+        reference likewise cleans per-attempt staging,
+        ``table_service.go:477-494``). Never touches a live writer's
+        stage — those are seconds old."""
+        now = time.time()
+        try:
+            names = os.listdir(self.tmp_dir)
+        except FileNotFoundError:
+            return
+        for dname in names:
+            full = os.path.join(self.tmp_dir, dname)
+            try:
+                if now - os.stat(full).st_mtime < TMP_SWEEP_AGE_SECONDS:
+                    continue
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+
     def _remove_adds(self, adds: list[FileAdd]) -> None:
         """Reclaim files promoted into data/ whose commit never landed
         (conflict re-plan or terminal failure) — they are invisible to
@@ -509,6 +534,82 @@ class LakehouseTable:
         if not paths:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
+
+    # -- retention -----------------------------------------------------
+
+    def vacuum(
+        self, retain_versions: int = 1, min_age_seconds: float = 3600.0
+    ) -> dict:
+        """Reclaim data files not referenced by any of the newest
+        ``retain_versions`` versions (Delta-style VACUUM; the reference
+        never garbage-collects, it only cleans per-attempt staging —
+        ``pkg/coordinator/table_service.go:477-494``).
+
+        Safety properties:
+        - retained versions stay byte-identical (only files outside their
+          union are touched), so a concurrent reader pinned at any
+          retained version is unaffected;
+        - files younger than ``min_age_seconds`` are never deleted, which
+          protects a concurrent writer's promoted-but-not-yet-committed
+          files (the same race Delta guards with its retention window);
+        - time travel to vacuumed versions becomes unreadable — that is
+          the documented trade the user opts into.
+
+        Also sweeps crash-leftover ``_tmp/`` staging dirs older than the
+        age threshold. Returns deletion stats."""
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
+        versions = self.log.list_versions()
+        retained = versions[-retain_versions:]
+        referenced: set[str] = set()
+        for v in retained:
+            referenced.update(self.log.snapshot(v).file_paths)
+        now = time.time()
+        deleted_files = freed_bytes = 0
+        for fname in os.listdir(self.data_dir):
+            if os.path.join("data", fname) in referenced:
+                continue
+            full = os.path.join(self.data_dir, fname)
+            try:
+                st = os.stat(full)
+            except FileNotFoundError:
+                continue
+            if now - st.st_mtime < min_age_seconds:
+                continue  # possibly a concurrent writer's in-flight file
+            try:
+                os.remove(full)
+                deleted_files += 1
+                freed_bytes += st.st_size
+            except FileNotFoundError:
+                pass
+        removed_tmp = 0
+        for dname in os.listdir(self.tmp_dir):
+            full = os.path.join(self.tmp_dir, dname)
+            try:
+                if now - os.stat(full).st_mtime < min_age_seconds:
+                    continue
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed_tmp += 1
+        # Commit-staging leftovers: a crash between writing <v>.json.*.tmp
+        # and the hard-link leaves the tmp file behind (log.commit).
+        for fname in os.listdir(self.log.log_dir):
+            if ".tmp" not in fname:
+                continue
+            full = os.path.join(self.log.log_dir, fname)
+            try:
+                if now - os.stat(full).st_mtime >= min_age_seconds:
+                    os.remove(full)
+                    removed_tmp += 1
+            except FileNotFoundError:
+                pass
+        return {
+            "deleted_files": deleted_files,
+            "freed_bytes": freed_bytes,
+            "removed_tmp_dirs": removed_tmp,
+            "retained_versions": retained,
+        }
 
     # -- compaction ----------------------------------------------------
 

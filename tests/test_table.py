@@ -358,3 +358,60 @@ def test_insert_cleanup_on_terminal_commit_failure(lake, spark, monkeypatch):
 
     assert sorted(os.listdir(t.data_dir)) == files_before
     assert t.read().count() == 10
+
+
+def test_vacuum_retention(lake, spark):
+    """vacuum deletes only files unreferenced by retained versions:
+    retained versions stay byte-identical (including for a reader that
+    planned before the vacuum), older versions become unreadable, and
+    young files are protected by the age threshold."""
+    import pytest
+
+    lake.create_table("vac", SCHEMA)
+    t = lake.table("vac")
+    t.insert(_df(spark, 0, 100).coalesce(1))
+    t.insert(_df(spark, 100, 200).coalesce(1))
+    v_predelete = t.versions()[-1]
+    t.delete("k < 50")  # rewrites file 1 -> old version now needs a dead file
+    v_latest = t.versions()[-1]
+    retained_before = sorted(t.read().collect())
+    reader_pinned = t.read(version=v_latest)  # planned pre-vacuum
+
+    # Age guard: a fresh unreferenced file survives a 1h-threshold vacuum.
+    stray = os.path.join(t.data_dir, "part-99999-stray.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"x")
+    stats = t.vacuum(retain_versions=1, min_age_seconds=3600)
+    assert os.path.exists(stray) and stats["deleted_files"] == 0
+
+    stats = t.vacuum(retain_versions=1, min_age_seconds=0)
+    assert not os.path.exists(stray)
+    assert stats["deleted_files"] >= 2  # pre-delete file + stray
+    assert stats["retained_versions"] == [v_latest]
+
+    # Retained version identical, pre-planned reader unaffected.
+    assert sorted(t.read().collect()) == retained_before
+    assert reader_pinned.count() == 150
+    # Vacuumed version is gone.
+    with pytest.raises(Exception):
+        t.read(version=v_predelete).count()
+
+    # On-disk file set == exactly the retained snapshot's references.
+    on_disk = {f"data/{n}" for n in os.listdir(t.data_dir)}
+    assert on_disk == set(t.snapshot().file_paths)
+
+    with pytest.raises(ValueError):
+        t.vacuum(retain_versions=0)
+
+
+def test_vacuum_keeps_multiple_versions(lake, spark):
+    lake.create_table("vac2", SCHEMA)
+    t = lake.table("vac2")
+    t.insert(_df(spark, 0, 50).coalesce(1))
+    t.update("k < 10", {"v": "'a'"})
+    t.update("k < 10", {"v": "'b'"})
+    versions = t.versions()
+    t.vacuum(retain_versions=2, min_age_seconds=0)
+    # Both retained versions fully readable with correct content.
+    assert t.read(version=versions[-2]).filter(F.col("v") == "a").count() == 10
+    assert t.read(version=versions[-1]).filter(F.col("v") == "b").count() == 10
