@@ -1,0 +1,330 @@
+"""HTTP façade over LakehouseSession, mirroring the reference coordinator's
+REST route table (``pkg/coordinator/rest_api.go:44-76``):
+
+    POST   /tables                                   create table
+    GET    /tables/{t}                               table info
+    DELETE /tables/{t}                               drop table (real, vs the
+                                                     reference placeholder)
+    GET    /tables/{t}/versions                      list versions
+    GET    /tables/{t}/versions/{v}/snapshot         snapshot file list
+    POST   /tables/{t}/data                          insert from a data_path
+    POST   /tables/{t}/insert                        insert inline rows
+    POST   /queries                                  async query -> job_id
+    GET    /queries/{id}                             job status + metrics
+    GET    /queries/{id}/results                     real rows (the reference
+                                                     returns a result_path
+                                                     stub, ``rest_api.go:
+                                                     409-421``)
+    POST   /query                                    synchronous query
+    POST   /tables/{t}/compaction                    trigger compaction
+    GET    /tables/{t}/compaction/status             compaction running?
+    POST   /tables/{t}/vacuum                        retention GC (beyond ref)
+    GET    /health                                   liveness
+
+Transport is stdlib ``http.server`` (threaded) — the engine stays a
+library; this is the thin adapter the reference builds with gorilla/mux.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from mini_lakehouse_control_plane_executor_spark.table.catalog import LakehouseSession
+from mini_lakehouse_control_plane_executor_spark.table.schema import Field, SchemaError
+
+
+class _ApiError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+def _fields_from_api(schema: dict) -> list[Field]:
+    fields = schema.get("fields") if isinstance(schema, dict) else None
+    if not fields:
+        raise _ApiError(400, "Missing or invalid schema")
+    return [
+        Field(f.get("name", ""), f.get("type", ""), bool(f.get("nullable", True)))
+        for f in fields
+    ]
+
+
+def _fields_to_api(fields: list[Field]) -> dict:
+    return {
+        "fields": [
+            {"name": f.name, "type": f.type, "nullable": f.nullable} for f in fields
+        ]
+    }
+
+
+class LakehouseRestServer:
+    """Threaded HTTP server bound to a LakehouseSession. ``port=0`` picks
+    a free port (exposed as ``.port`` after construction)."""
+
+    def __init__(self, lake: LakehouseSession, host: str = "127.0.0.1", port: int = 0):
+        self.lake = lake
+        handler = _make_handler(self)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "LakehouseRestServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    # -- route handlers (return (status, json-able)) -------------------
+
+    def create_table(self, body: dict):
+        name = body.get("name") or body.get("table_name")
+        if not name:
+            raise _ApiError(400, "Missing table name (use 'name' or 'table_name')")
+        try:
+            self.lake.create_table(name, _fields_from_api(body.get("schema") or {}))
+        except (SchemaError, ValueError) as exc:
+            raise _ApiError(400, str(exc))
+        return 200, {"success": True, "message": f"Table {name} created successfully"}
+
+    def get_table(self, name: str):
+        t = self._table(name)
+        snap = t.snapshot()
+        return 200, {
+            "table_name": name,
+            "latest_version": snap.version,
+            "schema": _fields_to_api(snap.schema),
+            "file_count": len(snap.files),
+        }
+
+    def drop_table(self, name: str):
+        self._table(name)
+        self.lake.drop_table(name)
+        return 200, {"success": True, "message": f"Table {name} dropped"}
+
+    def list_versions(self, name: str):
+        return 200, {"table_name": name, "versions": self._table(name).versions()}
+
+    def get_snapshot(self, name: str, version: str):
+        try:
+            v = int(version)
+        except ValueError:
+            raise _ApiError(400, f"Invalid version: {version}")
+        t = self._table(name)
+        try:
+            snap = t.snapshot(v)
+        except ValueError as exc:
+            raise _ApiError(404, str(exc))
+        return 200, {
+            "table_name": name,
+            "version": snap.version,
+            "schema": _fields_to_api(snap.schema),
+            "files": [
+                {"path": f.path, "rows": f.rows, "size": f.size, "partition": f.partition}
+                for f in snap.files
+            ],
+            "file_count": len(snap.files),
+        }
+
+    def insert_data(self, name: str, body: dict):
+        data_path = body.get("data_path")
+        if not data_path:
+            raise _ApiError(400, "Missing data_path")
+        t = self._table(name)
+        try:
+            version = t.insert_path(
+                data_path, fmt=body.get("format", "parquet"), txn_id=body.get("txn_id")
+            )
+        except Exception as exc:
+            raise _ApiError(400, f"Insert failed: {exc}")
+        return 200, {
+            "success": True,
+            "txn_id": body.get("txn_id"),
+            "new_version": version,
+            "message": f"Data inserted into table {name}, new version: {version}",
+        }
+
+    def insert_rows(self, name: str, body: dict):
+        rows = body.get("rows")
+        if not isinstance(rows, list) or not rows:
+            raise _ApiError(400, "Missing rows")
+        t = self._table(name)
+        try:
+            df = self.lake.spark.createDataFrame(
+                [tuple(r[f.name] for f in t.fields) for r in rows], t.spark_schema
+            )
+            version = t.insert(df, txn_id=body.get("txn_id"))
+        except Exception as exc:
+            raise _ApiError(400, f"Insert failed: {exc}")
+        return 200, {"success": True, "new_version": version}
+
+    def execute_query_async(self, body: dict):
+        job_id = self.lake.submit_async(body)
+        return 200, {
+            "success": True,
+            "job_id": job_id,
+            "message": "Query submitted successfully",
+        }
+
+    def query_status(self, job_id: str):
+        try:
+            info = self.lake.job_status(job_id)
+        except KeyError:
+            raise _ApiError(404, f"no such job: {job_id}")
+        return 200, info.to_json()
+
+    def query_results(self, job_id: str):
+        try:
+            info = self.lake.job_status(job_id)
+        except KeyError:
+            raise _ApiError(404, f"no such job: {job_id}")
+        if info.status in ("PENDING", "RUNNING"):
+            raise _ApiError(400, f"Query not completed, current status: {info.status}")
+        if info.status == "FAILED":
+            raise _ApiError(400, f"Query failed: {info.error}")
+        return 200, {
+            "job_id": job_id,
+            "status": info.status,
+            "columns": info.extra.get("schema", []),
+            "rows": info.extra.get("rows", []),
+            "row_count": len(info.extra.get("rows", [])),
+        }
+
+    def execute_query_direct(self, body: dict):
+        try:
+            df = self.lake.query(body)
+            rows = [r.asDict(recursive=True) for r in df.collect()]
+        except Exception as exc:
+            raise _ApiError(400, f"Query failed: {exc}")
+        return 200, {
+            "columns": [f.name for f in df.schema.fields],
+            "rows": rows,
+            "row_count": len(rows),
+        }
+
+    def trigger_compaction(self, name: str, body: dict):
+        self._table(name)
+        try:
+            version = self.lake.compact(name, force=bool(body.get("force")))
+        except RuntimeError as exc:  # already in progress
+            return 200, {"success": False, "error": str(exc)}
+        if version is None:
+            return 200, {"success": False, "error": "nothing to compact"}
+        return 200, {
+            "success": True,
+            "new_version": version,
+            "message": f"Compaction completed for table {name}",
+        }
+
+    def compaction_status(self, name: str):
+        with self.lake._compact_mu:
+            running = name in self.lake._compacting
+        return 200, {"table_name": name, "running": running}
+
+    def vacuum(self, name: str, body: dict):
+        self._table(name)
+        stats = self.lake.vacuum(
+            name,
+            retain_versions=int(body.get("retain_versions", 1)),
+            min_age_seconds=float(body.get("min_age_seconds", 3600.0)),
+        )
+        return 200, {"success": True, **stats}
+
+    def health(self):
+        return 200, {"status": "healthy"}
+
+    def _table(self, name: str):
+        try:
+            return self.lake.table(name)
+        except KeyError:
+            raise _ApiError(404, f"no such table: {name}")
+
+
+_ROUTES: list[tuple[str, re.Pattern, str]] = [
+    ("POST", re.compile(r"^/tables$"), "create_table"),
+    ("GET", re.compile(r"^/tables/([A-Za-z0-9_]+)$"), "get_table"),
+    ("DELETE", re.compile(r"^/tables/([A-Za-z0-9_]+)$"), "drop_table"),
+    ("GET", re.compile(r"^/tables/([A-Za-z0-9_]+)/versions$"), "list_versions"),
+    (
+        "GET",
+        re.compile(r"^/tables/([A-Za-z0-9_]+)/versions/(\d+)/snapshot$"),
+        "get_snapshot",
+    ),
+    ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/data$"), "insert_data"),
+    ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/insert$"), "insert_rows"),
+    ("POST", re.compile(r"^/queries$"), "execute_query_async"),
+    ("GET", re.compile(r"^/queries/([A-Za-z0-9-]+)$"), "query_status"),
+    ("GET", re.compile(r"^/queries/([A-Za-z0-9-]+)/results$"), "query_results"),
+    ("POST", re.compile(r"^/query$"), "execute_query_direct"),
+    ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/compaction$"), "trigger_compaction"),
+    (
+        "GET",
+        re.compile(r"^/tables/([A-Za-z0-9_]+)/compaction/status$"),
+        "compaction_status",
+    ),
+    ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/vacuum$"), "vacuum"),
+    ("GET", re.compile(r"^/health$"), "health"),
+]
+
+_BODY_METHODS = {"POST"}
+
+
+def _make_handler(server: LakehouseRestServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # keep test output quiet
+            pass
+
+        def _dispatch(self, method: str):
+            path = self.path.split("?", 1)[0].rstrip("/") or "/"
+            for m, pat, fn_name in _ROUTES:
+                if m != method:
+                    continue
+                match = pat.match(path)
+                if not match:
+                    continue
+                args = list(match.groups())
+                if method in _BODY_METHODS:
+                    length = int(self.headers.get("Content-Length") or 0)
+                    raw = self.rfile.read(length) if length else b""
+                    try:
+                        body = json.loads(raw) if raw else {}
+                    except json.JSONDecodeError as exc:
+                        return self._send(400, {"error": f"Invalid JSON: {exc}"})
+                    args.append(body)
+                try:
+                    status, payload = getattr(server, fn_name)(*args)
+                except _ApiError as exc:
+                    return self._send(exc.status, {"error": str(exc)})
+                except Exception as exc:  # pragma: no cover - defensive
+                    return self._send(500, {"error": f"Internal error: {exc}"})
+                return self._send(status, payload)
+            self._send(404, {"error": f"no route for {method} {path}"})
+
+        def _send(self, status: int, payload) -> None:
+            data = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            self._dispatch("GET")
+
+        def do_POST(self):
+            self._dispatch("POST")
+
+        def do_DELETE(self):
+            self._dispatch("DELETE")
+
+    return Handler

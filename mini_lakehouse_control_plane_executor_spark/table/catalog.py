@@ -31,7 +31,22 @@ class JobInfo:
     started_ms: int
     finished_ms: int | None = None
     error: str | None = None
+    # Mirrors the reference's QueryExecutionMetrics
+    # (distributed_query_executor.go:510-524): input files/bytes/rows from
+    # the pinned snapshot plan, output rows + Spark job/task counts from
+    # execution.
+    metrics: dict = dc_field(default_factory=dict)
     extra: dict = dc_field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "job_id": self.job_id,
+            "status": self.status,
+            "started_ms": self.started_ms,
+            "finished_ms": self.finished_ms,
+            "error": self.error,
+            "metrics": self.metrics,
+        }
 
 
 COMPACT_MAX_CONCURRENT = 3  # compaction_service.go:654
@@ -154,13 +169,35 @@ class LakehouseSession:
 
     # -- jobs ----------------------------------------------------------
 
+    def _planned_scan_metrics(self, q: SimpleQuery) -> dict:
+        """Input-side metrics from the pinned snapshot (after stats-based
+        file pruning) — what the executors will be handed to scan."""
+        try:
+            snap = self.table(q.table_name).snapshot(q.version)
+            files = snap.files
+            if q.filter:
+                from mini_lakehouse_control_plane_executor_spark.functions.filters import prune_files
+
+                files = prune_files(files, q.filter)
+            return {
+                "input_files": len(files),
+                "input_bytes": sum(f.size for f in files),
+                "input_rows": sum(f.rows for f in files),
+            }
+        except Exception:
+            return {}
+
     def submit(self, q: SimpleQuery | dict) -> tuple[str, DataFrame]:
-        """Job-tracked query execution: returns (job_id, result df).
-        Status transitions mirror the reference job lifecycle."""
+        """Synchronous job-tracked planning: returns (job_id, result df).
+        Input metrics are recorded at plan time; use ``submit_async`` for
+        executed jobs with full output/task metrics."""
+        if isinstance(q, dict):
+            q = SimpleQuery.from_json(q)
         job_id = str(uuid.uuid4())
         info = JobInfo(job_id, "RUNNING", started_ms=int(time.time() * 1000))
         self._jobs[job_id] = info
         try:
+            info.metrics.update(self._planned_scan_metrics(q))
             df = self.query(q)
             info.status = "COMPLETED"
             return job_id, df
@@ -171,5 +208,66 @@ class LakehouseSession:
         finally:
             info.finished_ms = int(time.time() * 1000)
 
+    def submit_async(self, q: SimpleQuery | dict) -> str:
+        """The reference's POST /queries contract: returns a job id
+        immediately; the query executes in the background with an
+        observable PENDING → RUNNING → COMPLETED/FAILED lifecycle and
+        execution metrics (rows/bytes/tasks)."""
+        if isinstance(q, dict):
+            q = SimpleQuery.from_json(q)
+        job_id = str(uuid.uuid4())
+        self._jobs[job_id] = JobInfo(
+            job_id, "PENDING", started_ms=int(time.time() * 1000)
+        )
+        threading.Thread(
+            target=self._run_job, args=(job_id, q), daemon=True
+        ).start()
+        return job_id
+
+    def _run_job(self, job_id: str, q: SimpleQuery) -> None:
+        info = self._jobs[job_id]
+        info.status = "RUNNING"
+        sc = self.spark.sparkContext
+        try:
+            info.metrics.update(self._planned_scan_metrics(q))
+            df = self.query(q)
+            # Tag this thread's Spark jobs so the status tracker can
+            # attribute stages/tasks to this lakehouse job.
+            sc.setJobGroup(job_id, f"lakehouse-job-{job_id}")
+            rows = df.collect()
+            info.extra["rows"] = [r.asDict(recursive=True) for r in rows]
+            info.extra["schema"] = [f.name for f in df.schema.fields]
+            info.metrics["output_rows"] = len(rows)
+            tracker = sc.statusTracker()
+            spark_jobs = tracker.getJobIdsForGroup(job_id) or []
+            num_tasks = 0
+            for jid in spark_jobs:
+                ji = tracker.getJobInfo(jid)
+                for sid in ji.stageIds if ji else []:
+                    si = tracker.getStageInfo(sid)
+                    if si:
+                        num_tasks += si.numTasks
+            info.metrics["spark_jobs"] = len(spark_jobs)
+            info.metrics["num_tasks"] = num_tasks
+            info.status = "COMPLETED"
+        except Exception as exc:
+            info.status = "FAILED"
+            info.error = str(exc)
+        finally:
+            info.finished_ms = int(time.time() * 1000)
+
     def job_status(self, job_id: str) -> JobInfo:
         return self._jobs[job_id]
+
+    def job_result(self, job_id: str, timeout_s: float = 300.0) -> list[dict]:
+        """Block until the async job finishes; return its rows
+        (GET /queries/{id}/results)."""
+        info = self._jobs[job_id]
+        deadline = time.time() + timeout_s
+        while info.status in ("PENDING", "RUNNING"):
+            if time.time() > deadline:
+                raise TimeoutError(f"job {job_id} still {info.status}")
+            time.sleep(0.02)
+        if info.status == "FAILED":
+            raise RuntimeError(f"job {job_id} failed: {info.error}")
+        return info.extra["rows"]

@@ -1,0 +1,149 @@
+"""End-to-end REST façade test: drives the reference's golden query
+(tests/integration/golden_query_test.go:16-240) entirely over HTTP —
+create table -> insert -> async query -> poll status -> results — plus
+versions/snapshot/compaction/vacuum/drop routes."""
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from mini_lakehouse_control_plane_executor_spark.api.rest import LakehouseRestServer
+
+SCHEMA_API = {
+    "fields": [
+        {"name": "id", "type": "int64", "nullable": False},
+        {"name": "category", "type": "string", "nullable": False},
+        {"name": "product", "type": "string", "nullable": False},
+        {"name": "price", "type": "float64", "nullable": False},
+        {"name": "quantity", "type": "int64", "nullable": False},
+        {"name": "date", "type": "string", "nullable": False},
+    ]
+}
+
+ROWS = [
+    {"id": 1, "category": "Electronics", "product": "Laptop", "price": 1000.0, "quantity": 2, "date": "2024-01-01"},
+    {"id": 2, "category": "Electronics", "product": "Mouse", "price": 25.0, "quantity": 5, "date": "2024-01-01"},
+    {"id": 3, "category": "Electronics", "product": "Keyboard", "price": 75.0, "quantity": 3, "date": "2024-01-02"},
+    {"id": 4, "category": "Electronics", "product": "Monitor", "price": 300.0, "quantity": 1, "date": "2024-01-02"},
+    {"id": 5, "category": "Furniture", "product": "Chair", "price": 150.0, "quantity": 4, "date": "2024-01-03"},
+    {"id": 6, "category": "Furniture", "product": "Desk", "price": 400.0, "quantity": 2, "date": "2024-01-03"},
+    {"id": 7, "category": "Furniture", "product": "Lamp", "price": 50.0, "quantity": 6, "date": "2024-01-04"},
+    {"id": 8, "category": "Books", "product": "Novel", "price": 15.0, "quantity": 10, "date": "2024-01-05"},
+    {"id": 9, "category": "Books", "product": "Textbook", "price": 80.0, "quantity": 3, "date": "2024-01-05"},
+]
+
+
+@pytest.fixture()
+def server(lake):
+    srv = LakehouseRestServer(lake).start()
+    yield srv
+    srv.stop()
+
+
+def _call(srv, method, path, body=None, expect=200):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        method=method,
+        data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == expect
+            return json.load(resp)
+    except urllib.error.HTTPError as err:
+        assert err.code == expect, f"{method} {path}: {err.code} {err.read()}"
+        return json.loads(err.read() or b"{}")
+
+
+def test_golden_query_over_http(server, spark):
+    assert _call(server, "GET", "/health")["status"] == "healthy"
+
+    out = _call(server, "POST", "/tables", {"name": "sales", "schema": SCHEMA_API})
+    assert out["success"]
+    # Duplicate create is a 400, as in the reference.
+    _call(server, "POST", "/tables", {"name": "sales", "schema": SCHEMA_API}, expect=400)
+
+    assert _call(server, "POST", "/tables/sales/insert", {"rows": ROWS})["success"]
+
+    info = _call(server, "GET", "/tables/sales")
+    assert info["latest_version"] == 2 and info["file_count"] >= 1
+    assert [f["name"] for f in info["schema"]["fields"]][:2] == ["id", "category"]
+
+    # Async golden query: GROUP BY category COUNT/AVG.
+    out = _call(server, "POST", "/queries", {
+        "table_name": "sales",
+        "group_by": ["category"],
+        "aggregates": [
+            {"function": "count", "column": "*", "alias": "item_count"},
+            {"function": "avg", "column": "price", "alias": "avg_price"},
+        ],
+    })
+    job_id = out["job_id"]
+    deadline = time.time() + 60
+    while True:
+        status = _call(server, "GET", f"/queries/{job_id}")
+        if status["status"] in ("COMPLETED", "FAILED"):
+            break
+        assert time.time() < deadline
+        time.sleep(0.05)
+    assert status["status"] == "COMPLETED"
+    assert status["metrics"]["input_rows"] == 9
+    assert status["metrics"]["output_rows"] == 3
+
+    res = _call(server, "GET", f"/queries/{job_id}/results")
+    got = {r["category"]: (r["item_count"], r["avg_price"]) for r in res["rows"]}
+    assert got == {
+        "Books": (2, 47.5),
+        "Electronics": (4, 350.0),
+        "Furniture": (3, 200.0),
+    }
+
+    # Synchronous /query with a filter.
+    res = _call(server, "POST", "/query", {
+        "table_name": "sales",
+        "filter": "price > 100",
+        "projection": ["id", "product"],
+        "order_by": ["id"],
+    })
+    assert [r["product"] for r in res["rows"]] == ["Laptop", "Monitor", "Chair", "Desk"]
+
+    # Unknown job / table / route → 404.
+    _call(server, "GET", "/queries/nope", expect=404)
+    _call(server, "GET", "/tables/nope", expect=404)
+    _call(server, "GET", "/bogus", expect=404)
+
+
+def test_versions_compaction_vacuum_drop_over_http(server, spark, tmp_path):
+    _call(server, "POST", "/tables", {"name": "t2", "schema": SCHEMA_API})
+    for i in range(3):
+        rows = [dict(r, id=r["id"] + 100 * i) for r in ROWS]
+        _call(server, "POST", "/tables/t2/insert", {"rows": rows})
+
+    vs = _call(server, "GET", "/tables/t2/versions")["versions"]
+    assert vs == [1, 2, 3, 4]
+    snap = _call(server, "GET", "/tables/t2/versions/2/snapshot")
+    assert snap["version"] == 2 and snap["file_count"] >= 1
+    _call(server, "GET", "/tables/t2/versions/99/snapshot", expect=404)
+
+    assert not _call(server, "GET", "/tables/t2/compaction/status")["running"]
+    out = _call(server, "POST", "/tables/t2/compaction", {"force": True})
+    assert out["success"] and out["new_version"] == 5
+
+    out = _call(server, "POST", "/tables/t2/vacuum",
+                {"retain_versions": 1, "min_age_seconds": 0})
+    assert out["success"] and out["deleted_files"] >= 3
+
+    # data_path insert (parquet file on disk).
+    p = str(tmp_path / "extra.parquet")
+    spark.createDataFrame(
+        [(1000, "Books", "Atlas", 60.0, 1, "2024-02-01")],
+        "id long, category string, product string, price double, quantity long, date string",
+    ).write.parquet(p)
+    out = _call(server, "POST", "/tables/t2/data", {"data_path": p})
+    assert out["success"] and out["new_version"] == 6
+
+    assert _call(server, "DELETE", "/tables/t2")["success"]
+    _call(server, "GET", "/tables/t2", expect=404)
