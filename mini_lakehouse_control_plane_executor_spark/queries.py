@@ -2259,3 +2259,104 @@ def q21_waiting_suppliers(spark, sf_dir):
     in this schema)."""
     _views(spark, sf_dir, "supplier", "lineitem", "orders")
     return spark.sql(_Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Time-series operators Spark lacks natively (SURVEY custom-operator rule:
+# compose from DataFrame ops before reaching for UDFs)
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+c AS (SELECT user_id, ts FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, max(value) AS pvalue
+      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.user_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(count(p.pvalue) AS BIGINT) AS n_attributed,
+       CAST(round(sum(p.pvalue), 2) AS DOUBLE) AS sum_attributed_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+
+@query("events_asof_join", oracle=_ASOF_SQL)
+def events_asof_join(spark, sf_dir):
+    """AS-OF JOIN (last-value attribution): each click is matched to the
+    user's most recent purchase at-or-before it. Spark has no ASOF join
+    operator (DuckDB does — the oracle uses it); the distributed
+    formulation here is the scalable one: union both sides, ONE shuffle
+    on user_id, and a running `last(value, ignorenulls)` window — no
+    join, no per-key fan-out, works at any key cardinality. Purchases are
+    pre-deduped per (user, ts) so tie-handling is deterministic in both
+    engines."""
+    e = _load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+        .withColumn("is_click", F.lit(0))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.lit(None).cast("double").alias("pvalue"))
+        .withColumn("is_click", F.lit(1))
+    )
+    # Purchases sort before clicks at equal ts => `>=` as-of semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = (
+        purchases.unionByName(clicks)
+        .withColumn("last_purchase", F.last("pvalue", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 1)
+    )
+    return (
+        attributed.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("last_purchase").alias("n_attributed"),
+            F.round(F.sum("last_purchase"), 2).alias("sum_attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e9)
+)
+SELECT b.band,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(e.value), 2) AS DOUBLE) AS sum_value
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band ORDER BY b.band
+"""
+
+
+@query("range_join_value_bands", oracle=_RANGE_JOIN_SQL)
+def range_join_value_bands(spark, sf_dir):
+    """Range (interval) join: events against a band dimension on
+    lo <= value < hi. A non-equi join has no hash strategy; the scale
+    answer is an explicit BROADCAST nested-loop with the tiny interval
+    table on the build side — the fact table streams through one narrow
+    stage, no shuffle."""
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e.value >= bands.lo) & (e.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("band")
+    )
