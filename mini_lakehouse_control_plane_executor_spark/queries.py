@@ -825,10 +825,15 @@ def text_stats(spark, sf_dir):
     return (
         d.select("doc_id", "text", _text.tokens(F.col("text")).alias("toks"))
         .select(
+            "doc_id", "text", "toks", _text.profile_counts(F.col("toks")).alias("pc")
+        )
+        .select(
             "doc_id",
             F.size("toks").alias("n_tokens"),
-            _text.quality_score_from_tokens(F.col("text"), F.col("toks")).alias("quality"),
-            _text.lang_id_from_tokens(F.col("toks")).alias("lang_pred"),
+            _text.quality_from_counts(
+                F.col("text"), F.col("toks"), F.col("pc")
+            ).alias("quality"),
+            _text.lang_id_from_counts(F.col("pc")).alias("lang_pred"),
             _text.fingerprint(F.col("text")).alias("fp"),
         )
         .orderBy("doc_id")
