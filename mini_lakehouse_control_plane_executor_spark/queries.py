@@ -2365,3 +2365,24 @@ def range_join_value_bands(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+@query(
+    "events_dedup_distinct",
+    oracle="""
+    SELECT DISTINCT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+    FROM events
+    ORDER BY ts, user_id, event_type, value, props
+    """,
+)
+def events_dedup_distinct(spark, sf_dir):
+    """Batch twin of streaming.windows.dedup_events: exact content dedup
+    on a fingerprint over every non-surrogate column (one shuffle on the
+    uniform 128-bit key). The streaming variant bounds its state with
+    dropDuplicatesWithinWatermark; stream≡batch is proven in
+    tests/test_streaming.py."""
+    from mini_lakehouse_control_plane_executor_spark.streaming.windows import dedup_events
+
+    return dedup_events(_load(spark, sf_dir, "events")).orderBy(
+        "ts", "user_id", "event_type", "value", "props"
+    )

@@ -110,3 +110,34 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+def event_fingerprint() -> F.Column:
+    """Content fingerprint over everything except the surrogate event_id
+    — the streaming twin of operators/dedup exact dedup."""
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("props"),
+            F.col("ts").cast("long"),
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exact streaming dedup on a content fingerprint. Streaming state is
+    bounded by the watermark horizon (``dropDuplicatesWithinWatermark``),
+    so at 100 TB/day the dedup state holds one fingerprint per distinct
+    event within the horizon — not per event ever seen. The batch twin is
+    a plain ``dropDuplicates``; both return the distinct content rows
+    (event_id excluded, so survivor choice cannot differ between
+    engines)."""
+    df = events.withColumn("fp", event_fingerprint())
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["fp"])
+    else:
+        df = df.dropDuplicates(["fp"])
+    return df.select("ts", "user_id", "event_type", "value", "props")

@@ -89,9 +89,16 @@ class LakehouseSession:
         )
 
     def insert(
-        self, name: str, df: DataFrame, txn_id: str | None = None, mode: str = "append"
+        self,
+        name: str,
+        df: DataFrame,
+        txn_id: str | None = None,
+        mode: str = "append",
+        cluster_by: list[str] | None = None,
     ) -> int:
-        return self.table(name).insert(df, txn_id=txn_id, mode=mode)
+        return self.table(name).insert(
+            df, txn_id=txn_id, mode=mode, cluster_by=cluster_by
+        )
 
     def delete(self, name: str, filter_str: str, txn_id: str | None = None):
         """Copy-on-write row delete; returns (new_version|None, rows_deleted)."""

@@ -132,14 +132,29 @@ class LakehouseTable:
 
     # -- write path ----------------------------------------------------
 
-    def insert(self, df: DataFrame, txn_id: str | None = None, mode: str = "append") -> int:
+    def insert(
+        self,
+        df: DataFrame,
+        txn_id: str | None = None,
+        mode: str = "append",
+        cluster_by: list[str] | None = None,
+    ) -> int:
         """Commit ``df`` as a new version (staged write → move → OCC
         commit with bounded retry). Idempotent per ``txn_id``.
 
         ``mode='append'`` adds files; ``mode='overwrite'`` additionally
         removes every file visible at commit time (refreshed on each OCC
         retry, so a concurrent append cannot survive an overwrite that
-        committed after it)."""
+        committed after it).
+
+        ``cluster_by``: co-locate rows by these columns before writing so
+        each file covers a narrow value range — the Spark-first answer to
+        the reference's (always-empty) per-file partition map
+        (``table_service.go:420`` "No partitioning for MVP"): file-level
+        min/max stats then prune clustered columns exactly like partition
+        pruning, with no schema surgery and no small-file-per-value
+        explosion. Single-valued files additionally get their value
+        recorded in ``FileAdd.partition`` (FileInfo parity)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown insert mode {mode!r}")
         txn_id = txn_id or str(uuid.uuid4())
@@ -149,10 +164,23 @@ class LakehouseTable:
 
         fields = self.fields
         schema = to_spark_schema(fields)
+        if cluster_by:
+            unknown = set(cluster_by) - {f.name for f in fields}
+            if unknown:
+                raise ValueError(f"cluster_by unknown column(s): {sorted(unknown)}")
         # Align column order/types to the table schema before writing.
         df = df.select(
             *[df[f.name].cast(schema[f.name].dataType).alias(f.name) for f in fields]
         )
+        if cluster_by:
+            # Range-partition (not hash): gives each output file a
+            # CONTIGUOUS slice of the cluster-key space, the layout that
+            # makes min/max pruning sharpest. Explicit numPartitions so
+            # AQE cannot coalesce the clustered layout into one file.
+            n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+            df = df.repartitionByRange(n_part, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
 
         self._sweep_stale_stages()
         stage = os.path.join(self.tmp_dir, txn_id)
@@ -161,6 +189,20 @@ class LakehouseTable:
             adds = self._promote_staged(stage)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+        if cluster_by:
+            from dataclasses import replace as dc_replace
+
+            adds = [
+                dc_replace(
+                    a,
+                    partition={
+                        c: str(a.min_values[c])
+                        for c in cluster_by
+                        if c in a.min_values and a.min_values[c] == a.max_values.get(c)
+                    },
+                )
+                for a in adds
+            ]
         try:
             if mode == "append":
                 return self._commit_with_retry(txn_id, adds=adds, removes=[])

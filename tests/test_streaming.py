@@ -132,3 +132,21 @@ def test_stateful_user_profiles(spark, event_dir):
     ]
     for g, w in zip(got_rows, want_rows):
         assert abs(g.sum_value - w.sum_value) < 0.05
+
+
+def test_dedup_stream_equals_batch(spark, tmp_path):
+    """Watermark-bounded streaming dedup must yield the same distinct
+    content set as the batch twin, with injected duplicates removed."""
+    base = _load_events(spark, SF_DIR).limit(200)
+    dup_dir = str(tmp_path / "events_dup")
+    # Inject exact duplicates (different event_id, same content).
+    dupes = base.limit(50).withColumn("event_id", F.col("event_id") + 1_000_000)
+    base.unionByName(dupes).repartition(2).write.parquet(dup_dir)
+
+    stream = W.dedup_events(W.stream_events(spark, dup_dir))
+    batch = W.dedup_events(_batch(spark, dup_dir))
+    keys = ["ts", "user_id", "event_type", "value", "props"]
+    got = _rows(_drain(spark, stream, "t_dedup", mode="append"), keys)
+    want = _rows(batch, keys)
+    assert got == want
+    assert 0 < len(want) < 250  # duplicates actually removed

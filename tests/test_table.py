@@ -415,3 +415,52 @@ def test_vacuum_keeps_multiple_versions(lake, spark):
     # Both retained versions fully readable with correct content.
     assert t.read(version=versions[-2]).filter(F.col("v") == "a").count() == 10
     assert t.read(version=versions[-1]).filter(F.col("v") == "b").count() == 10
+
+
+def test_cluster_by_enables_file_pruning(lake, spark):
+    """cluster_by range-partitions rows so min/max stats prune clustered
+    columns like partition pruning; single-valued files record the value
+    in FileAdd.partition (reference FileInfo parity)."""
+    import pytest
+
+    from mini_lakehouse_control_plane_executor_spark.functions.filters import prune_files
+
+    lake.create_table("clus", SCHEMA)
+    t = lake.table("clus")
+    # 4 distinct v-values shuffled through 8 partitions of random order.
+    df = (
+        spark.range(0, 4000)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("g"), (F.col("id") % 4)).alias("v"),
+            (F.col("id") * 1.5).alias("x"),
+        )
+        .repartition(8)  # destroy natural ordering
+    )
+    t.insert(df, cluster_by=["v"])
+
+    snap = t.snapshot()
+    assert len(snap.files) > 1
+    # Each file covers a narrow v-range; pruning on one value must drop
+    # most files.
+    pruned = prune_files(snap.files, "v = 'g2'")
+    assert 0 < len(pruned) < len(snap.files)
+    assert t.read(prune_filter="v = 'g2'").filter(F.col("v") == "g2").count() == 1000
+    # Single-valued files carry the partition map.
+    single = [f for f in snap.files if f.min_values.get("v") == f.max_values.get("v")]
+    assert single and all(f.partition.get("v") == f.min_values["v"] for f in single)
+
+    with pytest.raises(ValueError, match="cluster_by unknown"):
+        t.insert(df, cluster_by=["nope"])
+
+
+def test_cluster_by_range_pruning_numeric(lake, spark):
+    lake.create_table("clus2", SCHEMA)
+    t = lake.table("clus2")
+    t.insert(_df(spark, 0, 10000).repartition(16), cluster_by=["k"])
+    snap = t.snapshot()
+    from mini_lakehouse_control_plane_executor_spark.functions.filters import prune_files
+
+    pruned = prune_files(snap.files, "k >= 9000")
+    assert len(pruned) < len(snap.files) / 2
+    assert t.read(prune_filter="k >= 9000").filter("k >= 9000").count() == 1000
