@@ -150,6 +150,61 @@ def lsh_topk(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame, centroids: DataFrame, dim: int, n_iters: int = 1
+) -> DataFrame:
+    """Lloyd iterations over (c_id, c_vec, c_nrm) corpus and
+    (cent_id, cent_vec, cent_nrm) centroids: assign each vector to its
+    nearest (cosine) centroid, recompute centroids as the element-wise
+    mean of their members (empty clusters drop out).
+
+    Fully deterministic and therefore oracle-checkable: assignment sims
+    round to 6dp with cent_id tie-break, and every mean component rounds
+    to 6dp — absorbing float summation-order noise so Spark and the SQL
+    twin produce bit-identical centroids.
+
+    Scale shape per iteration: one broadcast join (centroids are tiny)
+    for assignment, then ONE groupBy with ``dim`` scalar avg aggregates
+    — map-side partial aggregation means the shuffle carries
+    n_centroids·dim partial sums per task, NOT the exploded corpus (an
+    earlier posexplode formulation shuffled |corpus|·dim rows and was
+    ~4x slower)."""
+    for _ in range(n_iters):
+        csim = F.round(
+            dot(F.col("c_vec"), F.col("cent_vec"))
+            / (F.col("c_nrm") * F.col("cent_nrm")),
+            6,
+        )
+        assigned = (
+            corpus.crossJoin(F.broadcast(centroids))
+            .select("c_id", "c_vec", csim.alias("csim"), "cent_id")
+            .groupBy("c_id")
+            .agg(
+                F.max_by(
+                    F.struct("cent_id", "c_vec"),
+                    # argmax on (sim, -cent_id): best sim, lowest id on ties
+                    F.struct(F.col("csim"), (-F.col("cent_id")).alias("nid")),
+                ).alias("best")
+            )
+            .select(F.col("best.cent_id").alias("cent_id"), F.col("best.c_vec").alias("c_vec"))
+        )
+        centroids = (
+            assigned.groupBy("cent_id")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("c_vec")[i]), 6).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .select(
+                "cent_id",
+                F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cent_vec"),
+            )
+            .withColumn("cent_nrm", norm(F.col("cent_vec")))
+        )
+    return centroids
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -158,34 +213,51 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 2,
+    n_iters: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is bucketed by
     nearest centroid; each query probes only its ``n_probe`` nearest
-    centroid lists. Centroids here are the first ``n_centroids`` corpus
-    vectors by id — deterministic, so the whole index build is
-    oracle-checkable. In a real deployment the centroids come from
-    k-means; the partition/probe dataflow is identical.
+    centroid lists. Centroids are real k-means: deterministic seeding
+    (first ``n_centroids`` vectors by id) refined by ``n_iters`` Lloyd
+    iterations (``kmeans_refine``) — still exactly oracle-checkable.
 
     Scale shape: assignment is a broadcast join (centroids are tiny) +
     one hash-shuffle on centroid id; the probe join touches
     |corpus|·n_probe/n_centroids candidates per query instead of
     |corpus|."""
-    c_tab = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_vec")
-    ).withColumn("cent_nrm", norm(F.col("cent_vec")))
     corpus = df.select(
         F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("c_vec")
     ).withColumn("c_nrm", norm(F.col("c_vec")))
+    seed = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_vec")
+    ).withColumn("cent_nrm", norm(F.col("cent_vec")))
+    if n_iters > 0:
+        dim = df.select(F.size(vec_col)).first()[0]
+        # Persist: c_tab feeds BOTH the corpus assignment and the query
+        # probes; without the cache the whole k-means subplan is inlined
+        # (planned, compiled, executed) twice.
+        c_tab = kmeans_refine(corpus, seed, dim, n_iters).persist()
+    else:
+        c_tab = seed
     csim = F.round(
         dot(F.col("c_vec"), F.col("cent_vec")) / (F.col("c_nrm") * F.col("cent_nrm")), 6
     )
-    aw = Window.partitionBy("c_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
     assigned = (
         corpus.crossJoin(F.broadcast(c_tab))
-        .select("c_id", "c_vec", "c_nrm", "cent_id", csim.alias("csim"))
-        .withColumn("arn", F.row_number().over(aw))
-        .filter(F.col("arn") == 1)
-        .select("c_id", "c_vec", "c_nrm", "cent_id")
+        .select("c_id", "c_vec", "c_nrm", csim.alias("csim"), "cent_id")
+        .groupBy("c_id")
+        .agg(
+            F.max_by(
+                F.struct("cent_id", "c_vec", "c_nrm"),
+                F.struct(F.col("csim"), (-F.col("cent_id")).alias("nid")),
+            ).alias("best")
+        )
+        .select(
+            "c_id",
+            F.col("best.c_vec").alias("c_vec"),
+            F.col("best.c_nrm").alias("c_nrm"),
+            F.col("best.cent_id").alias("cent_id"),
+        )
     )
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")

@@ -1551,10 +1551,39 @@ def hash_sample_orders(spark, sf_dir):
     )
 
 
-def _ann_ivf_oracle(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
+def _ann_ivf_oracle(
+    k: int = 5, n_centroids: int = 16, n_probe: int = 2, refine: bool = False
+) -> str:
+    if refine:
+        # One Lloyd iteration: assign to seed centroids, recompute each
+        # centroid as the 6dp-rounded element-wise mean of its members.
+        cents = f"""
+assign0 AS (
+  SELECT c_id, v, cent_id FROM (
+    SELECT b.vec_id AS c_id, b.v, s.cent_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round(list_cosine_similarity(b.v, s.cv), 6) DESC, s.cent_id
+           ) AS arn
+    FROM base b CROSS JOIN seed s
+  ) WHERE arn = 1
+),
+cents AS (
+  SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+    SELECT cent_id, pos, round(avg(val), 6) AS m FROM (
+      SELECT cent_id,
+             unnest(v) AS val,
+             unnest(range(1, len(v) + 1)) AS pos
+      FROM assign0
+    ) GROUP BY cent_id, pos
+  ) GROUP BY cent_id
+),"""
+    else:
+        cents = "cents AS (SELECT cent_id, cv FROM seed),"
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < {n_centroids}),
+seed AS (SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < {n_centroids}),
+{cents}
 assigned AS (
   SELECT c_id, v, cent_id FROM (
     SELECT b.vec_id AS c_id, b.v, c.cent_id,
@@ -1592,12 +1621,27 @@ SELECT q_id, c_id, sim, rank FROM r WHERE rank <= {k} ORDER BY q_id, rank
 @query("ann_cosine_ivf", oracle=_ann_ivf_oracle())
 def ann_cosine_ivf(spark, sf_dir):
     """IVF approximate top-5: corpus bucketed by nearest of 16
-    deterministic centroids, queries probe their 2 nearest lists. The
-    third ANN strategy next to brute-force (exact) and hyperplane-LSH."""
+    deterministic seed centroids, queries probe their 2 nearest lists.
+    The third ANN strategy next to brute-force (exact) and
+    hyperplane-LSH; ann_cosine_ivf_kmeans adds Lloyd refinement."""
     e = _load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return _sim.ivf_topk(
-        e, "vec_id", "embedding", queries, k=5, n_centroids=16, n_probe=2
+        e, "vec_id", "embedding", queries, k=5, n_centroids=16, n_probe=2, n_iters=0
+    ).orderBy("q_id", "rank")
+
+
+@query("ann_cosine_ivf_kmeans", oracle=_ann_ivf_oracle(refine=True))
+def ann_cosine_ivf_kmeans(spark, sf_dir):
+    """IVF with REAL k-means centroids: deterministic first-N seeding
+    refined by one Lloyd iteration (operators/similarity.kmeans_refine —
+    broadcast assignment + per-component avg with map-side combine;
+    6dp-rounded means keep Spark and DuckDB bit-identical, so even the
+    index build is oracle-checked)."""
+    e = _load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return _sim.ivf_topk(
+        e, "vec_id", "embedding", queries, k=5, n_centroids=16, n_probe=2, n_iters=1
     ).orderBy("q_id", "rank")
 
 
