@@ -464,3 +464,58 @@ def test_cluster_by_range_pruning_numeric(lake, spark):
     pruned = prune_files(snap.files, "k >= 9000")
     assert len(pruned) < len(snap.files) / 2
     assert t.read(prune_filter="k >= 9000").filter("k >= 9000").count() == 1000
+
+
+def test_concurrent_mixed_writers_occ(lake, spark):
+    """Concurrent DELETE / UPDATE / MERGE / INSERT on disjoint key ranges:
+    every writer eventually lands through the OCC re-plan loop, no lost
+    updates, no corrupted files, and the final state is exactly the
+    serial result."""
+    import threading
+
+    from mini_lakehouse_control_plane_executor_spark.table.log import CommitRetriesExhausted
+
+    lake.create_table("occ_mix", SCHEMA)
+    t = lake.table("occ_mix")
+    t.insert(_df(spark, 0, 400).coalesce(4))
+
+    def until_landed(op):
+        for _ in range(10):  # outer retry: bounded OCC retries may exhaust
+            try:
+                return op()
+            except CommitRetriesExhausted:
+                continue
+        raise AssertionError("writer never landed")
+
+    errors = []
+    barrier = threading.Barrier(4)
+
+    def run(fn):
+        try:
+            barrier.wait()
+            until_landed(fn)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    ops = [
+        lambda: t.delete("k < 50"),                                   # -50 rows
+        lambda: t.update("k >= 100 AND k < 150", {"v": "'upd'"}),     # 50 rows marked
+        lambda: t.merge(_df(spark, 1000, 1050), "k"),                 # +50 rows
+        lambda: t.insert(_df(spark, 2000, 2050)),                     # +50 rows
+    ]
+    threads = [threading.Thread(target=run, args=(op,)) for op in ops]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert not errors, errors
+    assert t.read().count() == 400 - 50 + 50 + 50
+    assert t.read().filter(F.col("k") < 50).count() == 0
+    assert t.read().filter(F.col("v") == "upd").count() == 50
+    assert t.read().filter(F.col("k") >= 1000).count() == 100
+    # Log replay from scratch agrees (no torn commits).
+    import mini_lakehouse_control_plane_executor_spark.table.table as table_mod
+
+    fresh = table_mod.LakehouseTable(spark, lake.root, "occ_mix")
+    assert fresh.read().count() == 450
