@@ -1,0 +1,93 @@
+"""Physical-plan shape guards: the 100 TB design claims (pushdown reaches
+the scan, small sides broadcast, scan-only operators don't shuffle,
+non-equi joins broadcast instead of cartesian-shuffling) are asserted
+against the ACTUAL executed plans, so a regression that silently
+de-optimizes a query fails CI rather than only showing up at scale."""
+
+import re
+
+import pytest
+
+from mini_lakehouse_control_plane_executor_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(plan):
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_comparison")
+    assert "PushedFilters: [" in plan
+    m = re.search(r"PushedFilters: \[([^\]]+)\]", plan)
+    assert m and m.group(1).strip(), "filter must be pushed into the parquet scan"
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "project_columns")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert len(read_cols) <= 3, f"scan reads too many columns: {read_cols}"
+
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = _plan(spark, "join_broadcast_dim")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_broadcasts_not_cartesian(spark):
+    plan = _plan(spark, "range_join_value_bands")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scan_speed_operators_do_not_shuffle(spark):
+    # text_stats: scan -> per-row expressions -> global sort. The ONLY
+    # exchange allowed is the final rangepartitioning for ORDER BY.
+    plan = _plan(spark, "text_stats")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+    # dedup_exact: exactly one hash shuffle (the fingerprint groupBy).
+    plan = _plan(spark, "dedup_exact")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_asof_join_single_fact_shuffle(spark):
+    """The as-of join must stay join-free: one window shuffle on user_id
+    for the union + one dedup shuffle for purchases; the aggregation
+    reuses the window partitioning."""
+    plan = _plan(spark, "events_asof_join")
+    assert "Join" not in plan  # no join operator of any kind
+    assert _n_exchanges(plan) <= 3  # purchases dedup + window + order-by
+
+
+def test_whole_stage_codegen_active(spark):
+    # Codegen spans only appear in the FINAL adaptive plan — execute
+    # first, then inspect.
+    df = all_queries()["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()  # a write clones the QueryExecution; collect finalizes df's own
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # Codegen spans render as "*(N) Operator" in the final adaptive plan.
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), "agg must be codegen'd"
+
+
+def test_aggregation_is_partial_final(spark):
+    """groupBy must produce map-side partial aggregation (HashAggregate
+    appears above AND below the exchange)."""
+    plan = _plan(spark, "agg_groupby")
+    parts = plan.split("Exchange hashpartitioning")
+    assert len(parts) >= 2
+    assert "HashAggregate" in parts[0] and "HashAggregate" in parts[-1]
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan, "LIMIT+ORDER BY must not global-sort"
