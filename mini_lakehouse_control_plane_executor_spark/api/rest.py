@@ -210,6 +210,25 @@ class LakehouseRestServer:
             "row_count": len(rows),
         }
 
+    def execute_sql(self, body: dict):
+        """POST /sql {"sql": "...", "versions": {table: v}} — REAL SQL
+        over snapshot-pinned views. The reference's SQL endpoint returns
+        canned results keyed on substring matching
+        (``rest_api.go:709-734``); this one executes."""
+        stmt = body.get("sql")
+        if not stmt:
+            raise _ApiError(400, "Missing sql")
+        try:
+            df = self.lake.sql(stmt, versions=body.get("versions") or None)
+            rows = [r.asDict(recursive=True) for r in df.collect()]
+        except Exception as exc:
+            raise _ApiError(400, f"SQL failed: {exc}")
+        return 200, {
+            "columns": [f.name for f in df.schema.fields],
+            "rows": rows,
+            "row_count": len(rows),
+        }
+
     def trigger_compaction(self, name: str, body: dict):
         self._table(name)
         try:
@@ -264,6 +283,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/queries/([A-Za-z0-9-]+)$"), "query_status"),
     ("GET", re.compile(r"^/queries/([A-Za-z0-9-]+)/results$"), "query_results"),
     ("POST", re.compile(r"^/query$"), "execute_query_direct"),
+    ("POST", re.compile(r"^/sql$"), "execute_sql"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/compaction$"), "trigger_compaction"),
     (
         "GET",

@@ -147,3 +147,29 @@ def test_versions_compaction_vacuum_drop_over_http(server, spark, tmp_path):
 
     assert _call(server, "DELETE", "/tables/t2")["success"]
     _call(server, "GET", "/tables/t2", expect=404)
+
+
+def test_sql_over_http(server, spark):
+    """POST /sql runs real SQL (incl. joins/aggregates) over snapshot
+    views, with optional version pinning."""
+    _call(server, "POST", "/tables", {"name": "sales", "schema": SCHEMA_API})
+    _call(server, "POST", "/tables/sales/insert", {"rows": ROWS})
+
+    res = _call(server, "POST", "/sql", {
+        "sql": """
+            SELECT category, COUNT(*) AS n, ROUND(SUM(price * quantity), 2) AS revenue
+            FROM sales GROUP BY category ORDER BY category
+        """
+    })
+    assert res["columns"] == ["category", "n", "revenue"]
+    got = {r["category"]: (r["n"], r["revenue"]) for r in res["rows"]}
+    assert got == {"Books": (2, 390.0), "Electronics": (4, 2650.0), "Furniture": (3, 1700.0)}
+
+    # Version pinning: v1 = empty table.
+    res = _call(server, "POST", "/sql", {
+        "sql": "SELECT COUNT(*) AS n FROM sales", "versions": {"sales": 1}
+    })
+    assert res["rows"][0]["n"] == 0
+
+    _call(server, "POST", "/sql", {"sql": "SELECT FROM nope ("}, expect=400)
+    _call(server, "POST", "/sql", {}, expect=400)
