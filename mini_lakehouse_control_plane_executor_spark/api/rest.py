@@ -210,6 +210,16 @@ class LakehouseRestServer:
             "row_count": len(rows),
         }
 
+    def add_columns(self, name: str, body: dict):
+        """POST /tables/{t}/columns — additive schema evolution (beyond
+        the reference, which has no schema-change operation)."""
+        t = self._table(name)
+        try:
+            version = t.add_columns(_fields_from_api(body.get("schema") or body))
+        except (SchemaError, ValueError) as exc:
+            raise _ApiError(400, str(exc))
+        return 200, {"success": True, "new_version": version}
+
     def execute_sql(self, body: dict):
         """POST /sql {"sql": "...", "versions": {table: v}} — REAL SQL
         over snapshot-pinned views. The reference's SQL endpoint returns
@@ -291,6 +301,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
         "compaction_status",
     ),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/vacuum$"), "vacuum"),
+    ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/columns$"), "add_columns"),
     ("GET", re.compile(r"^/health$"), "health"),
 ]
 

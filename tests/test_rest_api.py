@@ -173,3 +173,22 @@ def test_sql_over_http(server, spark):
 
     _call(server, "POST", "/sql", {"sql": "SELECT FROM nope ("}, expect=400)
     _call(server, "POST", "/sql", {}, expect=400)
+
+
+def test_add_columns_over_http(server, spark):
+    _call(server, "POST", "/tables", {"name": "evo2", "schema": SCHEMA_API})
+    _call(server, "POST", "/tables/evo2/insert", {"rows": ROWS[:2]})
+    out = _call(server, "POST", "/tables/evo2/columns", {
+        "schema": {"fields": [{"name": "note", "type": "string", "nullable": True}]}
+    })
+    assert out["success"]
+    info = _call(server, "GET", "/tables/evo2")
+    assert [f["name"] for f in info["schema"]["fields"]][-1] == "note"
+    # Old rows surface the new column as NULL via SQL.
+    res = _call(server, "POST", "/sql",
+                {"sql": "SELECT COUNT(*) AS n FROM evo2 WHERE note IS NULL"})
+    assert res["rows"][0]["n"] == 2
+    # Non-nullable addition rejected.
+    _call(server, "POST", "/tables/evo2/columns", {
+        "schema": {"fields": [{"name": "req", "type": "string", "nullable": False}]}
+    }, expect=400)
