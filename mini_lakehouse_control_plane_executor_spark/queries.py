@@ -2430,3 +2430,82 @@ def events_dedup_distinct(spark, sf_dir):
     return dedup_events(_load(spark, sf_dir, "events")).orderBy(
         "ts", "user_id", "event_type", "value", "props"
     )
+
+
+@query(
+    "balanced_sample_per_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20 ORDER BY source, doc_id
+    """,
+)
+def balanced_sample_per_source(spark, sf_dir):
+    """Balanced (stratified) sampling: exactly 20 docs per source, chosen
+    by md5-of-id rank — the deterministic, engine-independent analog of
+    per-class sampling for training-set balancing. One shuffle on the
+    stratum key; reproducible forever (no RNG)."""
+    d = _load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfr FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * round(ln(n.n_docs / dfreq.dfr), 6), 4) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_SQL)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — the classic text-pipeline
+    relevance primitive. Dataflow: one token explode feeding BOTH term
+    frequencies and document frequencies, idf joined back on term, top-k
+    per doc via window. All shuffles are on uniform keys (term, doc_id);
+    idf rounds to 6dp before the multiply so both engines score
+    identically."""
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_text.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("dfr"))
+    n_docs = d.count()  # index-build scalar, like IVF's dim probe
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.round(F.log(F.lit(n_docs) / F.col("dfr")), 6), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
