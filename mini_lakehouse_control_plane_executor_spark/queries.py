@@ -2509,3 +2509,65 @@ def tfidf_top_terms(spark, sf_dir):
         .select("doc_id", "term", "tfidf", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+s AS (SELECT user_id, min(ts) AS ts_signup FROM e WHERE event_type = 'signup' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS ts_click
+      FROM e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.ts_signup GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS ts_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.ts_click GROUP BY 1)
+SELECT s.user_id, s.ts_signup, c.ts_click, p.ts_purchase,
+       CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS funnel_depth
+FROM s LEFT JOIN c ON s.user_id = c.user_id LEFT JOIN p ON s.user_id = p.user_id
+ORDER BY s.user_id
+"""
+
+
+@query("events_funnel", oracle=_FUNNEL_SQL)
+def events_funnel(spark, sf_dir):
+    """Ordered-funnel analysis (signup -> first later click -> first
+    later purchase): each stage is a conditional min-aggregate over the
+    previous stage's timestamp. Three shuffles, all on user_id — Spark
+    reuses the partitioning across the chained joins, and every stage's
+    state is one timestamp per user."""
+    e = _load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_signup"))
+    )
+    c = (
+        e.join(s, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("ts_signup")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_click"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("ts_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_purchase"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "ts_signup",
+            "ts_click",
+            "ts_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("ts_click").isNull(), 0).otherwise(1)
+                + F.when(F.col("ts_purchase").isNull(), 0).otherwise(1)
+            ).cast("int").alias("funnel_depth"),
+        )
+        .orderBy("user_id")
+    )
