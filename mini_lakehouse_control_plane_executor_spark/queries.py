@@ -2571,3 +2571,52 @@ def events_funnel(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, ((n_chars % 10) + 1) * 1000 AS duration_ms
+      FROM documents
+    ),
+    f AS (
+      SELECT media_id,
+             unnest(range(0, greatest(CAST(duration_ms // 700 AS INT) - 1, 0) + 1)) * 700
+               AS frame_ts_ms
+      FROM m
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(min(frame_ts_ms) AS BIGINT) AS first_ts_ms,
+           CAST(max(frame_ts_ms) AS BIGINT) AS last_ts_ms
+    FROM f GROUP BY media_id ORDER BY media_id
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (operators.multimodal.frame_sample_plan):
+    each media row explodes into frame timestamps from METADATA only (no
+    decode I/O — duration lives in meta), the shape that lets a 100 TB
+    video corpus schedule per-frame decode work without touching bytes.
+    Durations are fabricated deterministically from documents.n_chars so
+    the plan is oracle-checkable."""
+    d = _load(spark, sf_dir, "documents")
+    from mini_lakehouse_control_plane_executor_spark.operators import multimodal as _mm
+
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video/fake").alias("mime"),
+        F.struct(
+            ((F.col("n_chars") % 10 + 1) * 1000).alias("duration_ms")
+        ).alias("meta"),
+    )
+    frames = _mm.frame_sample_plan(media, every_ms=700)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min("frame_ts_ms").cast("long").alias("first_ts_ms"),
+            F.max("frame_ts_ms").cast("long").alias("last_ts_ms"),
+        )
+        .orderBy("media_id")
+    )
