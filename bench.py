@@ -58,11 +58,12 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             spark.catalog.clearCache()
 
-    # Two timed passes, per-query minimum: single-shot timings on a
-    # shared box are noise-dominated (GC, co-tenant CPU); min-of-2 is the
-    # standard cheap estimator of the true cost.
+    # Three timed passes, per-query minimum: single-shot timings on a
+    # shared box are noise-dominated (GC, co-tenant CPU; observed ±25%
+    # run-to-run on identical code) — min-of-3 is the cheap robust
+    # estimator of the true cost.
     times: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             fn = registry.get(name)
             if fn is None:
