@@ -348,17 +348,33 @@ class LakehouseTable:
         )
 
     def merge(
-        self, source: DataFrame, key: str, txn_id: str | None = None
+        self,
+        source: DataFrame,
+        key: str,
+        txn_id: str | None = None,
+        when_matched: dict[str, str] | None = None,
+        insert_unmatched: bool = True,
     ) -> tuple[int, int, int]:
-        """Copy-on-write MERGE (upsert) on ``key``: rows in the table
-        whose key appears in ``source`` are replaced by the source row;
-        source rows with unseen keys are appended. Only files whose
-        [min,max] range for ``key`` intersects the source's key range are
-        rewritten — everything else carries over by reference. Returns
-        (new_version, rows_updated, rows_inserted).
+        """Copy-on-write MERGE on ``key``. Default semantics (upsert):
+        rows in the table whose key appears in ``source`` are replaced by
+        the source row; source rows with unseen keys are appended.
+
+        Delta-style clauses:
+        - ``when_matched``: instead of replacing, matched rows are
+          rewritten column-by-column from SQL expressions that may
+          reference both sides as ``target.<col>`` and ``source.<col>``
+          (e.g. ``{"x": "target.x + source.x", "v": "source.v"}``);
+          unlisted columns keep the target value. Requires source keys to
+          be unique (Delta raises on multi-matches too).
+        - ``insert_unmatched=False``: WHEN NOT MATCHED rows are dropped
+          instead of appended.
+
+        Only files whose [min,max] range for ``key`` intersects the
+        source's key range are rewritten — everything else carries over
+        by reference. Returns (new_version, rows_updated, rows_inserted).
 
         The source is materialized once (it is read for its key range,
-        the anti/join, and the append)."""
+        the joins, and the append)."""
         from pyspark.storagelevel import StorageLevel
 
         txn_id = txn_id or f"merge-{uuid.uuid4()}"
@@ -370,9 +386,27 @@ class LakehouseTable:
         schema = to_spark_schema(fields)
         if key not in {f.name for f in fields}:
             raise ValueError(f"merge key {key!r} not in table schema")
+        if when_matched:
+            unknown = set(when_matched) - {f.name for f in fields}
+            if unknown:
+                raise ValueError(f"when_matched unknown column(s): {sorted(unknown)}")
         source = source.select(
             *[source[f.name].cast(schema[f.name].dataType).alias(f.name) for f in fields]
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        if when_matched is not None:
+            dups = (
+                source.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dups:
+                source.unpersist()
+                raise ValueError(
+                    "when_matched merge requires unique source keys "
+                    "(a target row matched multiple source rows)"
+                )
         bounds = source.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi"), F.count(F.lit(1)).alias("n")
         ).collect()[0]
@@ -399,21 +433,59 @@ class LakehouseTable:
                 if candidates:
                     paths = [os.path.join(self.dir, f.path) for f in candidates]
                     cur = self.spark.read.schema(schema).parquet(*paths)
-                    n_updated = cur.join(
-                        source.select(key).distinct(), key, "left_semi"
-                    ).count()
-                    kept = cur.join(source.select(key).distinct(), key, "left_anti")
+                else:
+                    cur = self.spark.createDataFrame([], schema)
+                src_keys = source.select(key).distinct()
+                if candidates:
+                    n_updated = cur.join(src_keys, key, "left_semi").count()
+                    kept = cur.join(src_keys, key, "left_anti")
                     kept.coalesce(max(1, len(candidates))).write.mode("overwrite").parquet(
                         os.path.join(stage, "kept")
                     )
-                # Write the source at its natural parallelism — a large
-                # upsert source must not serialize through one task. Tiny
-                # sources still bin down via the small-file compactor later.
-                source.write.mode("overwrite").parquet(os.path.join(stage, "src"))
+                    if when_matched is not None:
+                        matched = cur.alias("target").join(
+                            source.alias("source"),
+                            F.col(f"target.{key}") == F.col(f"source.{key}"),
+                        )
+                        updated = matched.select(
+                            *[
+                                F.expr(when_matched[f.name])
+                                .cast(schema[f.name].dataType)
+                                .alias(f.name)
+                                if f.name in when_matched
+                                else F.col(f"target.{f.name}").alias(f.name)
+                                for f in fields
+                            ]
+                        )
+                        updated.coalesce(max(1, len(candidates))).write.mode(
+                            "overwrite"
+                        ).parquet(os.path.join(stage, "upd"))
+                # WHEN NOT MATCHED rows (or the whole source for replace
+                # semantics), written at natural parallelism — a large
+                # upsert source must not serialize through one task.
+                if when_matched is None:
+                    news = source if insert_unmatched else source.join(
+                        cur, key, "left_semi"
+                    )
+                    n_inserted = (
+                        bounds["n"] - source.join(cur, key, "left_semi").count()
+                        if not candidates
+                        else bounds["n"] - n_updated
+                    ) if insert_unmatched else 0
+                else:
+                    news = (
+                        source.join(cur, key, "left_anti")
+                        if insert_unmatched
+                        else None
+                    )
+                    n_inserted = news.count() if news is not None else 0
+                if news is not None:
+                    news.write.mode("overwrite").parquet(os.path.join(stage, "src"))
                 try:
-                    if candidates:
-                        adds.extend(self._promote_staged(os.path.join(stage, "kept")))
-                    adds.extend(self._promote_staged(os.path.join(stage, "src")))
+                    for sub in ("kept", "upd", "src"):
+                        subdir = os.path.join(stage, sub)
+                        if os.path.isdir(subdir):
+                            adds.extend(self._promote_staged(subdir))
                 finally:
                     shutil.rmtree(stage, ignore_errors=True)
                 try:
@@ -421,7 +493,7 @@ class LakehouseTable:
                         snap.version, txn_id, fields, adds,
                         [f.path for f in candidates],
                     )
-                    return version, n_updated, bounds["n"] - n_updated
+                    return version, n_updated, n_inserted
                 except CommitConflictError:
                     self._remove_adds(adds)
                     time.sleep(0.01 * (attempt + 1))

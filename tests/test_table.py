@@ -519,3 +519,55 @@ def test_concurrent_mixed_writers_occ(lake, spark):
 
     fresh = table_mod.LakehouseTable(spark, lake.root, "occ_mix")
     assert fresh.read().count() == 450
+
+
+def test_merge_when_matched_partial_update(lake, spark):
+    """Delta-style WHEN MATCHED clause: matched rows are rewritten
+    column-by-column from target/source expressions; unlisted columns
+    keep target values; unmatched source rows append (or drop)."""
+    import pytest
+
+    lake.create_table("mrgc", SCHEMA)
+    t = lake.table("mrgc")
+    t.insert(_df(spark, 0, 20))
+
+    src = _df(spark, 10, 25).withColumn("x", F.lit(100.0))
+    version, n_upd, n_ins = t.merge(
+        src, "k", when_matched={"x": "target.x + source.x", "v": "source.v"}
+    )
+    assert (n_upd, n_ins) == (10, 5)
+    assert t.read().count() == 25
+    got = {r.k: (r.v, r.x) for r in t.read().collect()}
+    assert got[15] == ("v15", 15 * 1.5 + 100.0)   # matched: x summed, v from source
+    assert got[5] == ("v5", 5 * 1.5)              # untouched
+    assert got[22] == ("v22", 100.0)              # inserted as-is
+
+    # insert_unmatched=False drops WHEN NOT MATCHED rows.
+    src2 = _df(spark, 20, 40).withColumn("x", F.lit(1.0))
+    version, n_upd, n_ins = t.merge(
+        src2, "k", when_matched={"x": "source.x"}, insert_unmatched=False
+    )
+    assert (n_upd, n_ins) == (5, 0)
+    assert t.read().count() == 25
+    assert t.read().filter(F.col("k") >= 25).count() == 0
+
+    # Duplicate source keys rejected for clause merges.
+    dup = _df(spark, 0, 2).union(_df(spark, 0, 1))
+    with pytest.raises(ValueError, match="unique source keys"):
+        t.merge(dup, "k", when_matched={"x": "source.x"})
+
+    # Unknown assignment column rejected.
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge(_df(spark, 0, 1), "k", when_matched={"nope": "1"})
+
+
+def test_merge_replace_semantics_unchanged(lake, spark):
+    """Default merge still replaces matched rows wholesale."""
+    lake.create_table("mrgr", SCHEMA)
+    t = lake.table("mrgr")
+    t.insert(_df(spark, 0, 10))
+    src = _df(spark, 5, 12).withColumn("v", F.lit("new"))
+    version, n_upd, n_ins = t.merge(src, "k")
+    assert (n_upd, n_ins) == (5, 2)
+    assert t.read().filter(F.col("v") == "new").count() == 7
+    assert t.read().count() == 12
