@@ -210,6 +210,34 @@ class LakehouseRestServer:
             "row_count": len(rows),
         }
 
+    def merge_rows(self, name: str, body: dict):
+        """POST /tables/{t}/merge {"rows": [...], "key": "...",
+        "when_matched": {col: expr}?, "insert_unmatched": bool?} —
+        transactional upsert over HTTP (beyond the reference surface)."""
+        rows, key = body.get("rows"), body.get("key")
+        if not isinstance(rows, list) or not rows or not key:
+            raise _ApiError(400, "Missing rows or key")
+        t = self._table(name)
+        try:
+            df = self.lake.spark.createDataFrame(
+                [tuple(r[f.name] for f in t.fields) for r in rows], t.spark_schema
+            )
+            version, n_upd, n_ins = t.merge(
+                df,
+                key,
+                txn_id=body.get("txn_id"),
+                when_matched=body.get("when_matched"),
+                insert_unmatched=bool(body.get("insert_unmatched", True)),
+            )
+        except (ValueError, KeyError) as exc:
+            raise _ApiError(400, f"Merge failed: {exc}")
+        return 200, {
+            "success": True,
+            "new_version": version,
+            "rows_updated": n_upd,
+            "rows_inserted": n_ins,
+        }
+
     def add_columns(self, name: str, body: dict):
         """POST /tables/{t}/columns — additive schema evolution (beyond
         the reference, which has no schema-change operation)."""
@@ -302,6 +330,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/vacuum$"), "vacuum"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/columns$"), "add_columns"),
+    ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/merge$"), "merge_rows"),
     ("GET", re.compile(r"^/health$"), "health"),
 ]
 

@@ -114,6 +114,22 @@ class LakehouseSession:
         """Copy-on-write UPDATE; returns (new_version|None, rows_updated)."""
         return self.table(name).update(filter_str, assignments, txn_id=txn_id)
 
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        key: str,
+        txn_id: str | None = None,
+        when_matched: dict[str, str] | None = None,
+        insert_unmatched: bool = True,
+    ):
+        """Copy-on-write MERGE (upsert / Delta-style clauses); returns
+        (new_version, rows_updated, rows_inserted)."""
+        return self.table(name).merge(
+            source, key, txn_id=txn_id,
+            when_matched=when_matched, insert_unmatched=insert_unmatched,
+        )
+
     def drop_table(self, name: str) -> None:
         """DROP TABLE — implemented for real (the reference's DELETE
         /tables/{t} endpoint is a placeholder, ``rest_api.go:676-687``)."""

@@ -192,3 +192,30 @@ def test_add_columns_over_http(server, spark):
     _call(server, "POST", "/tables/evo2/columns", {
         "schema": {"fields": [{"name": "req", "type": "string", "nullable": False}]}
     }, expect=400)
+
+
+def test_merge_over_http(server, spark):
+    _call(server, "POST", "/tables", {"name": "um", "schema": SCHEMA_API})
+    _call(server, "POST", "/tables/um/insert", {"rows": ROWS})
+    # Upsert: replace id 1, insert id 100.
+    out = _call(server, "POST", "/tables/um/merge", {
+        "key": "id",
+        "rows": [
+            dict(ROWS[0], price=1111.0),
+            dict(ROWS[0], id=100, product="Tablet", price=500.0),
+        ],
+    })
+    assert out["success"] and (out["rows_updated"], out["rows_inserted"]) == (1, 1)
+    res = _call(server, "POST", "/sql",
+                {"sql": "SELECT price FROM um WHERE id IN (1, 100) ORDER BY id"})
+    assert [r["price"] for r in res["rows"]] == [1111.0, 500.0]
+    # Clause merge: accumulate quantity.
+    out = _call(server, "POST", "/tables/um/merge", {
+        "key": "id",
+        "rows": [dict(ROWS[1], quantity=7)],
+        "when_matched": {"quantity": "target.quantity + source.quantity"},
+    })
+    assert out["rows_updated"] == 1
+    res = _call(server, "POST", "/sql", {"sql": "SELECT quantity FROM um WHERE id = 2"})
+    assert res["rows"][0]["quantity"] == 12
+    _call(server, "POST", "/tables/um/merge", {"rows": [], "key": "id"}, expect=400)
