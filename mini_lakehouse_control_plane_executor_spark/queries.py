@@ -2620,3 +2620,87 @@ def multimodal_frame_sample(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+_PIPELINE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\\w+') AS ws FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    CAST(len(ws) AS INT) AS n_tokens,
+    CASE WHEN len(ws) > 0 THEN round(
+        0.4 * least(length(text)/500.0, 1.0)
+      + 0.3 * least(5.0 * len(list_filter(ws, t -> list_contains({_sql_strlist(_STOP_ALL)}, t))) / len(ws), 1.0)
+      + 0.3 * (1.0 - least(abs(list_sum(list_transform(ws, t -> length(t))) / CAST(len(ws) AS DOUBLE) - 5.0) / 5.0, 1.0))
+    , 6) ELSE 0.0 END AS quality,
+    len(list_filter(ws, t -> list_contains({_sql_strlist(_text.LANG_STOPWORDS['en'])}, t))) AS s_en,
+    len(list_filter(ws, t -> list_contains({_sql_strlist(_text.LANG_STOPWORDS['de'])}, t))) AS s_de,
+    len(list_filter(ws, t -> list_contains({_sql_strlist(_text.LANG_STOPWORDS['es'])}, t))) AS s_es,
+    len(list_filter(ws, t -> list_contains({_sql_strlist(_text.LANG_STOPWORDS['fr'])}, t))) AS s_fr,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM toks
+),
+survivors AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY fp),
+kept AS (
+  SELECT s.doc_id, s.n_tokens, s.quality FROM scored s
+  JOIN survivors k ON s.doc_id = k.doc_id
+  WHERE s.quality >= 0.5 AND s.n_tokens >= 5
+    AND s.s_en > 0 AND s.s_en >= s.s_de AND s.s_en >= s.s_es AND s.s_en >= s.s_fr
+)
+SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(round(avg(quality), 6) AS DOUBLE) AS avg_quality
+FROM kept GROUP BY 1 ORDER BY shard
+"""
+
+
+@query("corpus_filter_shard_pipeline", oracle=_PIPELINE_ORACLE)
+def corpus_filter_shard_pipeline(spark, sf_dir):
+    """The canonical pretraining-corpus preprocessing pipeline as ONE
+    plan: exact dedup (md5 fingerprint, min-id survivor) -> quality gate
+    (score >= 0.5) -> language gate (predicted en) -> length gate
+    (>= 5 tokens) -> deterministic hash-sharding (md5 % 8) with
+    per-shard doc/token accounting. Shuffle inventory: one groupBy on
+    the uniform fingerprint, one semi join on doc_id, one groupBy on
+    8 shards — nothing quadratic, nothing skewed, nothing collected."""
+    d = _load(spark, sf_dir, "documents")
+    prof = (
+        d.select("doc_id", "text", _text.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", "text", "toks", _text.profile_counts(F.col("toks")).alias("pc")
+        )
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            _text.quality_from_counts(F.col("text"), F.col("toks"), F.col("pc")).alias(
+                "quality"
+            ),
+            _text.lang_id_from_counts(F.col("pc")).alias("lang_pred"),
+            _text.fingerprint(F.col("text")).alias("fp"),
+        )
+    )
+    survivors = prof.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    kept = (
+        prof.join(survivors, "doc_id", "left_semi")
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.col("n_tokens") >= 5)
+            & (F.col("lang_pred") == "en")
+        )
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 8
+    ).cast("int")
+    return (
+        kept.select(shard.alias("shard"), "n_tokens", "quality")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("shard")
+    )

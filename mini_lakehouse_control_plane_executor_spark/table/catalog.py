@@ -70,6 +70,22 @@ class LakehouseSession:
         self._tables[name] = t
         return t
 
+    def create_table_as(
+        self,
+        name: str,
+        df: DataFrame,
+        txn_id: str | None = None,
+        cluster_by: list[str] | None = None,
+    ) -> LakehouseTable:
+        """CTAS: derive the schema from ``df``, create the table, and
+        commit the rows as version 2 — the result-sink path that lets a
+        query output become a first-class versioned table."""
+        from mini_lakehouse_control_plane_executor_spark.table.schema import from_spark_schema
+
+        t = self.create_table(name, from_spark_schema(df.schema))
+        t.insert(df, txn_id=txn_id, cluster_by=cluster_by)
+        return t
+
     def table(self, name: str) -> LakehouseTable:
         # Handles are cached so the transaction log's in-memory replay
         # state (see TransactionLog) persists across calls.

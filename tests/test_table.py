@@ -571,3 +571,22 @@ def test_merge_replace_semantics_unchanged(lake, spark):
     assert (n_upd, n_ins) == (5, 2)
     assert t.read().filter(F.col("v") == "new").count() == 7
     assert t.read().count() == 12
+
+
+def test_create_table_as(lake, spark):
+    """CTAS: query result becomes a versioned, time-travelable table."""
+    import pytest
+
+    lake.create_table("src_t", SCHEMA)
+    lake.insert("src_t", _df(spark, 0, 100))
+    result = lake.table("src_t").read().filter(F.col("k") >= 50)
+    t = lake.create_table_as("derived", result)
+    assert t.read().count() == 50
+    assert [f.name for f in t.fields] == ["k", "v", "x"]
+    assert "derived" in lake.list_tables()
+    # It is a real table: insert more, time travel works.
+    lake.insert("derived", _df(spark, 1000, 1010))
+    assert t.read().count() == 60
+    assert t.read(version=2).count() == 50
+    with pytest.raises(ValueError, match="already exists"):
+        lake.create_table_as("derived", result)
