@@ -2704,3 +2704,49 @@ def corpus_filter_shard_pipeline(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+_PACKING_SQL = r"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '\w+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT CAST((cum - 1) // 2048 AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM c GROUP BY 1 ORDER BY pack_id
+"""
+
+
+@query("sequence_packing", oracle=_PACKING_SQL)
+def sequence_packing(spark, sf_dir):
+    """Training-sequence packing: documents are assigned to fixed
+    ~2048-token packs by running token cumsum in doc_id order —
+    pack_id = (cumsum-1) div budget. The cumsum is a single global
+    window; at 100 TB you'd partition the cumsum per shard (see
+    corpus_filter_shard_pipeline) so each shard packs independently —
+    the per-shard plan is exactly this one."""
+    d = _load(spark, sf_dir, "documents")
+    t = d.select("doc_id", _text.token_count(F.col("text")).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.select(
+            F.expr("(cum - 1) div 2048").alias("pack_id"), "n_tokens", "doc_id"
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
