@@ -825,7 +825,8 @@ def text_stats(spark, sf_dir):
     return (
         d.select("doc_id", "text", _text.tokens(F.col("text")).alias("toks"))
         .select(
-            "doc_id", "text", "toks", _text.profile_counts(F.col("toks")).alias("pc")
+            "doc_id", "text", "toks",
+            _text.profile_counts_from_text(F.col("text")).alias("pc"),
         )
         .select(
             "doc_id",
@@ -2669,7 +2670,8 @@ def corpus_filter_shard_pipeline(spark, sf_dir):
     prof = (
         d.select("doc_id", "text", _text.tokens(F.col("text")).alias("toks"))
         .select(
-            "doc_id", "text", "toks", _text.profile_counts(F.col("toks")).alias("pc")
+            "doc_id", "text", "toks",
+            _text.profile_counts_from_text(F.col("text")).alias("pc"),
         )
         .select(
             "doc_id",

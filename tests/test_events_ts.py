@@ -35,3 +35,25 @@ def test_ns_to_us_integer_division(spark, tmp_path):
         1_700_000_000_000_001,
         1_700_000_000_000_001,
     ]
+
+
+def test_profile_counts_variants_identical(spark):
+    """The regexp_count profile must equal the array-fold profile row for
+    row — the oracle checks the token-based semantics, so the fast path
+    must be value-identical."""
+    from mini_lakehouse_control_plane_executor_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fields = T._LANG_ORDER + ["stop", "chars"]
+    fast = (
+        d.select("doc_id", T.profile_counts_from_text(F.col("text")).alias("pc"))
+        .select("doc_id", *[F.col(f"pc.{f}") for f in fields])
+    )
+    slow = (
+        d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", T.profile_counts(F.col("toks")).alias("pc"))
+        .select("doc_id", *[F.col(f"pc.{f}") for f in fields])
+    )
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
