@@ -1,0 +1,73 @@
+"""Pruning soundness property: prune_files may only drop files that
+contain ZERO rows matching the predicate — DELETE/UPDATE correctness
+depends on this (a wrongly-pruned file would silently keep rows that
+should have been rewritten). Checked per excluded file with DuckDB."""
+
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mini_lakehouse_control_plane_executor_spark.functions.filters import prune_files
+from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+
+SCHEMA = [Field("k", "int64"), Field("v", "string"), Field("x", "float64")]
+
+
+@pytest.fixture(scope="module")
+def stats_table(spark, tmp_path_factory):
+    from mini_lakehouse_control_plane_executor_spark.table.catalog import LakehouseSession
+
+    lake = LakehouseSession(spark, str(tmp_path_factory.mktemp("prune")))
+    lake.create_table("p", SCHEMA)
+    t = lake.table("p")
+    batches = [
+        [(-50 + i, f"a{i}", -5.5 + i) for i in range(40)],        # negatives
+        [(i, f"b{i:03d}", i * 0.5) for i in range(100, 140)],     # mid range
+        [(i, f"c{i}", float(i)) for i in range(1000, 1020)],      # high range
+        [(7, "dup", 7.0)] * 10,                                   # all-equal file
+        [(i, None, None) for i in range(500, 510)]                # NULL file
+        + [(510, "z", 1e9)],
+    ]
+    for rows in batches:
+        t.insert(
+            spark.createDataFrame(rows, "k long, v string, x double").coalesce(1)
+        )
+    return t
+
+
+_COLS = {"k": st.integers(-60, 1100), "x": st.floats(-10, 1e9, allow_nan=False, width=32),
+         "v": st.sampled_from(["a0", "b100", "c1005", "dup", "z", "", "zzz"])}
+_OPS = ["=", "==", ">", "<", ">=", "<=", "!=", "<>"]
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_pruned_files_have_no_matches(stats_table, data):
+    col = data.draw(st.sampled_from(["k", "v", "x"]))
+    op = data.draw(st.sampled_from(_OPS))
+    lit = data.draw(_COLS[col])
+    lit_str = f"'{lit}'" if col == "v" else repr(lit)
+    filter_str = f"{col} {op} {lit_str}"
+
+    snap = stats_table.snapshot()
+    pruned = prune_files(snap.files, filter_str)
+    assert set(f.path for f in pruned) <= set(f.path for f in snap.files)
+
+    sql_op = {"==": "=", "!=": "<>"}.get(op, op)
+    excluded = [f for f in snap.files if f not in pruned]
+    for f in excluded:
+        path = os.path.join(stats_table.dir, f.path)
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{path}') WHERE {col} {sql_op} {lit_str}"
+        ).fetchone()[0]
+        assert n == 0, (
+            f"file {f.path} pruned away but holds {n} rows matching {filter_str}"
+        )
