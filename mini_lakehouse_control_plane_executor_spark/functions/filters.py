@@ -86,16 +86,41 @@ def parse_filter(filter_str: str) -> Column:
 
 
 def prune_files(files, filter_str: str):
-    """File-level min/max pruning for single-comparison filters.
+    """File-level min/max pruning for single comparisons and
+    conjunctions of them (``a AND b`` prunes as the intersection of its
+    terms' prunes — sound because a file with no rows matching one term
+    has no rows matching the conjunction).
 
     Keeps any file whose [min,max] range for the filtered column could
-    contain matching rows (conservative: files with no stats are kept).
-    The reference models these stats but never prunes
+    contain matching rows (conservative: files with no stats are kept,
+    and any predicate shape not recognized prunes nothing). The
+    reference models these stats but never prunes
     (``pkg/coordinator/query_planner.go:249-255``); at 100 TB pruning is
     mandatory, and this mirrors what Delta data skipping does.
     """
+    import re as _re
+
     cmp = parse_comparison(filter_str)
-    if cmp is None or isinstance(cmp.value, bool):
+    if cmp is not None:
+        return _prune_single(files, cmp)
+    # Top-level conjunction of simple comparisons. Stay out of anything
+    # with quotes, parens, or OR — conservative beats clever here.
+    s = filter_str
+    if "'" not in s and '"' not in s and "(" not in s and not _re.search(
+        r"\bor\b", s, _re.I
+    ):
+        parts = _re.split(r"\s+and\s+", s, flags=_re.I)
+        if len(parts) > 1:
+            cmps = [parse_comparison(p.strip()) for p in parts]
+            if all(c is not None for c in cmps):
+                for c in cmps:
+                    files = _prune_single(files, c)
+                return files
+    return files
+
+
+def _prune_single(files, cmp: Comparison):
+    if isinstance(cmp.value, bool):
         return files
     kept = []
     for f in files:

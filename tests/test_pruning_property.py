@@ -71,3 +71,42 @@ def test_pruned_files_have_no_matches(stats_table, data):
         assert n == 0, (
             f"file {f.path} pruned away but holds {n} rows matching {filter_str}"
         )
+
+
+@settings(
+    max_examples=80,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_conjunction_pruning_sound(stats_table, data):
+    """AND-conjunctions prune as the intersection of their terms and
+    never drop a file containing a row matching the whole predicate."""
+    terms = []
+    for _ in range(data.draw(st.integers(2, 3))):
+        col = data.draw(st.sampled_from(["k", "x"]))
+        op = data.draw(st.sampled_from(_OPS))
+        lit = data.draw(_COLS[col])
+        terms.append(f"{col} {op} {repr(lit)}")
+    filter_str = " AND ".join(terms)
+
+    snap = stats_table.snapshot()
+    pruned = prune_files(snap.files, filter_str)
+    sql = " AND ".join(
+        t.replace(" == ", " = ").replace(" != ", " <> ") for t in terms
+    )
+    for f in snap.files:
+        if f in pruned:
+            continue
+        path = os.path.join(stats_table.dir, f.path)
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{path}') WHERE {sql}"
+        ).fetchone()[0]
+        assert n == 0, f"{f.path} pruned but matches {filter_str}"
+
+
+def test_conjunction_pruning_effective(stats_table):
+    """A range conjunction actually drops files (not just soundness)."""
+    snap = stats_table.snapshot()
+    pruned = prune_files(snap.files, "k >= 100 AND k < 140")
+    assert 0 < len(pruned) < len(snap.files)
