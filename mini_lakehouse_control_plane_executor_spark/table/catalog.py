@@ -217,7 +217,7 @@ class LakehouseSession:
             if q.filter:
                 from mini_lakehouse_control_plane_executor_spark.functions.filters import prune_files
 
-                files = prune_files(files, q.filter)
+                files = prune_files(files, q.filter, snap.schema)
             return {
                 "input_files": len(files),
                 "input_bytes": sum(f.size for f in files),

@@ -59,13 +59,34 @@ COMMIT_MAX_RETRIES = 3  # pkg/coordinator/transaction_manager.go:174-179
 TMP_SWEEP_AGE_SECONDS = 3600.0
 
 # Stats are harvested only for scalar leaf types we can JSON-roundtrip.
-_STATS_TYPES = {"int32", "int64", "float32", "float64", "string", "boolean"}
+# date/timestamp serialize as FIXED-WIDTH ISO strings ('%Y-%m-%d' /
+# '%Y-%m-%d %H:%M:%S.%f'), whose lexicographic order equals their
+# chronological order — so time-range pruning (the single most valuable
+# prune on a 100 TB event table) works through plain string comparison.
+_STATS_TYPES = {
+    "int32", "int64", "float32", "float64", "string", "boolean",
+    "date", "timestamp",
+}
+
+
+def _stat_value(v, ftype: str):
+    import datetime as _dt
+
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if ftype == "timestamp" and isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if ftype == "date" and isinstance(v, (_dt.date, _dt.datetime)):
+        return v.strftime("%Y-%m-%d")
+    return v
 
 
 def _footer_stats(path: str, fields: list[Field]) -> tuple[int, dict, dict]:
     """(rows, min_values, max_values) from the Parquet footer — no data read."""
     md = pq.ParquetFile(path).metadata
-    wanted = {f.name for f in fields if f.type in _STATS_TYPES}
+    wanted = {f.name: f.type for f in fields if f.type in _STATS_TYPES}
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     for rg in range(md.num_row_groups):
@@ -78,11 +99,8 @@ def _footer_stats(path: str, fields: list[Field]) -> tuple[int, dict, dict]:
             st = col.statistics
             if st is None or not st.has_min_max:
                 continue
-            mn, mx = st.min, st.max
-            if isinstance(mn, bytes):
-                mn = mn.decode("utf-8", "replace")
-            if isinstance(mx, bytes):
-                mx = mx.decode("utf-8", "replace")
+            mn = _stat_value(st.min, wanted[name])
+            mx = _stat_value(st.max, wanted[name])
             if name not in mins or mn < mins[name]:
                 mins[name] = mn
             if name not in maxs or mx > maxs[name]:
@@ -250,7 +268,7 @@ class LakehouseTable:
 
         for attempt in range(COMMIT_MAX_RETRIES + 1):
             snap = self.log.snapshot()
-            candidates = prune_files(snap.files, filter_str)
+            candidates = prune_files(snap.files, filter_str, snap.schema)
             if not candidates:
                 return None, 0
             schema = to_spark_schema(snap.schema)
@@ -308,7 +326,7 @@ class LakehouseTable:
 
         for attempt in range(COMMIT_MAX_RETRIES + 1):
             snap = self.log.snapshot()
-            candidates = prune_files(snap.files, filter_str)
+            candidates = prune_files(snap.files, filter_str, snap.schema)
             if not candidates:
                 return None, 0
             schema = to_spark_schema(snap.schema)
@@ -643,7 +661,7 @@ class LakehouseTable:
         if prune_filter:
             from mini_lakehouse_control_plane_executor_spark.functions.filters import prune_files
 
-            files = prune_files(files, prune_filter)
+            files = prune_files(files, prune_filter, snap.schema)
         paths = [os.path.join(self.dir, f.path) for f in files]
         if not paths:
             return self.spark.createDataFrame([], schema)

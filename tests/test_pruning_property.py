@@ -110,3 +110,60 @@ def test_conjunction_pruning_effective(stats_table):
     snap = stats_table.snapshot()
     pruned = prune_files(snap.files, "k >= 100 AND k < 140")
     assert 0 < len(pruned) < len(snap.files)
+
+
+def test_timestamp_date_pruning(spark, tmp_path):
+    """date/timestamp columns harvest fixed-width ISO stats and prune on
+    time-range predicates; DELETE on a time range rewrites only the
+    intersecting files."""
+    import datetime as dt
+
+    from mini_lakehouse_control_plane_executor_spark.table.catalog import LakehouseSession
+
+    lake = LakehouseSession(spark, str(tmp_path))
+    lake.create_table(
+        "tt", [Field("id", "int64"), Field("ts", "timestamp"), Field("d", "date")]
+    )
+    t = lake.table("tt")
+    for day in (1, 10, 20):
+        rows = [
+            (day * 100 + i,
+             dt.datetime(2024, 3, day, i, 30, 0),
+             dt.date(2024, 3, day))
+            for i in range(5)
+        ]
+        t.insert(
+            spark.createDataFrame(rows, "id long, ts timestamp, d date").coalesce(1)
+        )
+
+    snap = t.snapshot()
+    assert all("ts" in f.min_values and "d" in f.min_values for f in snap.files)
+
+    # Timestamp range prune: only the day-20 file can match.
+    kept = prune_files(snap.files, "ts >= '2024-03-15 00:00:00'", snap.schema)
+    assert len(kept) == 1
+    # Midnight boundary: '2024-03-10' means midnight; the day-10 file's
+    # earliest row is 00:30, so only the day-1 file can match.
+    kept = prune_files(snap.files, "ts <= '2024-03-10'", snap.schema)
+    assert len(kept) == 1
+    assert spark.read.parquet(
+        *[f"{t.dir}/{f.path}" for f in snap.files]
+    ).filter("ts <= '2024-03-10'").count() == 5  # engine agrees: day-1 only
+    # Date equality prunes to one file.
+    kept = prune_files(snap.files, "d = '2024-03-10'", snap.schema)
+    assert len(kept) == 1
+    # Unintelligible literal: no pruning (conservative).
+    assert len(prune_files(snap.files, "ts > 'not-a-time'", snap.schema)) == 3
+    # Without the schema, mismatched shapes never prune.
+    assert len(prune_files(snap.files, "ts >= '2024-03-15 00:00:00'")) == 3
+
+    # End-to-end: reads and DELETE agree with engine semantics.
+    assert t.read(prune_filter="ts >= '2024-03-15 00:00:00'").count() == 5
+    assert t.read().filter("ts >= '2024-03-15 00:00:00'").count() == 5
+    files_before = {f.path for f in snap.files}
+    version, n = t.delete("ts >= '2024-03-20 00:00:00' AND ts < '2024-03-21 00:00:00'")
+    assert n == 5
+    survivors = {f.path for f in t.snapshot().files}
+    # The two untouched day-files carried over by reference.
+    assert len(files_before & survivors) == 2
+    assert t.read().count() == 10
