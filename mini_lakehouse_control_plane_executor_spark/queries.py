@@ -2752,3 +2752,100 @@ def sequence_packing(spark, sf_dir):
         )
         .orderBy("pack_id")
     )
+
+
+_LABEL_CENTROID_SQL = """
+WITH base AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT label, list(m ORDER BY pos) AS cv FROM (
+    SELECT label, pos, round(avg(val), 6) AS m FROM (
+      SELECT label, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM base
+    ) GROUP BY label, pos
+  ) GROUP BY label
+)
+SELECT b.label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(round(avg(round(list_cosine_similarity(b.v, c.cv), 6)), 6) AS DOUBLE)
+         AS avg_cos_to_centroid
+FROM base b JOIN cent c ON b.label = c.label
+GROUP BY b.label ORDER BY b.label
+"""
+
+
+@query("embedding_label_centroids", oracle=_LABEL_CENTROID_SQL)
+def embedding_label_centroids(spark, sf_dir):
+    """Class-centroid diagnostics over the labeled embedding corpus: the
+    per-label element-wise mean vector (6dp-rounded, so both engines
+    agree bit-for-bit) and each class's average cosine to its own
+    centroid — the intra-class-tightness statistic used to spot noisy
+    labels in a training set. One per-component aggregate (map-side
+    combinable) + one broadcast join; no pairwise anything."""
+    from mini_lakehouse_control_plane_executor_spark.operators import similarity as _s
+
+    e = _load(spark, sf_dir, "embeddings")
+    dim = e.select(F.size("embedding")).first()[0]
+    base = e.select(
+        "label", _s._as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", _s.norm(F.col("v")))
+    cent = (
+        base.groupBy("label")
+        .agg(*[F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}") for i in range(dim)])
+        .select(
+            "label", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cv")
+        )
+        .withColumn("cnrm", _s.norm(F.col("cv")))
+    )
+    sim = F.round(
+        _s.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
+    )
+    return (
+        base.join(F.broadcast(cent), "label")
+        .select("label", sim.alias("sim"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("sim"), 6).alias("avg_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )
+
+
+_LANGID_CONFUSION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '\\w+') AS ws FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(ws, t -> list_contains({_sql_strlist(_text.LANG_STOPWORDS['en'])}, t))) AS s_en,
+    len(list_filter(ws, t -> list_contains({_sql_strlist(_text.LANG_STOPWORDS['de'])}, t))) AS s_de,
+    len(list_filter(ws, t -> list_contains({_sql_strlist(_text.LANG_STOPWORDS['es'])}, t))) AS s_es,
+    len(list_filter(ws, t -> list_contains({_sql_strlist(_text.LANG_STOPWORDS['fr'])}, t))) AS s_fr
+  FROM toks
+)
+SELECT lang AS lang_true,
+  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY 1, 2 ORDER BY lang_true, lang_pred
+"""
+
+
+@query("langid_confusion", oracle=_LANGID_CONFUSION_SQL)
+def langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix against the corpus's ground-truth
+    lang column — the evaluation loop for the classifier the pipeline
+    gates on. Scan-speed regexp_count profiles, one tiny groupBy."""
+    d = _load(spark, sf_dir, "documents")
+    pc = _text.profile_counts_from_text(F.col("text"))
+    return (
+        d.select(
+            F.col("lang").alias("lang_true"),
+            _text.lang_id_from_counts(pc).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
