@@ -2849,3 +2849,62 @@ def langid_confusion(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang_true", "lang_pred")
     )
+
+
+_RFM_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, last_order, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS INT) AS r_quartile,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_quartile,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_quartile
+  FROM cust
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(round(avg(monetary), 2) AS DOUBLE) AS avg_monetary
+FROM scored
+GROUP BY 1, 2, 3 ORDER BY r_quartile, f_quartile, m_quartile
+"""
+
+
+@query("rfm_segmentation", oracle=_RFM_SQL)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: per-customer recency/frequency/
+    monetary, quartiled with deterministic tie-breaks (ntile over a
+    total order), then segment sizes. One aggregation shuffle + three
+    window passes over the (much smaller) per-customer table."""
+    o = _load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = (
+        cust.withColumn(
+            "r_quartile",
+            F.ntile(4).over(Window.orderBy(F.col("last_order").desc(), "o_custkey")),
+        )
+        .withColumn(
+            "f_quartile",
+            F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")),
+        )
+        .withColumn(
+            "m_quartile",
+            F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")),
+        )
+    )
+    return (
+        scored.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        )
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )

@@ -141,3 +141,14 @@ def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     else:
         df = df.dropDuplicates(["fp"])
     return df.select("ts", "user_id", "event_type", "value", "props")
+
+
+def enrich_with_user_stats(events: DataFrame, user_stats: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the (possibly streaming) event
+    flow against a static per-user dimension. Spark plans the static
+    side as a broadcast per micro-batch, so the stream side never
+    shuffles — the standard feature-enrichment topology."""
+    return events.join(F.broadcast(user_stats), "user_id", "left").select(
+        "ts", "user_id", "event_type", "value",
+        F.coalesce(F.col("user_events"), F.lit(0)).alias("user_events"),
+    )

@@ -150,3 +150,20 @@ def test_dedup_stream_equals_batch(spark, tmp_path):
     want = _rows(batch, keys)
     assert got == want
     assert 0 < len(want) < 250  # duplicates actually removed
+
+
+def test_stream_static_enrichment_equals_batch(spark, event_dir):
+    """Stream-static broadcast join: streaming result equals the batch
+    twin joined against the same static dimension."""
+    static = (
+        _batch(spark, event_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_events"))
+    )
+    stream = W.enrich_with_user_stats(W.stream_events(spark, event_dir), static)
+    batch = W.enrich_with_user_stats(_batch(spark, event_dir), static)
+    keys = ["ts", "user_id", "event_type", "value"]
+    got = _rows(_drain(spark, stream, "t_enrich", mode="append"), keys)
+    want = _rows(batch, keys)
+    assert got == want and len(want) > 0
+    assert all(r["user_events"] > 0 for r in got)
