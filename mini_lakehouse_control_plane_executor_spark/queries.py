@@ -2908,3 +2908,85 @@ def rfm_segmentation(spark, sf_dir):
         )
         .orderBy("r_quartile", "f_quartile", "m_quartile")
     )
+
+
+_RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events
+),
+firsts AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, e.day) AS INT) AS day_offset
+  FROM e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_active
+FROM activity GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+"""
+
+
+@query("events_cohort_retention", oracle=_RETENTION_SQL)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, counted per
+    day-offset of later activity. Two shuffles on user_id (first-seen
+    agg + the distinct) and a broadcast-scale cohort join — the standard
+    retention-triangle dataflow."""
+    e = _load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_AFFINITY_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part1, b.l_partkey AS part2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part1, part2, CAST(count(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY n_orders DESC, part1, part2
+LIMIT 20
+"""
+
+
+@query("part_cooccurrence", oracle=_AFFINITY_SQL)
+def part_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing in >= 2 shared
+    orders. The self-join is keyed on l_orderkey, so the blow-up is
+    bounded by per-order line counts (<= 7 in TPC-H) — per-key quadratic
+    with a tiny constant, the standard co-occurrence shape. Top-20 by
+    support with total tie-break order."""
+    items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("part1"), F.col("b.l_partkey").alias("part2"))
+    return (
+        pairs.groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part1", "part2")
+        .limit(20)
+    )
