@@ -349,3 +349,47 @@ def simhash_pairs(
     return cands.select(
         "id1", "id2", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(pairs: DataFrame, n_iters: int = 8) -> DataFrame:
+    """Connected components over an undirected pair list (id1, id2) by
+    min-label propagation: every node's label converges to the smallest
+    id reachable from it. ``n_iters`` bounds propagation — near-dup
+    clusters are shallow (diameter ~ cluster size), so a small fixed
+    bound converges; at true graph scale you'd switch to the
+    large-star/small-star formulation (same join primitive, alternating
+    directions) which converges in O(log n) rounds.
+
+    Per iteration: one join of edges against labels + one min-aggregate
+    — all hash-shuffles on uniform ids."""
+    # localCheckpoint (not persist): iterative reassignment otherwise
+    # grows the LOGICAL plan exponentially — labels_n contains
+    # labels_{n-1} twice (directly and via the propagation join), and
+    # analysis cost doubles per round even when every input is cached.
+    # Checkpointing resets the plan to the materialized partitions.
+    dirs = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        dirs.select(F.col("src").alias("id")).distinct().withColumn("root", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(n_iters):
+        prop = (
+            dirs.join(labels, dirs.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("root").alias("nroot"))
+        )
+        labels = (
+            labels.join(prop, labels.id == prop.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    labels.root, F.coalesce(F.col("nroot"), labels.root)
+                ).alias("root"),
+            )
+        ).localCheckpoint()
+    return labels

@@ -2990,3 +2990,53 @@ def part_cooccurrence(spark, sf_dir):
         .orderBy(F.col("n_orders").desc(), "part1", "part2")
         .limit(20)
     )
+
+
+def _components_oracle() -> str:
+    pairs_sql = _minhash_oracle().strip()
+    if pairs_sql.upper().endswith("ORDER BY ID1, ID2"):
+        pairs_sql = pairs_sql[: -len("ORDER BY id1, id2")]
+    # MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, so
+    # the recursive step would otherwise re-execute the whole MinHash
+    # pipeline on every iteration.
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT id1, id2 FROM ({pairs_sql}) q
+),
+edges AS MATERIALIZED (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL
+  SELECT id2, id1 FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+SELECT root,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(id) AS BIGINT) AS max_id
+FROM comp GROUP BY root ORDER BY root
+"""
+
+
+@query("dedup_duplicate_clusters", oracle=_components_oracle())
+def dedup_duplicate_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the
+    MinHash-LSH pair graph (min-label propagation; the oracle computes
+    the exact transitive closure with a recursive CTE). The cluster root
+    (min id) is the canonical survivor — this is the structure an actual
+    corpus-dedup job materializes, one row per dup group."""
+    d = _load(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    comp = _dedup.connected_components(pairs)
+    return (
+        comp.groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("root")
+    )
