@@ -190,12 +190,18 @@ class LakehouseRestServer:
             raise _ApiError(400, f"Query not completed, current status: {info.status}")
         if info.status == "FAILED":
             raise _ApiError(400, f"Query failed: {info.error}")
+        # File-backed contract (reference: rest_api.go:385-410 returns a
+        # path into results/<job_id>): full rows live in parquet at
+        # result_path; the response carries only a bounded preview.
         return 200, {
             "job_id": job_id,
             "status": info.status,
             "columns": info.extra.get("schema", []),
-            "rows": info.extra.get("rows", []),
-            "row_count": len(info.extra.get("rows", [])),
+            "rows": info.extra.get("preview", []),
+            "row_count": info.metrics.get("output_rows", 0),
+            "result_path": info.extra.get("result_path"),
+            "preview_only": info.metrics.get("output_rows", 0)
+            > len(info.extra.get("preview", [])),
         }
 
     def execute_query_direct(self, body: dict):

@@ -51,6 +51,16 @@ class JobInfo:
 
 COMPACT_MAX_CONCURRENT = 3  # compaction_service.go:654
 
+# Async results are written to <root>/results/<job_id>/ as parquet (the
+# reference's results endpoint returns a path into results/<job_id> —
+# rest_api.go:385-410, query_planner.go:203); only a bounded preview is
+# kept in driver memory, so a SELECT * over a large table cannot OOM the
+# driver.
+RESULT_PREVIEW_ROWS = 100
+# Finished jobs beyond this count are evicted oldest-first (JobInfo and
+# result directory) so a long-lived server's job map is bounded.
+MAX_FINISHED_JOBS = 200
+
 
 class LakehouseSession:
     def __init__(self, spark: SparkSession, root: str):
@@ -273,10 +283,18 @@ class LakehouseSession:
             # Tag this thread's Spark jobs so the status tracker can
             # attribute stages/tasks to this lakehouse job.
             sc.setJobGroup(job_id, f"lakehouse-job-{job_id}")
-            rows = df.collect()
-            info.extra["rows"] = [r.asDict(recursive=True) for r in rows]
+            # File-backed result sink: rows go to parquet at executor
+            # parallelism and NEVER materialize on the driver; only a
+            # bounded preview is collected.
+            result_path = os.path.join(self.root, "results", job_id)
+            df.write.mode("overwrite").parquet(result_path)
+            result = self.spark.read.parquet(result_path)
+            preview = result.limit(RESULT_PREVIEW_ROWS).collect()
+            info.extra["result_path"] = result_path
+            info.extra["preview"] = [r.asDict(recursive=True) for r in preview]
             info.extra["schema"] = [f.name for f in df.schema.fields]
-            info.metrics["output_rows"] = len(rows)
+            # Parquet footer count — metadata-only, no data scan.
+            info.metrics["output_rows"] = result.count()
             tracker = sc.statusTracker()
             spark_jobs = tracker.getJobIdsForGroup(job_id) or []
             num_tasks = 0
@@ -294,13 +312,43 @@ class LakehouseSession:
             info.error = str(exc)
         finally:
             info.finished_ms = int(time.time() * 1000)
+            self._evict_finished_jobs()
+
+    def _evict_finished_jobs(self) -> None:
+        """Bound the job map: keep the newest MAX_FINISHED_JOBS finished
+        jobs; evicted jobs lose their JobInfo AND their result directory
+        (a long-lived server otherwise grows without bound)."""
+        finished = [
+            j for j in self._jobs.values() if j.status in ("COMPLETED", "FAILED")
+        ]
+        if len(finished) <= MAX_FINISHED_JOBS:
+            return
+        finished.sort(key=lambda j: j.finished_ms or 0)
+        for j in finished[: len(finished) - MAX_FINISHED_JOBS]:
+            self._jobs.pop(j.job_id, None)
+            path = j.extra.get("result_path")
+            if path:
+                shutil.rmtree(path, ignore_errors=True)
 
     def job_status(self, job_id: str) -> JobInfo:
         return self._jobs[job_id]
 
     def job_result(self, job_id: str, timeout_s: float = 300.0) -> list[dict]:
-        """Block until the async job finishes; return its rows
-        (GET /queries/{id}/results)."""
+        """Block until the async job finishes; load its rows from the
+        file-backed result sink (GET /queries/{id}/results). Full-result
+        materialization happens HERE, at the caller's explicit request —
+        the job runner itself never holds more than the preview."""
+        info = self.job_wait(job_id, timeout_s)
+        path = info.extra["result_path"]
+        cols = info.extra["schema"]
+        return [
+            r.asDict(recursive=True)
+            for r in self.spark.read.parquet(path).select(*cols).collect()
+        ]
+
+    def job_wait(self, job_id: str, timeout_s: float = 300.0) -> JobInfo:
+        """Block until the async job leaves PENDING/RUNNING; raise on
+        failure; return its JobInfo (path + preview live in .extra)."""
         info = self._jobs[job_id]
         deadline = time.time() + timeout_s
         while info.status in ("PENDING", "RUNNING"):
@@ -309,4 +357,4 @@ class LakehouseSession:
             time.sleep(0.02)
         if info.status == "FAILED":
             raise RuntimeError(f"job {job_id} failed: {info.error}")
-        return info.extra["rows"]
+        return info

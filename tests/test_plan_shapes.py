@@ -91,3 +91,14 @@ def test_aggregation_is_partial_final(spark):
 def test_topk_uses_take_ordered(spark):
     plan = _plan(spark, "topk_orders")
     assert "TakeOrderedAndProject" in plan, "LIMIT+ORDER BY must not global-sort"
+
+
+def test_sharded_packing_has_no_single_partition_window(spark):
+    """sequence_packing_sharded must run its cumsum window PER SHARD:
+    no SinglePartition exchange anywhere in the plan (the unsharded
+    sequence_packing's global-sort window would show one)."""
+    plan = _plan(spark, "sequence_packing_sharded")
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+    # the window's partitioning key must be the shard column
+    assert re.search(r"Exchange hashpartitioning\(shard", plan)
