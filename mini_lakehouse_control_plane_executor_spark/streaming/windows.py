@@ -112,17 +112,31 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     return q
 
 
+_FP_NULL = "\x00NULL\x00"  # sentinel no real column value can produce
+
+
+def _fp_part(col: F.Column) -> F.Column:
+    """NULL-distinguishing fingerprint part: concat_ws silently SKIPS
+    nulls, which would make (value=NULL, props='x') and (value='x',
+    props=NULL) collide — encode NULL as an explicit sentinel instead."""
+    return F.coalesce(col.cast("string"), F.lit(_FP_NULL))
+
+
 def event_fingerprint() -> F.Column:
     """Content fingerprint over everything except the surrogate event_id
-    — the streaming twin of operators/dedup exact dedup."""
+    — the streaming twin of operators/dedup exact dedup. The timestamp
+    participates at MICROSECOND precision (Spark's native timestamp
+    resolution — ``cast('long')`` would truncate to seconds and collide
+    distinct events within the same second), matching the
+    events_dedup_distinct oracle's full-precision SELECT DISTINCT."""
     return F.md5(
         F.concat_ws(
             "|",
-            F.col("user_id"),
-            F.col("event_type"),
-            F.col("value"),
-            F.col("props"),
-            F.col("ts").cast("long"),
+            _fp_part(F.col("user_id")),
+            _fp_part(F.col("event_type")),
+            _fp_part(F.col("value")),
+            _fp_part(F.col("props")),
+            _fp_part(F.unix_micros(F.col("ts"))),
         )
     )
 

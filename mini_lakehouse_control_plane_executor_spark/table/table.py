@@ -485,11 +485,15 @@ class LakehouseTable:
                     news = source if insert_unmatched else source.join(
                         cur, key, "left_semi"
                     )
+                    # rows_inserted = source rows whose key has no match
+                    # in the target. Counted on the SOURCE side — the
+                    # matched-target count (n_updated) over-counts when
+                    # one source key matches several target rows.
                     n_inserted = (
                         bounds["n"] - source.join(cur, key, "left_semi").count()
-                        if not candidates
-                        else bounds["n"] - n_updated
-                    ) if insert_unmatched else 0
+                        if insert_unmatched
+                        else 0
+                    )
                 else:
                     news = (
                         source.join(cur, key, "left_anti")
@@ -549,7 +553,9 @@ class LakehouseTable:
             except CommitConflictError as exc:
                 last = exc
                 time.sleep(0.01 * (attempt + 1))
-        raise last  # type: ignore[misc]
+        raise CommitRetriesExhausted(
+            f"add_columns on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races"
+        ) from last
 
     def insert_path(
         self, path: str, fmt: str = "parquet", txn_id: str | None = None, **options
@@ -635,7 +641,12 @@ class LakehouseTable:
             except CommitConflictError as exc:
                 last = exc
                 time.sleep(0.01 * (attempt + 1))
-        raise last  # type: ignore[misc]
+        # Typed exhaustion (not the last bare conflict) — the same error
+        # contract as overwrite/delete/update/merge, so callers can tell
+        # one lost race from running out of retries.
+        raise CommitRetriesExhausted(
+            f"commit on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races"
+        ) from last
 
     # -- read path -----------------------------------------------------
 

@@ -167,3 +167,26 @@ def test_stream_static_enrichment_equals_batch(spark, event_dir):
     want = _rows(batch, keys)
     assert got == want and len(want) > 0
     assert all(r["user_events"] > 0 for r in got)
+
+
+def test_event_fingerprint_subsecond_and_null_distinct(spark):
+    """ADVICE r02: two distinct events in the same SECOND must not
+    collide (µs-precision ts in the fingerprint), and NULL placement
+    must be encoded per column (concat_ws silently skips nulls)."""
+    from mini_lakehouse_control_plane_executor_spark.streaming.windows import dedup_events
+
+    rows = [
+        # same second, different microsecond -> distinct
+        (1, "2024-01-01 00:00:00.000001", 7, "click", 1.0, "p"),
+        (2, "2024-01-01 00:00:00.000002", 7, "click", 1.0, "p"),
+        # null in value vs identical string in props -> distinct
+        (3, "2024-01-01 00:00:01", 7, "click", None, "5.0"),
+        (4, "2024-01-01 00:00:01", 7, "click", 5.0, None),
+        # exact duplicate of row 3 -> deduped
+        (5, "2024-01-01 00:00:01", 7, "click", None, "5.0"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = dedup_events(df)
+    assert out.count() == 4

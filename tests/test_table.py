@@ -590,3 +590,28 @@ def test_create_table_as(lake, spark):
     assert t.read(version=2).count() == 50
     with pytest.raises(ValueError, match="already exists"):
         lake.create_table_as("derived", result)
+
+
+def test_merge_counts_with_duplicate_target_keys(lake, spark):
+    """VERDICT r02 item 5 / ADVICE: rows_inserted must count unmatched
+    SOURCE rows — matched-target-row subtraction undercounts when one
+    source key matches several target rows."""
+    lake.create_table("mdup", SCHEMA)
+    # Target holds key 1 TWICE (duplicate keys) plus key 2.
+    dup = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "c", 3.0)], "k long, v string, x double"
+    )
+    lake.insert("mdup", dup)
+    t = lake.table("mdup")
+    # Source: key 1 (matches TWO target rows) + key 9 (new).
+    src = spark.createDataFrame(
+        [(1, "new", 10.0), (9, "ins", 90.0)], "k long, v string, x double"
+    )
+    version, n_upd, n_ins = t.merge(src, "k")
+    # Replace semantics: both target rows for key 1 are replaced by the
+    # single source row; key 9 is a true insert.
+    assert n_upd == 2  # matched target rows
+    assert n_ins == 1  # unmatched SOURCE rows (old code computed 2-2=0... or -1)
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, "new"), (2, "c"), (9, "ins")}
+    assert version == t.log.latest_version()
