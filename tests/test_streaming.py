@@ -190,3 +190,37 @@ def test_event_fingerprint_subsecond_and_null_distinct(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = dedup_events(df)
     assert out.count() == 4
+
+
+def test_stream_ingest_exactly_once(spark, lake, tmp_path):
+    """foreachBatch ingest commits each micro-batch with a
+    (query, batch_id) txn id; a replayed batch (at-least-once delivery
+    after a crash) is a table-level no-op — exactly-once end-to-end."""
+    from mini_lakehouse_control_plane_executor_spark.streaming import ingest as ing
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+
+    src = str(tmp_path / "src")
+    batch = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    batch.write.parquet(src)
+    lake.create_table("ingested", [Field("k", "int64"), Field("v", "string")])
+
+    stream = (
+        spark.readStream.schema("k long, v string").parquet(src)
+    )
+    q = ing.ingest_stream(
+        stream, lake, "ingested", str(tmp_path / "ckpt"), query_name="ing-test"
+    )
+    q.awaitTermination(120)
+    t = lake.table("ingested")
+    assert t.read().count() == 100
+
+    # Crash-replay simulation: re-deliver batch 0 with the same txn id.
+    replay = spark.read.parquet(src)
+    ing.write_batch(lake, "ingested", replay, "ing-test", 0)
+    assert t.read().count() == 100, "replayed batch must be idempotent"
+
+    # A genuinely NEW batch id commits normally.
+    ing.write_batch(lake, "ingested", replay.limit(10), "ing-test", 1)
+    assert t.read().count() == 110
