@@ -40,17 +40,40 @@ _EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
 
+_EVENTS_TS_UNIT: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Physical unit of the ``ts`` column, read from the parquet footer
+    ('ns', 'us', 'ms', 's', or 'int64' for a raw long). Cached per path:
+    the driver has regenerated testdata across rounds with different
+    units (TIMESTAMP(NANOS) in round 2, TIMESTAMP(MICROS) in round 3),
+    so the loader must not hard-code either."""
+    unit = _EVENTS_TS_UNIT.get(path)
+    if unit is None:
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(path, format="parquet").schema.field("ts").type
+        unit = getattr(t, "unit", "int64")
+        _EVENTS_TS_UNIT[path] = unit
+    return unit
+
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's Parquet reader
-    rejects (PARQUET_TYPE_ILLEGAL). Read the physical INT64 and convert
-    ns→µs; sub-µs precision is dropped, matching Spark's native timestamp
-    resolution."""
-    df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    # Integer division: ``ts / 1000`` promotes to double, whose 2^53
-    # mantissa cannot represent epoch-nanos (~1.7e18) exactly and can be
-    # off by ~256 ns at boundaries. ``div`` stays in 64-bit integers.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Load events with a timestamp-µs ``ts`` regardless of how the file
+    stores it. TIMESTAMP(NANOS) is rejected by Spark's Parquet reader
+    (PARQUET_TYPE_ILLEGAL), so for 'ns' (and raw INT64, treated as
+    epoch-nanos) the physical INT64 is read under a long schema and
+    converted ns→µs; sub-µs precision is dropped, matching Spark's
+    native timestamp resolution. 'us'/'ms' read natively."""
+    path = f"{sf_dir}/events.parquet"
+    if _events_ts_unit(path) in ("ns", "int64"):
+        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        # Integer division: ``ts / 1000`` promotes to double, whose 2^53
+        # mantissa cannot represent epoch-nanos (~1.7e18) exactly and can
+        # be off by ~256 ns at boundaries. ``div`` stays in 64-bit ints.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
 
 
 def query(name: str, oracle: str | None = None):
