@@ -304,6 +304,20 @@ class LakehouseRestServer:
     def health(self):
         return 200, {"status": "healthy"}
 
+    def query_metrics(self, job_id: str):
+        """GET /queries/{id}/metrics — QueryExecutionMetrics parity
+        (``distributed_query_executor.go:510-524``)."""
+        try:
+            return 200, self.lake.query_metrics(job_id)
+        except KeyError:
+            raise _ApiError(404, f"no such job: {job_id}")
+
+    def metrics(self):
+        """GET /metrics — Prometheus text exposition
+        (``pkg/observability/metrics.go``); returned as a raw string so
+        the handler serves text/plain."""
+        return 200, self.lake.metrics_text()
+
     def _table(self, name: str):
         try:
             return self.lake.table(name)
@@ -326,6 +340,8 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("POST", re.compile(r"^/queries$"), "execute_query_async"),
     ("GET", re.compile(r"^/queries/([A-Za-z0-9-]+)$"), "query_status"),
     ("GET", re.compile(r"^/queries/([A-Za-z0-9-]+)/results$"), "query_results"),
+    ("GET", re.compile(r"^/queries/([A-Za-z0-9-]+)/metrics$"), "query_metrics"),
+    ("GET", re.compile(r"^/metrics$"), "metrics"),
     ("POST", re.compile(r"^/query$"), "execute_query_direct"),
     ("POST", re.compile(r"^/sql$"), "execute_sql"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/compaction$"), "trigger_compaction"),
@@ -377,9 +393,14 @@ def _make_handler(server: LakehouseRestServer):
             self._send(404, {"error": f"no route for {method} {path}"})
 
         def _send(self, status: int, payload) -> None:
-            data = json.dumps(payload).encode()
+            if isinstance(payload, str):  # Prometheus /metrics exposition
+                data = payload.encode()
+                ctype = "text/plain; version=0.0.4; charset=utf-8"
+            else:
+                data = json.dumps(payload).encode()
+                ctype = "application/json"
             self.send_response(status)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)

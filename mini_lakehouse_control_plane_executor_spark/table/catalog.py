@@ -72,6 +72,20 @@ class LakehouseSession:
         self._compacting: set[str] = set()
         self._compact_mu = threading.Lock()
         self._compact_slots = threading.BoundedSemaphore(COMPACT_MAX_CONCURRENT)
+        # Cumulative observability counters (pkg/observability/metrics.go):
+        # monotonic across job eviction, unlike scrape-time derivation
+        # from the bounded _jobs map.
+        self._totals_mu = threading.Lock()
+        self._totals: dict[str, float] = {
+            "queries_completed": 0,
+            "queries_failed": 0,
+            "query_duration_seconds_sum": 0.0,
+            "tasks_completed": 0,
+            "input_rows": 0,
+            "input_bytes": 0,
+            "output_rows": 0,
+            "compactions": 0,
+        }
 
     # -- tables --------------------------------------------------------
 
@@ -188,7 +202,11 @@ class LakehouseSession:
                 t = self.table(name)
                 if not force and not t.should_compact():
                     return None
-                return t.compact()
+                version = t.compact()
+                if version is not None:
+                    with self._totals_mu:
+                        self._totals["compactions"] += 1
+                return version
         finally:
             with self._compact_mu:
                 self._compacting.discard(name)
@@ -256,6 +274,7 @@ class LakehouseSession:
             raise
         finally:
             info.finished_ms = int(time.time() * 1000)
+            self._record_job_totals(info)
 
     def submit_async(self, q: SimpleQuery | dict) -> str:
         """The reference's POST /queries contract: returns a job id
@@ -298,13 +317,16 @@ class LakehouseSession:
             tracker = sc.statusTracker()
             spark_jobs = tracker.getJobIdsForGroup(job_id) or []
             num_tasks = 0
+            num_stages = 0
             for jid in spark_jobs:
                 ji = tracker.getJobInfo(jid)
                 for sid in ji.stageIds if ji else []:
                     si = tracker.getStageInfo(sid)
                     if si:
+                        num_stages += 1
                         num_tasks += si.numTasks
             info.metrics["spark_jobs"] = len(spark_jobs)
+            info.metrics["num_stages"] = num_stages
             info.metrics["num_tasks"] = num_tasks
             info.status = "COMPLETED"
         except Exception as exc:
@@ -312,7 +334,96 @@ class LakehouseSession:
             info.error = str(exc)
         finally:
             info.finished_ms = int(time.time() * 1000)
+            self._record_job_totals(info)
             self._evict_finished_jobs()
+
+    def _record_job_totals(self, info: JobInfo) -> None:
+        with self._totals_mu:
+            t = self._totals
+            t["queries_completed" if info.status == "COMPLETED" else "queries_failed"] += 1
+            t["query_duration_seconds_sum"] += (
+                (info.finished_ms or info.started_ms) - info.started_ms
+            ) / 1000.0
+            t["tasks_completed"] += info.metrics.get("num_tasks", 0)
+            t["input_rows"] += info.metrics.get("input_rows", 0)
+            t["input_bytes"] += info.metrics.get("input_bytes", 0)
+            t["output_rows"] += info.metrics.get("output_rows", 0)
+
+    def query_metrics(self, job_id: str) -> dict:
+        """QueryExecutionMetrics parity
+        (``distributed_query_executor.go:510-524``): per-job execution
+        counters under the reference's field names. Terminal jobs report
+        every tracked task as completed (Spark's driver retries failed
+        tasks internally; a FAILED status means the job, not a task
+        count, failed)."""
+        info = self._jobs[job_id]
+        terminal = info.status in ("COMPLETED", "FAILED")
+        tasks = info.metrics.get("num_tasks", 0)
+        return {
+            "job_id": info.job_id,
+            "status": info.status.lower(),
+            "start_time_ms": info.started_ms,
+            "end_time_ms": info.finished_ms,
+            "duration_ms": (
+                (info.finished_ms - info.started_ms) if info.finished_ms else None
+            ),
+            "total_stages": info.metrics.get("num_stages", 0),
+            "completed_stages": info.metrics.get("num_stages", 0) if terminal else 0,
+            "current_stage": info.metrics.get("num_stages", 0) if terminal else 0,
+            "total_tasks": tasks,
+            "completed_tasks": tasks if info.status == "COMPLETED" else 0,
+            "failed_tasks": 0,
+            "running_tasks": 0,
+        }
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the session's counters, mirroring
+        the reference's registry (``pkg/observability/metrics.go`` —
+        lakehouse_queries_total, lakehouse_query_failures_total,
+        lakehouse_query_duration_seconds, lakehouse_tasks_completed_total,
+        lakehouse_object_store_bytes_read_total,
+        lakehouse_compactions_total). Raft/worker-heartbeat gauges are
+        deliberately absent: Spark's driver/executor machinery replaces
+        that plane (SURVEY §4.3)."""
+        with self._totals_mu:
+            t = dict(self._totals)
+        active = sum(
+            1 for j in self._jobs.values() if j.status in ("PENDING", "RUNNING")
+        )
+        n_queries = t["queries_completed"] + t["queries_failed"]
+        commits = 0
+        for name in list(self._tables):
+            try:
+                commits += self._tables[name].log.latest_version()
+            except Exception:
+                pass
+        lines = [
+            "# TYPE lakehouse_queries_total counter",
+            f'lakehouse_queries_total{{status="completed"}} {int(t["queries_completed"])}',
+            f'lakehouse_queries_total{{status="failed"}} {int(t["queries_failed"])}',
+            "# TYPE lakehouse_query_failures_total counter",
+            f"lakehouse_query_failures_total {int(t['queries_failed'])}",
+            "# TYPE lakehouse_queries_active gauge",
+            f"lakehouse_queries_active {active}",
+            "# TYPE lakehouse_query_duration_seconds summary",
+            f"lakehouse_query_duration_seconds_sum {t['query_duration_seconds_sum']:.3f}",
+            f"lakehouse_query_duration_seconds_count {int(n_queries)}",
+            "# TYPE lakehouse_tasks_completed_total counter",
+            f"lakehouse_tasks_completed_total {int(t['tasks_completed'])}",
+            "# TYPE lakehouse_object_store_bytes_read_total counter",
+            f"lakehouse_object_store_bytes_read_total {int(t['input_bytes'])}",
+            "# TYPE lakehouse_rows_read_total counter",
+            f"lakehouse_rows_read_total {int(t['input_rows'])}",
+            "# TYPE lakehouse_rows_output_total counter",
+            f"lakehouse_rows_output_total {int(t['output_rows'])}",
+            "# TYPE lakehouse_commits_total counter",
+            f"lakehouse_commits_total {commits}",
+            "# TYPE lakehouse_compactions_total counter",
+            f"lakehouse_compactions_total {int(t['compactions'])}",
+            "# TYPE lakehouse_tables gauge",
+            f"lakehouse_tables {len(self.list_tables())}",
+        ]
+        return "\n".join(lines) + "\n"
 
     def _evict_finished_jobs(self) -> None:
         """Bound the job map: keep the newest MAX_FINISHED_JOBS finished

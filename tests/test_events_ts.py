@@ -37,6 +37,56 @@ def test_ns_to_us_integer_division(spark, tmp_path):
     ]
 
 
+def test_native_us_loads_as_ltz_timestamp(spark, tmp_path):
+    """Round-3 regression: the driver regenerated events as
+    timestamp[us] without timezone, which Spark's parquet reader infers
+    as TIMESTAMP_NTZ — and ``F.unix_micros`` rejects NTZ. The loader
+    must cast to TIMESTAMP (value-stable under the pinned-UTC session)
+    so every downstream unix_micros call site resolves."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    us_values = [1_700_000_000_000_000, 1_700_000_000_000_001]
+    table = pa.table(
+        {
+            "event_id": pa.array([0, 1], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=u) for u in us_values],
+                pa.timestamp("us"),  # no tz -> Spark infers TIMESTAMP_NTZ
+            ),
+            "user_id": pa.array([0, 1], pa.int64()),
+            "event_type": pa.array(["t", "t"]),
+            "value": pa.array([0.0, 0.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    loaded = _load_events(spark, str(tmp_path))
+    assert dict(loaded.dtypes)["ts"] == "timestamp"
+    out = (
+        loaded.select("event_id", F.unix_micros("ts").alias("us"))
+        .orderBy("event_id")
+        .collect()
+    )
+    assert [r.us for r in out] == us_values
+
+
+def test_int64_magnitude_guard(spark, tmp_path):
+    """A raw INT64 ts is unit-inferred from magnitude: epoch-micros must
+    NOT be divided by 1000 (the old hard-coded nanos assumption)."""
+    us = 1_700_000_000_000_000  # epoch-micros, ~2023
+    df = spark.createDataFrame(
+        [(0, us, 0, "t", 0.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = _load_events(spark, str(tmp_path)).select(F.unix_micros("ts").alias("us")).collect()
+    assert out[0].us == us
+
+
 def test_profile_counts_variants_identical(spark):
     """The regexp_count profile must equal the array-fold profile row for
     row — the oracle checks the token-based semantics, so the fast path

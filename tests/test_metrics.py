@@ -1,0 +1,104 @@
+"""Observability parity: per-job QueryExecutionMetrics
+(``distributed_query_executor.go:510-524``) and the Prometheus /metrics
+exposition (``pkg/observability/metrics.go``) — counters must move with
+real job activity and survive a failed query."""
+
+import json
+import urllib.request
+
+import pytest
+
+from mini_lakehouse_control_plane_executor_spark.api.rest import LakehouseRestServer
+from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+
+
+@pytest.fixture()
+def server(lake):
+    srv = LakehouseRestServer(lake).start()
+    yield srv
+    srv.stop()
+
+
+def _seed(lake, spark):
+    lake.create_table("m_t", [Field("id", "int64"), Field("v", "float64")])
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double")
+    lake.insert("m_t", df)
+
+
+def _scrape(srv):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/metrics") as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        return resp.read().decode()
+
+
+def _parse(text):
+    out = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name, value = line.rsplit(" ", 1)
+        out[name] = float(value)
+    return out
+
+
+def test_query_metrics_and_prometheus_counters(server, lake, spark):
+    _seed(lake, spark)
+    job_id = lake.submit_async({"table_name": "m_t", "projection": ["id", "v"]})
+    lake.job_wait(job_id)
+
+    m = lake.query_metrics(job_id)
+    assert m["status"] == "completed"
+    assert m["total_tasks"] > 0 and m["completed_tasks"] == m["total_tasks"]
+    assert m["total_stages"] > 0 and m["completed_stages"] == m["total_stages"]
+    assert m["duration_ms"] is not None and m["duration_ms"] >= 0
+    assert m["failed_tasks"] == 0 and m["running_tasks"] == 0
+
+    # Same payload over HTTP.
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/queries/{job_id}/metrics"
+    ) as resp:
+        assert json.load(resp)["job_id"] == job_id
+
+    vals = _parse(_scrape(server))
+    assert vals['lakehouse_queries_total{status="completed"}'] >= 1
+    assert vals["lakehouse_tasks_completed_total"] == m["total_tasks"]
+    assert vals["lakehouse_rows_output_total"] == 10
+    assert vals["lakehouse_rows_read_total"] == 10
+    assert vals["lakehouse_object_store_bytes_read_total"] > 0
+    assert vals["lakehouse_commits_total"] >= 2  # create + insert
+    assert vals["lakehouse_tables"] >= 1
+    assert vals["lakehouse_query_duration_seconds_count"] >= 1
+
+
+def test_failed_query_counted(server, lake, spark):
+    _seed(lake, spark)
+    job_id = lake.submit_async({"table_name": "m_t", "projection": ["nope"]})
+    with pytest.raises(RuntimeError):
+        lake.job_wait(job_id)
+    assert lake.query_metrics(job_id)["status"] == "failed"
+    vals = _parse(_scrape(server))
+    assert vals["lakehouse_query_failures_total"] >= 1
+    assert vals['lakehouse_queries_total{status="failed"}'] >= 1
+
+
+def test_unknown_job_metrics_404(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/queries/does-not-exist/metrics"
+    )
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as err:
+        assert err.code == 404
+
+
+def test_compaction_counter(server, lake, spark):
+    _seed(lake, spark)
+    df = spark.createDataFrame([(99, 9.9)], "id long, v double")
+    for _ in range(3):
+        lake.insert("m_t", df)
+    before = _parse(_scrape(server)).get("lakehouse_compactions_total", 0)
+    lake.compact("m_t", force=True)
+    after = _parse(_scrape(server))["lakehouse_compactions_total"]
+    assert after == before + 1

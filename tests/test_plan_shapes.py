@@ -93,6 +93,19 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, "LIMIT+ORDER BY must not global-sort"
 
 
+def test_rfm_has_no_global_window(spark):
+    """rfm_segmentation assigns quartiles by broadcast percentile
+    cutoffs: no ntile / no Window over an unpartitioned global order
+    (the pre-r4 formulation single-partitioned the customer table).
+    The only SinglePartition exchange allowed is the one feeding the
+    3-row cutoff aggregate (32 partial rows, not data)."""
+    plan = _plan(spark, "rfm_segmentation")
+    assert "Window" not in plan
+    assert not re.search(r"(?<!perce)ntile\(", plan)  # ntile(, not percentile(
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cutoffs broadcast back
+    assert "CartesianProduct" not in plan
+
+
 def test_sharded_packing_has_no_single_partition_window(spark):
     """sequence_packing_sharded must run its cumsum window PER SHARD:
     no SinglePartition exchange anywhere in the plan (the unsharded
