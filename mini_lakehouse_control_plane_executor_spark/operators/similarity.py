@@ -150,6 +150,47 @@ def lsh_topk(
     )
 
 
+def _centroid_array(c_tab: DataFrame) -> DataFrame:
+    """Collapse the (cent_id, cent_vec, cent_nrm) table into ONE row
+    holding a cent_id-sorted array of centroid structs, for broadcast
+    into a map-only argmax (`_nearest_centroid`). Centroid counts are
+    small by construction (IVF list count ~ sqrt(|corpus|) at most, 16
+    here), so the single collected row is bounded."""
+    return c_tab.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cent_vec", "cent_nrm"))
+        ).alias("cents")
+    )
+
+
+def _nearest_centroid(vec: str, nrm: str) -> Column:
+    """Argmax over the broadcast `cents` array: cosine rounded to 6dp,
+    ties to the LOWEST cent_id (strict > over the id-ascending array =
+    first max wins — identical to the old max_by on (sim, -cent_id)).
+    Pure per-row expression: assignment needs NO explode and NO shuffle,
+    vs the former crossJoin+groupBy(c_id) which shuffled the whole
+    corpus once per assignment — the difference between a map stage and
+    a corpus-wide exchange at 100 TB."""
+    scored = F.transform(
+        F.col("cents"),
+        lambda x: F.struct(
+            F.round(
+                dot(F.col(vec), x["cent_vec"]) / (F.col(nrm) * x["cent_nrm"]), 6
+            ).alias("sim"),
+            x["cent_id"].alias("cent_id"),
+        ),
+    )
+    return F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-2.0).cast("double").alias("sim"),
+            F.lit(None).cast("long").alias("cent_id"),
+        ),
+        lambda acc, x: F.when(x["sim"] > acc["sim"], x).otherwise(acc),
+        lambda acc: acc["cent_id"],
+    )
+
+
 def kmeans_refine(
     corpus: DataFrame, centroids: DataFrame, dim: int, n_iters: int = 1
 ) -> DataFrame:
@@ -163,30 +204,19 @@ def kmeans_refine(
     to 6dp — absorbing float summation-order noise so Spark and the SQL
     twin produce bit-identical centroids.
 
-    Scale shape per iteration: one broadcast join (centroids are tiny)
-    for assignment, then ONE groupBy with ``dim`` scalar avg aggregates
-    — map-side partial aggregation means the shuffle carries
-    n_centroids·dim partial sums per task, NOT the exploded corpus (an
-    earlier posexplode formulation shuffled |corpus|·dim rows and was
-    ~4x slower)."""
+    Scale shape per iteration: assignment is a map-only argmax against
+    the broadcast centroid array (`_nearest_centroid` — no explode, no
+    shuffle), then ONE groupBy with ``dim`` scalar avg aggregates —
+    map-side partial aggregation means the shuffle carries
+    n_centroids·dim partial sums per task, NOT the corpus (an earlier
+    crossJoin+groupBy(c_id) formulation shuffled the full corpus per
+    iteration; a posexplode one shuffled |corpus|·dim rows)."""
     for _ in range(n_iters):
-        csim = F.round(
-            dot(F.col("c_vec"), F.col("cent_vec"))
-            / (F.col("c_nrm") * F.col("cent_nrm")),
-            6,
-        )
         assigned = (
-            corpus.crossJoin(F.broadcast(centroids))
-            .select("c_id", "c_vec", csim.alias("csim"), "cent_id")
-            .groupBy("c_id")
-            .agg(
-                F.max_by(
-                    F.struct("cent_id", "c_vec"),
-                    # argmax on (sim, -cent_id): best sim, lowest id on ties
-                    F.struct(F.col("csim"), (-F.col("cent_id")).alias("nid")),
-                ).alias("best")
+            corpus.crossJoin(F.broadcast(_centroid_array(centroids)))
+            .select(
+                _nearest_centroid("c_vec", "c_nrm").alias("cent_id"), "c_vec"
             )
-            .select(F.col("best.cent_id").alias("cent_id"), F.col("best.c_vec").alias("c_vec"))
         )
         centroids = (
             assigned.groupBy("cent_id")
@@ -221,10 +251,10 @@ def ivf_topk(
     (first ``n_centroids`` vectors by id) refined by ``n_iters`` Lloyd
     iterations (``kmeans_refine``) — still exactly oracle-checkable.
 
-    Scale shape: assignment is a broadcast join (centroids are tiny) +
-    one hash-shuffle on centroid id; the probe join touches
-    |corpus|·n_probe/n_centroids candidates per query instead of
-    |corpus|."""
+    Scale shape: assignment is a MAP-ONLY argmax against the broadcast
+    centroid array (no shuffle of the corpus — see `_nearest_centroid`);
+    the probe join is broadcast; the only data shuffle is the per-query
+    top-k window over |corpus|·n_probe/n_centroids candidates."""
     corpus = df.select(
         F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("c_vec")
     ).withColumn("c_nrm", norm(F.col("c_vec")))
@@ -239,24 +269,13 @@ def ivf_topk(
         c_tab = kmeans_refine(corpus, seed, dim, n_iters).persist()
     else:
         c_tab = seed
-    csim = F.round(
-        dot(F.col("c_vec"), F.col("cent_vec")) / (F.col("c_nrm") * F.col("cent_nrm")), 6
-    )
     assigned = (
-        corpus.crossJoin(F.broadcast(c_tab))
-        .select("c_id", "c_vec", "c_nrm", csim.alias("csim"), "cent_id")
-        .groupBy("c_id")
-        .agg(
-            F.max_by(
-                F.struct("cent_id", "c_vec", "c_nrm"),
-                F.struct(F.col("csim"), (-F.col("cent_id")).alias("nid")),
-            ).alias("best")
-        )
+        corpus.crossJoin(F.broadcast(_centroid_array(c_tab)))
         .select(
             "c_id",
-            F.col("best.c_vec").alias("c_vec"),
-            F.col("best.c_nrm").alias("c_nrm"),
-            F.col("best.cent_id").alias("cent_id"),
+            "c_vec",
+            "c_nrm",
+            _nearest_centroid("c_vec", "c_nrm").alias("cent_id"),
         )
     )
     q = queries.select(

@@ -106,6 +106,18 @@ def test_rfm_has_no_global_window(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_assignment_is_map_only(spark):
+    """IVF centroid assignment must be a per-row argmax against the
+    broadcast centroid array — the corpus must NOT shuffle for
+    assignment (no hashpartitioning on c_id / cent_id). Allowed
+    exchanges: the per-query top-k window (q_id) and the final sort."""
+    plan = _plan(spark, "ann_cosine_ivf")
+    assert not re.search(r"Exchange hashpartitioning\((?:c_id|cent_id)", plan)
+    assert "BroadcastHashJoin" in plan  # probes join assigned lists broadcast
+    hash_ex = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert set(hash_ex) <= {"q_id"}, hash_ex
+
+
 def test_sharded_packing_has_no_single_partition_window(spark):
     """sequence_packing_sharded must run its cumsum window PER SHARD:
     no SinglePartition exchange anywhere in the plan (the unsharded
