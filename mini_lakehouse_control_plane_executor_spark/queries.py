@@ -3799,6 +3799,178 @@ def embedding_norm_quality(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: LM-based quality filtering (CCNet-style unigram
+# surprisal), SemDeDup-style semantic cluster dedup, and hard-negative
+# mining for embedding-model training data.
+# ---------------------------------------------------------------------------
+
+
+_SURPRISAL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS t FROM documents
+),
+counts AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM counts),
+vocab AS (SELECT t, c FROM counts WHERE c >= 5),
+scored AS (
+  SELECT tok.doc_id,
+         CAST(round(ln(tot / coalesce(v.c, 1)) * 1000000) AS BIGINT) AS s_micro
+  FROM tok LEFT JOIN vocab v ON tok.t = v.t, tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(s_micro) AS DOUBLE) / count(*) / 1000000 AS avg_surprisal
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("unigram_lm_surprisal", oracle=_SURPRISAL_SQL)
+def unigram_lm_surprisal(spark, sf_dir):
+    """LM-based quality scoring (the CCNet / Wikipedia-LM filter shape):
+    train a unigram LM over the corpus itself (min-count-5 vocabulary,
+    out-of-vocab backs off to count 1), then score each document by mean
+    token surprisal ln(total/c) — high-surprisal docs are gibberish or
+    OOD, the classic perplexity-filter signal.
+
+    100 TB shape: one map-side-combinable token count, a min-count
+    FILTER for the vocabulary (no global sort — unlike a top-V ranking,
+    a count threshold needs no window), one broadcast join back onto the
+    token stream (Catalyst would pick a shuffle join automatically if
+    the vocab outgrew the broadcast threshold), and a per-doc partial
+    agg. Surprisal is quantized to integer micro-nats BEFORE the
+    per-doc sum, so the mean is summation-order independent and
+    bit-identical to the DuckDB oracle."""
+    d = _load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_text.tokens(F.col("text"))).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").cast("long").alias("tot"))
+    vocab = counts.filter(F.col("c") >= 5)
+    s_micro = (
+        F.round(F.log(F.col("tot") / F.coalesce(F.col("c"), F.lit(1))) * 1000000)
+        .cast("long")
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", s_micro.alias("s_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum("s_micro").cast("double") / F.count(F.lit(1)) / 1000000
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SEMANTIC_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT id1, id2 FROM (
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  ) WHERE sim >= 0.45
+),
+edges AS MATERIALIZED (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION ALL
+  SELECT id2, id1 FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+SELECT CAST(root AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM comp GROUP BY root ORDER BY keep_id
+"""
+
+
+@query("semantic_dedup_clusters", oracle=_SEMANTIC_CLUSTERS_SQL)
+def semantic_dedup_clusters(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic duplicate GROUPS —
+    connected components over the embedding-cosine pair graph, keeping
+    the min-id representative per cluster and counting what a semantic
+    dedup pass would drop. Exact pairwise at test SF (same threshold as
+    embedding_neardup_exact, so the pair stage is already attested);
+    at 100 TB the pair stage swaps to the LSH-blocked
+    ``operators.similarity.neardup_pairs`` and the component loop is
+    the same pointer-doubling fixpoint used for MinHash clusters."""
+    e = _load(spark, sf_dir, "embeddings")
+    pairs = _sim.brute_force_pairs(e, "vec_id", "embedding", threshold=0.45)
+    comp = _dedup.connected_components(pairs.select("id1", "id2"))
+    return (
+        comp.groupBy(F.col("root").alias("keep_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+        .orderBy("keep_id")
+    )
+
+
+_HARD_NEG_SQL = """
+SELECT q_id, c_id, sim, rank FROM (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rank
+  FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 10 AND c.label <> q.label
+  )
+) WHERE rank <= 3 ORDER BY q_id, rank
+"""
+
+
+@query("hard_negative_mining", oracle=_HARD_NEG_SQL)
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive-training data mining: for each anchor, the top-3
+    most-similar vectors with a DIFFERENT label — the hard negatives an
+    embedding-model trainer pairs with each anchor. Same shape as
+    brute-force ANN (anchors broadcast, corpus streams, per-anchor
+    top-k window) plus the label-mismatch predicate; self-matches are
+    excluded for free since an anchor shares its own label."""
+    e = _load(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            _sim._as_double(F.col("embedding")).alias("q_vec"),
+            F.col("label").alias("q_lbl"),
+        )
+        .withColumn("q_nrm", _sim.norm(F.col("q_vec")))
+    )
+    c = (
+        e.select(
+            F.col("vec_id").alias("c_id"),
+            _sim._as_double(F.col("embedding")).alias("c_vec"),
+            F.col("label").alias("c_lbl"),
+        )
+        .withColumn("c_nrm", _sim.norm(F.col("c_vec")))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_lbl") != F.col("q_lbl"))
+        .select("q_id", "c_id", _sim._paired_sim().alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "c_id", "sim", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
 # received a driver verdict are listed here so they enter the window
