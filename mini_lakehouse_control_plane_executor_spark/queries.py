@@ -3970,6 +3970,58 @@ def hard_negative_mining(spark, sf_dir):
     )
 
 
+_CORRELATION_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
+),
+v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT v.user_id, p.us - v.us AS delay_us
+  FROM v JOIN p ON v.user_id = p.user_id
+              AND p.us > v.us AND p.us <= v.us + 600000000
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(delay_us) AS BIGINT) AS sum_delay_us
+FROM pairs GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("events_correlation", oracle=_CORRELATION_SQL)
+def events_correlation(spark, sf_dir):
+    """View→purchase correlation within 10 minutes per user: the BATCH
+    twin of the watermarked stream-stream join
+    (streaming/windows.correlate_events — identical code path; the
+    stream drain is proven equal in tests/test_streaming.py). Delay
+    totals stay in integer microseconds so the aggregate is exact.
+
+    100 TB shape: one co-partitioned shuffle of both event sets on
+    user_id; the time-range predicate bounds per-key fan-out by true
+    correlation density, and on the streaming side the same condition
+    bounds join state to the watermark horizon."""
+    from mini_lakehouse_control_plane_executor_spark.streaming import windows as _sw
+
+    e = _load(spark, sf_dir, "events")
+    pairs = _sw.correlate_events(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+        max_delay="10 minutes",
+    )
+    return (
+        pairs.select(
+            "user_id",
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delay_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("delay_us").cast("long").alias("sum_delay_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never

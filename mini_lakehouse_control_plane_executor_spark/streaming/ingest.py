@@ -60,3 +60,65 @@ def write_batch(
     return lake.insert(
         table_name, batch_df, txn_id=f"{query_name}:{batch_id}"
     )
+
+
+def merge_stream(
+    stream_df: DataFrame,
+    lake,
+    table_name: str,
+    key: str,
+    checkpoint_dir: str,
+    order_col: str | None = None,
+    query_name: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming UPSERT (CDC apply): every micro-batch MERGEs into the
+    lakehouse table on ``key``. Same exactly-once contract as
+    ``ingest_stream`` — the merge commits with txn_id
+    ``f"{name}:{batch_id}"``, so a replayed batch is refused by the
+    table's txn ledger and the upsert applies once.
+
+    ``order_col`` enables last-writer-wins compaction WITHIN a batch
+    (a CDC micro-batch can carry several updates for one key, but MERGE
+    requires unique source keys); (key, order_col) must be unique per
+    batch for the survivor to be deterministic."""
+    name = query_name or f"merge-{table_name}"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_batch(lake, table_name, batch_df, key, name, batch_id, order_col)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merge_batch(
+    lake,
+    table_name: str,
+    batch_df: DataFrame,
+    key: str,
+    query_name: str,
+    batch_id: int,
+    order_col: str | None = None,
+) -> int:
+    """One micro-batch MERGE — the idempotency unit of ``merge_stream``,
+    exposed for replay testing. Returns the table version the batch's
+    merge committed (or originally committed, on a replay)."""
+    from pyspark.sql import functions as F
+
+    if order_col is not None:
+        cols = list(batch_df.columns)
+        batch_df = (
+            batch_df.groupBy(key)
+            .agg(F.max_by(F.struct(*cols), F.col(order_col)).alias("_r"))
+            .select(*[F.col(f"_r.{c}").alias(c) for c in cols])
+        )
+    version, _, _ = lake.merge(
+        table_name, batch_df, key, txn_id=f"{query_name}:{batch_id}"
+    )
+    return version

@@ -224,3 +224,77 @@ def test_stream_ingest_exactly_once(spark, lake, tmp_path):
     # A genuinely NEW batch id commits normally.
     ing.write_batch(lake, "ingested", replay.limit(10), "ing-test", 1)
     assert t.read().count() == 110
+
+
+def test_correlation_stream_equals_batch(spark, event_dir):
+    """Watermarked stream-stream time-range join must equal the
+    identical batch join on the same rows (append mode: rows emit once
+    both watermarks pass the join window)."""
+    b = _batch(spark, event_dir)
+    batch = W.correlate_events(
+        b.filter(F.col("event_type") == "view"),
+        b.filter(F.col("event_type") == "purchase"),
+    )
+    s = W.stream_events(spark, event_dir)
+    stream = W.correlate_events(
+        s.filter(F.col("event_type") == "view"),
+        W.stream_events(spark, event_dir).filter(F.col("event_type") == "purchase"),
+    )
+    got = _rows(_drain(spark, stream, "t_corr", mode="append"), ["user_id", "l_ts", "r_ts"])
+    want = _rows(batch, ["user_id", "l_ts", "r_ts"])
+    assert got == want
+    assert len(want) > 0
+
+
+def test_merge_stream_exactly_once(spark, lake, tmp_path):
+    """Streaming CDC upsert: each micro-batch MERGEs with a
+    (query, batch_id) txn id — replays are no-ops; within-batch multiple
+    updates per key compact to last-writer-wins on order_col."""
+    from mini_lakehouse_control_plane_executor_spark.streaming import ingest as ing
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+
+    lake.create_table(
+        "cdc_t", [Field("k", "int64"), Field("v", "string"), Field("seq", "int64")]
+    )
+    base = spark.createDataFrame(
+        [(i, f"base{i}", 0) for i in range(20)], "k long, v string, seq long"
+    )
+    lake.insert("cdc_t", base)
+
+    src = str(tmp_path / "cdc_src")
+    # Updates for keys 5..9 (two versions each — seq 1 then seq 2) and a
+    # brand-new key 100.
+    updates = spark.createDataFrame(
+        [(k, f"upd{k}@1", 1) for k in range(5, 10)]
+        + [(k, f"upd{k}@2", 2) for k in range(5, 10)]
+        + [(100, "new", 1)],
+        "k long, v string, seq long",
+    )
+    updates.write.parquet(src)
+
+    stream = spark.readStream.schema("k long, v string, seq long").parquet(src)
+    q = ing.merge_stream(
+        stream, lake, "cdc_t", "k", str(tmp_path / "cdc_ckpt"),
+        order_col="seq", query_name="cdc-test",
+    )
+    q.awaitTermination(120)
+
+    t = lake.table("cdc_t")
+    rows = {r.k: (r.v, r.seq) for r in t.read().collect()}
+    assert len(rows) == 21  # 20 base + 1 new key, upserts in place
+    for k in range(5, 10):
+        assert rows[k] == (f"upd{k}@2", 2), "last writer (seq 2) must win"
+    assert rows[100] == ("new", 1)
+    assert rows[0] == ("base0", 0)
+
+    v_after = t.log.latest_version()
+    # Crash-replay: re-deliver batch 0 under the same txn id — no-op.
+    replay = spark.read.parquet(src)
+    ing.merge_batch(lake, "cdc_t", replay, "k", "cdc-test", 0, order_col="seq")
+    assert t.log.latest_version() == v_after, "replayed merge must be idempotent"
+    assert {r.k: (r.v, r.seq) for r in t.read().collect()} == rows
+
+    # A NEW batch id applies normally.
+    nxt = spark.createDataFrame([(100, "new@3", 3)], "k long, v string, seq long")
+    ing.merge_batch(lake, "cdc_t", nxt, "k", "cdc-test", 1)
+    assert {r.k: r.v for r in t.read().collect()}[100] == "new@3"
