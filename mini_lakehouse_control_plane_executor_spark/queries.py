@@ -3840,9 +3840,18 @@ def unigram_lm_surprisal(spark, sf_dir):
     agg. Surprisal is quantized to integer micro-nats BEFORE the
     per-doc sum, so the mean is summation-order independent and
     bit-identical to the DuckDB oracle."""
+    from pyspark.storagelevel import StorageLevel
+
     d = _load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_text.tokens(F.col("text"))).alias("t"))
-    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # One LM-build pass: the count table feeds BOTH the total and the
+    # vocabulary filter; without the persist each would re-tokenize the
+    # corpus (3 full scans instead of 2 at 100 TB).
+    counts = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = counts.agg(F.sum("c").cast("long").alias("tot"))
     vocab = counts.filter(F.col("c") >= 5)
     s_micro = (

@@ -118,6 +118,26 @@ def test_ivf_assignment_is_map_only(spark):
     assert set(hash_ex) <= {"q_id"}, hash_ex
 
 
+def test_unigram_lm_shuffle_keys(spark):
+    """The LM build must shuffle only on the token (count agg) and the
+    doc (scoring agg) — no global sort, no corpus-wide exchange beyond
+    those two map-side-combinable aggregations."""
+    plan = _plan(spark, "unigram_lm_surprisal")
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"t", "doc_id"}, keys
+    assert "BroadcastHashJoin" in plan  # vocab joins the token stream broadcast
+
+
+def test_correlation_join_rides_equi_key(spark):
+    """The time-range correlation join must be planned as an equi join
+    on the user key with the range predicate as a post-condition — never
+    a cartesian/nested-loop pairing of the two event sets."""
+    plan = _plan(spark, "events_correlation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[l_key", plan)
+
+
 def test_sharded_packing_has_no_single_partition_window(spark):
     """sequence_packing_sharded must run its cumsum window PER SHARD:
     no SinglePartition exchange anywhere in the plan (the unsharded

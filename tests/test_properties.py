@@ -129,3 +129,38 @@ def test_connected_components_multiple_clusters_exact(spark):
     assert {got[i] for i in range(6)} == {0}
     assert {got[100 + i] for i in range(13)} == {100}
     assert got[500] == 500 and got[501] == 500
+
+
+# --- Cross-engine percentile exactness ------------------------------------
+# rfm_segmentation and length_trim_per_lang assign rows by comparing
+# against exact percentile cutoffs computed INDEPENDENTLY by Spark
+# (percentile) and DuckDB (quantile_cont). Both use type-7 interpolation
+# at position (n-1)*q; for INTEGER-valued inputs with q in {.25,.5,.75}
+# every product/sum in either formula ordering is exact in binary FP, so
+# the cutoffs must be BIT-identical — the property the oracle hash
+# comparison silently depends on.
+
+_int_samples = st.lists(
+    st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60
+)
+
+
+@PROP
+@given(vals=_int_samples)
+def test_percentile_cutoffs_bit_identical(spark, vals):
+    import duckdb
+
+    sdf = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    got = sdf.selectExpr(
+        "percentile(x, array(0.25d, 0.5d, 0.75d)) AS q"
+    ).collect()[0]["q"]
+
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT quantile_cont(x, [0.25, 0.5, 0.75]) FROM "
+        "(SELECT CAST(unnest(?) AS DOUBLE) AS x)",
+        [vals],
+    ).fetchone()[0]
+    con.close()
+
+    assert list(got) == list(want), f"cutoff mismatch for n={len(vals)}"
