@@ -331,32 +331,70 @@ def brute_force_pairs(
 
 
 def neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, sim ≥ threshold)
-    via LSH-bucket blocking + exact verification inside buckets."""
-    planes = hyperplanes(N_PLANES, 64)
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        _as_double(F.col(vec_col)).alias("vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    via BANDED hyperplane-LSH blocking + exact verification of the
+    candidates — the OR-construction MinHash banding uses, applied to
+    sign-LSH. A pair collides if it agrees on ALL rows_per_band sign
+    bits of ANY band: P(candidate) = 1-(1-p^r)^b for per-plane agreement
+    p = 1-θ/π, so recall at a given cosine is tuned by (b, r) — a single
+    wide bucket (the AND-only construction) loses recall exponentially
+    in plane count.
+
+    100 TB shape: the self-join key is (band, band_key) — sum of
+    per-bucket squares, never corpus-squared; candidates are distinct'd
+    as bare id pairs BEFORE vectors are re-joined for verification, so
+    the banded explosion never carries the embedding payload."""
+    planes = hyperplanes(bands * rows_per_band, dim)
+    v = df.select(
+        F.col(id_col).alias("doc_id"), _as_double(F.col(vec_col)).alias("vec")
     ).withColumn("nrm", norm(F.col("vec")))
-    l = sigs.alias("l")
-    r = sigs.alias("r")
-    sim = F.round(
-        dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+    band_keys = F.array(
+        *[
+            sum(
+                (
+                    F.when(
+                        dot(
+                            F.col("vec"),
+                            F.array(*[F.lit(c) for c in planes[b * rows_per_band + i]]),
+                        )
+                        > 0,
+                        F.lit(1 << i),
+                    ).otherwise(F.lit(0))
+                    for i in range(rows_per_band)
+                ),
+                F.lit(0),
+            )
+            for b in range(bands)
+        ]
     )
-    return (
+    bk = v.select("doc_id", F.posexplode(band_keys).alias("band", "bk"))
+    l = bk.alias("l")
+    r = bk.alias("r")
+    cands = (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bk") == F.col("r.bk"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("id1"),
-            F.col("r.doc_id").alias("id2"),
-            sim.alias("sim"),
-        )
+        .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
+        .distinct()
+    )
+    a = v.select(F.col("doc_id").alias("id1"), F.col("vec").alias("v1"), F.col("nrm").alias("n1"))
+    b_ = v.select(F.col("doc_id").alias("id2"), F.col("vec").alias("v2"), F.col("nrm").alias("n2"))
+    sim = F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6)
+    return (
+        cands.join(a, "id1")
+        .join(b_, "id2")
+        .select("id1", "id2", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 

@@ -3979,6 +3979,55 @@ def hard_negative_mining(spark, sf_dir):
     )
 
 
+def _neardup_lsh_oracle(
+    bands: int = 4, rows_per_band: int = 4, dim: int = 64, threshold: float = 0.45
+) -> str:
+    planes = _sim.hyperplanes(bands * rows_per_band, dim)
+    band_selects = []
+    for b in range(bands):
+        key = "\n        + ".join(
+            f"(CASE WHEN list_dot_product(v, {_sql_plane(planes[b * rows_per_band + i])}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(rows_per_band)
+        )
+        band_selects.append(f"SELECT vec_id, {b} AS band, {key} AS bk FROM base")
+    bk_union = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (
+  {bk_union}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, sim FROM (
+  SELECT id1, id2,
+         round(list_cosine_similarity(va.v, vb.v), 6) AS sim
+  FROM cand JOIN base va ON cand.id1 = va.vec_id
+            JOIN base vb ON cand.id2 = vb.vec_id
+) WHERE sim >= {threshold} ORDER BY id1, id2
+"""
+
+
+@query("embedding_neardup_lsh", oracle=_neardup_lsh_oracle())
+def embedding_neardup_lsh(spark, sf_dir):
+    """The SCALE PATH of embedding near-dup: BANDED hyperplane-LSH
+    blocking (4 bands x 4 md5-derived sign planes — the OR-construction
+    MinHash banding uses) + exact cosine verification of candidates
+    only. Work is the sum of per-(band,key) squares, never
+    corpus-squared, and candidates are distinct'd as bare id pairs
+    before the vectors are re-joined, so the banded explosion never
+    carries embedding payloads. Deterministic planes keep even the
+    blocking decision oracle-checkable; recall vs the exact twin
+    (embedding_neardup_exact) is the (bands, rows) tuning knob."""
+    e = _load(spark, sf_dir, "embeddings")
+    return _sim.neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.45, bands=4, rows_per_band=4, dim=64
+    ).orderBy("id1", "id2")
+
+
 _CORRELATION_SQL = """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
