@@ -3875,13 +3875,62 @@ def unigram_lm_surprisal(spark, sf_dir):
     )
 
 
-_SEMANTIC_CLUSTERS_SQL = """
+def _neardup_lsh_oracle(
+    bands: int = 4, rows_per_band: int = 4, dim: int = 64, threshold: float = 0.45
+) -> str:
+    planes = _sim.hyperplanes(bands * rows_per_band, dim)
+    band_selects = []
+    for b in range(bands):
+        key = "\n        + ".join(
+            f"(CASE WHEN list_dot_product(v, {_sql_plane(planes[b * rows_per_band + i])}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(rows_per_band)
+        )
+        band_selects.append(f"SELECT vec_id, {b} AS band, {key} AS bk FROM base")
+    bk_union = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (
+  {bk_union}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, sim FROM (
+  SELECT id1, id2,
+         round(list_cosine_similarity(va.v, vb.v), 6) AS sim
+  FROM cand JOIN base va ON cand.id1 = va.vec_id
+            JOIN base vb ON cand.id2 = vb.vec_id
+) WHERE sim >= {threshold} ORDER BY id1, id2
+"""
+
+
+@query("embedding_neardup_lsh", oracle=_neardup_lsh_oracle())
+def embedding_neardup_lsh(spark, sf_dir):
+    """The SCALE PATH of embedding near-dup: BANDED hyperplane-LSH
+    blocking (4 bands x 4 md5-derived sign planes — the OR-construction
+    MinHash banding uses) + exact cosine verification of candidates
+    only. Work is the sum of per-(band,key) squares, never
+    corpus-squared, and candidates are distinct'd as bare id pairs
+    before the vectors are re-joined, so the banded explosion never
+    carries embedding payloads. Deterministic planes keep even the
+    blocking decision oracle-checkable; recall vs the exact twin
+    (embedding_neardup_exact) is the (bands, rows) tuning knob."""
+    e = _load(spark, sf_dir, "embeddings")
+    return _sim.neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.45, bands=4, rows_per_band=4, dim=64
+    ).orderBy("id1", "id2")
+
+
+def _semantic_clusters_oracle() -> str:
+    pairs_sql = _neardup_lsh_oracle().strip()
+    if pairs_sql.upper().endswith("ORDER BY ID1, ID2"):
+        pairs_sql = pairs_sql[: -len("ORDER BY id1, id2")]
+    return f"""
 WITH RECURSIVE pairs AS MATERIALIZED (
-  SELECT id1, id2 FROM (
-    SELECT a.vec_id AS id1, b.vec_id AS id2,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  ) WHERE sim >= 0.45
+  SELECT id1, id2 FROM ({pairs_sql}) q
 ),
 edges AS MATERIALIZED (
   SELECT id1 AS src, id2 AS dst FROM pairs
@@ -3902,18 +3951,20 @@ FROM comp GROUP BY root ORDER BY keep_id
 """
 
 
-@query("semantic_dedup_clusters", oracle=_SEMANTIC_CLUSTERS_SQL)
+@query("semantic_dedup_clusters", oracle=_semantic_clusters_oracle())
 def semantic_dedup_clusters(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic duplicate GROUPS —
     connected components over the embedding-cosine pair graph, keeping
     the min-id representative per cluster and counting what a semantic
-    dedup pass would drop. Exact pairwise at test SF (same threshold as
-    embedding_neardup_exact, so the pair stage is already attested);
-    at 100 TB the pair stage swaps to the LSH-blocked
-    ``operators.similarity.neardup_pairs`` and the component loop is
-    the same pointer-doubling fixpoint used for MinHash clusters."""
+    dedup pass would drop. The pair stage is the banded-LSH blocked
+    path (embedding_neardup_lsh — nothing quadratic anywhere in this
+    plan), and the component loop is the same pointer-doubling fixpoint
+    used for MinHash clusters; the oracle runs the identical blocking
+    plus a recursive-CTE transitive closure."""
     e = _load(spark, sf_dir, "embeddings")
-    pairs = _sim.brute_force_pairs(e, "vec_id", "embedding", threshold=0.45)
+    pairs = _sim.neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.45, bands=4, rows_per_band=4, dim=64
+    )
     comp = _dedup.connected_components(pairs.select("id1", "id2"))
     return (
         comp.groupBy(F.col("root").alias("keep_id"))
@@ -3977,55 +4028,6 @@ def hard_negative_mining(spark, sf_dir):
         .select("q_id", "c_id", "sim", "rank")
         .orderBy("q_id", "rank")
     )
-
-
-def _neardup_lsh_oracle(
-    bands: int = 4, rows_per_band: int = 4, dim: int = 64, threshold: float = 0.45
-) -> str:
-    planes = _sim.hyperplanes(bands * rows_per_band, dim)
-    band_selects = []
-    for b in range(bands):
-        key = "\n        + ".join(
-            f"(CASE WHEN list_dot_product(v, {_sql_plane(planes[b * rows_per_band + i])}) > 0"
-            f" THEN {1 << i} ELSE 0 END)"
-            for i in range(rows_per_band)
-        )
-        band_selects.append(f"SELECT vec_id, {b} AS band, {key} AS bk FROM base")
-    bk_union = "\n  UNION ALL\n  ".join(band_selects)
-    return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bk AS (
-  {bk_union}
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
-  FROM bk a JOIN bk b
-    ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id
-)
-SELECT id1, id2, sim FROM (
-  SELECT id1, id2,
-         round(list_cosine_similarity(va.v, vb.v), 6) AS sim
-  FROM cand JOIN base va ON cand.id1 = va.vec_id
-            JOIN base vb ON cand.id2 = vb.vec_id
-) WHERE sim >= {threshold} ORDER BY id1, id2
-"""
-
-
-@query("embedding_neardup_lsh", oracle=_neardup_lsh_oracle())
-def embedding_neardup_lsh(spark, sf_dir):
-    """The SCALE PATH of embedding near-dup: BANDED hyperplane-LSH
-    blocking (4 bands x 4 md5-derived sign planes — the OR-construction
-    MinHash banding uses) + exact cosine verification of candidates
-    only. Work is the sum of per-(band,key) squares, never
-    corpus-squared, and candidates are distinct'd as bare id pairs
-    before the vectors are re-joined, so the banded explosion never
-    carries embedding payloads. Deterministic planes keep even the
-    blocking decision oracle-checkable; recall vs the exact twin
-    (embedding_neardup_exact) is the (bands, rows) tuning knob."""
-    e = _load(spark, sf_dir, "embeddings")
-    return _sim.neardup_pairs(
-        e, "vec_id", "embedding", threshold=0.45, bands=4, rows_per_band=4, dim=64
-    ).orderBy("id1", "id2")
 
 
 _CORRELATION_SQL = """
