@@ -187,9 +187,21 @@ class LakehouseTable:
             if unknown:
                 raise ValueError(f"cluster_by unknown column(s): {sorted(unknown)}")
         # Align column order/types to the table schema before writing.
-        df = df.select(
-            *[df[f.name].cast(schema[f.name].dataType).alias(f.name) for f in fields]
-        )
+        # NOT NULL enforcement rides the same projection (raise_error
+        # fires inside the write pass — no extra scan), and also catches
+        # a cast that nulled a non-null input.
+        def _aligned(f):
+            c = df[f.name].cast(schema[f.name].dataType)
+            if not f.nullable:
+                c = F.when(
+                    c.isNull(),
+                    F.raise_error(
+                        F.lit(f"NOT NULL constraint violated: column {f.name!r}")
+                    ).cast(schema[f.name].dataType),
+                ).otherwise(c)
+            return c.alias(f.name)
+
+        df = df.select(*[_aligned(f) for f in fields])
         if cluster_by:
             # Range-partition (not hash): gives each output file a
             # CONTIGUOUS slice of the cluster-key space, the layout that
@@ -677,6 +689,44 @@ class LakehouseTable:
         if not paths:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*paths)
+
+    def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change-data-feed read: the multiset row difference between two
+        versions, tagged ``_change_type`` in {insert, delete} (an update
+        surfaces as delete+insert, as in Delta's CDF without per-commit
+        change files).
+
+        File-pruned: rows in data files common to BOTH snapshots cancel
+        in the multiset difference by construction, so only the files
+        added or removed between the versions are read — for the common
+        case (an append or a compaction-sized rewrite between nearby
+        versions) the diff touches the changed files, never the table.
+        The exceptAll pair is two hash shuffles over just those rows."""
+        old_snap = self.log.snapshot(v_from)
+        new_snap = self.log.snapshot(v_to)
+        schema = to_spark_schema(new_snap.schema)
+        old_paths = {f.path for f in old_snap.files}
+        new_paths = {f.path for f in new_snap.files}
+
+        def _scan(paths: list[str]) -> DataFrame:
+            if not paths:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.dir, p) for p in paths]
+            )
+
+        old_only = _scan(sorted(old_paths - new_paths))
+        new_only = _scan(sorted(new_paths - old_paths))
+        # Columns added between versions read as NULL from old files
+        # (parquet schema merge by name), so the diff is well-typed
+        # under additive evolution.
+        added = new_only.exceptAll(old_only).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        removed = old_only.exceptAll(new_only).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return added.unionByName(removed)
 
     # -- retention -----------------------------------------------------
 

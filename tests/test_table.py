@@ -615,3 +615,58 @@ def test_merge_counts_with_duplicate_target_keys(lake, spark):
     got = {(r.k, r.v) for r in t.read().collect()}
     assert got == {(1, "new"), (2, "c"), (9, "ins")}
     assert version == t.log.latest_version()
+
+
+def test_not_null_enforced_on_insert(lake, spark):
+    import pytest
+
+    lake.create_table(
+        "nn", [Field("k", "int64", nullable=False), Field("v", "string")]
+    )
+    ok = spark.createDataFrame([(1, "a"), (2, None)], "k long, v string")
+    v = lake.insert("nn", ok)  # null in a NULLABLE column is fine
+    assert lake.table("nn").read().count() == 2
+
+    bad = spark.createDataFrame([(None, "x")], "k long, v string")
+    with pytest.raises(Exception, match="NOT NULL constraint violated"):
+        lake.insert("nn", bad)
+    # The failed insert must not have committed anything.
+    t = lake.table("nn")
+    assert t.log.latest_version() == v
+    assert t.read().count() == 2
+
+
+def test_version_diff_cdc(lake, spark):
+    lake.create_table("d", SCHEMA)
+    v1 = lake.insert("d", _df(spark, 0, 100))
+    v2 = lake.insert("d", _df(spark, 100, 120))
+    t = lake.table("d")
+
+    # Pure append: diff is exactly the appended rows, all inserts.
+    d = t.diff(v1, v2)
+    assert d.filter(F.col("_change_type") == "insert").count() == 20
+    assert d.filter(F.col("_change_type") == "delete").count() == 0
+    assert set(r.k for r in d.collect()) == set(range(100, 120))
+
+    # Overwrite: old rows deleted, new rows inserted.
+    v3 = lake.insert("d", _df(spark, 500, 510), mode="overwrite")
+    d2 = t.diff(v2, v3)
+    assert d2.filter(F.col("_change_type") == "delete").count() == 120
+    assert d2.filter(F.col("_change_type") == "insert").count() == 10
+
+    # diff(v, v) is empty; diff to latest defaults v_to=None.
+    assert t.diff(v3, v3).count() == 0
+    assert t.diff(v2).count() == 130
+
+
+def test_version_diff_empty_across_compaction(lake, spark):
+    lake.create_table("dc", SCHEMA)
+    for lo in range(0, 50, 10):
+        lake.insert("dc", _df(spark, lo, lo + 10).coalesce(1))
+    t = lake.table("dc")
+    before = t.log.latest_version()
+    assert t.compact() is not None
+    after = t.log.latest_version()
+    # Compaction rewrites files but not rows: CDC diff must be empty
+    # even though the file sets are disjoint.
+    assert t.diff(before, after).count() == 0
