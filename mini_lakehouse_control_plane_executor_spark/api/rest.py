@@ -304,6 +304,27 @@ class LakehouseRestServer:
     def health(self):
         return 200, {"status": "healthy"}
 
+    def table_diff(self, name: str, v_from: str, v_to: str):
+        """GET /tables/{t}/diff/{from}/{to} — CDC row changes between two
+        versions, tagged _change_type insert/delete (beyond the
+        reference surface; pairs with the versions/time-travel routes)."""
+        t = self._table(name)
+        try:
+            df = t.diff(int(v_from), int(v_to))
+            rows = [r.asDict(recursive=True) for r in df.collect()]
+        except KeyError as exc:
+            raise _ApiError(404, str(exc))
+        except Exception as exc:
+            raise _ApiError(400, f"Diff failed: {exc}")
+        return 200, {
+            "table_name": name,
+            "from_version": int(v_from),
+            "to_version": int(v_to),
+            "columns": [f.name for f in df.schema.fields],
+            "rows": rows,
+            "row_count": len(rows),
+        }
+
     def query_metrics(self, job_id: str):
         """GET /queries/{id}/metrics — QueryExecutionMetrics parity
         (``distributed_query_executor.go:510-524``)."""
@@ -351,6 +372,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
         "compaction_status",
     ),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/vacuum$"), "vacuum"),
+    ("GET", re.compile(r"^/tables/([A-Za-z0-9_]+)/diff/(\d+)/(\d+)$"), "table_diff"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/columns$"), "add_columns"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/merge$"), "merge_rows"),
     ("GET", re.compile(r"^/health$"), "health"),

@@ -180,6 +180,11 @@ class LakehouseSession:
     def versions(self, name: str) -> list[int]:
         return self.table(name).versions()
 
+    def diff(self, name: str, v_from: int, v_to: int | None = None) -> DataFrame:
+        """CDC read: row changes between two versions (see
+        LakehouseTable.diff)."""
+        return self.table(name).diff(v_from, v_to)
+
     def vacuum(
         self, name: str, retain_versions: int = 1, min_age_seconds: float = 3600.0
     ) -> dict:

@@ -219,3 +219,20 @@ def test_merge_over_http(server, spark):
     res = _call(server, "POST", "/sql", {"sql": "SELECT quantity FROM um WHERE id = 2"})
     assert res["rows"][0]["quantity"] == 12
     _call(server, "POST", "/tables/um/merge", {"rows": [], "key": "id"}, expect=400)
+
+
+def test_table_diff_over_http(server, lake, spark):
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+
+    lake.create_table("difft", [Field("k", "int64"), Field("v", "string")])
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "k long, v string")
+    v1 = lake.insert("difft", df1)
+    v2 = lake.insert("difft", df2)
+
+    out = _call(server, "GET", f"/tables/difft/diff/{v1}/{v2}")
+    assert out["row_count"] == 1
+    assert out["rows"][0]["k"] == 3
+    assert out["rows"][0]["_change_type"] == "insert"
+
+    _call(server, "GET", "/tables/nope/diff/1/2", expect=404)
