@@ -138,6 +138,37 @@ def test_correlation_join_rides_equi_key(spark):
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[l_key", plan)
 
 
+def test_registry_wide_scale_hygiene(spark):
+    """Mechanical scale audit of EVERY registered query's physical plan:
+    no CartesianProduct anywhere, and an Exchange SinglePartition is
+    legal only when its parent is a keyless (global) aggregate — that
+    exchange carries one pre-aggregated row per task, not data. A
+    SinglePartition feeding a Sort/Window single-threads the dataset:
+    exactly one query is allowed to do that, the documented
+    oracle-baseline twin sequence_packing (its scale path is
+    sequence_packing_sharded)."""
+    allowed_data_single_partition = {"sequence_packing"}
+    bad = {}
+    for name, fn in all_queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("CartesianProduct")
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            parent = lines[i - 1] if i else ""
+            if "Aggregate(keys=[]" in parent:
+                continue  # global partial->final agg: one row per task
+            if name in allowed_data_single_partition:
+                continue
+            problems.append(f"SinglePartition under: {parent.strip()[:60]}")
+        if problems:
+            bad[name] = problems
+    assert not bad, f"scale anti-patterns: {bad}"
+
+
 def test_sharded_packing_has_no_single_partition_window(spark):
     """sequence_packing_sharded must run its cumsum window PER SHARD:
     no SinglePartition exchange anywhere in the plan (the unsharded
