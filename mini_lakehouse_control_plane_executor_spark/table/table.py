@@ -69,6 +69,24 @@ _STATS_TYPES = {
 }
 
 
+def _not_null_guard(col, field: Field):
+    """Wrap a write-path column so a NULL in a non-nullable field fails
+    the job inside the write pass itself (no separate validation scan).
+    Used by every path that produces table rows: insert, merge source
+    alignment, and when_matched rewrite expressions."""
+    if field.nullable:
+        return col
+    from mini_lakehouse_control_plane_executor_spark.table.schema import to_spark_schema
+
+    dtype = to_spark_schema([field])[field.name].dataType
+    return F.when(
+        col.isNull(),
+        F.raise_error(
+            F.lit(f"NOT NULL constraint violated: column {field.name!r}")
+        ).cast(dtype),
+    ).otherwise(col)
+
+
 def _stat_value(v, ftype: str):
     import datetime as _dt
 
@@ -190,18 +208,14 @@ class LakehouseTable:
         # NOT NULL enforcement rides the same projection (raise_error
         # fires inside the write pass — no extra scan), and also catches
         # a cast that nulled a non-null input.
-        def _aligned(f):
-            c = df[f.name].cast(schema[f.name].dataType)
-            if not f.nullable:
-                c = F.when(
-                    c.isNull(),
-                    F.raise_error(
-                        F.lit(f"NOT NULL constraint violated: column {f.name!r}")
-                    ).cast(schema[f.name].dataType),
-                ).otherwise(c)
-            return c.alias(f.name)
-
-        df = df.select(*[_aligned(f) for f in fields])
+        df = df.select(
+            *[
+                _not_null_guard(df[f.name].cast(schema[f.name].dataType), f).alias(
+                    f.name
+                )
+                for f in fields
+            ]
+        )
         if cluster_by:
             # Range-partition (not hash): gives each output file a
             # CONTIGUOUS slice of the cluster-key space, the layout that
@@ -421,7 +435,12 @@ class LakehouseTable:
             if unknown:
                 raise ValueError(f"when_matched unknown column(s): {sorted(unknown)}")
         source = source.select(
-            *[source[f.name].cast(schema[f.name].dataType).alias(f.name) for f in fields]
+            *[
+                _not_null_guard(
+                    source[f.name].cast(schema[f.name].dataType), f
+                ).alias(f.name)
+                for f in fields
+            ]
         ).persist(StorageLevel.MEMORY_AND_DISK)
         if when_matched is not None:
             dups = (
@@ -479,9 +498,12 @@ class LakehouseTable:
                         )
                         updated = matched.select(
                             *[
-                                F.expr(when_matched[f.name])
-                                .cast(schema[f.name].dataType)
-                                .alias(f.name)
+                                _not_null_guard(
+                                    F.expr(when_matched[f.name]).cast(
+                                        schema[f.name].dataType
+                                    ),
+                                    f,
+                                ).alias(f.name)
                                 if f.name in when_matched
                                 else F.col(f"target.{f.name}").alias(f.name)
                                 for f in fields

@@ -670,3 +670,27 @@ def test_version_diff_empty_across_compaction(lake, spark):
     # Compaction rewrites files but not rows: CDC diff must be empty
     # even though the file sets are disjoint.
     assert t.diff(before, after).count() == 0
+
+
+def test_not_null_enforced_on_merge(lake, spark):
+    import pytest
+
+    lake.create_table(
+        "nnm", [Field("k", "int64", nullable=False), Field("v", "string", nullable=False)]
+    )
+    lake.insert(
+        "nnm", spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    t = lake.table("nnm")
+
+    bad_src = spark.createDataFrame([(3, None)], "k long, v string")
+    with pytest.raises(Exception, match="NOT NULL constraint violated"):
+        t.merge(bad_src, "k")
+    assert t.read().count() == 2
+
+    # when_matched expression producing NULL into a non-nullable column
+    # must also fail.
+    src = spark.createDataFrame([(1, "z")], "k long, v string")
+    with pytest.raises(Exception, match="NOT NULL constraint violated"):
+        t.merge(src, "k", when_matched={"v": "CAST(NULL AS STRING)"})
+    assert {r.v for r in t.read().collect()} == {"a", "b"}
