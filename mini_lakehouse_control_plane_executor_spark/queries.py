@@ -62,6 +62,8 @@ def _int64_epoch_divisor(path: str) -> int:
     import pyarrow.dataset as ds
 
     first = ds.dataset(path, format="parquet").head(1, columns=["ts"])["ts"][0].as_py()
+    if first is None:
+        raise ValueError("events.parquet raw INT64 ts: first value is NULL; cannot infer unit")
     mag = abs(int(first))
     if mag >= 10**17:
         return 1000  # nanos -> micros
