@@ -164,3 +164,56 @@ def test_percentile_cutoffs_bit_identical(spark, vals):
     con.close()
 
     assert list(got) == list(want), f"cutoff mismatch for n={len(vals)}"
+
+
+# --- Filter-grammar parity (SURVEY §2.3) ----------------------------------
+# The reference's whole predicate surface is `col op literal` with ops
+# = == > < >= <= != <> and inferred literals. parse_filter must apply
+# exactly the comparison the reference would — checked against a plain
+# Python evaluation over random data, for int and string literals.
+
+_FILTER_OPS = {
+    "=": lambda a, b: a == b,
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<>": lambda a, b: a != b,
+    ">": lambda a, b: a > b,
+    "<": lambda a, b: a < b,
+    ">=": lambda a, b: a >= b,
+    "<=": lambda a, b: a <= b,
+}
+
+
+@PROP
+@given(
+    op=st.sampled_from(sorted(_FILTER_OPS)),
+    lit=st.integers(min_value=-50, max_value=150),
+    data=st.lists(st.integers(min_value=-50, max_value=150), min_size=1, max_size=30),
+)
+def test_filter_grammar_int_parity(spark, op, lit, data):
+    from mini_lakehouse_control_plane_executor_spark.functions.filters import parse_filter
+
+    sdf = spark.createDataFrame([(v,) for v in data], "k long")
+    got = sorted(r.k for r in sdf.filter(parse_filter(f"k {op} {lit}")).collect())
+    want = sorted(v for v in data if _FILTER_OPS[op](v, lit))
+    assert got == want
+
+
+@PROP
+@given(
+    op=st.sampled_from(sorted(_FILTER_OPS)),
+    lit=st.text(alphabet="abc xyz", min_size=0, max_size=5),
+    data=st.lists(
+        st.text(alphabet="abc xyz", min_size=0, max_size=5), min_size=1, max_size=20
+    ),
+)
+def test_filter_grammar_string_parity(spark, op, lit, data):
+    """Quoted string literals (which may contain spaces — the quoted
+    branch of the parser) compare lexicographically, like the
+    reference's typed string comparison."""
+    from mini_lakehouse_control_plane_executor_spark.functions.filters import parse_filter
+
+    sdf = spark.createDataFrame([(v,) for v in data], "s string")
+    got = sorted(r.s for r in sdf.filter(parse_filter(f"s {op} '{lit}'")).collect())
+    want = sorted(v for v in data if _FILTER_OPS[op](v, lit))
+    assert got == want
