@@ -159,8 +159,14 @@ def test_registry_wide_scale_hygiene(spark):
             if "Exchange SinglePartition" not in line:
                 continue
             parent = lines[i - 1] if i else ""
-            if "Aggregate(keys=[]" in parent:
-                continue  # global partial->final agg: one row per task
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            # Benign when the exchange sits between a partial and a
+            # final KEYLESS aggregate (one pre-aggregated row per task).
+            # Check both sides: under AQE with cached inputs the parent
+            # renders as a ShuffleQueryStage wrapper, but the child is
+            # still the partial aggregate.
+            if "Aggregate(keys=[]" in parent or "Aggregate(keys=[]" in child:
+                continue
             if name in allowed_data_single_partition:
                 continue
             problems.append(f"SinglePartition under: {parent.strip()[:60]}")
