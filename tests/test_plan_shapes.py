@@ -138,6 +138,40 @@ def test_correlation_join_rides_equi_key(spark):
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[l_key", plan)
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Storage bucketing is the co-located-join lever at 100 TB: two
+    tables bucketed+sorted on the join key must SortMergeJoin with NO
+    exchange on either side — the shuffle happened once at write time
+    and is amortized over every subsequent join."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force a non-broadcast join so bucketing (not broadcast) is
+        # what eliminates the exchanges.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ("bkt_l", "bkt_r"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.bucketBy(8, "k")
+                .sortBy("k")
+                .option("path", str(tmp_path / name))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        j = spark.table("bkt_l").join(spark.table("bkt_r"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, "bucketed join must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bkt_l", "bkt_r"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_registry_wide_scale_hygiene(spark):
     """Mechanical scale audit of EVERY registered query's physical plan:
     no CartesianProduct anywhere, and an Exchange SinglePartition is
