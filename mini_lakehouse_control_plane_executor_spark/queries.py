@@ -2782,17 +2782,19 @@ FROM c GROUP BY 1 ORDER BY pack_id
 """
 
 
-@query("sequence_packing", oracle=_PACKING_SQL)
 def sequence_packing(spark, sf_dir):
-    """ORACLE-BASELINE TWIN of ``sequence_packing_sharded`` — NOT the
-    scale path; excluded from scale grading by design. Its single global
-    cumsum window (Window.orderBy with no partitionBy → SinglePartition)
-    exists ONLY to pin the exact globally-sequential packing semantics
-    against the DuckDB oracle at test SF. Production packing at 100 TB
-    is ``sequence_packing_sharded`` (queries.py, per-shard cumsum, no
-    SinglePartition exchange — plan-shape-tested), which relaxes
-    global doc order to per-shard order, the standard trade in corpus
-    sharding. Same budget arithmetic: pack_id = (cumsum-1) div 2048."""
+    """ORACLE-BASELINE TWIN of ``sequence_packing_sharded`` — NOT
+    registered (r5): its single global cumsum window (Window.orderBy
+    with no partitionBy → SinglePartition) single-threads the dataset,
+    so it must never appear in the registry a 100 TB user would run.
+    It exists ONLY to pin the exact globally-sequential packing
+    semantics against the DuckDB oracle at test SF — exercised by
+    ``tests/test_oracle_parity.py::test_sequence_packing_global_baseline``
+    with ``_PACKING_SQL``. Production packing is
+    ``sequence_packing_sharded`` (per-shard cumsum, no SinglePartition
+    exchange — plan-shape-tested), which relaxes global doc order to
+    per-shard order, the standard trade in corpus sharding. Same budget
+    arithmetic: pack_id = (cumsum-1) div 2048."""
     d = _load(spark, sf_dir, "documents")
     t = d.select("doc_id", _text.token_count(F.col("text")).alias("n_tokens"))
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -4093,64 +4095,71 @@ def events_correlation(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # round 4: queries FIXED or CHANGED this round lead (the r03 err and
-    # the two rewrites must get fresh verdicts), followed by the r02-green
-    # set whose verdicts are two windows stale — the r03-green set just
-    # re-attested rotates to the back. Every verdict stays <= 1 round old.
-    "events_sessionize",  # r02-green, silently broken by r3's NTZ bug, fixed r4
-    "events_dedup_distinct",  # r03 err (NTZ), fixed r4
-    "rfm_segmentation",  # rewritten r4: percentile cutoffs, no global ntile
-    # r02-verified set (minus events_sessionize above), definition order
-    "filter_comparison",
-    "agg_groupby",
-    "agg_global",
-    "filter_agg_fused",
-    "topk_orders",
-    "q1_pricing_summary",
-    "join_broadcast_dim",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "semi_join_exists",
-    "anti_join_not_exists",
-    "outer_join_coalesce",
-    "union_distinct",
-    "intersect_except",
-    "distinct_agg",
-    "having_filter",
-    "rollup_flag_status",
-    "window_topn_per_group",
-    "window_running_sum",
-    "window_lag_lead",
-    "case_when_buckets",
-    "date_functions",
-    "string_functions",
-    "events_tumbling_window",
-    "pivot_status_by_priority",
-    "text_stats",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "ann_cosine_bruteforce",
-    "ann_cosine_lsh",
-    "embedding_neardup_exact",
-    "json_extract_props",
-    "q6_forecast_revenue",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_idle_customers",
-    "scalar_subquery_premium_parts",
-    "in_like_between",
-    "math_functions",
-    "shuffle_partition_histogram",
-    "stats_percentiles",
-    "cube_priority_status",
-    "hash_sample_orders",
-    # positions 51-52: the two pure-scan trivia overflow the 50-slot
-    # window this round (re-attest in r5); both are locally guarded by
-    # tests/test_oracle_parity.py every run.
-    "scan_full",
-    "project_columns",
+    # round 5: the 5 queries that have NEVER received a driver verdict
+    # lead (r4 flagships; the header rule — never-verified first — now
+    # actually applied), then the two r02-stale scans that overflowed
+    # the r4 window, then the r03-green set (2 rounds stale after this
+    # window). The r04-green set just re-attested rotates to the back
+    # and re-enters in r6. 5 + 2 + 43 fill the 50-slot window; the 4
+    # r03 overflow entries sit at positions 51-54 for r6.
+    "unigram_lm_surprisal",  # never driver-verified (r4 addition)
+    "embedding_neardup_lsh",  # never driver-verified (r4 addition)
+    "semantic_dedup_clusters",  # never driver-verified (r4 addition)
+    "hard_negative_mining",  # never driver-verified (r4 addition)
+    "events_correlation",  # never driver-verified (r4 addition)
+    "scan_full",  # verdict stale since r02
+    "project_columns",  # verdict stale since r02
+    # r03-green set, r03 verdict order (minus events_dedup_distinct and
+    # rfm_segmentation, re-attested r04; minus sequence_packing,
+    # unregistered in r5)
+    "sequence_packing_sharded",
+    "decontamination_ngram_overlap",
+    "oov_rate_by_source",
+    "token_budget_mix",
+    "docs_length_histogram",
+    "grouping_sets_orders",
+    "events_value_deciles",
+    "dedup_cluster_size_histogram",
+    "supplier_percent_rank",
+    "ann_recall_lsh_vs_exact",
+    "ann_cosine_ivf",
+    "ann_cosine_ivf_kmeans",
+    "multimodal_features",
+    "text_bpe_rolling",
+    "events_session_window",
+    "salted_agg_skew",
+    "events_sliding_window",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_flag",
+    "q15_top_supplier",
+    "q16_supplier_part_cnt",
+    "q17_small_qty_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "events_asof_join",
+    "range_join_value_bands",
+    "balanced_sample_per_source",
+    "tfidf_top_terms",
+    "events_funnel",
+    "multimodal_frame_sample",
+    "corpus_filter_shard_pipeline",
+    "embedding_label_centroids",
+    "langid_confusion",
+    "events_cohort_retention",
+    "part_cooccurrence",
+    "dedup_duplicate_clusters",
+    "repetition_gate",
+    # positions 51-54: r03-green overflow — first in line for the r6
+    # window; locally guarded by tests/test_oracle_parity.py every run.
+    "dup_span_fraction",
+    "ann_cosine_matmul",
+    "length_trim_per_lang",
+    "embedding_norm_quality",
+    # the r04-green set follows in definition order via _registry_order().
 ]

@@ -54,3 +54,21 @@ def test_query_matches_oracle(name, spark, duck):
     left = _normalize(spark_pdf)
     right = _normalize(duck_pdf)
     pd.testing.assert_frame_equal(left, right, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_sequence_packing_global_baseline(spark, duck):
+    """The UNREGISTERED global-packing twin (dropped from the registry
+    in r5 because its global cumsum window is a SinglePartition scale
+    anti-pattern) stays oracle-pinned here: it is the semantic baseline
+    that sequence_packing_sharded's per-shard relaxation is documented
+    against, so its exact globally-sequential packing arithmetic must
+    keep matching DuckDB even though no production user can run it."""
+    assert "sequence_packing" not in qlib.all_queries()  # stays unregistered
+    spark_pdf = qlib.sequence_packing(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(qlib._PACKING_SQL).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    assert len(spark_pdf) == len(duck_pdf)
+    pd.testing.assert_frame_equal(
+        _normalize(spark_pdf), _normalize(duck_pdf),
+        check_dtype=False, check_exact=False, rtol=0, atol=1e-9,
+    )

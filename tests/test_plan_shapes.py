@@ -178,10 +178,11 @@ def test_registry_wide_scale_hygiene(spark):
     legal only when its parent is a keyless (global) aggregate — that
     exchange carries one pre-aggregated row per task, not data. A
     SinglePartition feeding a Sort/Window single-threads the dataset:
-    exactly one query is allowed to do that, the documented
-    oracle-baseline twin sequence_packing (its scale path is
+    NO registered query is allowed to do that (r5: the global
+    sequence_packing oracle-baseline was dropped from the registry and
+    lives on only as a tests/-side baseline for its scale twin
     sequence_packing_sharded)."""
-    allowed_data_single_partition = {"sequence_packing"}
+    allowed_data_single_partition = set()
     bad = {}
     for name, fn in all_queries().items():
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
