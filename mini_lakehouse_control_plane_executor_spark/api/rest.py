@@ -27,9 +27,11 @@ library; this is the thin adapter the reference builds with gorilla/mux.
 
 from __future__ import annotations
 
+import inspect
 import json
 import re
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from mini_lakehouse_control_plane_executor_spark.table.catalog import LakehouseSession
@@ -40,6 +42,11 @@ class _ApiError(Exception):
     def __init__(self, status: int, message: str):
         super().__init__(message)
         self.status = status
+
+
+# Cap on rows serialized into one /diff response; callers raise it
+# explicitly with ?limit=N (the async-query path stays file-backed).
+DIFF_MAX_ROWS = 10_000
 
 
 def _fields_from_api(schema: dict) -> list[Field]:
@@ -304,18 +311,35 @@ class LakehouseRestServer:
     def health(self):
         return 200, {"status": "healthy"}
 
-    def table_diff(self, name: str, v_from: str, v_to: str):
-        """GET /tables/{t}/diff/{from}/{to} — CDC row changes between two
-        versions, tagged _change_type insert/delete (beyond the
-        reference surface; pairs with the versions/time-travel routes)."""
+    def table_diff(self, name: str, v_from: str, v_to: str, params: dict | None = None):
+        """GET /tables/{t}/diff/{from}/{to}?limit=N — CDC row changes
+        between two versions, tagged _change_type insert/delete (beyond
+        the reference surface; pairs with the versions/time-travel
+        routes). The response is BOUNDED: at most ``limit`` rows
+        (default DIFF_MAX_ROWS) come back, with ``truncated`` set when
+        the diff is larger — an overwrite of a big table must not
+        materialize on the driver or produce a multi-GB response. The
+        limit+1 collect detects truncation without a second Spark job;
+        callers needing the full changeset raise ``limit`` or consume
+        ``LakehouseTable.diff`` as a DataFrame."""
+        limit = DIFF_MAX_ROWS
+        if params and "limit" in params:
+            try:
+                limit = int(params["limit"])
+            except ValueError:
+                raise _ApiError(400, f"Invalid limit: {params['limit']}")
+            if limit < 1:
+                raise _ApiError(400, "limit must be >= 1")
         t = self._table(name)
         try:
             df = t.diff(int(v_from), int(v_to))
-            rows = [r.asDict(recursive=True) for r in df.collect()]
+            rows = [r.asDict(recursive=True) for r in df.limit(limit + 1).collect()]
         except KeyError as exc:
             raise _ApiError(404, str(exc))
         except Exception as exc:
             raise _ApiError(400, f"Diff failed: {exc}")
+        truncated = len(rows) > limit
+        rows = rows[:limit]
         return 200, {
             "table_name": name,
             "from_version": int(v_from),
@@ -323,6 +347,7 @@ class LakehouseRestServer:
             "columns": [f.name for f in df.schema.fields],
             "rows": rows,
             "row_count": len(rows),
+            "truncated": truncated,
         }
 
     def query_metrics(self, job_id: str):
@@ -389,7 +414,8 @@ def _make_handler(server: LakehouseRestServer):
             pass
 
         def _dispatch(self, method: str):
-            path = self.path.split("?", 1)[0].rstrip("/") or "/"
+            raw_path, _, qs = self.path.partition("?")
+            path = raw_path.rstrip("/") or "/"
             for m, pat, fn_name in _ROUTES:
                 if m != method:
                     continue
@@ -405,8 +431,16 @@ def _make_handler(server: LakehouseRestServer):
                     except json.JSONDecodeError as exc:
                         return self._send(400, {"error": f"Invalid JSON: {exc}"})
                     args.append(body)
+                fn = getattr(server, fn_name)
+                kwargs = {}
+                # Handlers opt into query-string access by declaring a
+                # ``params`` keyword (e.g. table_diff's ?limit=N).
+                if "params" in inspect.signature(fn).parameters:
+                    kwargs["params"] = {
+                        k: v[-1] for k, v in urllib.parse.parse_qs(qs).items()
+                    }
                 try:
-                    status, payload = getattr(server, fn_name)(*args)
+                    status, payload = fn(*args, **kwargs)
                 except _ApiError as exc:
                     return self._send(exc.status, {"error": str(exc)})
                 except Exception as exc:  # pragma: no cover - defensive

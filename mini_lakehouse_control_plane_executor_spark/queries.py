@@ -3838,10 +3838,13 @@ def unigram_lm_surprisal(spark, sf_dir):
 
     100 TB shape: one map-side-combinable token count, a min-count
     FILTER for the vocabulary (no global sort — unlike a top-V ranking,
-    a count threshold needs no window), one broadcast join back onto the
-    token stream (Catalyst would pick a shuffle join automatically if
-    the vocab outgrew the broadcast threshold), and a per-doc partial
-    agg. Surprisal is quantized to integer micro-nats BEFORE the
+    a count threshold needs no window), one vocab join back onto the
+    token stream — deliberately UNHINTED: the vocab of a 100 TB corpus
+    can exceed driver memory, so the plan must let AQE pick broadcast
+    vs shuffle from the aggregate's actual runtime size rather than
+    force a broadcast (only the 1-row total is force-broadcast) — and
+    a per-doc partial agg. Surprisal is quantized to integer micro-nats
+    BEFORE the
     per-doc sum, so the mean is summation-order independent and
     bit-identical to the DuckDB oracle."""
     from pyspark.storagelevel import StorageLevel
@@ -3863,7 +3866,7 @@ def unigram_lm_surprisal(spark, sf_dir):
         .cast("long")
     )
     scored = (
-        tok.join(F.broadcast(vocab), "t", "left")
+        tok.join(vocab, "t", "left")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", s_micro.alias("s_micro"))
     )

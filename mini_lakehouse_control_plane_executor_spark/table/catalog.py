@@ -49,6 +49,19 @@ class JobInfo:
         }
 
 
+def _rfc3339(ms: int) -> str:
+    """Epoch-ms → RFC3339 UTC — the JSON shape Go's ``time.Time``
+    marshals to, which the reference's QueryExecutionMetrics uses for
+    start_time/end_time (``distributed_query_executor.go:514-515``)."""
+    from datetime import datetime, timezone
+
+    return (
+        datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc)
+        .isoformat(timespec="milliseconds")
+        .replace("+00:00", "Z")
+    )
+
+
 COMPACT_MAX_CONCURRENT = 3  # compaction_service.go:654
 
 # Async results are written to <root>/results/<job_id>/ as parquet (the
@@ -68,6 +81,12 @@ class LakehouseSession:
         self.root = root
         os.makedirs(os.path.join(root, "tables"), exist_ok=True)
         self._jobs: dict[str, JobInfo] = {}
+        # Guards _jobs MAP mutations/iterations (HTTP handler threads
+        # insert, _run_job threads evict, /metrics scrapes iterate —
+        # an unguarded scrape can see "dict changed size during
+        # iteration"). JobInfo field updates stay lock-free: single
+        # writer (the job's own thread), readers tolerate staleness.
+        self._jobs_mu = threading.Lock()
         self._tables: dict[str, LakehouseTable] = {}
         self._compacting: set[str] = set()
         self._compact_mu = threading.Lock()
@@ -267,7 +286,8 @@ class LakehouseSession:
             q = SimpleQuery.from_json(q)
         job_id = str(uuid.uuid4())
         info = JobInfo(job_id, "RUNNING", started_ms=int(time.time() * 1000))
-        self._jobs[job_id] = info
+        with self._jobs_mu:
+            self._jobs[job_id] = info
         try:
             info.metrics.update(self._planned_scan_metrics(q))
             df = self.query(q)
@@ -289,16 +309,18 @@ class LakehouseSession:
         if isinstance(q, dict):
             q = SimpleQuery.from_json(q)
         job_id = str(uuid.uuid4())
-        self._jobs[job_id] = JobInfo(
-            job_id, "PENDING", started_ms=int(time.time() * 1000)
-        )
+        with self._jobs_mu:
+            self._jobs[job_id] = JobInfo(
+                job_id, "PENDING", started_ms=int(time.time() * 1000)
+            )
         threading.Thread(
             target=self._run_job, args=(job_id, q), daemon=True
         ).start()
         return job_id
 
     def _run_job(self, job_id: str, q: SimpleQuery) -> None:
-        info = self._jobs[job_id]
+        with self._jobs_mu:
+            info = self._jobs[job_id]
         info.status = "RUNNING"
         sc = self.spark.sparkContext
         try:
@@ -357,29 +379,37 @@ class LakehouseSession:
     def query_metrics(self, job_id: str) -> dict:
         """QueryExecutionMetrics parity
         (``distributed_query_executor.go:510-524``): per-job execution
-        counters under the reference's field names. Terminal jobs report
-        every tracked task as completed (Spark's driver retries failed
-        tasks internally; a FAILED status means the job, not a task
-        count, failed)."""
-        info = self._jobs[job_id]
-        terminal = info.status in ("COMPLETED", "FAILED")
+        counters under the reference's field names and formats —
+        ``start_time``/``end_time`` are RFC3339 (Go ``time.Time`` JSON),
+        ``end_time`` omitted while running (``omitempty``), and
+        ``duration_ms`` of an in-flight job is time-since-start
+        (``:484-490``). COMPLETED jobs report every tracked task/stage
+        as completed (Spark's driver retries failed tasks internally);
+        FAILED jobs report zero completed stages/tasks — we don't track
+        partial stage completion, and claiming all stages completed
+        would misrepresent a failure."""
+        with self._jobs_mu:
+            info = self._jobs[job_id]
+        completed = info.status == "COMPLETED"
         tasks = info.metrics.get("num_tasks", 0)
-        return {
+        stages = info.metrics.get("num_stages", 0)
+        end_ms = info.finished_ms
+        out = {
             "job_id": info.job_id,
             "status": info.status.lower(),
-            "start_time_ms": info.started_ms,
-            "end_time_ms": info.finished_ms,
-            "duration_ms": (
-                (info.finished_ms - info.started_ms) if info.finished_ms else None
-            ),
-            "total_stages": info.metrics.get("num_stages", 0),
-            "completed_stages": info.metrics.get("num_stages", 0) if terminal else 0,
-            "current_stage": info.metrics.get("num_stages", 0) if terminal else 0,
+            "start_time": _rfc3339(info.started_ms),
+            "duration_ms": (end_ms or int(time.time() * 1000)) - info.started_ms,
+            "total_stages": stages,
+            "completed_stages": stages if completed else 0,
+            "current_stage": stages if completed else 0,
             "total_tasks": tasks,
-            "completed_tasks": tasks if info.status == "COMPLETED" else 0,
+            "completed_tasks": tasks if completed else 0,
             "failed_tasks": 0,
             "running_tasks": 0,
         }
+        if end_ms is not None:
+            out["end_time"] = _rfc3339(end_ms)
+        return out
 
     def metrics_text(self) -> str:
         """Prometheus text exposition of the session's counters, mirroring
@@ -392,9 +422,9 @@ class LakehouseSession:
         that plane (SURVEY §4.3)."""
         with self._totals_mu:
             t = dict(self._totals)
-        active = sum(
-            1 for j in self._jobs.values() if j.status in ("PENDING", "RUNNING")
-        )
+        with self._jobs_mu:
+            jobs = list(self._jobs.values())
+        active = sum(1 for j in jobs if j.status in ("PENDING", "RUNNING"))
         n_queries = t["queries_completed"] + t["queries_failed"]
         commits = 0
         for name in list(self._tables):
@@ -434,20 +464,24 @@ class LakehouseSession:
         """Bound the job map: keep the newest MAX_FINISHED_JOBS finished
         jobs; evicted jobs lose their JobInfo AND their result directory
         (a long-lived server otherwise grows without bound)."""
-        finished = [
-            j for j in self._jobs.values() if j.status in ("COMPLETED", "FAILED")
-        ]
-        if len(finished) <= MAX_FINISHED_JOBS:
-            return
-        finished.sort(key=lambda j: j.finished_ms or 0)
-        for j in finished[: len(finished) - MAX_FINISHED_JOBS]:
-            self._jobs.pop(j.job_id, None)
+        with self._jobs_mu:
+            finished = [
+                j for j in self._jobs.values() if j.status in ("COMPLETED", "FAILED")
+            ]
+            if len(finished) <= MAX_FINISHED_JOBS:
+                return
+            finished.sort(key=lambda j: j.finished_ms or 0)
+            evicted = finished[: len(finished) - MAX_FINISHED_JOBS]
+            for j in evicted:
+                self._jobs.pop(j.job_id, None)
+        for j in evicted:
             path = j.extra.get("result_path")
             if path:
                 shutil.rmtree(path, ignore_errors=True)
 
     def job_status(self, job_id: str) -> JobInfo:
-        return self._jobs[job_id]
+        with self._jobs_mu:
+            return self._jobs[job_id]
 
     def job_result(self, job_id: str, timeout_s: float = 300.0) -> list[dict]:
         """Block until the async job finishes; load its rows from the
@@ -465,7 +499,8 @@ class LakehouseSession:
     def job_wait(self, job_id: str, timeout_s: float = 300.0) -> JobInfo:
         """Block until the async job leaves PENDING/RUNNING; raise on
         failure; return its JobInfo (path + preview live in .extra)."""
-        info = self._jobs[job_id]
+        with self._jobs_mu:
+            info = self._jobs[job_id]
         deadline = time.time() + timeout_s
         while info.status in ("PENDING", "RUNNING"):
             if time.time() > deadline:

@@ -723,11 +723,19 @@ class LakehouseTable:
         added or removed between the versions are read — for the common
         case (an append or a compaction-sized rewrite between nearby
         versions) the diff touches the changed files, never the table.
-        The exceptAll pair is two hash shuffles over just those rows."""
-        old_snap = self.log.snapshot(v_from)
+        The exceptAll pair is two hash shuffles over just those rows.
+
+        ``v_from=0`` is the empty pre-creation snapshot (Delta CDF's
+        ``startingVersion=0`` convention): every row in ``v_to`` is an
+        insert. It must NOT fall through to ``log.snapshot``, whose
+        0-means-latest convention would silently diff latest→v_to."""
+        if v_from < 0:
+            raise ValueError(f"v_from must be >= 0, got {v_from}")
         new_snap = self.log.snapshot(v_to)
         schema = to_spark_schema(new_snap.schema)
-        old_paths = {f.path for f in old_snap.files}
+        old_paths = (
+            set() if v_from == 0 else {f.path for f in self.log.snapshot(v_from).files}
+        )
         new_paths = {f.path for f in new_snap.files}
 
         def _scan(paths: list[str]) -> DataFrame:

@@ -53,6 +53,14 @@ def test_query_metrics_and_prometheus_counters(server, lake, spark):
     assert m["total_stages"] > 0 and m["completed_stages"] == m["total_stages"]
     assert m["duration_ms"] is not None and m["duration_ms"] >= 0
     assert m["failed_tasks"] == 0 and m["running_tasks"] == 0
+    # Reference format parity (distributed_query_executor.go:514-515):
+    # start_time/end_time are RFC3339 strings, as Go's time.Time
+    # marshals, not epoch-ms integers.
+    import re
+
+    rfc3339 = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z$"
+    assert re.match(rfc3339, m["start_time"])
+    assert re.match(rfc3339, m["end_time"])
 
     # Same payload over HTTP.
     with urllib.request.urlopen(
@@ -76,7 +84,11 @@ def test_failed_query_counted(server, lake, spark):
     job_id = lake.submit_async({"table_name": "m_t", "projection": ["nope"]})
     with pytest.raises(RuntimeError):
         lake.job_wait(job_id)
-    assert lake.query_metrics(job_id)["status"] == "failed"
+    m = lake.query_metrics(job_id)
+    assert m["status"] == "failed"
+    # A FAILED job must not claim its stages/tasks completed.
+    assert m["completed_stages"] == 0 and m["completed_tasks"] == 0
+    assert m["current_stage"] == 0
     vals = _parse(_scrape(server))
     assert vals["lakehouse_query_failures_total"] >= 1
     assert vals['lakehouse_queries_total{status="failed"}'] >= 1

@@ -234,5 +234,17 @@ def test_table_diff_over_http(server, lake, spark):
     assert out["row_count"] == 1
     assert out["rows"][0]["k"] == 3
     assert out["rows"][0]["_change_type"] == "insert"
+    assert out["truncated"] is False
+
+    # The response is bounded: ?limit=N caps serialized rows and flags
+    # the cut, so a huge diff can't OOM the driver or emit a GB of JSON.
+    out = _call(server, "GET", f"/tables/difft/diff/0/{v2}?limit=2")
+    assert out["row_count"] == 2 and out["truncated"] is True
+    _call(server, "GET", f"/tables/difft/diff/{v1}/{v2}?limit=0", expect=400)
+
+    # diff/0/N = since-creation CDC: all three rows come back as inserts.
+    out = _call(server, "GET", f"/tables/difft/diff/0/{v2}")
+    assert out["row_count"] == 3
+    assert {r["_change_type"] for r in out["rows"]} == {"insert"}
 
     _call(server, "GET", "/tables/nope/diff/1/2", expect=404)

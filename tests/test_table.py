@@ -4,6 +4,7 @@ identical pre/post compaction)."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 import mini_lakehouse_control_plane_executor_spark.table.table as table_mod
@@ -657,6 +658,16 @@ def test_version_diff_cdc(lake, spark):
     # diff(v, v) is empty; diff to latest defaults v_to=None.
     assert t.diff(v3, v3).count() == 0
     assert t.diff(v2).count() == 130
+
+    # v_from=0 is the empty pre-creation snapshot (Delta CDF's
+    # startingVersion=0): every row at v_to is an insert. It must NOT
+    # inherit log.snapshot's 0-means-latest convention, which would
+    # silently return diff(latest -> v_to).
+    d0 = t.diff(0, v2)
+    assert d0.filter(F.col("_change_type") == "insert").count() == 120
+    assert d0.filter(F.col("_change_type") == "delete").count() == 0
+    with pytest.raises(ValueError, match="v_from"):
+        t.diff(-1, v2)
 
 
 def test_version_diff_empty_across_compaction(lake, spark):
