@@ -18,6 +18,13 @@ REST route table (``pkg/coordinator/rest_api.go:44-76``):
     POST   /query                                    synchronous query
     POST   /tables/{t}/compaction                    trigger compaction
     GET    /tables/{t}/compaction/status             compaction running?
+    GET    /tables/{t}/compaction/metrics            candidate analysis
+    GET    /compaction/active                        in-flight compactions
+    DELETE /tables/{t}/compaction                    cancel (really
+                                                     interrupts the Spark
+                                                     jobs, vs the
+                                                     reference's entry
+                                                     delete)
     POST   /tables/{t}/vacuum                        retention GC (beyond ref)
     GET    /health                                   liveness
 
@@ -295,9 +302,34 @@ class LakehouseRestServer:
         }
 
     def compaction_status(self, name: str):
-        with self.lake._compact_mu:
-            running = name in self.lake._compacting
-        return 200, {"table_name": name, "running": running}
+        self._table(name)
+        return 200, self.lake.compaction_status(name)
+
+    def compaction_metrics(self, name: str):
+        """GET /tables/{t}/compaction/metrics — candidate analysis of
+        the latest snapshot (``rest_api.go:608-632``)."""
+        self._table(name)
+        return 200, self.lake.compaction_metrics(name)
+
+    def active_compactions(self):
+        """GET /compaction/active — all in-flight compactions
+        (``rest_api.go:634-656``)."""
+        comps = self.lake.active_compactions()
+        return 200, {"active_compactions": comps, "count": len(comps)}
+
+    def cancel_compaction(self, name: str):
+        """DELETE /tables/{t}/compaction — cancel a running compaction
+        (``rest_api.go:659-674``; 400 when none is active, like the
+        reference's error path)."""
+        self._table(name)
+        try:
+            self.lake.cancel_compaction(name)
+        except KeyError as exc:
+            raise _ApiError(400, str(exc))
+        return 200, {
+            "success": True,
+            "message": f"Compaction cancelled for table {name}",
+        }
 
     def vacuum(self, name: str, body: dict):
         self._table(name)
@@ -395,6 +427,17 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
         "GET",
         re.compile(r"^/tables/([A-Za-z0-9_]+)/compaction/status$"),
         "compaction_status",
+    ),
+    (
+        "GET",
+        re.compile(r"^/tables/([A-Za-z0-9_]+)/compaction/metrics$"),
+        "compaction_metrics",
+    ),
+    ("GET", re.compile(r"^/compaction/active$"), "active_compactions"),
+    (
+        "DELETE",
+        re.compile(r"^/tables/([A-Za-z0-9_]+)/compaction$"),
+        "cancel_compaction",
     ),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/vacuum$"), "vacuum"),
     ("GET", re.compile(r"^/tables/([A-Za-z0-9_]+)/diff/(\d+)/(\d+)$"), "table_diff"),

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mini_lakehouse_control_plane_executor_spark.plans.query import SimpleQuery, apply_query
 from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+from mini_lakehouse_control_plane_executor_spark.table import table as table_module
 from mini_lakehouse_control_plane_executor_spark.table.table import LakehouseTable
 
 
@@ -88,7 +89,10 @@ class LakehouseSession:
         # writer (the job's own thread), readers tolerate staleness.
         self._jobs_mu = threading.Lock()
         self._tables: dict[str, LakehouseTable] = {}
-        self._compacting: set[str] = set()
+        # name -> {"txn_id", "started_ms", "status"} while a compaction
+        # runs (the reference's activeCompactions map,
+        # compaction_service.go:907-923).
+        self._compacting: dict[str, dict] = {}
         self._compact_mu = threading.Lock()
         self._compact_slots = threading.BoundedSemaphore(COMPACT_MAX_CONCURRENT)
         # Cumulative observability counters (pkg/observability/metrics.go):
@@ -217,23 +221,111 @@ class LakehouseSession:
         COMPACT_MAX_CONCURRENT compactions session-wide, and the
         ShouldCompact ratio trigger (skipped with ``force=True``).
         Returns the new version, or None if skipped / nothing to do."""
+        txn_id = f"compact-{uuid.uuid4()}"
         with self._compact_mu:
             if name in self._compacting:
                 raise RuntimeError(f"compaction already in progress for {name!r}")
-            self._compacting.add(name)
+            self._compacting[name] = {
+                "txn_id": txn_id,
+                "started_ms": int(time.time() * 1000),
+                "status": "RUNNING",
+            }
+        sc = self.spark.sparkContext
         try:
             with self._compact_slots:
                 t = self.table(name)
                 if not force and not t.should_compact():
                     return None
-                version = t.compact()
+                # Tag the rewrite's Spark jobs so cancel_compaction can
+                # kill them mid-flight (real cancellation — the commit
+                # is atomic and last, so a cancelled rewrite leaves the
+                # table untouched; the reference's cancel only drops
+                # the bookkeeping entry, compaction_service.go:916-919).
+                sc.setJobGroup(f"compaction-{name}", txn_id, interruptOnCancel=True)
+                try:
+                    version = t.compact()
+                finally:
+                    sc.setLocalProperty("spark.jobGroup.id", None)
                 if version is not None:
                     with self._totals_mu:
                         self._totals["compactions"] += 1
                 return version
         finally:
             with self._compact_mu:
-                self._compacting.discard(name)
+                self._compacting.pop(name, None)
+
+    def compaction_status(self, name: str) -> dict:
+        """Per-table compaction status (rest_api.go:580-605): running
+        flag, plus txn/start/duration detail while one is in flight."""
+        self.table(name)
+        with self._compact_mu:
+            entry = dict(self._compacting.get(name) or {})
+        out = {"table_name": name, "running": bool(entry)}
+        if entry:
+            now_ms = int(time.time() * 1000)
+            out.update(
+                txn_id=entry["txn_id"],
+                status=entry["status"],
+                start_time=_rfc3339(entry["started_ms"]),
+                duration_ms=now_ms - entry["started_ms"],
+            )
+        return out
+
+    def active_compactions(self) -> list[dict]:
+        """All in-flight compactions session-wide (rest_api.go:634-656)."""
+        with self._compact_mu:
+            entries = {n: dict(e) for n, e in self._compacting.items()}
+        now_ms = int(time.time() * 1000)
+        return [
+            {
+                "table_name": n,
+                "txn_id": e["txn_id"],
+                "status": e["status"],
+                "start_time": _rfc3339(e["started_ms"]),
+                "duration_ms": now_ms - e["started_ms"],
+            }
+            for n, e in sorted(entries.items())
+        ]
+
+    def cancel_compaction(self, name: str) -> None:
+        """Cancel a running compaction (rest_api.go:659-674). Raises
+        KeyError when none is active for the table. Unlike the
+        reference (which only deletes the bookkeeping entry), this
+        interrupts the rewrite's Spark jobs via the job group; the
+        OCC commit is the final atomic step, so the cancelled run
+        cannot have changed the table."""
+        with self._compact_mu:
+            entry = self._compacting.get(name)
+            if entry is None:
+                raise KeyError(f"no active compaction found for table {name}")
+            entry["status"] = "CANCELLED"
+        self.spark.sparkContext.cancelJobGroup(f"compaction-{name}")
+
+    def compaction_metrics(self, name: str) -> dict:
+        """Compaction-candidate analysis of the LATEST snapshot
+        (CompactionMetrics, compaction_service.go:224-289): small-file
+        counts/bytes, the ShouldCompact verdict, and the reference's
+        potential-savings estimate (bin-packed groups recompress to
+        ~90% of their input, compaction_service.go:203-211)."""
+        t = self.table(name)
+        snap = t.snapshot()
+        small = [f for f in snap.files if f.size < table_module.COMPACT_MIN_FILE_SIZE]
+        total_size = sum(f.size for f in snap.files)
+        small_size = sum(f.size for f in small)
+        groups = t.compaction_candidates(snap)
+        savings = int(sum(sum(f.size for f in g) for g in groups) * 0.1)
+        return {
+            "table_name": name,
+            "version": snap.version,
+            "total_files": len(snap.files),
+            "small_files": len(small),
+            "compaction_needed": t.should_compact(snap),
+            "total_size_bytes": total_size,
+            "small_files_size_bytes": small_size,
+            "average_small_file_size": small_size // len(small) if small else 0,
+            "potential_savings_bytes": savings,
+            "timestamp": _rfc3339(int(time.time() * 1000)),
+        }
 
     # -- queries -------------------------------------------------------
 

@@ -149,6 +149,71 @@ def test_versions_compaction_vacuum_drop_over_http(server, spark, tmp_path):
     _call(server, "GET", "/tables/t2", expect=404)
 
 
+def test_compaction_admin_over_http(server, lake, spark):
+    """Admin-surface parity with the reference's CompactionAPI
+    (rest_api.go:515-521): candidate metrics, session-wide active list,
+    and cancel — including the error paths (cancel with nothing
+    running → 400, like the reference's CancelCompaction error)."""
+    _call(server, "POST", "/tables", {"name": "ca", "schema": SCHEMA_API})
+    for i in range(3):
+        rows = [dict(r, id=r["id"] + 100 * i) for r in ROWS]
+        _call(server, "POST", "/tables/ca/insert", {"rows": rows})
+
+    m = _call(server, "GET", "/tables/ca/compaction/metrics")
+    assert m["table_name"] == "ca" and m["version"] == 4
+    assert m["total_files"] >= 3 and m["small_files"] >= 3
+    assert m["compaction_needed"] is True
+    assert m["small_files_size_bytes"] > 0 and m["total_size_bytes"] > 0
+    assert m["average_small_file_size"] > 0
+    assert m["potential_savings_bytes"] > 0  # groups exist → 10% estimate
+    assert m["timestamp"].endswith("Z")
+    _call(server, "GET", "/tables/nope/compaction/metrics", expect=404)
+
+    # Nothing running: active list empty, cancel is a 400.
+    out = _call(server, "GET", "/compaction/active")
+    assert out == {"active_compactions": [], "count": 0}
+    _call(server, "DELETE", "/tables/ca/compaction", expect=400)
+
+    # Hold a compaction in flight (stub blocks where the rewrite would
+    # run) and drive status / active / cancel against it.
+    import threading
+
+    entered, release = threading.Event(), threading.Event()
+    t = lake.table("ca")
+    real_compact = t.compact
+
+    def blocking_compact():
+        entered.set()
+        release.wait(10)
+        return None
+
+    t.compact = blocking_compact
+    try:
+        worker = threading.Thread(target=lambda: lake.compact("ca", force=True))
+        worker.start()
+        assert entered.wait(10)
+        st = _call(server, "GET", "/tables/ca/compaction/status")
+        assert st["running"] is True and st["status"] == "RUNNING"
+        assert st["txn_id"].startswith("compact-") and st["duration_ms"] >= 0
+        act = _call(server, "GET", "/compaction/active")
+        assert act["count"] == 1
+        assert act["active_compactions"][0]["table_name"] == "ca"
+        out = _call(server, "DELETE", "/tables/ca/compaction")
+        assert out["success"] is True
+        assert _call(server, "GET", "/tables/ca/compaction/status")["status"] == "CANCELLED"
+        release.set()
+        worker.join(10)
+    finally:
+        release.set()
+        t.compact = real_compact
+    assert not _call(server, "GET", "/tables/ca/compaction/status")["running"]
+
+    # After the dust settles the real compaction still works and the
+    # table is untouched by the cancelled run.
+    out = _call(server, "POST", "/tables/ca/compaction", {"force": True})
+    assert out["success"] and out["new_version"] == 5
+
+
 def test_sql_over_http(server, spark):
     """POST /sql runs real SQL (incl. joins/aggregates) over snapshot
     views, with optional version pinning."""
