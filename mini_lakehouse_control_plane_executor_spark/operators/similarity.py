@@ -254,7 +254,19 @@ def ivf_topk(
     Scale shape: assignment is a MAP-ONLY argmax against the broadcast
     centroid array (no shuffle of the corpus — see `_nearest_centroid`);
     the probe join is broadcast; the only data shuffle is the per-query
-    top-k window over |corpus|·n_probe/n_centroids candidates."""
+    top-k window over |corpus|·n_probe/n_centroids candidates.
+
+    Bench-constant note (r5 profile, sf0.1): the embeddings table at
+    bench SF is 2k rows, so wall-clock there is ~90% Catalyst
+    plan+codegen of the two wide expression trees (the dim-component
+    mean aggregate in `kmeans_refine` ~1.3s, the n_centroids×dim argmax
+    scan ~1.1s measured standalone; the data pass itself is
+    milliseconds). That one-time compile constant is what moved
+    BENCH_r04 over r02 (+0.4s) when assignment switched from
+    crossJoin+groupBy to the broadcast argmax — the trade removes a
+    corpus-wide shuffle PER QUERY at scale, where the constant
+    amortizes to nothing. Do not "fix" this by shrinking the
+    expressions back into a shuffle."""
     corpus = df.select(
         F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("c_vec")
     ).withColumn("c_nrm", norm(F.col("c_vec")))

@@ -1161,7 +1161,11 @@ def events_sessionize(spark, sf_dir):
     """Sessionization as gaps-and-islands: a new session starts after
     >30 min of user inactivity. One window shuffle on user_id — the batch
     twin of streaming/windows.sessionize_stream (which uses
-    F.session_window state merging instead)."""
+    F.session_window state merging instead).
+
+    r5 profile note: BENCH_r04's +33% vs r02 (0.88→1.16s) was box
+    co-tenancy drift, not the r4 NTZ-normalization cast — standalone
+    min-of-3 at sf0.1 re-measures 0.83s on the cast-bearing code."""
     e = _load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(us, "event_id")
@@ -4004,7 +4008,18 @@ def hard_negative_mining(spark, sf_dir):
     embedding-model trainer pairs with each anchor. Same shape as
     brute-force ANN (anchors broadcast, corpus streams, per-anchor
     top-k window) plus the label-mismatch predicate; self-matches are
-    excluded for free since an anchor shares its own label."""
+    excluded for free since an anchor shares its own label.
+
+    CONTRACT — small anchor set: the anchors are broadcast, so this
+    shape holds only while |anchors| fits a broadcast (same contract as
+    ``matmul_topk``, ``operators/similarity.py:402``); cost is
+    O(|corpus|·|anchors|) map work with no corpus shuffle. When the
+    anchor set IS the corpus (mine negatives for every training
+    example), this degenerates to all-pairs — use the LSH-blocked
+    route instead: ``embedding_neardup_lsh``'s banded candidate
+    generation (``operators/similarity.py:333``) with the label
+    predicate applied to candidates, which keeps the pair set bounded
+    by bucket collisions exactly as near-dup mining does."""
     e = _load(spark, sf_dir, "embeddings")
     q = (
         e.filter(F.col("vec_id") < 10)
