@@ -127,13 +127,15 @@ def test_compaction_trigger_and_exclusion(lake, spark):
     # Per-table mutual exclusion: a second compact while one is "running"
     # is refused rather than queued.
     with lake._compact_mu:
-        lake._compacting.add("guard")
+        lake._compacting["guard"] = {
+            "txn_id": "compact-test", "started_ms": 0, "status": "RUNNING",
+        }
     try:
         with pytest.raises(RuntimeError, match="in progress"):
             lake.compact("guard")
     finally:
         with lake._compact_mu:
-            lake._compacting.discard("guard")
+            lake._compacting.pop("guard", None)
 
     # Unknown table still raises cleanly through the guard.
     with pytest.raises(KeyError):
