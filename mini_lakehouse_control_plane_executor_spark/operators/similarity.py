@@ -342,6 +342,31 @@ def brute_force_pairs(
     )
 
 
+def _band_keys(vec_col: str, planes, bands: int, rows_per_band: int) -> Column:
+    """Array of per-band sign-LSH bucket keys: bit i of band b's key is
+    sign(vec · plane[b·r+i]) — the AND-construction inside each band,
+    OR'd across bands by the caller's posexplode + equi-join."""
+    return F.array(
+        *[
+            sum(
+                (
+                    F.when(
+                        dot(
+                            F.col(vec_col),
+                            F.array(*[F.lit(c) for c in planes[b * rows_per_band + i]]),
+                        )
+                        > 0,
+                        F.lit(1 << i),
+                    ).otherwise(F.lit(0))
+                    for i in range(rows_per_band)
+                ),
+                F.lit(0),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -368,26 +393,12 @@ def neardup_pairs(
     v = df.select(
         F.col(id_col).alias("doc_id"), _as_double(F.col(vec_col)).alias("vec")
     ).withColumn("nrm", norm(F.col("vec")))
-    band_keys = F.array(
-        *[
-            sum(
-                (
-                    F.when(
-                        dot(
-                            F.col("vec"),
-                            F.array(*[F.lit(c) for c in planes[b * rows_per_band + i]]),
-                        )
-                        > 0,
-                        F.lit(1 << i),
-                    ).otherwise(F.lit(0))
-                    for i in range(rows_per_band)
-                ),
-                F.lit(0),
-            )
-            for b in range(bands)
-        ]
+    bk = v.select(
+        "doc_id",
+        F.posexplode(_band_keys("vec", planes, bands, rows_per_band)).alias(
+            "band", "bk"
+        ),
     )
-    bk = v.select("doc_id", F.posexplode(band_keys).alias("band", "bk"))
     l = bk.alias("l")
     r = bk.alias("r")
     cands = (
@@ -408,6 +419,82 @@ def neardup_pairs(
         .join(b_, "id2")
         .select("id1", "id2", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
+    )
+
+
+def lsh_hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus-scale hard-negative mining: for EVERY vector, the top-k
+    most-similar vectors with a different label, candidates restricted
+    to banded sign-LSH bucket collisions — the scale path the
+    brute-force ``hard_negative_mining`` query documents for anchor
+    sets too large to broadcast (its contract allows broadcast anchors
+    only). Hard negatives are by definition high-cosine pairs, which is
+    exactly what LSH buckets surface, so the approximation loses only
+    low-similarity (easy) negatives.
+
+    100 TB shape mirrors ``neardup_pairs``: one (band, key) equi
+    self-join over bare ids (directed — both (a,b) and (b,a) survive,
+    since each side is someone's anchor), distinct BEFORE the vectors
+    re-join, label-mismatch applied with the verification join, then
+    one per-anchor top-k window. No broadcast of the anchor set, no
+    all-pairs anywhere; skew is bounded by true bucket density."""
+    planes = hyperplanes(bands * rows_per_band, dim)
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).withColumn("nrm", norm(F.col("vec")))
+    bk = v.select(
+        "vid",
+        F.posexplode(_band_keys("vec", planes, bands, rows_per_band)).alias(
+            "band", "bk"
+        ),
+    )
+    l = bk.alias("l")
+    r = bk.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bk") == F.col("r.bk"))
+            & (F.col("l.vid") != F.col("r.vid")),
+        )
+        .select(F.col("l.vid").alias("q_id"), F.col("r.vid").alias("c_id"))
+        .distinct()
+    )
+    qa = v.select(
+        F.col("vid").alias("q_id"),
+        F.col("lbl").alias("q_lbl"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cb = v.select(
+        F.col("vid").alias("c_id"),
+        F.col("lbl").alias("c_lbl"),
+        F.col("vec").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        cands.join(qa, "q_id")
+        .join(cb, "c_id")
+        .filter(F.col("q_lbl") != F.col("c_lbl"))
+        .select("q_id", "c_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", "rank")
     )
 
 

@@ -4052,6 +4052,186 @@ def hard_negative_mining(spark, sf_dir):
     )
 
 
+def _hard_neg_lsh_oracle(
+    bands: int = 4, rows_per_band: int = 4, dim: int = 64, k: int = 3
+) -> str:
+    planes = _sim.hyperplanes(bands * rows_per_band, dim)
+    band_selects = []
+    for b in range(bands):
+        key = "\n        + ".join(
+            f"(CASE WHEN list_dot_product(v, {_sql_plane(planes[b * rows_per_band + i])}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(rows_per_band)
+        )
+        band_selects.append(f"SELECT vec_id, {b} AS band, {key} AS bk FROM base")
+    bk_union = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (
+  {bk_union}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id,
+         round(list_cosine_similarity(qa.v, cb.v), 6) AS sim
+  FROM cand JOIN base qa ON cand.q_id = qa.vec_id
+            JOIN base cb ON cand.c_id = cb.vec_id
+  WHERE qa.label <> cb.label
+),
+ranked AS (
+  SELECT q_id, c_id, sim,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
+@query("hard_negative_mining_lsh", oracle=_hard_neg_lsh_oracle())
+def hard_negative_mining_lsh(spark, sf_dir):
+    """The SCALE PATH of hard-negative mining: every corpus vector is
+    an anchor (no broadcast-anchor contract — contrast
+    ``hard_negative_mining``), candidates restricted to banded
+    hyperplane-LSH bucket collisions, exactly the blocking
+    ``embedding_neardup_lsh`` uses. Hard negatives are by definition
+    the high-cosine different-label pairs, which is precisely what LSH
+    buckets surface — the approximation only drops easy negatives.
+    One directed (band, key) self-join over bare ids, candidates
+    distinct'd before vectors re-join, one per-anchor top-k window
+    (see operators/similarity.py::lsh_hard_negatives)."""
+    e = _load(spark, sf_dir, "embeddings")
+    return _sim.lsh_hard_negatives(
+        e, "vec_id", "embedding", "label", k=3, bands=4, rows_per_band=4, dim=64
+    ).orderBy("q_id", "rank")
+
+
+_BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '\\w+') AS ws
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, source,
+         ws[gi] || ' ' || ws[gi + 1] || ' ' || ws[gi + 2] AS gram
+  FROM toks, unnest(range(1, len(ws) - 1)) AS t(gi)
+  WHERE len(ws) >= 3
+),
+df AS (
+  SELECT source, gram, CAST(count(*) AS BIGINT) AS doc_freq
+  FROM g GROUP BY source, gram
+),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+SELECT df.source, df.gram, df.doc_freq,
+       round(df.doc_freq * 1.0 / tot.n_docs, 6) AS df_frac
+FROM df JOIN tot ON df.source = tot.source
+ORDER BY df.doc_freq DESC, df.source, df.gram
+LIMIT 20
+"""
+
+
+@query("boilerplate_ngrams", oracle=_BOILERPLATE_SQL)
+def boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate detection: the word trigrams that recur across the
+    most documents of a source (navigation chrome, license headers,
+    template text — the shingles a crawl-cleaning pipeline strips
+    before training). Doc-frequency, not term-frequency: each doc's
+    DISTINCT trigrams (``shingles_from_tokens`` — the same
+    materialize-then-explode discipline as MinHash, see
+    operators/dedup.py) count once, so a doc repeating its own chrome
+    doesn't inflate the signal.
+
+    100 TB shape: one O(corpus tokens) explode into ONE (source, gram)
+    count shuffle with map-side combine, a broadcast join against the
+    tiny per-source doc totals, and TakeOrderedAndProject for the
+    top-20 — no window, no global sort."""
+    d = _load(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id", "source", _text.tokens(F.col("text")).alias("toks")
+        )
+        .select(
+            "doc_id",
+            "source",
+            _dedup.shingles_from_tokens(F.col("toks"), 3).alias("sh"),
+        )
+        .select("source", F.explode("sh").alias("gram"))
+    )
+    df_counts = grams.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        df_counts.join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "gram",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.col("n_docs"), 6).alias("df_frac"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "source", "gram")
+        .limit(20)
+    )
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH t AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(lower(text), '\\w+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+z AS (SELECT sum(pow(n_tokens, 0.3)) AS z, sum(n_tokens) AS tot FROM t)
+SELECT t.source, t.n_tokens,
+       round(pow(t.n_tokens, 0.3) / z.z, 6) AS weight,
+       round((pow(t.n_tokens, 0.3) / z.z) / (t.n_tokens * 1.0 / z.tot), 6)
+         AS oversample
+FROM t, z ORDER BY t.source
+"""
+
+
+@query("temperature_mix_weights", oracle=_TEMPERATURE_MIX_SQL)
+def temperature_mix_weights(spark, sf_dir):
+    """Multinomial temperature sampling over sources — the standard
+    corpus-mix recipe (multilingual-corpus style, alpha = 0.3): source
+    i is drawn with weight n_i^alpha / sum_j n_j^alpha, flattening the
+    natural token distribution so small sources aren't drowned.
+    ``oversample`` is the up/down-sampling factor vs the natural mix
+    (weight / natural share) — >1 means the mix repeats that source's
+    tokens.
+
+    100 TB shape: ONE map-side-combinable token-count aggregate over
+    the corpus; everything after operates on |sources| rows with a
+    1-row broadcast of the normalizers. This is the cheapest possible
+    pass over the data — the same scan the token-budget mix uses."""
+    alpha = 0.3
+    d = _load(spark, sf_dir, "documents")
+    t = (
+        d.select("source", _text.token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_tokens"))
+    )
+    z = t.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("z"),
+        F.sum("n_tokens").cast("double").alias("tot"),
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("z")
+    return (
+        t.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(w, 6).alias("weight"),
+            F.round(w / (F.col("n_tokens") / F.col("tot")), 6).alias("oversample"),
+        )
+        .orderBy("source")
+    )
+
+
 _CORRELATION_SQL = """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
@@ -4113,18 +4293,21 @@ def events_correlation(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # round 5: the 5 queries that have NEVER received a driver verdict
-    # lead (r4 flagships; the header rule — never-verified first — now
-    # actually applied), then the two r02-stale scans that overflowed
-    # the r4 window, then the r03-green set (2 rounds stale after this
-    # window). The r04-green set just re-attested rotates to the back
-    # and re-enters in r6. 5 + 2 + 43 fill the 50-slot window; the 4
-    # r03 overflow entries sit at positions 51-54 for r6.
+    # round 5: never-driver-verified queries lead (the 5 r4 flagships,
+    # then the 3 new r5 ones — the header rule, now actually applied),
+    # then the two r02-stale scans that overflowed the r4 window, then
+    # the r03-green set (2 rounds stale after this window). The
+    # r04-green set just re-attested rotates to the back and re-enters
+    # in r6. 8 + 2 + 40 fill the 50-slot window; the 7 r03 overflow
+    # entries sit at positions 51-57 for r6.
     "unigram_lm_surprisal",  # never driver-verified (r4 addition)
     "embedding_neardup_lsh",  # never driver-verified (r4 addition)
     "semantic_dedup_clusters",  # never driver-verified (r4 addition)
     "hard_negative_mining",  # never driver-verified (r4 addition)
     "events_correlation",  # never driver-verified (r4 addition)
+    "hard_negative_mining_lsh",  # new in r5
+    "boilerplate_ngrams",  # new in r5
+    "temperature_mix_weights",  # new in r5
     "scan_full",  # verdict stale since r02
     "project_columns",  # verdict stale since r02
     # r03-green set, r03 verdict order (minus events_dedup_distinct and
@@ -4170,11 +4353,11 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_label_centroids",
     "langid_confusion",
     "events_cohort_retention",
+    # positions 51-57: r03-green overflow — first in line for the r6
+    # window; locally guarded by tests/test_oracle_parity.py every run.
     "part_cooccurrence",
     "dedup_duplicate_clusters",
     "repetition_gate",
-    # positions 51-54: r03-green overflow — first in line for the r6
-    # window; locally guarded by tests/test_oracle_parity.py every run.
     "dup_span_fraction",
     "ann_cosine_matmul",
     "length_trim_per_lang",
