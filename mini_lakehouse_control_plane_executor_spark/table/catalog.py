@@ -19,6 +19,7 @@ from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mini_lakehouse_control_plane_executor_spark.observability import log as _slog
 from mini_lakehouse_control_plane_executor_spark.plans.query import SimpleQuery, apply_query
 from mini_lakehouse_control_plane_executor_spark.table.schema import Field
 from mini_lakehouse_control_plane_executor_spark.table import table as table_module
@@ -115,6 +116,7 @@ class LakehouseSession:
     def create_table(self, name: str, fields: list[Field]) -> LakehouseTable:
         t = LakehouseTable.create(self.spark, self.root, name, fields)
         self._tables[name] = t
+        _slog.with_table_name(name).info("table_created", n_fields=len(fields))
         return t
 
     def create_table_as(
@@ -241,14 +243,19 @@ class LakehouseSession:
                 # is atomic and last, so a cancelled rewrite leaves the
                 # table untouched; the reference's cancel only drops
                 # the bookkeeping entry, compaction_service.go:916-919).
+                clog = _slog.with_table_name(name).with_txn_id(txn_id)
+                clog.info("compaction_started")
                 sc.setJobGroup(f"compaction-{name}", txn_id, interruptOnCancel=True)
                 try:
-                    version = t.compact()
+                    version = t.compact(txn_id=txn_id)
                 finally:
                     sc.setLocalProperty("spark.jobGroup.id", None)
                 if version is not None:
                     with self._totals_mu:
                         self._totals["compactions"] += 1
+                    clog.with_version(version).info("compaction_completed")
+                else:
+                    clog.info("compaction_skipped")
                 return version
         finally:
             with self._compact_mu:
@@ -299,6 +306,9 @@ class LakehouseSession:
             if entry is None:
                 raise KeyError(f"no active compaction found for table {name}")
             entry["status"] = "CANCELLED"
+        _slog.with_table_name(name).with_txn_id(entry["txn_id"]).warning(
+            "compaction_cancelled"
+        )
         self.spark.sparkContext.cancelJobGroup(f"compaction-{name}")
 
     def compaction_metrics(self, name: str) -> dict:
@@ -405,6 +415,7 @@ class LakehouseSession:
             self._jobs[job_id] = JobInfo(
                 job_id, "PENDING", started_ms=int(time.time() * 1000)
             )
+        _slog.with_job_id(job_id).with_table_name(q.table_name).info("job_submitted")
         threading.Thread(
             target=self._run_job, args=(job_id, q), daemon=True
         ).start()
@@ -453,6 +464,19 @@ class LakehouseSession:
             info.error = str(exc)
         finally:
             info.finished_ms = int(time.time() * 1000)
+            jlog = (
+                _slog.with_job_id(job_id)
+                .with_table_name(q.table_name)
+                .with_duration_ms(info.finished_ms - info.started_ms)
+            )
+            if info.status == "COMPLETED":
+                jlog.info(
+                    "job_completed",
+                    output_rows=info.metrics.get("output_rows", 0),
+                    num_tasks=info.metrics.get("num_tasks", 0),
+                )
+            else:
+                jlog.with_error(info.error or "").error("job_failed")
             self._record_job_totals(info)
             self._evict_finished_jobs()
 

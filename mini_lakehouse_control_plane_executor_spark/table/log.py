@@ -365,8 +365,12 @@ class TransactionLog:
             if existing is not None:
                 return existing
 
+        from mini_lakehouse_control_plane_executor_spark.observability import log as _slog
+
+        clog = _slog.with_table_name(os.path.basename(self.table_dir)).with_txn_id(txn_id)
         latest = self.latest_version()
         if base_version != latest:
+            clog.warning("commit_conflict", base_version=base_version, latest=latest)
             raise CommitConflictError(base_version, latest)
 
         # Validate against the pre-image (pkg/metadata/state.go:198-243).
@@ -400,9 +404,15 @@ class TransactionLog:
             os.link(tmp, path)
         except FileExistsError:
             # Lost the race: someone committed this version concurrently.
+            clog.warning(
+                "commit_conflict", base_version=base_version, lost_link_race=True
+            )
             raise CommitConflictError(base_version, self.latest_version())
         finally:
             os.unlink(tmp)
+        clog.with_version(entry.version).info(
+            "commit_applied", adds=len(adds), removes=len(removes)
+        )
 
         # Fold the committed entry into the cache and checkpoint on the
         # interval boundary so later readers replay a bounded suffix.

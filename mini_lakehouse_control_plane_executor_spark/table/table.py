@@ -868,7 +868,7 @@ class LakehouseTable:
             groups.append(cur)
         return [g for g in groups if len(g) >= 2]
 
-    def compact(self) -> int | None:
+    def compact(self, txn_id: str | None = None) -> int | None:
         """Rewrite small files into big ones; atomic adds+removes commit;
         on OCC conflict re-plan from the fresh snapshot and retry ≤3
         (``compaction_service.go:336-496,712-820``). Old versions remain
@@ -879,10 +879,14 @@ class LakehouseTable:
             groups = self.compaction_candidates(snap)
             if not groups:
                 return None
-            txn_id = f"compact-{uuid.uuid4()}"
+            # Caller-supplied txn id (the session's compaction run id,
+            # so log/status/commit lines correlate) is safe to REUSE
+            # across OCC retries: a conflicted attempt never registered
+            # the txn, and its staging dir was already swept.
+            txn = txn_id or f"compact-{uuid.uuid4()}"
             adds: list[FileAdd] = []
             removes: list[str] = []
-            stage = os.path.join(self.tmp_dir, txn_id)
+            stage = os.path.join(self.tmp_dir, txn)
             schema = to_spark_schema(snap.schema)
             for gi, group in enumerate(groups):
                 paths = [os.path.join(self.dir, f.path) for f in group]
@@ -897,7 +901,7 @@ class LakehouseTable:
                 removes.extend(f.path for f in group)
             shutil.rmtree(stage, ignore_errors=True)
             try:
-                return self.log.commit(snap.version, txn_id, snap.schema, adds, removes)
+                return self.log.commit(snap.version, txn, snap.schema, adds, removes)
             except CommitConflictError:
                 # Another writer advanced the table: drop our rewrite
                 # output and re-plan against the new snapshot.
