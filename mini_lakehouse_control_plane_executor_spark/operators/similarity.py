@@ -498,6 +498,72 @@ def lsh_hard_negatives(
     )
 
 
+def lsh_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space decontamination: for each TRAIN vector, the max
+    cosine to any EVAL vector among banded sign-LSH bucket collisions —
+    the embedding counterpart of n-gram decontamination (a train doc
+    paraphrasing an eval doc shares no 8-gram but sits next to it in
+    embedding space). Returns (t_id, max_eval_sim, n_eval_hits,
+    flagged) for train vectors with ≥1 colliding eval candidate;
+    ``flagged`` = max_eval_sim ≥ threshold.
+
+    100 TB shape: the eval side is usually tiny but is NOT assumed
+    broadcastable — both sides band into the same (band, key) space and
+    meet in ONE equi join whose cost is the sum of per-bucket
+    train×eval products; candidates are distinct'd as bare id pairs
+    before the vectors re-join. Same blocking recall argument as
+    near-dup: contamination IS high-cosine, which is what buckets
+    surface."""
+    planes = hyperplanes(bands * rows_per_band, dim)
+
+    def _bk(df: DataFrame, tag: str) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(f"{tag}_id"), _as_double(F.col(vec_col)).alias("vec")
+        )
+        return v.select(
+            f"{tag}_id",
+            F.posexplode(_band_keys("vec", planes, bands, rows_per_band)).alias(
+                "band", "bk"
+            ),
+        )
+
+    cands = (
+        _bk(train, "t")
+        .join(_bk(evalset, "e"), ["band", "bk"])
+        .select("t_id", "e_id")
+        .distinct()
+    )
+    tv = train.select(
+        F.col(id_col).alias("t_id"), _as_double(F.col(vec_col)).alias("t_vec")
+    ).withColumn("t_nrm", norm(F.col("t_vec")))
+    ev = evalset.select(
+        F.col(id_col).alias("e_id"), _as_double(F.col(vec_col)).alias("e_vec")
+    ).withColumn("e_nrm", norm(F.col("e_vec")))
+    sim = F.round(
+        dot(F.col("t_vec"), F.col("e_vec")) / (F.col("t_nrm") * F.col("e_nrm")), 6
+    )
+    return (
+        cands.join(tv, "t_id")
+        .join(ev, "e_id")
+        .select("t_id", sim.alias("sim"))
+        .groupBy("t_id")
+        .agg(
+            F.max("sim").alias("max_eval_sim"),
+            F.count(F.lit(1)).alias("n_eval_hits"),
+        )
+        .withColumn("flagged", F.col("max_eval_sim") >= F.lit(threshold))
+    )
+
+
 def matmul_topk(
     df: DataFrame,
     id_col: str,

@@ -4179,6 +4179,68 @@ def boilerplate_ngrams(spark, sf_dir):
     )
 
 
+def _emb_decon_oracle(
+    bands: int = 4, rows_per_band: int = 4, dim: int = 64, threshold: float = 0.45
+) -> str:
+    planes = _sim.hyperplanes(bands * rows_per_band, dim)
+    band_selects = []
+    for b in range(bands):
+        key = "\n        + ".join(
+            f"(CASE WHEN list_dot_product(v, {_sql_plane(planes[b * rows_per_band + i])}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT vec_id, is_eval, {b} AS band, {key} AS bk FROM base"
+        )
+    bk_union = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH base AS (
+  SELECT vec_id, vec_id % 20 = 0 AS is_eval, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+bk AS (
+  {bk_union}
+),
+cand AS (
+  SELECT DISTINCT t.vec_id AS t_id, e.vec_id AS e_id
+  FROM bk t JOIN bk e
+    ON t.band = e.band AND t.bk = e.bk AND NOT t.is_eval AND e.is_eval
+),
+scored AS (
+  SELECT cand.t_id,
+         round(list_cosine_similarity(tv.v, ev.v), 6) AS sim
+  FROM cand JOIN base tv ON cand.t_id = tv.vec_id
+            JOIN base ev ON cand.e_id = ev.vec_id
+)
+SELECT t_id, max(sim) AS max_eval_sim,
+       CAST(count(*) AS BIGINT) AS n_eval_hits,
+       max(sim) >= {threshold} AS flagged
+FROM scored GROUP BY t_id ORDER BY t_id
+"""
+
+
+@query("embedding_decontamination", oracle=_emb_decon_oracle())
+def embedding_decontamination(spark, sf_dir):
+    """Embedding-space train/eval decontamination — the semantic
+    counterpart of ``decontamination_ngram_overlap``: a train document
+    paraphrasing an eval document shares no 8-gram but sits next to it
+    in embedding space, so modern pipelines gate on embedding cosine
+    too. Eval set = vec_id % 20 == 0 (a deterministic ~5% holdout);
+    each remaining train vector reports its max cosine to any colliding
+    eval vector and a flag at ≥0.45 (the corpus's planted-near-dup
+    threshold). Candidates come from the same banded sign-LSH blocking
+    as near-dup — one bipartite (band, key) equi join, never
+    train×eval (see operators/similarity.py::lsh_decontaminate)."""
+    e = _load(spark, sf_dir, "embeddings")
+    evalset = e.filter(F.col("vec_id") % 20 == 0)
+    train = e.filter(F.col("vec_id") % 20 != 0)
+    return _sim.lsh_decontaminate(
+        train, evalset, "vec_id", "embedding",
+        threshold=0.45, bands=4, rows_per_band=4, dim=64,
+    ).orderBy("t_id")
+
+
 _TEMPERATURE_MIX_SQL = """
 WITH t AS (
   SELECT source,
@@ -4298,8 +4360,8 @@ DRIVER_PRIORITY: list[str] = [
     # then the two r02-stale scans that overflowed the r4 window, then
     # the r03-green set (2 rounds stale after this window). The
     # r04-green set just re-attested rotates to the back and re-enters
-    # in r6. 8 + 2 + 40 fill the 50-slot window; the 7 r03 overflow
-    # entries sit at positions 51-57 for r6.
+    # in r6. 9 + 2 + 39 fill the 50-slot window; the 8 r03 overflow
+    # entries sit at positions 51-58 for r6.
     "unigram_lm_surprisal",  # never driver-verified (r4 addition)
     "embedding_neardup_lsh",  # never driver-verified (r4 addition)
     "semantic_dedup_clusters",  # never driver-verified (r4 addition)
@@ -4308,6 +4370,7 @@ DRIVER_PRIORITY: list[str] = [
     "hard_negative_mining_lsh",  # new in r5
     "boilerplate_ngrams",  # new in r5
     "temperature_mix_weights",  # new in r5
+    "embedding_decontamination",  # new in r5
     "scan_full",  # verdict stale since r02
     "project_columns",  # verdict stale since r02
     # r03-green set, r03 verdict order (minus events_dedup_distinct and
@@ -4352,9 +4415,9 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_filter_shard_pipeline",
     "embedding_label_centroids",
     "langid_confusion",
-    "events_cohort_retention",
-    # positions 51-57: r03-green overflow — first in line for the r6
+    # positions 51-58: r03-green overflow — first in line for the r6
     # window; locally guarded by tests/test_oracle_parity.py every run.
+    "events_cohort_retention",
     "part_cooccurrence",
     "dedup_duplicate_clusters",
     "repetition_gate",
