@@ -96,6 +96,7 @@ class LakehouseSession:
         self._compacting: dict[str, dict] = {}
         self._compact_mu = threading.Lock()
         self._compact_slots = threading.BoundedSemaphore(COMPACT_MAX_CONCURRENT)
+        self._sql_mu = threading.Lock()
         # Cumulative observability counters (pkg/observability/metrics.go):
         # monotonic across job eviction, unlike scrape-time derivation
         # from the bounded _jobs map.
@@ -354,11 +355,23 @@ class LakehouseSession:
         """Real SQL over snapshot views (the reference's POST /query
         endpoint is mocked — ``rest_api.go:709-734``; this un-mocks it).
         Every existing table is registered as a temp view pinned at
-        ``versions.get(name, latest)``."""
+        ``versions.get(name, latest)``.
+
+        Registration + analysis run under a lock: views are session
+        globals, so two concurrent ``sql()`` calls pinning different
+        versions of the same table would otherwise interleave
+        registrations and one statement could bind the other's
+        snapshot. ``spark.sql`` RESOLVES views eagerly (analysis binds
+        the view's plan, not its name), so the returned DataFrame is
+        immune to later re-registration and execution happens outside
+        the lock."""
         versions = versions or {}
-        for name in self.list_tables():
-            self.table(name).read(version=versions.get(name)).createOrReplaceTempView(name)
-        return self.spark.sql(statement)
+        with self._sql_mu:
+            for name in self.list_tables():
+                self.table(name).read(
+                    version=versions.get(name)
+                ).createOrReplaceTempView(name)
+            return self.spark.sql(statement)
 
     # -- jobs ----------------------------------------------------------
 

@@ -672,6 +672,45 @@ def test_version_diff_cdc(lake, spark):
         t.diff(-1, v2)
 
 
+def test_concurrent_sql_version_pinning(lake, spark):
+    """Two sql() calls pinning DIFFERENT versions of the same table must
+    each see their own snapshot even when racing: view registration is
+    session-global, so without the registration+analysis lock one
+    statement could bind the other's snapshot. Also proves the eager-
+    binding premise the lock relies on: a DataFrame returned by sql()
+    is immune to later re-registration of its views."""
+    import threading
+
+    lake.create_table("sqlpin", SCHEMA)
+    lake.insert("sqlpin", _df(spark, 0, 10))   # v2: 10 rows
+    lake.insert("sqlpin", _df(spark, 10, 30))  # v3: 30 rows
+
+    # Eager binding: resolve at v2, re-register at latest, then collect.
+    df_v2 = lake.sql("SELECT count(*) AS n FROM sqlpin", versions={"sqlpin": 2})
+    lake.sql("SELECT 1")  # re-registers every view at latest
+    assert df_v2.collect()[0].n == 10
+
+    errors = []
+
+    def run(version, expect):
+        try:
+            for _ in range(5):
+                n = lake.sql(
+                    "SELECT count(*) AS n FROM sqlpin", versions={"sqlpin": version}
+                ).collect()[0].n
+                assert n == expect, f"v{version} saw {n}"
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=run, args=(2, 10)),
+        threading.Thread(target=run, args=(3, 30)),
+    ]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errors, errors
+
+
 def test_version_diff_empty_across_compaction(lake, spark):
     lake.create_table("dc", SCHEMA)
     for lo in range(0, 50, 10):
