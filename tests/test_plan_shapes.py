@@ -132,6 +132,35 @@ def test_unigram_lm_shuffle_keys(spark):
     assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)
 
 
+def test_boilerplate_is_one_count_shuffle_plus_take_ordered(spark):
+    """Boilerplate detection must be: gram-count shuffle (map-side
+    combinable), broadcast join against per-source totals, and
+    TakeOrderedAndProject for the top-20 — no window, no global sort,
+    no shuffle keyed on anything but the group keys."""
+    plan = _plan(spark, "boilerplate_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # per-source totals broadcast
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"source", "gram"}, keys
+
+
+def test_lsh_blocked_pair_ops_shuffle_only_on_block_and_group_keys(spark):
+    """The LSH-blocked pair operators (hard negatives, decontamination)
+    must shuffle only on the (band, bk) candidate join, id-pair
+    distinct/re-join keys, and the final per-anchor grouping — never a
+    cartesian, never a nested-loop pairing of the two sides."""
+    for name, allowed in [
+        ("hard_negative_mining_lsh", {"band", "q_id", "c_id", "vid"}),
+        ("embedding_decontamination", {"band", "t_id", "e_id"}),
+    ]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+        assert keys <= allowed, (name, keys)
+
+
 def test_correlation_join_rides_equi_key(spark):
     """The time-range correlation join must be planned as an equi join
     on the user key with the range predicate as a post-condition — never
