@@ -996,6 +996,138 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _minhash_estimate_error_oracle(k: int = 12, band_rows: int = 3) -> str:
+    p = _dedup.MINHASH_P
+    sig_cols = ", ".join(f"min((a + {i} * b) % {p}) AS h{i}" for i in range(k))
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {key} AS bk FROM sigs".format(
+            b=b,
+            key="||'|'||".join(
+                f"h{i}::VARCHAR" for i in range(b * band_rows, (b + 1) * band_rows)
+            ),
+        )
+        for b in range(k // band_rows)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH {_sql_shingles(3)},
+ab AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(s), 1, 15))::BIGINT % {p} AS a,
+         ('0x'||substr(md5(s), 16, 15))::BIGINT % {p} AS b
+  FROM ex
+),
+sigs AS (SELECT doc_id, {sig_cols} FROM ab GROUP BY doc_id),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT cand.id1, cand.id2,
+         CAST(round(({agree}) * 1000000.0 / {k}) AS BIGINT) AS est_micro
+  FROM cand JOIN sigs a ON cand.id1 = a.doc_id JOIN sigs b ON cand.id2 = b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT e.id1, e.id2, e.est_micro,
+         CAST(round(coalesce(i.c, 0) * 1000000.0
+                    / (s1.n_sh + s2.n_sh - coalesce(i.c, 0))) AS BIGINT) AS ex_micro
+  FROM est e
+  LEFT JOIN inter i ON e.id1 = i.id1 AND e.id2 = i.id2
+  JOIN sizes s1 ON e.id1 = s1.doc_id
+  JOIN sizes s2 ON e.id2 = s2.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(abs(est_micro - ex_micro)) / count(*) / 1000000.0, 6) AS mean_abs_err,
+       round(max(abs(est_micro - ex_micro)) / 1000000.0, 6) AS max_abs_err,
+       round(sum(est_micro) / count(*) / 1000000.0, 6) AS mean_est,
+       round(sum(ex_micro) / count(*) / 1000000.0, 6) AS mean_exact
+FROM scored
+"""
+
+
+@query("minhash_estimate_error", oracle=_minhash_estimate_error_oracle())
+def minhash_estimate_error(spark, sf_dir):
+    """Quality harness for the MinHash signature itself — the dedup
+    counterpart of ``ann_recall_lsh_vs_exact``: over the LSH candidate
+    pairs, compare the signature's Jaccard ESTIMATE (fraction of
+    agreeing min-hashes, the unbiased estimator) with the exact shingle
+    Jaccard, reporting mean/max absolute error. This is how you tune
+    (k, band_rows) against a live corpus before trusting the estimate
+    at scale. Per-pair values quantize to integer micro-units BEFORE
+    the aggregate so the means are summation-order independent.
+
+    100 TB shape: same shared exploded-shingle pass as the dedup
+    pipeline (one tokenization), banded candidate join, candidate-
+    driven intersection — then a single-row summary (keyless agg)."""
+    from pyspark.storagelevel import StorageLevel
+
+    k = _dedup.MINHASH_K
+    d = _load(spark, sf_dir, "documents")
+    ex = _dedup.exploded_shingles(d, "doc_id", "text", 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _dedup.minhash_signatures(d, "doc_id", "text", 3, k, shingles=ex)
+    cands = _dedup.lsh_candidates(sigs, k, _dedup.MINHASH_BAND_ROWS)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sigs.select(F.col("doc_id").alias("id1"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
+    b = sigs.select(F.col("doc_id").alias("id2"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
+    agree = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)),
+        F.lit(0),
+    )
+    est = (
+        cands.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(agree * 1000000.0 / k).cast("long").alias("est_micro"),
+        )
+    )
+    ex1 = ex.select(F.col("doc_id").alias("id1"), "s")
+    ex2 = ex.select(F.col("doc_id").alias("id2"), "s")
+    inter = (
+        cands.join(ex1, "id1")
+        .join(ex2, ["id2", "s"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
+    c = F.coalesce(F.col("c"), F.lit(0))
+    scored = (
+        est.join(inter, ["id1", "id2"], "left")
+        .join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "est_micro",
+            F.round(c * 1000000.0 / (F.col("n1") + F.col("n2") - c))
+            .cast("long")
+            .alias("ex_micro"),
+        )
+    )
+    err = F.abs(F.col("est_micro") - F.col("ex_micro"))
+    n = F.count(F.lit(1))
+    return scored.agg(
+        n.alias("n_pairs"),
+        F.round(F.sum(err) / n / 1000000.0, 6).alias("mean_abs_err"),
+        F.round(F.max(err) / 1000000.0, 6).alias("max_abs_err"),
+        F.round(F.sum("est_micro") / n / 1000000.0, 6).alias("mean_est"),
+        F.round(F.sum("ex_micro") / n / 1000000.0, 6).alias("mean_exact"),
+    )
+
+
 def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
     terms = "\n      + ".join(
         f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> ((h >> {j}) & 1))) > len(hs)"
@@ -4360,8 +4492,8 @@ DRIVER_PRIORITY: list[str] = [
     # then the two r02-stale scans that overflowed the r4 window, then
     # the r03-green set (2 rounds stale after this window). The
     # r04-green set just re-attested rotates to the back and re-enters
-    # in r6. 9 + 2 + 39 fill the 50-slot window; the 8 r03 overflow
-    # entries sit at positions 51-58 for r6.
+    # in r6. 10 + 2 + 38 fill the 50-slot window; the 9 r03 overflow
+    # entries sit at positions 51-59 for r6.
     "unigram_lm_surprisal",  # never driver-verified (r4 addition)
     "embedding_neardup_lsh",  # never driver-verified (r4 addition)
     "semantic_dedup_clusters",  # never driver-verified (r4 addition)
@@ -4371,6 +4503,7 @@ DRIVER_PRIORITY: list[str] = [
     "boilerplate_ngrams",  # new in r5
     "temperature_mix_weights",  # new in r5
     "embedding_decontamination",  # new in r5
+    "minhash_estimate_error",  # new in r5
     "scan_full",  # verdict stale since r02
     "project_columns",  # verdict stale since r02
     # r03-green set, r03 verdict order (minus events_dedup_distinct and
@@ -4414,9 +4547,9 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "corpus_filter_shard_pipeline",
     "embedding_label_centroids",
-    "langid_confusion",
-    # positions 51-58: r03-green overflow — first in line for the r6
+    # positions 51-59: r03-green overflow — first in line for the r6
     # window; locally guarded by tests/test_oracle_parity.py every run.
+    "langid_confusion",
     "events_cohort_retention",
     "part_cooccurrence",
     "dedup_duplicate_clusters",

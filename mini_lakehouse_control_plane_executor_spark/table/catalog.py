@@ -555,10 +555,12 @@ class LakehouseSession:
             jobs = list(self._jobs.values())
         active = sum(1 for j in jobs if j.status in ("PENDING", "RUNNING"))
         n_queries = t["queries_completed"] + t["queries_failed"]
-        commits = 0
+        commits = conflicts = 0
         for name in list(self._tables):
             try:
-                commits += self._tables[name].log.latest_version()
+                tab = self._tables[name]
+                commits += tab.log.latest_version()
+                conflicts += tab.log.conflict_count
             except Exception:
                 pass
         lines = [
@@ -582,6 +584,8 @@ class LakehouseSession:
             f"lakehouse_rows_output_total {int(t['output_rows'])}",
             "# TYPE lakehouse_commits_total counter",
             f"lakehouse_commits_total {commits}",
+            "# TYPE lakehouse_commit_conflicts_total counter",
+            f"lakehouse_commit_conflicts_total {conflicts}",
             "# TYPE lakehouse_compactions_total counter",
             f"lakehouse_compactions_total {int(t['compactions'])}",
             "# TYPE lakehouse_tables gauge",

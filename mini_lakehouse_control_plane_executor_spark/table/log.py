@@ -177,6 +177,9 @@ class TransactionLog:
         self._state_files: dict[str, FileAdd] = {}
         self._state_schema: list[Field] = []
         self._state_txns: dict[str, int] = {}
+        # Lifetime OCC losses on this log handle (CAS mismatch + lost
+        # link races) — surfaced as lakehouse_commit_conflicts_total.
+        self.conflict_count = 0
 
     # -- paths ---------------------------------------------------------
 
@@ -370,6 +373,8 @@ class TransactionLog:
         clog = _slog.with_table_name(os.path.basename(self.table_dir)).with_txn_id(txn_id)
         latest = self.latest_version()
         if base_version != latest:
+            with self._mu:
+                self.conflict_count += 1
             clog.warning("commit_conflict", base_version=base_version, latest=latest)
             raise CommitConflictError(base_version, latest)
 
@@ -404,6 +409,8 @@ class TransactionLog:
             os.link(tmp, path)
         except FileExistsError:
             # Lost the race: someone committed this version concurrently.
+            with self._mu:
+                self.conflict_count += 1
             clog.warning(
                 "commit_conflict", base_version=base_version, lost_link_race=True
             )

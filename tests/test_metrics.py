@@ -105,6 +105,20 @@ def test_unknown_job_metrics_404(server):
         assert err.code == 404
 
 
+def test_commit_conflict_counter(server, lake, spark):
+    _seed(lake, spark)
+    t = lake.table("m_t")
+    import pytest as _pytest
+
+    from mini_lakehouse_control_plane_executor_spark.table.log import CommitConflictError
+
+    before = _parse(_scrape(server)).get("lakehouse_commit_conflicts_total", 0)
+    with _pytest.raises(CommitConflictError):
+        t.log.commit(base_version=0, txn_id="stale-metrics", schema=t.fields)
+    after = _parse(_scrape(server))["lakehouse_commit_conflicts_total"]
+    assert after == before + 1
+
+
 def test_compaction_counter(server, lake, spark):
     _seed(lake, spark)
     df = spark.createDataFrame([(99, 9.9)], "id long, v double")
