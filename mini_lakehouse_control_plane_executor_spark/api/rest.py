@@ -26,6 +26,12 @@ REST route table (``pkg/coordinator/rest_api.go:44-76``):
                                                      reference's entry
                                                      delete)
     POST   /tables/{t}/vacuum                        retention GC (beyond ref)
+    GET    /tables/{t}/diff/{from}/{to}?limit=N      CDC row changes, bounded
+    GET    /queries/{id}/metrics                     QueryExecutionMetrics
+    GET    /metrics                                  Prometheus exposition
+    POST   /sql                                      real SQL over pinned views
+    POST   /tables/{t}/columns                       additive schema evolution
+    POST   /tables/{t}/merge                         transactional upsert
     GET    /health                                   liveness
 
 Transport is stdlib ``http.server`` (threaded) — the engine stays a
