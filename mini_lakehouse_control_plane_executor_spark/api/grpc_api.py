@@ -4,11 +4,15 @@ The reference declares its protobufs the stable contract (requirement 0,
 ``.kiro/specs/mini-lakehouse/requirements.md:31-33``); of the three
 services, ``MetadataService`` (``proto/metadata.proto:8-16``) is the one
 a USER-facing engine must honor — CreateTable / GetLatestVersion /
-GetSnapshot / Commit / ListVersions / Leader / Health. The other two
-(``coordinator.proto``'s worker registration/heartbeat and
-``worker.proto``'s RunTask) are the work-scheduling plane that Spark's
-driver/executor machinery replaces wholesale (SURVEY §4.3), so they have
-no analogue here by design.
+GetSnapshot / Commit / ListVersions / Leader / Health. The proto'd parts
+of the other two (``coordinator.proto``'s worker registration/heartbeat
+and ``worker.proto``'s RunTask) are the work-scheduling plane that
+Spark's driver/executor machinery replaces wholesale (SURVEY §4.3), so
+they have no analogue here by design. The reference's user-facing query
+service never got a .proto — it is the in-process Go
+``QueryExecutionService`` (``pkg/coordinator/grpc_service.go:134-257``);
+``QueryExecutionServicer`` below mirrors its methods and struct shapes
+(plus TableService's InsertData) under the same conventions.
 
 Layering:
 
@@ -465,7 +469,8 @@ RPCS: dict[str, tuple] = {
 
 
 def serve(lake: LakehouseSession, host: str = "127.0.0.1", port: int = 0):
-    """Bind MetadataServicer to a real grpc.Server (JSON codec over
+    """Bind MetadataServicer + QueryExecutionServicer to a real
+    grpc.Server (JSON codec over
     generic method handlers — see module docstring). Returns
     ``(server, bound_port)``; call ``server.stop(grace)`` to shut down.
     Raises ImportError when grpcio is not installed."""
@@ -478,9 +483,7 @@ def serve(lake: LakehouseSession, host: str = "127.0.0.1", port: int = 0):
         ) from exc
     from concurrent.futures import ThreadPoolExecutor
 
-    servicer = MetadataServicer(lake)
-
-    def _handler(method: str, req_cls):
+    def _handler(servicer, method: str, req_cls):
         def unary(request, _context):
             return getattr(servicer, method)(request)
 
@@ -490,11 +493,391 @@ def serve(lake: LakehouseSession, host: str = "127.0.0.1", port: int = 0):
             response_serializer=lambda resp: json.dumps(resp.to_json()).encode(),
         )
 
-    handlers = {name: _handler(name, req_cls) for name, (req_cls, _) in RPCS.items()}
+    def _service(servicer, service_name, rpcs):
+        handlers = {
+            name: _handler(servicer, name, req_cls)
+            for name, (req_cls, _) in rpcs.items()
+        }
+        return grpc.method_handlers_generic_handler(service_name, handlers)
+
     server = grpc.server(ThreadPoolExecutor(max_workers=8))
     server.add_generic_rpc_handlers(
-        (grpc.method_handlers_generic_handler(SERVICE_NAME, handlers),)
+        (
+            _service(MetadataServicer(lake), SERVICE_NAME, RPCS),
+            _service(QueryExecutionServicer(lake), QUERY_SERVICE_NAME, QUERY_RPCS),
+        )
     )
     bound = server.add_insecure_port(f"{host}:{port}")
     server.start()
     return server, bound
+
+
+# ---------------------------------------------------------------------------
+# QueryExecutionService parity (``pkg/coordinator/grpc_service.go:134-257``).
+#
+# The reference exposes query execution as an in-process Go service with
+# four methods — ExecuteQuery, GetQueryStatus, CancelQuery,
+# WaitForQueryCompletion — whose request/response shapes are
+# ``SimpleQuery`` (``query_planner.go:93-107``), ``QueryStatus``
+# (``task_scheduler.go:377-385``), and ``QueryResult``/``QueryMetrics``
+# (``grpc_service.go:259-275``). It never got a .proto (only the
+# worker-registration plane did), so this mirrors the Go structs
+# field-for-field instead, plus the TableService InsertData entry point
+# (``table_service.go:121-244``) that the reference reaches over REST.
+# Same layering as MetadataServicer: transport-agnostic servicer, errors
+# in the response, optional grpc.Server binding via serve().
+# ---------------------------------------------------------------------------
+
+QUERY_SERVICE_NAME = "coordinator.QueryExecutionService"
+
+
+@dataclass
+class AggregateSpec:
+    function: str = ""
+    column: str = ""
+    alias: str = ""
+
+    @staticmethod
+    def from_json(d: dict) -> "AggregateSpec":
+        return AggregateSpec(
+            d.get("function", ""), d.get("column", ""), d.get("alias", "")
+        )
+
+    def to_json(self) -> dict:
+        return {"function": self.function, "column": self.column, "alias": self.alias}
+
+
+@dataclass
+class ExecuteQueryRequest:
+    """``SimpleQuery`` (``query_planner.go:93-100``): version 0 = latest."""
+
+    table_name: str = ""
+    filter: str = ""
+    group_by: list = dc_field(default_factory=list)
+    aggregates: list = dc_field(default_factory=list)
+    projection: list = dc_field(default_factory=list)
+    version: int = 0
+
+    @staticmethod
+    def from_json(d: dict) -> "ExecuteQueryRequest":
+        return ExecuteQueryRequest(
+            table_name=d.get("table_name", ""),
+            filter=d.get("filter", ""),
+            group_by=list(d.get("group_by") or []),
+            aggregates=[AggregateSpec.from_json(a) for a in d.get("aggregates") or []],
+            projection=list(d.get("projection") or []),
+            version=int(d.get("version") or 0),
+        )
+
+    def to_json(self) -> dict:
+        return {
+            "table_name": self.table_name,
+            "filter": self.filter,
+            "group_by": list(self.group_by),
+            "aggregates": [a.to_json() for a in self.aggregates],
+            "projection": list(self.projection),
+            "version": self.version,
+        }
+
+
+@dataclass
+class ExecuteQueryResponse:
+    job_id: str = ""
+    error: str = ""
+
+    def to_json(self) -> dict:
+        return {"job_id": self.job_id, "error": self.error}
+
+    @staticmethod
+    def from_json(d: dict) -> "ExecuteQueryResponse":
+        return ExecuteQueryResponse(d.get("job_id", ""), d.get("error", ""))
+
+
+@dataclass
+class GetQueryStatusRequest:
+    job_id: str = ""
+
+    @staticmethod
+    def from_json(d: dict) -> "GetQueryStatusRequest":
+        return GetQueryStatusRequest(d.get("job_id", ""))
+
+    def to_json(self) -> dict:
+        return {"job_id": self.job_id}
+
+
+@dataclass
+class GetQueryStatusResponse:
+    """``QueryStatus`` (``task_scheduler.go:377-385``) + proto3-style error."""
+
+    job_id: str = ""
+    status: str = ""  # PENDING | RUNNING | COMPLETED | FAILED
+    total_tasks: int = 0
+    completed_tasks: int = 0
+    failed_tasks: int = 0
+    running_tasks: int = 0
+    error: str = ""
+
+    def to_json(self) -> dict:
+        return {
+            "job_id": self.job_id,
+            "status": self.status,
+            "total_tasks": self.total_tasks,
+            "completed_tasks": self.completed_tasks,
+            "failed_tasks": self.failed_tasks,
+            "running_tasks": self.running_tasks,
+            "error": self.error,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "GetQueryStatusResponse":
+        return GetQueryStatusResponse(
+            job_id=d.get("job_id", ""),
+            status=d.get("status", ""),
+            total_tasks=int(d.get("total_tasks", 0)),
+            completed_tasks=int(d.get("completed_tasks", 0)),
+            failed_tasks=int(d.get("failed_tasks", 0)),
+            running_tasks=int(d.get("running_tasks", 0)),
+            error=d.get("error", ""),
+        )
+
+
+@dataclass
+class CancelQueryRequest:
+    job_id: str = ""
+
+    @staticmethod
+    def from_json(d: dict) -> "CancelQueryRequest":
+        return CancelQueryRequest(d.get("job_id", ""))
+
+    def to_json(self) -> dict:
+        return {"job_id": self.job_id}
+
+
+@dataclass
+class CancelQueryResponse:
+    cancelled: bool = False
+    error: str = ""
+
+    def to_json(self) -> dict:
+        return {"cancelled": self.cancelled, "error": self.error}
+
+    @staticmethod
+    def from_json(d: dict) -> "CancelQueryResponse":
+        return CancelQueryResponse(bool(d.get("cancelled", False)), d.get("error", ""))
+
+
+@dataclass
+class WaitForQueryRequest:
+    job_id: str = ""
+    timeout_ms: int = 0  # 0 = default (300s)
+
+    @staticmethod
+    def from_json(d: dict) -> "WaitForQueryRequest":
+        return WaitForQueryRequest(
+            d.get("job_id", ""), int(d.get("timeout_ms", 0))
+        )
+
+    def to_json(self) -> dict:
+        return {"job_id": self.job_id, "timeout_ms": self.timeout_ms}
+
+
+@dataclass
+class QueryMetricsMsg:
+    """``QueryMetrics`` (``grpc_service.go:268-275``). The reference
+    leaves retried/bytes/rows as zero TODOs (``:224-226``); we fill
+    bytes/rows from the pinned-snapshot plan — a documented superset."""
+
+    duration_ms: int = 0
+    total_tasks: int = 0
+    failed_tasks: int = 0
+    retried_tasks: int = 0
+    bytes_processed: int = 0
+    rows_processed: int = 0
+
+    def to_json(self) -> dict:
+        return {
+            "duration_ms": self.duration_ms,
+            "total_tasks": self.total_tasks,
+            "failed_tasks": self.failed_tasks,
+            "retried_tasks": self.retried_tasks,
+            "bytes_processed": self.bytes_processed,
+            "rows_processed": self.rows_processed,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "QueryMetricsMsg":
+        return QueryMetricsMsg(
+            duration_ms=int(d.get("duration_ms", 0)),
+            total_tasks=int(d.get("total_tasks", 0)),
+            failed_tasks=int(d.get("failed_tasks", 0)),
+            retried_tasks=int(d.get("retried_tasks", 0)),
+            bytes_processed=int(d.get("bytes_processed", 0)),
+            rows_processed=int(d.get("rows_processed", 0)),
+        )
+
+
+@dataclass
+class QueryResultMsg:
+    """``QueryResult`` (``grpc_service.go:259-265``): the reference
+    returns the result *path*; rows stay in storage."""
+
+    job_id: str = ""
+    success: bool = False
+    error: str = ""
+    result_path: str = ""
+    metrics: QueryMetricsMsg = dc_field(default_factory=QueryMetricsMsg)
+
+    def to_json(self) -> dict:
+        return {
+            "job_id": self.job_id,
+            "success": self.success,
+            "error": self.error,
+            "result_path": self.result_path,
+            "metrics": self.metrics.to_json(),
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "QueryResultMsg":
+        return QueryResultMsg(
+            job_id=d.get("job_id", ""),
+            success=bool(d.get("success", False)),
+            error=d.get("error", ""),
+            result_path=d.get("result_path", ""),
+            metrics=QueryMetricsMsg.from_json(d.get("metrics") or {}),
+        )
+
+
+@dataclass
+class InsertDataRequest:
+    """``TableService.InsertData`` (``table_service.go:121-244``;
+    REST ``rest_api.go:289-325``): load external files, append-commit."""
+
+    table_name: str = ""
+    data_path: str = ""
+    format: str = "parquet"
+    txn_id: str = ""
+
+    @staticmethod
+    def from_json(d: dict) -> "InsertDataRequest":
+        return InsertDataRequest(
+            table_name=d.get("table_name", ""),
+            data_path=d.get("data_path", ""),
+            format=d.get("format", "parquet") or "parquet",
+            txn_id=d.get("txn_id", ""),
+        )
+
+    def to_json(self) -> dict:
+        return {
+            "table_name": self.table_name,
+            "data_path": self.data_path,
+            "format": self.format,
+            "txn_id": self.txn_id,
+        }
+
+
+@dataclass
+class InsertDataResponse:
+    version: int = 0
+    error: str = ""
+
+    def to_json(self) -> dict:
+        return {"version": self.version, "error": self.error}
+
+    @staticmethod
+    def from_json(d: dict) -> "InsertDataResponse":
+        return InsertDataResponse(int(d.get("version", 0)), d.get("error", ""))
+
+
+class QueryExecutionServicer:
+    """The reference's query-execution service surface over a
+    LakehouseSession's async-job API: ExecuteQuery submits and returns a
+    job id immediately (``grpc_service.go:154-166``), GetQueryStatus
+    reports lifecycle + task counts (``:169-194``), CancelQuery is
+    best-effort (``:197-199``), WaitForQueryCompletion blocks and
+    returns the result path + metrics (``:202-257``), and InsertData is
+    the append-transaction entry point (``table_service.go:121-244``)."""
+
+    def __init__(self, lake: LakehouseSession):
+        self.lake = lake
+
+    def ExecuteQuery(self, req: ExecuteQueryRequest) -> ExecuteQueryResponse:
+        try:
+            self.lake.table(req.table_name)  # fail fast like the reference
+        except KeyError as exc:
+            return ExecuteQueryResponse(error=str(exc))
+        job_id = self.lake.submit_async(req.to_json())
+        return ExecuteQueryResponse(job_id=job_id)
+
+    def GetQueryStatus(self, req: GetQueryStatusRequest) -> GetQueryStatusResponse:
+        try:
+            info = self.lake.job_status(req.job_id)
+            m = self.lake.query_metrics(req.job_id)
+        except KeyError as exc:
+            return GetQueryStatusResponse(error=str(exc))
+        return GetQueryStatusResponse(
+            job_id=req.job_id,
+            status=info.status,
+            total_tasks=m["total_tasks"],
+            completed_tasks=m["completed_tasks"],
+            failed_tasks=m["failed_tasks"],
+            running_tasks=m["running_tasks"],
+        )
+
+    def CancelQuery(self, req: CancelQueryRequest) -> CancelQueryResponse:
+        try:
+            return CancelQueryResponse(cancelled=self.lake.cancel_job(req.job_id))
+        except KeyError as exc:
+            return CancelQueryResponse(error=str(exc))
+
+    def WaitForQueryCompletion(self, req: WaitForQueryRequest) -> QueryResultMsg:
+        timeout_s = (req.timeout_ms / 1000.0) if req.timeout_ms else 300.0
+        try:
+            self.lake.job_status(req.job_id)
+        except KeyError as exc:
+            return QueryResultMsg(job_id=req.job_id, error=str(exc))
+        try:
+            info = self.lake.job_wait(req.job_id, timeout_s=timeout_s)
+        except RuntimeError:
+            info = self.lake.job_status(req.job_id)  # FAILED — report in-band
+        except TimeoutError as exc:
+            return QueryResultMsg(job_id=req.job_id, error=str(exc))
+        if info.status != "COMPLETED":
+            return QueryResultMsg(
+                job_id=req.job_id, success=False, error=info.error or "failed"
+            )
+        m = self.lake.query_metrics(req.job_id)
+        return QueryResultMsg(
+            job_id=req.job_id,
+            success=True,
+            result_path=info.extra.get("result_path", ""),
+            metrics=QueryMetricsMsg(
+                duration_ms=m["duration_ms"],
+                total_tasks=m["total_tasks"],
+                failed_tasks=m["failed_tasks"],
+                retried_tasks=0,
+                bytes_processed=info.metrics.get("input_bytes", 0),
+                rows_processed=info.metrics.get("input_rows", 0),
+            ),
+        )
+
+    def InsertData(self, req: InsertDataRequest) -> InsertDataResponse:
+        try:
+            t = self.lake.table(req.table_name)
+        except KeyError as exc:
+            return InsertDataResponse(error=str(exc))
+        try:
+            version = t.insert_path(
+                req.data_path, fmt=req.format, txn_id=req.txn_id or None
+            )
+        except Exception as exc:  # load/commit failures reported in-band
+            return InsertDataResponse(error=str(exc))
+        return InsertDataResponse(version=version)
+
+
+QUERY_RPCS: dict[str, tuple] = {
+    "ExecuteQuery": (ExecuteQueryRequest, ExecuteQueryResponse),
+    "GetQueryStatus": (GetQueryStatusRequest, GetQueryStatusResponse),
+    "CancelQuery": (CancelQueryRequest, CancelQueryResponse),
+    "WaitForQueryCompletion": (WaitForQueryRequest, QueryResultMsg),
+    "InsertData": (InsertDataRequest, InsertDataResponse),
+}

@@ -28,6 +28,10 @@ REST route table (``pkg/coordinator/rest_api.go:44-76``):
     POST   /tables/{t}/vacuum                        retention GC (beyond ref)
     GET    /tables/{t}/diff/{from}/{to}?limit=N      CDC row changes, bounded
     GET    /queries/{id}/metrics                     QueryExecutionMetrics
+    DELETE /queries/{id}                             best-effort job cancel
+                                                     (CancelQuery,
+                                                     ``grpc_service.go:
+                                                     197-199``)
     GET    /metrics                                  Prometheus exposition
     POST   /sql                                      real SQL over pinned views
     POST   /tables/{t}/columns                       additive schema evolution
@@ -396,6 +400,17 @@ class LakehouseRestServer:
         except KeyError:
             raise _ApiError(404, f"no such job: {job_id}")
 
+    def cancel_query(self, job_id: str):
+        """DELETE /queries/{id} — best-effort cancel of an in-flight
+        async job (superset route: the reference exposes CancelQuery
+        only in-process, ``grpc_service.go:197-199``). ``cancelled``
+        False = the job had already finished (lost-race contract)."""
+        try:
+            cancelled = self.lake.cancel_job(job_id)
+        except KeyError:
+            raise _ApiError(404, f"no such job: {job_id}")
+        return 200, {"job_id": job_id, "cancelled": cancelled}
+
     def metrics(self):
         """GET /metrics — Prometheus text exposition
         (``pkg/observability/metrics.go``); returned as a raw string so
@@ -425,6 +440,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/queries/([A-Za-z0-9-]+)$"), "query_status"),
     ("GET", re.compile(r"^/queries/([A-Za-z0-9-]+)/results$"), "query_results"),
     ("GET", re.compile(r"^/queries/([A-Za-z0-9-]+)/metrics$"), "query_metrics"),
+    ("DELETE", re.compile(r"^/queries/([A-Za-z0-9-]+)$"), "cancel_query"),
     ("GET", re.compile(r"^/metrics$"), "metrics"),
     ("POST", re.compile(r"^/query$"), "execute_query_direct"),
     ("POST", re.compile(r"^/sql$"), "execute_sql"),

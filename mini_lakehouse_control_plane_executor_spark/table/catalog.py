@@ -440,11 +440,13 @@ class LakehouseSession:
         info.status = "RUNNING"
         sc = self.spark.sparkContext
         try:
+            # Tag this thread's Spark jobs FIRST so the status tracker can
+            # attribute stages/tasks to this lakehouse job and so
+            # cancel_job's cancelJobGroup covers the whole execution,
+            # not just the result write.
+            sc.setJobGroup(job_id, f"lakehouse-job-{job_id}")
             info.metrics.update(self._planned_scan_metrics(q))
             df = self.query(q)
-            # Tag this thread's Spark jobs so the status tracker can
-            # attribute stages/tasks to this lakehouse job.
-            sc.setJobGroup(job_id, f"lakehouse-job-{job_id}")
             # File-backed result sink: rows go to parquet at executor
             # parallelism and NEVER materialize on the driver; only a
             # bounded preview is collected.
@@ -474,7 +476,9 @@ class LakehouseSession:
             info.status = "COMPLETED"
         except Exception as exc:
             info.status = "FAILED"
-            info.error = str(exc)
+            info.error = (
+                "cancelled" if info.extra.get("cancel_requested") else str(exc)
+            )
         finally:
             info.finished_ms = int(time.time() * 1000)
             jlog = (
@@ -628,6 +632,23 @@ class LakehouseSession:
             r.asDict(recursive=True)
             for r in self.spark.read.parquet(path).select(*cols).collect()
         ]
+
+    def cancel_job(self, job_id: str) -> bool:
+        """Best-effort async-job cancel, the reference's ``CancelQuery``
+        (``grpc_service.go:197-199`` → distributed executor). Interrupts
+        the job's Spark job group — every stage the runner thread started
+        under its job-group tag — and flags the JobInfo so the runner
+        records FAILED/"cancelled" rather than the raw interruption
+        error. Returns False (no-op) once the job already finished; like
+        the reference, a cancel racing job completion may lose."""
+        with self._jobs_mu:
+            info = self._jobs[job_id]
+        if info.status not in ("PENDING", "RUNNING"):
+            return False
+        info.extra["cancel_requested"] = True
+        self.spark.sparkContext.cancelJobGroup(job_id)
+        _slog.with_job_id(job_id).info("job_cancel_requested")
+        return True
 
     def job_wait(self, job_id: str, timeout_s: float = 300.0) -> JobInfo:
         """Block until the async job leaves PENDING/RUNNING; raise on

@@ -313,3 +313,30 @@ def test_table_diff_over_http(server, lake, spark):
     assert {r["_change_type"] for r in out["rows"]} == {"insert"}
 
     _call(server, "GET", "/tables/nope/diff/1/2", expect=404)
+
+
+def test_cancel_query_over_http(server, lake):
+    """DELETE /queries/{id}: finished job -> cancelled=false (lost-race
+    contract); synthetic RUNNING job -> cancelled=true + flag set;
+    unknown job -> 404."""
+    from mini_lakehouse_control_plane_executor_spark.table.catalog import JobInfo
+
+    _call(server, "POST", "/tables", {"table_name": "cq", "schema": SCHEMA_API})
+    _call(server, "POST", "/tables/cq/insert", {"rows": ROWS})
+    job = _call(server, "POST", "/queries", {"table_name": "cq"})
+    job_id = job["job_id"]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        st = _call(server, "GET", f"/queries/{job_id}")
+        if st["status"] in ("COMPLETED", "FAILED"):
+            break
+        time.sleep(0.05)
+    assert st["status"] == "COMPLETED"
+    out = _call(server, "DELETE", f"/queries/{job_id}")
+    assert out == {"job_id": job_id, "cancelled": False}
+    info = JobInfo("syn-http", "RUNNING", started_ms=int(time.time() * 1000))
+    with lake._jobs_mu:
+        lake._jobs["syn-http"] = info
+    out = _call(server, "DELETE", "/queries/syn-http")
+    assert out["cancelled"] is True and info.extra["cancel_requested"] is True
+    _call(server, "DELETE", "/queries/ghost", expect=404)
