@@ -52,6 +52,19 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8-bit bands → candidates share ≥1 byte
 
 
+def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (term-frequency semantics) from a
+    materialized token-array column — the counting twin of
+    ``shingles_from_tokens`` (which dedups per doc for doc-frequency
+    semantics). Same phase-separation contract: pass a column attribute,
+    never an inline ``tokens(text)`` expression."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a MATERIALIZED token-array
     column: sliding window via sequence + element_at → distinct.
@@ -83,9 +96,22 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     generator and re-evaluates it per EMITTED row — O(shingles²) per doc
     (measured 16.8s vs 0.36s for the explode at sf0.1). A cache is the
     one boundary projection-collapse cannot cross; a repartition is not
-    (the optimizer re-orders the projection around the exchange)."""
+    (the optimizer re-orders the projection around the exchange).
+
+    The raw docs are repartitioned up to the cluster's parallelism
+    before tokenization (never down — a 100 TB scan keeps its
+    thousands of splits): text compresses ~10x in parquet, so a
+    CPU-heavy tokenize+shingle pass over a small-file table can
+    otherwise land on ONE input split and run single-core (3.2x
+    measured at sf0.1, one 600KB file). The explicit partition count
+    keeps AQE from coalescing the tiny-by-bytes exchange back to one
+    partition; the shuffle moves only raw text once, amortized by the
+    persist."""
+    sc = df.sparkSession.sparkContext
+    n_parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
     arr = (
-        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
         .select("doc_id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

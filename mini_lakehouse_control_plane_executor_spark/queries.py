@@ -3986,7 +3986,13 @@ def unigram_lm_surprisal(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_text.tokens(F.col("text"))).alias("t"))
+    # Size-aware repartition UP to cluster parallelism (never down) —
+    # the exploded_shingles discipline for CPU-heavy tokenization over
+    # highly-compressed small-file text tables.
+    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+    tok = d.repartition(n_parts).select(
+        "doc_id", F.explode(_text.tokens(F.col("text"))).alias("t")
+    )
     # One LM-build pass: the count table feeds BOTH the total and the
     # vocabulary filter; without the persist each would re-tokenize the
     # corpus (3 full scans instead of 2 at 100 TB).
@@ -4478,6 +4484,205 @@ def events_correlation(spark, sf_dir):
     )
 
 
+_VOCAB_GROWTH_SQL = r"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '\w+')) AS t FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_types,
+       round(count(DISTINCT t) * 1.0 / count(*), 6) AS ttr,
+       round(ln(count(DISTINCT t)) / ln(count(*)), 6) AS heaps_beta
+FROM tok GROUP BY lang ORDER BY lang
+"""
+
+
+@query("vocab_growth_heaps", oracle=_VOCAB_GROWTH_SQL)
+def vocab_growth_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary profile per language: token count N,
+    vocabulary size V, type-token ratio V/N, and the Heaps exponent
+    point estimate beta = ln V / ln N. A corpus-curation dashboard
+    number: beta drifting toward 1 flags boilerplate-free but
+    near-random text (OCR noise, hash spam); beta collapsing toward 0
+    flags template floods — both are slices to route to the quality
+    gates before training.
+
+    100 TB shape: one token explode feeding a single
+    grouped count + count(DISTINCT) aggregate — Spark plans the
+    distinct via Expand into two hash shuffles keyed on (lang, t) then
+    (lang), both map-side combinable; no window, no global sort, no
+    driver state."""
+    d = _load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(_text.tokens(F.col("text"))).alias("t"))
+    n, v = F.count(F.lit(1)), F.count_distinct(F.col("t"))
+    return (
+        tok.groupBy("lang")
+        .agg(
+            n.alias("n_tokens"),
+            v.alias("n_types"),
+            F.round(v / n, 6).alias("ttr"),
+            F.round(F.log(v.cast("double")) / F.log(n.cast("double")), 6).alias(
+                "heaps_beta"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_BIGRAM_PMI_SQL = r"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+big AS (
+  SELECT ws[gi] || ' ' || ws[gi + 1] AS g
+  FROM toks, unnest(range(1, len(ws))) AS t(gi)
+  WHERE len(ws) >= 2
+),
+bc AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS c_xy FROM big GROUP BY g HAVING count(*) >= 5
+),
+uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS t FROM toks) GROUP BY t
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+SELECT bc.g AS bigram, bc.c_xy,
+       round(ln((bc.c_xy * tot.n * 1.0) / (cx.c * cy.c)), 6) AS pmi
+FROM bc
+JOIN uni cx ON cx.t = split_part(bc.g, ' ', 1)
+JOIN uni cy ON cy.t = split_part(bc.g, ' ', 2)
+CROSS JOIN tot
+ORDER BY bc.c_xy DESC, bigram
+LIMIT 20
+"""
+
+
+@query("bigram_pmi_top", oracle=_BIGRAM_PMI_SQL)
+def bigram_pmi_top(spark, sf_dir):
+    """Collocation extraction: the 20 most frequent word bigrams
+    (term-frequency, min count 5) annotated with pointwise mutual
+    information ln(P(xy) / (P(x)P(y))) — the classic phrase-mining
+    signal that separates true collocations ("new york") from chance
+    co-occurrence of frequent words. Ordered by the exact integer count
+    (ties broken by the bigram string), never by the float PMI, so the
+    selected row set is bit-deterministic across engines.
+
+    100 TB shape: the tokenized corpus is persisted once and feeds both
+    the bigram and unigram counts (two map-side-combinable shuffles over
+    one tokenize pass); the unigram vocabulary joins back by token key
+    UNHINTED — at corpus scale the vocab outgrows any broadcast, and AQE
+    picks broadcast vs shuffle from its runtime size (the
+    unigram_lm_surprisal discipline); only the 1-row total is
+    force-broadcast; top-20 via TakeOrderedAndProject."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _load(spark, sf_dir, "documents")
+    # Size-aware repartition UP to cluster parallelism (never down) —
+    # the exploded_shingles discipline: parquet text compresses ~10x,
+    # so a small-file table otherwise tokenizes single-core.
+    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+    toks = (
+        d.repartition(n_parts)
+        .select(_text.tokens(F.col("text")).alias("ws"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    big = toks.select(
+        F.explode(_dedup.ngrams_from_tokens(F.col("ws"), 2)).alias("g")
+    )
+    bc = (
+        big.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    uni = (
+        toks.select(F.explode("ws").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    cx = uni.select(F.col("t").alias("x"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("t").alias("y"), F.col("c").alias("c_y"))
+    return (
+        bc.withColumn("x", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .withColumn("y", F.split_part(F.col("g"), F.lit(" "), F.lit(2)))
+        .join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("g").alias("bigram"),
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") * F.col("n")).cast("double")
+                    / (F.col("c_x") * F.col("c_y"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("c_xy").desc(), "bigram")
+        .limit(20)
+    )
+
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+),
+tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n FROM trans GROUP BY prev_type)
+SELECT trans.prev_type, trans.next_type, trans.n,
+       round(trans.n * 1.0 / tot.row_n, 6) AS p
+FROM trans JOIN tot ON trans.prev_type = tot.prev_type
+ORDER BY trans.prev_type, next_type
+"""
+
+
+@query("events_transition_matrix", oracle=_TRANSITION_SQL)
+def events_transition_matrix(spark, sf_dir):
+    """Per-user event-type Markov transition matrix: for each observed
+    (prev -> next) pair, the transition count and row-normalized
+    probability P(next | prev). The behavioral-sequence profile a
+    session-modeling or curriculum pipeline computes before training on
+    event streams (and a drift check between dataset snapshots).
+
+    100 TB shape: ONE shuffle on user_id for the lag window (ordering
+    is within-user only — no global sort), then a count aggregate on
+    the (prev, next) pair whose cardinality is |event_types|^2 — tiny —
+    so its shuffle is a few rows after map-side combine; row totals are
+    a broadcast join against that already-tiny matrix."""
+    from pyspark.sql.window import Window
+
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_n"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -4504,6 +4709,9 @@ DRIVER_PRIORITY: list[str] = [
     "temperature_mix_weights",  # new in r5
     "embedding_decontamination",  # new in r5
     "minhash_estimate_error",  # new in r5
+    "vocab_growth_heaps",  # new in r5
+    "bigram_pmi_top",  # new in r5
+    "events_transition_matrix",  # new in r5
     "scan_full",  # verdict stale since r02
     "project_columns",  # verdict stale since r02
     # r03-green set, r03 verdict order (minus events_dedup_distinct and
