@@ -4683,6 +4683,142 @@ def events_transition_matrix(spark, sf_dir):
     )
 
 
+_ZIPF_SQL = r"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '\w+')) AS t FROM documents
+),
+freq AS (
+  SELECT lang, t, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY lang, t
+),
+ranked AS (
+  SELECT lang, f,
+         row_number() OVER (PARTITION BY lang ORDER BY f DESC, t) AS r
+  FROM freq
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_ranked_types,
+       round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+       round(regr_r2(ln(f), ln(r)), 6) AS zipf_r2
+FROM ranked WHERE r <= 1000
+GROUP BY lang ORDER BY lang
+"""
+
+
+@query("zipf_slope_by_lang", oracle=_ZIPF_SQL)
+def zipf_slope_by_lang(spark, sf_dir):
+    """Zipf's-law fit per language: regress ln(frequency) on ln(rank)
+    over each language's top-1000 token ranks. Natural text sits near
+    slope -1 with high R²; machine-generated or boilerplate-flooded
+    slices drift off it — a cheap corpus-health check next to
+    vocab_growth_heaps (Heaps and Zipf are the two classic laws a
+    curation dashboard tracks).
+
+    100 TB shape: token counts are one map-side-combinable shuffle to a
+    VOCAB-sized table (not corpus-sized); the rank window shuffles that
+    vocab on lang only — per-lang sort of ~1e7 distinct tokens, fine
+    because the corpus never moves; the regression is a grouped
+    moment aggregate (regr_slope/regr_r2 are sums of products) over
+    ≤1000 rows per lang after the rank filter."""
+    from pyspark.sql.window import Window
+
+    d = _load(spark, sf_dir, "documents")
+    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+    tok = d.repartition(n_parts).select(
+        "lang", F.explode(_text.tokens(F.col("text"))).alias("t")
+    )
+    freq = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("lang").orderBy(F.col("f").desc(), "t")
+    ranked = freq.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 1000)
+    lf, lr = F.log(F.col("f").cast("double")), F.log(F.col("r").cast("double"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_ranked_types"),
+            F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+            F.round(F.regr_r2(lf, lr), 6).alias("zipf_r2"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _quant_error_oracle(dim: int = 64) -> str:
+    recon = (
+        "CASE WHEN d.mx[i] = d.mn[i] THEN d.mn[i] "
+        "ELSE d.mn[i] + round((CAST(embedding[i] AS DOUBLE) - d.mn[i]) * 255 / (d.mx[i] - d.mn[i]))"
+        " * (d.mx[i] - d.mn[i]) / 255 END"
+    )
+    return f"""
+WITH dims AS (
+  SELECT t.i AS pos,
+         min(CAST(embedding[t.i] AS DOUBLE)) AS mn,
+         max(CAST(embedding[t.i] AS DOUBLE)) AS mx
+  FROM embeddings, unnest(range(1, {dim + 1})) AS t(i)
+  GROUP BY t.i
+),
+d AS (
+  SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM dims
+),
+err AS (
+  SELECT label,
+         CAST(round(list_sum(list_transform(range(1, {dim + 1}),
+           i -> pow(CAST(embedding[i] AS DOUBLE) - ({recon}), 2))) / {dim} * 1e12) AS BIGINT)
+           AS mse_pico
+  FROM embeddings, d
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(mse_pico) / 1e12, 9) AS mean_mse,
+       CAST(max(mse_pico) AS BIGINT) AS max_mse_pico
+FROM err GROUP BY label ORDER BY label
+"""
+
+
+@query("embedding_quantization_error", oracle=_quant_error_oracle())
+def embedding_quantization_error(spark, sf_dir, dim: int = 64):
+    """Scalar int8 quantization of the embedding column — the storage
+    lever an embedding lake pulls first (4x smaller than float32,
+    ~16x smaller than float64) — with per-label reconstruction error:
+    each dimension maps to a 0..255 code against the GLOBAL per-dim
+    min/max, and the per-vector MSE of decode(encode(v)) quantifies
+    what ANN recall will pay. Per-vector MSE is quantized to integer
+    pico-units BEFORE aggregation so the group means are
+    summation-order independent (the unigram_lm_surprisal discipline).
+
+    100 TB shape: the per-dim min/max ranges are 2·dim scalar
+    aggregates in ONE keyless map-side-combinable pass (the shuffle
+    carries dim partial pairs per task, never vectors — the
+    kmeans_refine trick; no posexplode of the corpus), broadcast back
+    as a 1-row codebook; encode/decode/MSE is a map-only pass; the
+    final label rollup shuffles |labels| rows."""
+    e = _load(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    ranges = e.agg(
+        *[F.min(v[i].cast("double")).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(v[i].cast("double")).alias(f"mx{i}") for i in range(dim)],
+    )
+
+    def recon(i):
+        x = v[i].cast("double")
+        mn, mx = F.col(f"mn{i}"), F.col(f"mx{i}")
+        code = F.round((x - mn) * 255 / (mx - mn))
+        return F.when(mx == mn, mn).otherwise(mn + code * (mx - mn) / 255)
+
+    sq = sum(
+        (F.pow(v[i].cast("double") - recon(i), F.lit(2)) for i in range(dim)),
+        start=F.lit(0.0),
+    )
+    mse_pico = F.round(sq / dim * 1e12).cast("long").alias("mse_pico")
+    err = e.crossJoin(F.broadcast(ranges)).select("label", mse_pico)
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("mse_pico") / 1e12, 9).alias("mean_mse"),
+            F.max("mse_pico").alias("max_mse_pico"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -4712,6 +4848,8 @@ DRIVER_PRIORITY: list[str] = [
     "vocab_growth_heaps",  # new in r5
     "bigram_pmi_top",  # new in r5
     "events_transition_matrix",  # new in r5
+    "zipf_slope_by_lang",  # new in r5
+    "embedding_quantization_error",  # new in r5
     "scan_full",  # verdict stale since r02
     "project_columns",  # verdict stale since r02
     # r03-green set, r03 verdict order (minus events_dedup_distinct and

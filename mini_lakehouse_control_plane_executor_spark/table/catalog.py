@@ -20,6 +20,7 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import DataFrame, SparkSession
 
 from mini_lakehouse_control_plane_executor_spark.observability import log as _slog
+from mini_lakehouse_control_plane_executor_spark.observability import span as _span
 from mini_lakehouse_control_plane_executor_spark.plans.query import SimpleQuery, apply_query
 from mini_lakehouse_control_plane_executor_spark.table.schema import Field
 from mini_lakehouse_control_plane_executor_spark.table import table as table_module
@@ -439,6 +440,10 @@ class LakehouseSession:
             info = self._jobs[job_id]
         info.status = "RUNNING"
         sc = self.spark.sparkContext
+        # Span wraps the whole job body; entered/exited manually so the
+        # existing status bookkeeping keeps owning the except/finally.
+        _job_span_cm = _span("query_execute", job_id=job_id, table_name=q.table_name)
+        job_span = _job_span_cm.__enter__()
         try:
             # Tag this thread's Spark jobs FIRST so the status tracker can
             # attribute stages/tasks to this lakehouse job and so
@@ -479,7 +484,14 @@ class LakehouseSession:
             info.error = (
                 "cancelled" if info.extra.get("cancel_requested") else str(exc)
             )
+            job_span.record_error(info.error)
         finally:
+            job_span.set_attributes(
+                job_status=info.status,
+                output_rows=info.metrics.get("output_rows", 0),
+                num_tasks=info.metrics.get("num_tasks", 0),
+            )
+            _job_span_cm.__exit__(None, None, None)
             info.finished_ms = int(time.time() * 1000)
             jlog = (
                 _slog.with_job_id(job_id)

@@ -104,3 +104,66 @@ def test_commit_conflict_and_compaction_logged(cap, lake, spark):
     assert any(
         r["txn_id"] == started[0]["txn_id"] for r in cap.by_event("commit_applied")
     )
+
+
+def test_span_tree_and_error_recording(cap):
+    """OTel-shaped spans (``tracing.go:26-135``): trace/span/parent ids
+    link into a tree, durations land on span_end, an escaping exception
+    becomes an ERROR span that still re-raises."""
+    from mini_lakehouse_control_plane_executor_spark import observability as obs
+
+    with obs.span("outer", table_name="t") as outer:
+        with obs.span("inner") as inner:
+            assert obs.current_span() is inner
+            inner.set_attributes(rows=7)
+        assert obs.current_span() is outer
+    assert obs.current_span() is None
+
+    with pytest.raises(ValueError):
+        with obs.span("boom"):
+            raise ValueError("injected")
+
+    starts = cap.by_event("span_start")
+    ends = cap.by_event("span_end")
+    assert [s["span_name"] for s in starts] == ["outer", "inner", "boom"]
+    by_name = {e["span_name"]: e for e in ends}
+    assert by_name["inner"]["parent_span_id"] == starts[0]["span_id"]
+    assert by_name["inner"]["trace_id"] == starts[0]["trace_id"]
+    assert by_name["inner"]["rows"] == 7
+    assert "parent_span_id" not in starts[0]
+    assert by_name["outer"]["status"] == "OK"
+    assert by_name["boom"]["status"] == "ERROR"
+    assert "injected" in by_name["boom"]["error"]
+    assert all(e["duration_ms"] >= 0 for e in ends)
+
+
+def test_async_job_emits_query_span(cap, lake, spark):
+    """The async job runner wraps execution in a query_execute span
+    carrying job_id/status/output_rows — the trace a shipper joins with
+    the span-free r4 lifecycle events."""
+    lake.create_table("sp", [Field("id", "int64", False)])
+    lake.insert("sp", spark.range(0, 5).select("id"))
+    job_id = lake.submit_async({"table_name": "sp"})
+    lake.job_wait(job_id)
+    ends = [
+        e
+        for e in cap.by_event("span_end")
+        if e["span_name"] == "query_execute" and e.get("job_id") == job_id
+    ]
+    assert len(ends) == 1
+    assert ends[0]["status"] == "OK" and ends[0]["job_status"] == "COMPLETED"
+    assert ends[0]["output_rows"] == 5
+    assert ends[0]["trace_id"]
+
+    bad = lake.submit_async({"table_name": "sp", "filter": "nope > 1"})
+    try:
+        lake.job_wait(bad)
+    except RuntimeError:
+        pass
+    errs = [
+        e
+        for e in cap.by_event("span_end")
+        if e["span_name"] == "query_execute" and e.get("job_id") == bad
+    ]
+    assert len(errs) == 1 and errs[0]["status"] == "ERROR" and errs[0]["error"]
+    assert errs[0]["job_status"] == "FAILED"
