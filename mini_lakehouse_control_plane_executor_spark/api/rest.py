@@ -25,6 +25,9 @@ REST route table (``pkg/coordinator/rest_api.go:44-76``):
                                                      jobs, vs the
                                                      reference's entry
                                                      delete)
+    POST   /tables/{t}/restore                       Delta-style RESTORE to an
+                                                     earlier version (forward
+                                                     commit, history intact)
     POST   /tables/{t}/vacuum                        retention GC (beyond ref)
     GET    /tables/{t}/diff/{from}/{to}?limit=N      CDC row changes, bounded
     GET    /queries/{id}/metrics                     QueryExecutionMetrics
@@ -298,10 +301,16 @@ class LakehouseRestServer:
         }
 
     def trigger_compaction(self, name: str, body: dict):
+        """POST /tables/{t}/compaction — optional ``cluster_by`` runs a
+        clustered (OPTIMIZE-ZORDER-style) full rewrite instead of the
+        small-file bin-pack."""
         self._table(name)
+        cluster_by = body.get("cluster_by") or None
         try:
-            version = self.lake.compact(name, force=bool(body.get("force")))
-        except RuntimeError as exc:  # already in progress
+            version = self.lake.compact(
+                name, force=bool(body.get("force")), cluster_by=cluster_by
+            )
+        except (RuntimeError, ValueError) as exc:  # in progress / bad column
             return 200, {"success": False, "error": str(exc)}
         if version is None:
             return 200, {"success": False, "error": "nothing to compact"}
@@ -340,6 +349,20 @@ class LakehouseRestServer:
             "success": True,
             "message": f"Compaction cancelled for table {name}",
         }
+
+    def restore(self, name: str, body: dict):
+        """POST /tables/{t}/restore {"version": V} — Delta-style RESTORE
+        as one forward commit; history stays time-travelable."""
+        self._table(name)
+        if "version" not in body:
+            raise _ApiError(400, "missing required field: version")
+        try:
+            new_version = self.lake.restore(
+                name, int(body["version"]), txn_id=body.get("txn_id") or None
+            )
+        except ValueError as exc:  # unknown version / vacuumed files
+            raise _ApiError(409, str(exc))
+        return 200, {"success": True, "new_version": new_version}
 
     def vacuum(self, name: str, body: dict):
         self._table(name)
@@ -461,6 +484,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
         re.compile(r"^/tables/([A-Za-z0-9_]+)/compaction$"),
         "cancel_compaction",
     ),
+    ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/restore$"), "restore"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/vacuum$"), "vacuum"),
     ("GET", re.compile(r"^/tables/([A-Za-z0-9_]+)/diff/(\d+)/(\d+)$"), "table_diff"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/columns$"), "add_columns"),

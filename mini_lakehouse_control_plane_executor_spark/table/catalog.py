@@ -219,7 +219,18 @@ class LakehouseSession:
         versions; see LakehouseTable.vacuum for the safety contract."""
         return self.table(name).vacuum(retain_versions, min_age_seconds)
 
-    def compact(self, name: str, force: bool = False) -> int | None:
+    def restore(self, name: str, version: int, txn_id: str | None = None) -> int:
+        """RESTORE the table to an earlier version as a new forward
+        commit (``LakehouseTable.restore``)."""
+        new_version = self.table(name).restore(version, txn_id=txn_id)
+        _slog.with_table_name(name).with_version(new_version).info(
+            "table_restored", restored_to=version
+        )
+        return new_version
+
+    def compact(
+        self, name: str, force: bool = False, cluster_by: list[str] | None = None
+    ) -> int | None:
         """SafeExecuteCompaction semantics (``compaction_service.go:
         659-709``): per-table mutual exclusion, at most
         COMPACT_MAX_CONCURRENT compactions session-wide, and the
@@ -238,7 +249,7 @@ class LakehouseSession:
         try:
             with self._compact_slots:
                 t = self.table(name)
-                if not force and not t.should_compact():
+                if not force and not cluster_by and not t.should_compact():
                     return None
                 # Tag the rewrite's Spark jobs so cancel_compaction can
                 # kill them mid-flight (real cancellation — the commit
@@ -249,7 +260,7 @@ class LakehouseSession:
                 clog.info("compaction_started")
                 sc.setJobGroup(f"compaction-{name}", txn_id, interruptOnCancel=True)
                 try:
-                    version = t.compact(txn_id=txn_id)
+                    version = t.compact(txn_id=txn_id, cluster_by=cluster_by)
                 finally:
                     sc.setLocalProperty("spark.jobGroup.id", None)
                 if version is not None:

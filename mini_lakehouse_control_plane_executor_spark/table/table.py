@@ -87,6 +87,26 @@ def _not_null_guard(col, field: Field):
     ).otherwise(col)
 
 
+def _fill_partition_from_stats(adds: list, cluster_by: list[str]) -> list:
+    """Record single-valued cluster columns in FileAdd.partition
+    (FileInfo parity — ``proto/metadata.proto:94-113``): a file whose
+    min == max for a clustered column is exactly a partition of that
+    value, with no directory-layout commitment."""
+    from dataclasses import replace as dc_replace
+
+    return [
+        dc_replace(
+            a,
+            partition={
+                c: str(a.min_values[c])
+                for c in cluster_by
+                if c in a.min_values and a.min_values[c] == a.max_values.get(c)
+            },
+        )
+        for a in adds
+    ]
+
+
 def _stat_value(v, ftype: str):
     import datetime as _dt
 
@@ -234,19 +254,7 @@ class LakehouseTable:
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         if cluster_by:
-            from dataclasses import replace as dc_replace
-
-            adds = [
-                dc_replace(
-                    a,
-                    partition={
-                        c: str(a.min_values[c])
-                        for c in cluster_by
-                        if c in a.min_values and a.min_values[c] == a.max_values.get(c)
-                    },
-                )
-                for a in adds
-            ]
+            adds = _fill_partition_from_stats(adds, cluster_by)
         try:
             if mode == "append":
                 return self._commit_with_retry(txn_id, adds=adds, removes=[])
@@ -868,15 +876,33 @@ class LakehouseTable:
             groups.append(cur)
         return [g for g in groups if len(g) >= 2]
 
-    def compact(self, txn_id: str | None = None) -> int | None:
+    def compact(
+        self, txn_id: str | None = None, cluster_by: list[str] | None = None
+    ) -> int | None:
         """Rewrite small files into big ones; atomic adds+removes commit;
         on OCC conflict re-plan from the fresh snapshot and retry ≤3
         (``compaction_service.go:336-496,712-820``). Old versions remain
         readable (property 30, ``design.md:401-403``). Returns the new
-        version, or None if nothing to compact."""
+        version, or None if nothing to compact.
+
+        ``cluster_by`` switches to CLUSTERED compaction (Delta's
+        ``OPTIMIZE ... ZORDER BY`` analogue for linear keys): ALL
+        current files are rewritten in one group, range-partitioned and
+        sorted by the cluster columns into ~target-size files — each
+        output covers a contiguous key slice, so min/max stats prune
+        the clustered columns like partitions on every later read. The
+        storage-side lever for repeated selective scans at 100 TB: pay
+        one clustered rewrite, then every query prunes."""
+        if cluster_by:
+            unknown = set(cluster_by) - {f.name for f in self.fields}
+            if unknown:
+                raise ValueError(f"cluster_by unknown column(s): {sorted(unknown)}")
         for _ in range(COMMIT_MAX_RETRIES + 1):
             snap = self.log.snapshot()
-            groups = self.compaction_candidates(snap)
+            if cluster_by:
+                groups = [list(snap.files)] if snap.files else []
+            else:
+                groups = self.compaction_candidates(snap)
             if not groups:
                 return None
             # Caller-supplied txn id (the session's compaction run id,
@@ -891,15 +917,23 @@ class LakehouseTable:
             for gi, group in enumerate(groups):
                 paths = [os.path.join(self.dir, f.path) for f in group]
                 out = os.path.join(stage, f"g{gi}")
-                (
-                    self.spark.read.schema(schema).parquet(*paths)
-                    .coalesce(1)
-                    .write.mode("overwrite")
-                    .parquet(out)
-                )
+                df = self.spark.read.schema(schema).parquet(*paths)
+                if cluster_by:
+                    n_out = max(
+                        1,
+                        -(-sum(f.size for f in group) // COMPACT_TARGET_FILE_SIZE),
+                    )
+                    df = df.repartitionByRange(
+                        n_out, *cluster_by
+                    ).sortWithinPartitions(*cluster_by)
+                else:
+                    df = df.coalesce(1)
+                df.write.mode("overwrite").parquet(out)
                 adds.extend(self._promote_staged(out))
                 removes.extend(f.path for f in group)
             shutil.rmtree(stage, ignore_errors=True)
+            if cluster_by:
+                adds = _fill_partition_from_stats(adds, cluster_by)
             try:
                 return self.log.commit(snap.version, txn, snap.schema, adds, removes)
             except CommitConflictError:
@@ -908,3 +942,46 @@ class LakehouseTable:
                 self._remove_adds(adds)
                 continue
         return None
+
+    def restore(self, version: int, txn_id: str | None = None) -> int:
+        """Delta-style RESTORE TABLE ... TO VERSION AS OF: make the
+        CURRENT state identical to snapshot ``version`` via one new
+        forward commit — history is never rewritten, so time travel to
+        every interim version keeps working and the restore itself is
+        a versioned, diffable event. adds = target files not visible
+        now; removes = visible files not in the target; the commit also
+        carries the target's schema (restore restores schema, Delta
+        semantics). Idempotent per ``txn_id``; on OCC conflict the diff
+        recomputes against the fresh snapshot. Raises if a needed data
+        file was vacuumed away (the same guard Delta applies)."""
+        txn = txn_id or f"restore-{uuid.uuid4()}"
+        prior = self.log.find_txn(txn)
+        if prior is not None:
+            return prior
+        target = self.log.snapshot(version)  # raises on unknown version
+        missing = [
+            f.path
+            for f in target.files
+            if not os.path.exists(os.path.join(self.dir, f.path))
+        ]
+        if missing:
+            raise ValueError(
+                f"version {version} is no longer restorable: "
+                f"{len(missing)} data file(s) vacuumed (e.g. {missing[0]!r})"
+            )
+        last: Exception | None = None
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            cur = self.log.snapshot()
+            cur_paths = {f.path for f in cur.files}
+            tgt_paths = {f.path for f in target.files}
+            adds = [f for f in target.files if f.path not in cur_paths]
+            removes = sorted(cur_paths - tgt_paths)
+            try:
+                return self.log.commit(cur.version, txn, target.schema, adds, removes)
+            except CommitConflictError as exc:
+                last = exc
+                time.sleep(0.01 * (attempt + 1))
+        raise CommitRetriesExhausted(
+            f"restore of {self.name!r} to v{version} lost "
+            f"{COMMIT_MAX_RETRIES + 1} OCC races"
+        ) from last
