@@ -4662,7 +4662,8 @@ def events_transition_matrix(spark, sf_dir):
     is within-user only — no global sort), then a count aggregate on
     the (prev, next) pair whose cardinality is |event_types|^2 — tiny —
     so its shuffle is a few rows after map-side combine; row totals are
-    a broadcast join against that already-tiny matrix."""
+    a window over that already-tiny matrix (a totals join would re-run
+    the corpus subplan twice — plan-pinned)."""
     from pyspark.sql.window import Window
 
     e = _load(spark, sf_dir, "events")
@@ -4677,14 +4678,17 @@ def events_transition_matrix(spark, sf_dir):
         .groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = trans.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_n"))
+    # Row totals as a window over the already-tiny matrix: a totals
+    # groupBy+join would re-run the corpus lag-window subplan a second
+    # time (the matrix is not cached), while this adds only a
+    # prev_type exchange over |event_types|^2 rows.
+    row_n = F.sum("n").over(Window.partitionBy("prev_type")).cast("long")
     return (
-        trans.join(F.broadcast(tot), "prev_type")
-        .select(
+        trans.select(
             "prev_type",
             "next_type",
             "n",
-            F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+            F.round(F.col("n") / row_n, 6).alias("p"),
         )
         .orderBy("prev_type", "next_type")
     )

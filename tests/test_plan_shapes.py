@@ -252,3 +252,52 @@ def test_sharded_packing_has_no_single_partition_window(spark):
     assert "Window" in plan
     # the window's partitioning key must be the shard column
     assert re.search(r"Exchange hashpartitioning\(shard", plan)
+
+
+def test_transition_matrix_single_user_shuffle(spark):
+    """The Markov-transition query may shuffle the events only ONCE — on
+    user_id for the lag window; the (prev,next) count matrix is tiny and
+    its totals are broadcast back, so any other hash exchange key means
+    the corpus moved twice."""
+    plan = _plan(spark, "events_transition_matrix")
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"user_id", "prev_type"}, keys
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_quantization_codebook_is_keyless_single_pass(spark):
+    """The int8 codebook must come from one keyless min/max aggregate —
+    no posexplode of the corpus (no Generate), no per-dimension shuffle;
+    the codebook is broadcast back and the only grouped exchange is the
+    |labels|-row rollup."""
+    plan = _plan(spark, "embedding_quantization_error")
+    assert "Generate" not in plan  # no corpus explode
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row codebook broadcast
+    assert "CartesianProduct" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"label"}, keys
+
+
+def test_bigram_pmi_unigram_join_unhinted_and_take_ordered(spark):
+    """bigram_pmi_top: top-20 via TakeOrderedAndProject (no global
+    sort), the 1-row token total broadcast, and every hash exchange
+    keyed on a gram/token column or its join alias — never a corpus-wide
+    repartition after the persisted tokenize."""
+    plan = _plan(spark, "bigram_pmi_top")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast 1-row total
+    assert "CartesianProduct" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"g", "t", "x", "y"}, keys
+
+
+def test_corpus_law_queries_shuffle_vocab_not_corpus(spark):
+    """vocab_growth_heaps: the count(DISTINCT) expands into exchanges
+    keyed on (lang[, t]) only. zipf_slope_by_lang: token-count shuffle
+    plus the per-lang rank window — keys limited to lang/t, and the
+    regression itself adds no exchange beyond the lang rollup."""
+    for name in ("vocab_growth_heaps", "zipf_slope_by_lang"):
+        plan = _plan(spark, name)
+        keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+        assert keys <= {"lang", "t"}, (name, keys)
+        assert "CartesianProduct" not in plan
