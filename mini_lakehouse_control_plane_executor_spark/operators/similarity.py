@@ -641,3 +641,156 @@ def matmul_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+
+def _sub(vec: Column, m: int, sub_dim: int) -> Column:
+    """Subspace m's slice of a vector (1-based F.slice)."""
+    return F.slice(vec, m * sub_dim + 1, sub_dim)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    df: DataFrame, id_col: str, vec_col: str, n_sub: int, sub_dim: int, n_codes: int
+) -> DataFrame:
+    """One-row broadcastable PQ codebook: for each of ``n_sub``
+    subspaces, a code_id-sorted array of (code_id, cv) structs. Codes
+    are the subvectors of the first ``n_codes`` vectors by id — the
+    deterministic seeding discipline of ``ivf_topk`` (n_iters=0), so the
+    index build is exactly oracle-checkable; ``kmeans_refine`` per
+    subspace would drop in the same way IVF's does."""
+    seed = df.filter(F.col(id_col) < n_codes).select(
+        F.col(id_col).alias("code_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    return seed.agg(
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.struct("code_id", _sub(F.col("v"), m, sub_dim).alias("cv"))
+                )
+            ).alias(f"book{m}")
+            for m in range(n_sub)
+        ]
+    )
+
+
+def _pq_code(sub_vec: Column, book: Column) -> Column:
+    """Argmin-L2 code for one subvector against one subspace's codebook
+    array: squared distance rounded to 6dp, strict < over the
+    id-ascending array means ties go to the LOWEST code_id — the same
+    determinism contract as `_nearest_centroid`."""
+    scored = F.transform(
+        book,
+        lambda x: F.struct(
+            F.round(_l2sq(sub_vec, x["cv"]), 6).alias("dist"),
+            x["code_id"].alias("code_id"),
+        ),
+    )
+    return F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("inf")).cast("double").alias("dist"),
+            F.lit(None).cast("long").alias("code_id"),
+        ),
+        lambda acc, x: F.when(x["dist"] < acc["dist"], x).otherwise(acc),
+        lambda acc: acc["code_id"],
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+) -> DataFrame:
+    """PQ-ADC approximate top-k: the corpus is compressed to ``n_sub``
+    small integer codes per vector (argmin-L2 per subspace against the
+    codebook — here 4×3 bits instead of 64 floats, the memory-bandwidth
+    lever of every large ANN index), and each query scores candidates
+    ASYMMETRICALLY: exact query subvectors against reconstructed
+    (decoded) corpus subvectors, cosine = Σ_m q_m·c_m / (|q|·|ĉ|).
+
+    Scale shape: the codebook is ONE broadcast row; encoding is a
+    map-only pass (no shuffle, no explode — the `_nearest_centroid`
+    argmax discipline per subspace); scoring broadcasts the small query
+    set and streams the CODES (n_sub longs per row, not the vectors);
+    the only shuffle is the per-query top-k window. A production ADC
+    would precompute the per-query n_sub×n_codes dot-product LUT —
+    here the same arithmetic rides the codebook lookup expression
+    (element_at on the broadcast book), which whole-stage codegen
+    evaluates once per (query, code) anyway at this fan-out."""
+    book = pq_codebook(df, id_col, vec_col, n_sub, sub_dim, n_codes)
+    base = df.select(
+        F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    enc = base.crossJoin(F.broadcast(book)).select(
+        "c_id",
+        *[
+            _pq_code(_sub(F.col("v"), m, sub_dim), F.col(f"book{m}")).alias(f"code{m}")
+            for m in range(n_sub)
+        ],
+        # |ĉ|² from the selected codes — computed once at encode time.
+        sum(
+            (
+                F.aggregate(
+                    F.element_at(
+                        F.col(f"book{m}"),
+                        _pq_code(_sub(F.col("v"), m, sub_dim), F.col(f"book{m}")).cast(
+                            "int"
+                        )
+                        + 1,
+                    )["cv"],
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+                for m in range(n_sub)
+            ),
+            start=F.lit(0.0),
+        ).alias("cnorm2"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
+    adot = sum(
+        (
+            dot(
+                _sub(F.col("q_vec"), m, sub_dim),
+                F.element_at(F.col(f"book{m}"), F.col(f"code{m}").cast("int") + 1)[
+                    "cv"
+                ],
+            )
+            for m in range(n_sub)
+        ),
+        start=F.lit(0.0),
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(book))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(adot / (F.col("q_nrm") * F.sqrt(F.col("cnorm2"))), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )

@@ -301,3 +301,14 @@ def test_corpus_law_queries_shuffle_vocab_not_corpus(spark):
         keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
         assert keys <= {"lang", "t"}, (name, keys)
         assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_encode_is_map_only(spark):
+    """PQ encode must be a map-only pass against the ONE broadcast
+    codebook row (no corpus exchange, no explode); the only shuffle in
+    the whole ADC search is the per-query top-k window."""
+    plan = _plan(spark, "ann_cosine_pq_adc")
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys == {"q_id"}, keys
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # codebook + query broadcast
