@@ -4958,6 +4958,49 @@ def ann_cosine_pq_adc(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def _pq_recall_oracle(k: int = 5) -> str:
+    return f"""
+WITH exact AS (SELECT q_id, c_id FROM ({_ANN_BRUTE_ORACLE}) x),
+approx AS (SELECT q_id AS a_qid, c_id AS a_cid FROM ({_pq_adc_oracle()}) y)
+SELECT e.q_id,
+       CAST(count(a.a_cid) AS BIGINT) AS n_hits,
+       round(count(a.a_cid) / {k}.0, 2) AS recall_at_{k}
+FROM exact e
+LEFT JOIN approx a ON e.q_id = a.a_qid AND e.c_id = a.a_cid
+GROUP BY e.q_id ORDER BY e.q_id
+"""
+
+
+@query("ann_recall_pq_vs_exact", oracle=_pq_recall_oracle())
+def ann_recall_pq_vs_exact(spark, sf_dir):
+    """Recall@5 of the PQ-ADC index against exact brute-force top-5 per
+    query — the compression-loss dial that decides (n_sub, n_codes) in
+    production, the PQ counterpart of ``ann_recall_lsh_vs_exact``. Both
+    operands are k-rows-per-query frames, so the comparison join is
+    trivially small."""
+    e = _load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = _sim.brute_force_topk(e, "vec_id", "embedding", queries, k=5).select(
+        "q_id", "c_id"
+    )
+    approx = _sim.pq_adc_topk(
+        e, "vec_id", "embedding", queries, k=5, n_sub=4, sub_dim=16, n_codes=8
+    ).select(F.col("q_id").alias("a_qid"), F.col("c_id").alias("a_cid"))
+    j = exact.join(
+        approx,
+        (exact.q_id == approx.a_qid) & (exact.c_id == approx.a_cid),
+        "left",
+    )
+    return (
+        j.groupBy("q_id")
+        .agg(
+            F.count("a_cid").alias("n_hits"),
+            F.round(F.count("a_cid") / F.lit(5.0), 2).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -4991,6 +5034,7 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_quantization_error",  # new in r5
     "cross_source_dup_matrix",  # new in r5
     "ann_cosine_pq_adc",  # new in r5
+    "ann_recall_pq_vs_exact",  # new in r5
     "scan_full",  # verdict stale since r02
     "project_columns",  # verdict stale since r02
     # r03-green set, r03 verdict order (minus events_dedup_distinct and
