@@ -794,3 +794,111 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+) -> DataFrame:
+    """IVF-PQ: the production ANN index shape — IVF pruning picks which
+    lists a query touches (``n_probe`` of ``n_centroids``), PQ-ADC
+    scoring decides within them, so the search reads ~n_probe/n_centroids
+    of the corpus AND only codes, never raw vectors. Raw-vector PQ (no
+    residual encoding) keeps the index build exactly oracle-checkable;
+    FAISS's by_residual variant would drop in by subtracting the
+    assigned centroid before ``_pq_code``.
+
+    Scale shape: one map-only pass computes BOTH the centroid argmax
+    assignment and the PQ codes (centroid table and codebook are each
+    ONE broadcast row); probes broadcast; the scoring join is an equi
+    join on cent_id against the code table; the only data shuffle is
+    the per-query top-k window."""
+    cents = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_vec")
+    ).withColumn("cent_nrm", norm(F.col("cent_vec")))
+    book = pq_codebook(df, id_col, vec_col, n_sub, sub_dim, n_codes)
+    base = df.select(
+        F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("c_nrm", norm(F.col("v")))
+    enc = (
+        base.withColumnsRenamed({"v": "c_vec"})
+        .crossJoin(F.broadcast(_centroid_array(cents)))
+        .crossJoin(F.broadcast(book))
+        .select(
+            "c_id",
+            _nearest_centroid("c_vec", "c_nrm").alias("cent_id"),
+            *[
+                _pq_code(_sub(F.col("c_vec"), m, sub_dim), F.col(f"book{m}")).alias(
+                    f"code{m}"
+                )
+                for m in range(n_sub)
+            ],
+            sum(
+                (
+                    F.aggregate(
+                        F.element_at(
+                            F.col(f"book{m}"),
+                            _pq_code(
+                                _sub(F.col("c_vec"), m, sub_dim), F.col(f"book{m}")
+                            ).cast("int")
+                            + 1,
+                        )["cv"],
+                        F.lit(0.0),
+                        lambda acc, x: acc + x * x,
+                    )
+                    for m in range(n_sub)
+                ),
+                start=F.lit(0.0),
+            ).alias("cnorm2"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
+    qsim = F.round(
+        dot(F.col("q_vec"), F.col("cent_vec")) / (F.col("q_nrm") * F.col("cent_nrm")), 6
+    )
+    qw = Window.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "q_vec", "q_nrm", "cent_id", qsim.alias("qsim"))
+        .withColumn("qrn", F.row_number().over(qw))
+        .filter(F.col("qrn") <= n_probe)
+        .select("q_id", "q_vec", "q_nrm", "cent_id")
+    )
+    adot = sum(
+        (
+            dot(
+                _sub(F.col("q_vec"), m, sub_dim),
+                F.element_at(F.col(f"book{m}"), F.col(f"code{m}").cast("int") + 1)[
+                    "cv"
+                ],
+            )
+            for m in range(n_sub)
+        ),
+        start=F.lit(0.0),
+    )
+    scored = (
+        enc.join(F.broadcast(probes), "cent_id")
+        .crossJoin(F.broadcast(book))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(adot / (F.col("q_nrm") * F.sqrt(F.col("cnorm2"))), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )

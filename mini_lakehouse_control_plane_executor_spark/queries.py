@@ -5001,6 +5001,115 @@ def ann_recall_pq_vs_exact(spark, sf_dir):
     )
 
 
+def _ivfpq_oracle(
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+) -> str:
+    subs = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {m} AS m, v[{m * sub_dim + 1}:{(m + 1) * sub_dim}] AS sv FROM base"
+        for m in range(n_sub)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < {n_centroids}),
+assigned AS (
+  SELECT vec_id AS c_id, cent_id FROM (
+    SELECT b.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.cent_id
+           ) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+sub AS (
+  {subs}
+),
+cbook AS (SELECT vec_id AS code_id, m, sv AS cv FROM sub WHERE vec_id < {n_codes}),
+enc AS (
+  SELECT vec_id AS c_id, m, code_id FROM (
+    SELECT s.vec_id, s.m, c.code_id,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY round(list_sum(list_transform(range(1, {sub_dim + 1}),
+                        i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) ASC,
+                      c.code_id
+           ) AS rn
+    FROM sub s JOIN cbook c ON s.m = c.m
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, cent_id FROM (
+    SELECT b.vec_id AS q_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.cent_id
+           ) AS rn
+    FROM base b CROSS JOIN cents c WHERE b.vec_id < 10
+  ) WHERE rn <= {n_probe}
+),
+contrib AS (
+  SELECT qs.vec_id AS q_id, e.c_id,
+         sum(list_sum(list_transform(range(1, {sub_dim + 1}),
+               i -> qs.sv[i] * c.cv[i]))) AS adot,
+         sum(list_sum(list_transform(range(1, {sub_dim + 1}),
+               i -> c.cv[i] * c.cv[i]))) AS cnorm2
+  FROM enc e
+  JOIN assigned a ON a.c_id = e.c_id
+  JOIN probes p ON p.cent_id = a.cent_id
+  JOIN sub qs ON qs.m = e.m AND qs.vec_id = p.q_id AND qs.vec_id != e.c_id
+  JOIN cbook c ON e.m = c.m AND e.code_id = c.code_id
+  GROUP BY 1, 2
+),
+qn AS (
+  SELECT vec_id AS q_id,
+         sqrt(list_sum(list_transform(range(1, {n_sub * sub_dim + 1}),
+           i -> v[i] * v[i]))) AS qnrm
+  FROM base WHERE vec_id < 10
+),
+r AS (
+  SELECT c.q_id, c.c_id,
+         round(c.adot / (q.qnrm * sqrt(c.cnorm2)), 6) AS sim,
+         CAST(row_number() OVER (
+           PARTITION BY c.q_id
+           ORDER BY round(c.adot / (q.qnrm * sqrt(c.cnorm2)), 6) DESC, c.c_id
+         ) AS INT) AS rank
+  FROM contrib c JOIN qn q USING (q_id)
+)
+SELECT q_id, c_id, sim, rank FROM r WHERE rank <= {k} ORDER BY q_id, rank
+"""
+
+
+@query("ann_cosine_ivfpq", oracle=_ivfpq_oracle())
+def ann_cosine_ivfpq(spark, sf_dir):
+    """IVF-PQ approximate top-5 — the production ANN index shape: IVF
+    probing reads ~n_probe/n_centroids of the corpus, PQ-ADC scoring
+    reads only the 4-code compressed rows within those lists. One
+    map-only pass builds BOTH index parts (centroid argmax + PQ codes
+    against two broadcast one-row tables); the only data shuffle is the
+    per-query top-k window. Raw-vector PQ keeps the build
+    oracle-checkable; residual encoding is a one-line variant (see
+    operators/similarity.py::ivfpq_topk)."""
+    e = _load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return _sim.ivfpq_topk(
+        e,
+        "vec_id",
+        "embedding",
+        queries,
+        k=5,
+        n_centroids=16,
+        n_probe=2,
+        n_sub=4,
+        sub_dim=16,
+        n_codes=8,
+    ).orderBy("q_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -5035,6 +5144,7 @@ DRIVER_PRIORITY: list[str] = [
     "cross_source_dup_matrix",  # new in r5
     "ann_cosine_pq_adc",  # new in r5
     "ann_recall_pq_vs_exact",  # new in r5
+    "ann_cosine_ivfpq",  # new in r5
     "scan_full",  # verdict stale since r02
     "project_columns",  # verdict stale since r02
     # r03-green set, r03 verdict order (minus events_dedup_distinct and

@@ -312,3 +312,15 @@ def test_pq_adc_encode_is_map_only(spark):
     assert keys == {"q_id"}, keys
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # codebook + query broadcast
+
+
+def test_ivfpq_single_pass_index_build(spark):
+    """IVF-PQ: centroid assignment AND PQ encoding ride ONE map-only
+    pass (two broadcast one-row tables — no corpus exchange, no
+    explode); probes broadcast onto the code table by cent_id; the only
+    data shuffle is the per-query top-k window."""
+    plan = _plan(spark, "ann_cosine_ivfpq")
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys == {"q_id"}, keys
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan  # no corpus explode anywhere
