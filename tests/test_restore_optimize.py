@@ -150,3 +150,33 @@ def test_restore_over_http(lake, spark):
         post("/tables/rh/restore", {}, expect=400)
     finally:
         srv.stop()
+
+
+def test_restore_occ_recompute_under_race(lake, spark, monkeypatch):
+    """A restore that loses the OCC CAS must recompute its diff against
+    the fresh snapshot: a row inserted between the restore's snapshot
+    read and its commit is removed by the retried restore (the restored
+    state is the TARGET state, not target-plus-racer)."""
+    lake.create_table("rr", SCHEMA)
+    lake.insert("rr", _mk(spark, 0, 5))  # v2
+    lake.insert("rr", _mk(spark, 5, 8))  # v3
+    t = lake.table("rr")
+
+    real_commit = t.log.commit
+    raced = {"done": False}
+
+    def racing_commit(base_version, txn_id, schema, adds, removes):
+        # First restore attempt: sneak a concurrent insert in first, so
+        # the restore's CAS loses and it must re-diff.
+        if txn_id.startswith("restore-race") and not raced["done"]:
+            raced["done"] = True
+            lake.insert("rr", _mk(spark, 100, 103))
+        return real_commit(base_version, txn_id, schema, adds, removes)
+
+    monkeypatch.setattr(t.log, "commit", racing_commit)
+    v = t.restore(2, txn_id="restore-race-1")
+    monkeypatch.setattr(t.log, "commit", real_commit)
+    assert raced["done"]
+    assert v == t.log.latest_version()
+    assert _rows(t.read()) == _rows(t.read(version=2))  # racer's rows gone
+    assert t.read().count() == 5
