@@ -5110,6 +5110,75 @@ def ann_cosine_ivfpq(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+z AS (
+  SELECT user_id, day, n,
+         avg(n) OVER (PARTITION BY user_id) AS mu,
+         stddev_pop(n) OVER (PARTITION BY user_id) AS sd,
+         count(*) OVER (PARTITION BY user_id) AS n_days,
+         min(n) OVER (PARTITION BY user_id) AS mn,
+         max(n) OVER (PARTITION BY user_id) AS mx
+  FROM daily
+)
+SELECT user_id, day, n, round((n - mu) / sd, 6) AS z
+FROM z
+WHERE n_days >= 3 AND mn != mx AND abs(round((n - mu) / sd, 6)) > 1.5
+ORDER BY user_id, day
+"""
+
+
+@query("events_daily_anomaly", oracle=_ANOMALY_SQL)
+def events_daily_anomaly(spark, sf_dir):
+    """Per-user activity anomalies: days whose event count sits more
+    than 1.5 population standard deviations from that user's own mean —
+    the bot/incident screen an event pipeline runs before sessionizing.
+    Constant-activity users are excluded by the EXACT integer condition
+    min(n) != max(n), never by a float sd > 0 test (an engine computing
+    variance as 1e-18 instead of 0 would otherwise flip the row set);
+    the z-score itself is rounded to 6dp BEFORE thresholding so both
+    engines gate on the identical quantized value.
+
+    100 TB shape: one (user, day) count shuffle with map-side combine,
+    then one window shuffle on user_id over the already-daily-grained
+    table (365 rows per user-year, not events) — the corpus moves
+    once."""
+    from pyspark.sql.window import Window
+
+    e = _load(spark, sf_dir, "events")
+    daily = (
+        e.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id")
+    z = F.round(
+        (F.col("n") - F.avg("n").over(w)) / F.stddev_pop("n").over(w), 6
+    )
+    return (
+        daily.select(
+            "user_id",
+            "day",
+            "n",
+            z.alias("z"),
+            F.count(F.lit(1)).over(w).alias("n_days"),
+            F.min("n").over(w).alias("mn"),
+            F.max("n").over(w).alias("mx"),
+        )
+        .filter(
+            (F.col("n_days") >= 3)
+            & (F.col("mn") != F.col("mx"))
+            & (F.abs(F.col("z")) > 1.5)
+        )
+        .select("user_id", "day", "n", "z")
+        .orderBy("user_id", "day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -5146,6 +5215,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_cosine_pq_adc",  # new in r5
     "ann_recall_pq_vs_exact",  # new in r5
     "ann_cosine_ivfpq",  # new in r5
+    "events_daily_anomaly",  # new in r5
     "scan_full",  # verdict stale since r02
     "project_columns",  # verdict stale since r02
     # r03-green set, r03 verdict order (minus events_dedup_distinct and
