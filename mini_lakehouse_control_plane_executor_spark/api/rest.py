@@ -117,7 +117,11 @@ class LakehouseRestServer:
         if not name:
             raise _ApiError(400, "Missing table name (use 'name' or 'table_name')")
         try:
-            self.lake.create_table(name, _fields_from_api(body.get("schema") or {}))
+            self.lake.create_table(
+                name,
+                _fields_from_api(body.get("schema") or {}),
+                constraints=body.get("constraints") or None,
+            )
         except (SchemaError, ValueError) as exc:
             raise _ApiError(400, str(exc))
         return 200, {"success": True, "message": f"Table {name} created successfully"}
@@ -130,6 +134,7 @@ class LakehouseRestServer:
             "latest_version": snap.version,
             "schema": _fields_to_api(snap.schema),
             "file_count": len(snap.files),
+            "constraints": t.constraints,
         }
 
     def drop_table(self, name: str):

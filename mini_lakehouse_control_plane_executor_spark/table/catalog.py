@@ -115,8 +115,15 @@ class LakehouseSession:
 
     # -- tables --------------------------------------------------------
 
-    def create_table(self, name: str, fields: list[Field]) -> LakehouseTable:
-        t = LakehouseTable.create(self.spark, self.root, name, fields)
+    def create_table(
+        self,
+        name: str,
+        fields: list[Field],
+        constraints: dict[str, str] | None = None,
+    ) -> LakehouseTable:
+        t = LakehouseTable.create(
+            self.spark, self.root, name, fields, constraints=constraints
+        )
         self._tables[name] = t
         _slog.with_table_name(name).info("table_created", n_fields=len(fields))
         return t

@@ -20,7 +20,9 @@ Spark-first differences from the reference:
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -159,8 +161,19 @@ class LakehouseTable:
 
     @staticmethod
     def create(
-        spark: SparkSession, root: str, name: str, fields: list[Field]
+        spark: SparkSession,
+        root: str,
+        name: str,
+        fields: list[Field],
+        constraints: dict[str, str] | None = None,
     ) -> "LakehouseTable":
+        """``constraints``: optional CHECK constraints
+        {name: boolean SQL expression} enforced on every insert (Delta
+        `ALTER TABLE ADD CONSTRAINT CHECK` semantics: a row passes when
+        the expression is TRUE or NULL, the write FAILS — inside the
+        write pass, no extra scan — when any row evaluates FALSE).
+        Expressions are analyzed against the table schema at create
+        time, so a typo'd column fails here, not on first insert."""
         validate_table_name(name)
         validate_schema(fields)
         table = LakehouseTable(spark, root, name)
@@ -168,9 +181,56 @@ class LakehouseTable:
             raise ValueError(f"table {name!r} already exists")
         os.makedirs(table.data_dir, exist_ok=True)
         os.makedirs(table.tmp_dir, exist_ok=True)
+        if constraints:
+            probe = spark.createDataFrame([], to_spark_schema(fields))
+            for cname, expr in constraints.items():
+                if not re.fullmatch(r"[A-Za-z0-9_]+", cname):
+                    raise ValueError(f"invalid constraint name {cname!r}")
+                try:
+                    probe.filter(F.expr(expr).cast("boolean")).schema
+                except Exception as exc:
+                    raise ValueError(
+                        f"constraint {cname!r} does not analyze against the "
+                        f"table schema: {exc}"
+                    ) from exc
+            with open(os.path.join(table.dir, "_constraints.json"), "w") as f:
+                json.dump(constraints, f, indent=2, sort_keys=True)
         # Version 1 = creation: schema only, no files.
         table.log.commit(0, f"create-{uuid.uuid4()}", fields)
         return table
+
+    @property
+    def constraints(self) -> dict[str, str]:
+        path = os.path.join(self.dir, "_constraints.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def _constraint_guard(self, cols: list, df: DataFrame) -> list:
+        """Fold CHECK enforcement into the first projected column so it
+        cannot be pruned away: any row where a constraint evaluates
+        FALSE (NULL passes, SQL CHECK semantics) raises inside the write
+        pass — the `_not_null_guard` discipline."""
+        constraints = self.constraints
+        if not constraints:
+            return cols
+        first = cols[0]
+        dtype = to_spark_schema(self.fields)[0].dataType
+        for cname in sorted(constraints):
+            violated = ~F.coalesce(
+                F.expr(constraints[cname]).cast("boolean"), F.lit(True)
+            )
+            first = F.when(
+                violated,
+                F.raise_error(
+                    F.lit(
+                        f"CHECK constraint {cname!r} violated: "
+                        f"({constraints[cname]})"
+                    )
+                ).cast(dtype),
+            ).otherwise(first)
+        return [first.alias(self.fields[0].name), *cols[1:]]
 
     def exists(self) -> bool:
         return self.log.latest_version() > 0
@@ -236,6 +296,13 @@ class LakehouseTable:
                 for f in fields
             ]
         )
+        # CHECK constraints ride a second projection over the ALIGNED
+        # (post-cast) columns — Delta semantics: constraints see final
+        # values; CollapseProject folds both into one pass.
+        if self.constraints:
+            df = df.select(
+                *self._constraint_guard([df[f.name] for f in fields], df)
+            )
         if cluster_by:
             # Range-partition (not hash): gives each output file a
             # CONTIGUOUS slice of the cluster-key space, the layout that

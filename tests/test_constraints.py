@@ -1,0 +1,109 @@
+"""CHECK constraints (Delta `ADD CONSTRAINT CHECK` semantics): declared
+at create time, analyzed against the schema immediately, enforced inside
+every insert's write pass — TRUE or NULL passes, FALSE fails the whole
+transaction and commits nothing."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+
+SCHEMA = [
+    Field("id", "int64", False),
+    Field("amount", "float64", True),
+    Field("status", "string", True),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, amount double, status string")
+
+
+def test_constraint_enforced_on_insert(lake, spark):
+    lake.create_table(
+        "ck",
+        SCHEMA,
+        constraints={
+            "positive_amount": "amount > 0",
+            "known_status": "status IN ('new', 'done')",
+        },
+    )
+    t = lake.table("ck")
+    assert set(t.constraints) == {"positive_amount", "known_status"}
+
+    lake.insert("ck", _df(spark, [(1, 5.0, "new"), (2, 1.0, "done")]))
+    assert t.read().count() == 2
+
+    with pytest.raises(Exception, match="positive_amount"):
+        lake.insert("ck", _df(spark, [(3, -1.0, "new")]))
+    with pytest.raises(Exception, match="known_status"):
+        lake.insert("ck", _df(spark, [(3, 1.0, "bogus")]))
+    # Failed writes committed nothing — table unchanged, no orphan version.
+    assert t.read().count() == 2
+    assert t.log.latest_version() == 2
+
+
+def test_null_passes_check(lake, spark):
+    """SQL CHECK semantics: NULL (unknown) is not a violation."""
+    lake.create_table("cn", SCHEMA, constraints={"pos": "amount > 0"})
+    lake.insert("cn", _df(spark, [(1, None, None)]))
+    assert lake.table("cn").read().count() == 1
+
+
+def test_bad_constraint_rejected_at_create(lake):
+    with pytest.raises(ValueError, match="does not analyze"):
+        lake.create_table("cb", SCHEMA, constraints={"oops": "no_such_col > 0"})
+    with pytest.raises(ValueError, match="invalid constraint name"):
+        lake.create_table("cb", SCHEMA, constraints={"bad name!": "amount > 0"})
+
+
+def test_constraint_applies_to_post_cast_values(lake, spark):
+    """Constraints see the table-typed (post-cast) values, like Delta: a
+    string '3' arriving for an int64 column satisfies `id < 10` after
+    the cast."""
+    lake.create_table("cp", SCHEMA, constraints={"small_id": "id < 10"})
+    src = spark.createDataFrame([("3", 1.0, "new")], "id string, amount double, status string")
+    lake.insert("cp", src)
+    assert lake.table("cp").read().collect()[0]["id"] == 3
+    with pytest.raises(Exception, match="small_id"):
+        lake.insert("cp", spark.createDataFrame(
+            [("30", 1.0, "new")], "id string, amount double, status string"
+        ))
+
+
+def test_constraints_over_http(lake):
+    import json
+    import urllib.request
+    from mini_lakehouse_control_plane_executor_spark.api.rest import LakehouseRestServer
+
+    srv = LakehouseRestServer(lake).start()
+    try:
+        def call(method, path, body=None, expect=200):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}{path}",
+                method=method,
+                data=json.dumps(body).encode() if body is not None else None,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    assert resp.status == expect
+                    return json.load(resp)
+            except urllib.error.HTTPError as err:
+                assert err.code == expect, f"{path}: {err.code}"
+                return json.loads(err.read() or b"{}")
+
+        schema = {"fields": [{"name": f.name, "type": f.type, "nullable": f.nullable} for f in SCHEMA]}
+        call("POST", "/tables", {"table_name": "ch", "schema": schema,
+                                 "constraints": {"pos": "amount > 0"}})
+        info = call("GET", "/tables/ch")
+        assert info["constraints"] == {"pos": "amount > 0"}
+        call("POST", "/tables", {"table_name": "ch2", "schema": schema,
+                                 "constraints": {"oops": "ghost > 0"}}, expect=400)
+        # Violating inline insert -> 400, nothing committed.
+        call("POST", "/tables/ch/insert",
+             {"rows": [{"id": 1, "amount": -5.0, "status": "new"}]}, expect=400)
+        assert call("GET", "/tables/ch")["latest_version"] == 1
+    finally:
+        srv.stop()
