@@ -516,7 +516,14 @@ class LakehouseTable:
                 ).alias(f.name)
                 for f in fields
             ]
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # CHECK constraints gate merge-inserted/updated rows the same
+        # way insert's write pass does (post-cast values).
+        if self.constraints:
+            source = source.select(
+                *self._constraint_guard([source[f.name] for f in fields], source)
+            )
+        source = source.persist(StorageLevel.MEMORY_AND_DISK)
         if when_matched is not None:
             dups = (
                 source.groupBy(key)

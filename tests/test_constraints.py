@@ -107,3 +107,15 @@ def test_constraints_over_http(lake):
         assert call("GET", "/tables/ch")["latest_version"] == 1
     finally:
         srv.stop()
+
+
+def test_constraint_enforced_on_merge_source(lake, spark):
+    """MERGE rows pass through the same CHECK gate as insert."""
+    lake.create_table("cm", SCHEMA, constraints={"pos": "amount > 0"})
+    lake.insert("cm", _df(spark, [(1, 5.0, "new")]))
+    v, upd, ins = lake.merge("cm", _df(spark, [(2, 3.0, "new")]), key="id")
+    assert ins == 1
+    with pytest.raises(Exception, match="pos"):
+        lake.merge("cm", _df(spark, [(3, -4.0, "new")]), key="id")
+    t = lake.table("cm")
+    assert t.read().count() == 2
