@@ -25,6 +25,8 @@ REST route table (``pkg/coordinator/rest_api.go:44-76``):
                                                      jobs, vs the
                                                      reference's entry
                                                      delete)
+    POST   /tables/{t}/constraints                   ADD CONSTRAINT CHECK
+                                                     (validated vs existing rows)
     POST   /tables/{t}/restore                       Delta-style RESTORE to an
                                                      earlier version (forward
                                                      commit, history intact)
@@ -355,6 +357,19 @@ class LakehouseRestServer:
             "message": f"Compaction cancelled for table {name}",
         }
 
+    def add_constraint(self, name: str, body: dict):
+        """POST /tables/{t}/constraints {"name": n, "expr": e} — Delta
+        ALTER TABLE ADD CONSTRAINT: validated against all existing rows
+        before taking effect."""
+        t = self._table(name)
+        if not body.get("name") or not body.get("expr"):
+            raise _ApiError(400, "missing required fields: name, expr")
+        try:
+            t.add_constraint(body["name"], body["expr"])
+        except ValueError as exc:
+            raise _ApiError(409, str(exc))
+        return 200, {"success": True, "constraints": t.constraints}
+
     def restore(self, name: str, body: dict):
         """POST /tables/{t}/restore {"version": V} — Delta-style RESTORE
         as one forward commit; history stays time-travelable."""
@@ -489,6 +504,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
         re.compile(r"^/tables/([A-Za-z0-9_]+)/compaction$"),
         "cancel_compaction",
     ),
+    ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/constraints$"), "add_constraint"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/restore$"), "restore"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/vacuum$"), "vacuum"),
     ("GET", re.compile(r"^/tables/([A-Za-z0-9_]+)/diff/(\d+)/(\d+)$"), "table_diff"),

@@ -207,6 +207,33 @@ class LakehouseTable:
         with open(path) as f:
             return json.load(f)
 
+    def add_constraint(self, cname: str, expr: str) -> None:
+        """Delta ``ALTER TABLE ADD CONSTRAINT`` semantics: the new CHECK
+        is validated against ALL existing rows first (one scan — Delta
+        does the same); if any row violates it, nothing changes. Not a
+        versioned table commit: constraints live in the sidecar, and the
+        data itself is untouched."""
+        if not re.fullmatch(r"[A-Za-z0-9_]+", cname):
+            raise ValueError(f"invalid constraint name {cname!r}")
+        if cname in self.constraints:
+            raise ValueError(f"constraint {cname!r} already exists")
+        try:
+            violating = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            n_bad = self.read().filter(violating).limit(1).count()
+        except Exception as exc:
+            raise ValueError(
+                f"constraint {cname!r} does not analyze against the table "
+                f"schema: {exc}"
+            ) from exc
+        if n_bad:
+            raise ValueError(
+                f"cannot add constraint {cname!r}: existing rows violate "
+                f"({expr})"
+            )
+        constraints = {**self.constraints, cname: expr}
+        with open(os.path.join(self.dir, "_constraints.json"), "w") as f:
+            json.dump(constraints, f, indent=2, sort_keys=True)
+
     def _constraint_guard(self, cols: list, df: DataFrame) -> list:
         """Fold CHECK enforcement into the first projected column so it
         cannot be pruned away: any row where a constraint evaluates
@@ -446,7 +473,16 @@ class LakehouseTable:
                     else F.col(f.name)
                     for f in snap.schema
                 ]
-            ).coalesce(max(1, len(candidates)))
+            )
+            # Rewritten rows pass the same CHECK gate as insert; the
+            # untouched rows trivially satisfy it (they already did).
+            if self.constraints:
+                out = out.select(
+                    *self._constraint_guard(
+                        [out[f.name] for f in snap.schema], out
+                    )
+                )
+            out = out.coalesce(max(1, len(candidates)))
             stage = os.path.join(self.tmp_dir, txn_id)
             out.write.mode("overwrite").parquet(stage)
             try:

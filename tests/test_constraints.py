@@ -119,3 +119,57 @@ def test_constraint_enforced_on_merge_source(lake, spark):
         lake.merge("cm", _df(spark, [(3, -4.0, "new")]), key="id")
     t = lake.table("cm")
     assert t.read().count() == 2
+
+
+def test_add_constraint_post_hoc(lake, spark):
+    """ALTER-style ADD CONSTRAINT: validated against existing rows —
+    rejected (nothing changes) when data already violates, enforced on
+    subsequent writes when accepted."""
+    lake.create_table("ca", SCHEMA)
+    lake.insert("ca", _df(spark, [(1, 5.0, "new"), (2, -1.0, "new")]))
+    t = lake.table("ca")
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("pos", "amount > 0")
+    assert t.constraints == {}
+    t.add_constraint("small_id", "id < 100")
+    assert t.constraints == {"small_id": "id < 100"}
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("small_id", "id < 50")
+    with pytest.raises(Exception, match="small_id"):
+        lake.insert("ca", _df(spark, [(200, 1.0, "new")]))
+    # update() rewrites pass the gate too.
+    with pytest.raises(Exception, match="small_id"):
+        t.update("id = 1", {"id": "500"})
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+
+
+def test_add_constraint_over_http(lake, spark):
+    import json
+    import urllib.request
+    from mini_lakehouse_control_plane_executor_spark.api.rest import LakehouseRestServer
+
+    lake.create_table("cah", SCHEMA)
+    lake.insert("cah", _df(spark, [(1, 5.0, "new")]))
+    srv = LakehouseRestServer(lake).start()
+    try:
+        def post(path, body, expect=200):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}{path}", method="POST",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    assert resp.status == expect
+                    return json.load(resp)
+            except urllib.error.HTTPError as err:
+                assert err.code == expect, f"{path}: {err.code}"
+                return json.loads(err.read() or b"{}")
+
+        out = post("/tables/cah/constraints", {"name": "pos", "expr": "amount > 0"})
+        assert out["constraints"] == {"pos": "amount > 0"}
+        post("/tables/cah/constraints", {"name": "bad", "expr": "ghost > 0"}, expect=409)
+        post("/tables/cah/constraints", {"name": "neg", "expr": "amount < 0"}, expect=409)
+        post("/tables/cah/constraints", {}, expect=400)
+    finally:
+        srv.stop()
