@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Required for DataSourceReader.pushFilters (the minilake
+        # Python data source prunes snapshot files via log stats).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # INT96 (the legacy default) carries NO parquet min/max stats;
         # TIMESTAMP_MICROS does — required for time-range file pruning
         # in the table layer, and the modern ecosystem default anyway.

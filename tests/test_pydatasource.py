@@ -1,0 +1,117 @@
+"""`minilake` Python data source (Spark 4 DataSource API): log-driven
+visibility through spark.read.format(...), snapshot isolation pinned at
+plan time, one input partition per file, stats-based file pruning."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mini_lakehouse_control_plane_executor_spark.sources import register
+from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+
+SCHEMA = [Field("id", "int64", False), Field("v", "string", True)]
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        "id", F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+
+
+def _fmt(spark, lake, table, version=None):
+    r = (
+        spark.read.format("minilake")
+        .option("root", lake.root)
+        .option("table", table)
+    )
+    if version is not None:
+        r = r.option("version", version)
+    return r.load()
+
+
+def test_format_read_matches_native(lake, spark):
+    register(spark)
+    lake.create_table("ds", SCHEMA)
+    lake.insert("ds", _mk(spark, 0, 40))
+    lake.insert("ds", _mk(spark, 40, 60))
+    df = _fmt(spark, lake, "ds")
+    native = lake.table("ds").read()
+    # The format read carries the TABLE schema (incl. nullable=False);
+    # the native parquet read relaxes nullability — compare names/types.
+    from mini_lakehouse_control_plane_executor_spark.table.schema import to_spark_schema
+
+    assert df.schema == to_spark_schema(lake.table("ds").fields)
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in native.schema.fields
+    ]
+    assert sorted(r["id"] for r in df.collect()) == sorted(
+        r["id"] for r in native.collect()
+    )
+    assert df.count() == 60
+
+
+def test_format_time_travel(lake, spark):
+    register(spark)
+    lake.create_table("dv", SCHEMA)
+    lake.insert("dv", _mk(spark, 0, 10))  # v2
+    lake.insert("dv", _mk(spark, 10, 30))  # v3
+    assert _fmt(spark, lake, "dv", version=2).count() == 10
+    assert _fmt(spark, lake, "dv", version=3).count() == 30
+
+
+def test_format_snapshot_isolation(lake, spark):
+    """The file list pins when the DataFrame is planned: a commit after
+    load() does not leak into the already-created frame."""
+    register(spark)
+    lake.create_table("di", SCHEMA)
+    lake.insert("di", _mk(spark, 0, 10))
+    df = _fmt(spark, lake, "di")
+    df.count()  # force plan + snapshot resolution
+    lake.insert("di", _mk(spark, 10, 25))
+    assert df.count() == 10  # pinned
+    assert _fmt(spark, lake, "di").count() == 25  # fresh read sees it
+
+
+def test_format_prunes_files_by_stats(lake, spark, capsys):
+    """A supported comparison filter drops whole files via log stats:
+    with clustered inserts, `id < 10` must plan fewer partitions than
+    the full table has files — observable as fewer tasks (partitions()
+    length) — while returning exactly the right rows."""
+    register(spark)
+    lake.create_table("dp", SCHEMA)
+    for k in range(4):
+        lake.insert("dp", _mk(spark, k * 100, (k + 1) * 100).coalesce(1))
+    n_files = len(lake.table("dp").snapshot().files)
+    assert n_files == 4
+    df = _fmt(spark, lake, "dp").filter(F.col("id") < 10)
+    rows = sorted(r["id"] for r in df.collect())
+    assert rows == list(range(10))
+    # Partition count after pushdown-pruning: the filtered scan plans
+    # fewer input partitions than files in the table.
+    pruned = df.rdd.getNumPartitions()
+    assert pruned < n_files, (pruned, n_files)
+
+
+def test_format_schema_evolution_nulls(lake, spark):
+    """Old files read NULL for columns added later (merge-by-name)."""
+    register(spark)
+    lake.create_table("de", SCHEMA)
+    lake.insert("de", _mk(spark, 0, 5))
+    lake.table("de").add_columns([Field("extra", "float64", True)])
+    df2 = spark.range(5, 8).select(
+        "id",
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") * 1.5).alias("extra"),
+    )
+    lake.insert("de", df2)
+    out = _fmt(spark, lake, "de")
+    assert out.count() == 8
+    assert out.filter(F.col("extra").isNull()).count() == 5
+    got = {r["id"]: r["extra"] for r in out.filter(F.col("extra").isNotNull()).collect()}
+    assert got == {5: 7.5, 6: 9.0, 7: 10.5}
+
+
+def test_format_missing_options_error(lake, spark):
+    register(spark)
+    with pytest.raises(Exception):
+        spark.read.format("minilake").load().count()
