@@ -3997,9 +3997,17 @@ def unigram_lm_surprisal(spark, sf_dir):
     # the exploded_shingles discipline for CPU-heavy tokenization over
     # highly-compressed small-file text tables.
     n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
-    tok = d.repartition(n_parts).select(
-        "doc_id", F.explode(_text.tokens(F.col("text"))).alias("t")
+    # Token arrays persisted BEFORE the explode: a generator whose input
+    # is an inline tokens() expression re-evaluates the regex per
+    # emitted token (~2.7x measured at sf0.1); from a stored attribute
+    # it runs once per doc — and the token stream here is consumed
+    # twice (LM build + scoring).
+    arr = (
+        d.repartition(n_parts)
+        .select("doc_id", _text.tokens(F.col("text")).alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    tok = arr.select("doc_id", F.explode("toks").alias("t"))
     # One LM-build pass: the count table feeds BOTH the total and the
     # vocabulary filter; without the persist each would re-tokenize the
     # corpus (3 full scans instead of 2 at 100 TB).
@@ -4524,8 +4532,17 @@ def vocab_growth_heaps(spark, sf_dir):
     distinct via Expand into two hash shuffles keyed on (lang, t) then
     (lang), both map-side combinable; no window, no global sort, no
     driver state."""
+    from pyspark.storagelevel import StorageLevel
+
     d = _load(spark, sf_dir, "documents")
-    tok = d.select("lang", F.explode(_text.tokens(F.col("text"))).alias("t"))
+    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+    # Stored-attribute explode (see unigram_lm_surprisal).
+    arr = (
+        d.repartition(n_parts)
+        .select("lang", _text.tokens(F.col("text")).alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tok = arr.select("lang", F.explode("toks").alias("t"))
     n, v = F.count(F.lit(1)), F.count_distinct(F.col("t"))
     return (
         tok.groupBy("lang")
@@ -4737,11 +4754,17 @@ def zipf_slope_by_lang(spark, sf_dir):
     ≤1000 rows per lang after the rank filter."""
     from pyspark.sql.window import Window
 
+    from pyspark.storagelevel import StorageLevel
+
     d = _load(spark, sf_dir, "documents")
     n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
-    tok = d.repartition(n_parts).select(
-        "lang", F.explode(_text.tokens(F.col("text"))).alias("t")
+    # Stored-attribute explode (see unigram_lm_surprisal).
+    arr = (
+        d.repartition(n_parts)
+        .select("lang", _text.tokens(F.col("text")).alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    tok = arr.select("lang", F.explode("toks").alias("t"))
     freq = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("lang").orderBy(F.col("f").desc(), "t")
     ranked = freq.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 1000)
