@@ -673,11 +673,18 @@ def pq_codebook(
     seed = df.filter(F.col(id_col) < n_codes).select(
         F.col(id_col).alias("code_id"), _as_double(F.col(vec_col)).alias("v")
     )
+    def _nrm2(cv):
+        return F.aggregate(cv, F.lit(0.0), lambda acc, x: acc + x * x)
+
     return seed.agg(
         *[
             F.array_sort(
                 F.collect_list(
-                    F.struct("code_id", _sub(F.col("v"), m, sub_dim).alias("cv"))
+                    F.struct(
+                        "code_id",
+                        _sub(F.col("v"), m, sub_dim).alias("cv"),
+                        _nrm2(_sub(F.col("v"), m, sub_dim)).alias("nrm2"),
+                    )
                 )
             ).alias(f"book{m}")
             for m in range(n_sub)
@@ -744,24 +751,6 @@ def pq_adc_topk(
             _pq_code(_sub(F.col("v"), m, sub_dim), F.col(f"book{m}")).alias(f"code{m}")
             for m in range(n_sub)
         ],
-        # |ĉ|² from the selected codes — computed once at encode time.
-        sum(
-            (
-                F.aggregate(
-                    F.element_at(
-                        F.col(f"book{m}"),
-                        _pq_code(_sub(F.col("v"), m, sub_dim), F.col(f"book{m}")).cast(
-                            "int"
-                        )
-                        + 1,
-                    )["cv"],
-                    F.lit(0.0),
-                    lambda acc, x: acc + x * x,
-                )
-                for m in range(n_sub)
-            ),
-            start=F.lit(0.0),
-        ).alias("cnorm2"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
@@ -778,6 +767,15 @@ def pq_adc_topk(
         ),
         start=F.lit(0.0),
     )
+    # |ĉ|² is an O(1) codebook lookup (nrm2 precomputed per code), not
+    # a re-derivation from the vectors.
+    cnorm2 = sum(
+        (
+            F.element_at(F.col(f"book{m}"), F.col(f"code{m}").cast("int") + 1)["nrm2"]
+            for m in range(n_sub)
+        ),
+        start=F.lit(0.0),
+    )
     scored = (
         enc.crossJoin(F.broadcast(q))
         .crossJoin(F.broadcast(book))
@@ -785,7 +783,7 @@ def pq_adc_topk(
         .select(
             "q_id",
             "c_id",
-            F.round(adot / (F.col("q_nrm") * F.sqrt(F.col("cnorm2"))), 6).alias("sim"),
+            F.round(adot / (F.col("q_nrm") * F.sqrt(cnorm2)), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
@@ -841,23 +839,6 @@ def ivfpq_topk(
                 )
                 for m in range(n_sub)
             ],
-            sum(
-                (
-                    F.aggregate(
-                        F.element_at(
-                            F.col(f"book{m}"),
-                            _pq_code(
-                                _sub(F.col("c_vec"), m, sub_dim), F.col(f"book{m}")
-                            ).cast("int")
-                            + 1,
-                        )["cv"],
-                        F.lit(0.0),
-                        lambda acc, x: acc + x * x,
-                    )
-                    for m in range(n_sub)
-                ),
-                start=F.lit(0.0),
-            ).alias("cnorm2"),
         )
     )
     q = queries.select(
@@ -886,6 +867,13 @@ def ivfpq_topk(
         ),
         start=F.lit(0.0),
     )
+    cnorm2 = sum(
+        (
+            F.element_at(F.col(f"book{m}"), F.col(f"code{m}").cast("int") + 1)["nrm2"]
+            for m in range(n_sub)
+        ),
+        start=F.lit(0.0),
+    )
     scored = (
         enc.join(F.broadcast(probes), "cent_id")
         .crossJoin(F.broadcast(book))
@@ -893,7 +881,7 @@ def ivfpq_topk(
         .select(
             "q_id",
             "c_id",
-            F.round(adot / (F.col("q_nrm") * F.sqrt(F.col("cnorm2"))), 6).alias("sim"),
+            F.round(adot / (F.col("q_nrm") * F.sqrt(cnorm2)), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
