@@ -298,3 +298,107 @@ def test_merge_stream_exactly_once(spark, lake, tmp_path):
     nxt = spark.createDataFrame([(100, "new@3", 3)], "k long, v string, seq long")
     ing.merge_batch(lake, "cdc_t", nxt, "k", "cdc-test", 1)
     assert {r.k: r.v for r in t.read().collect()}[100] == "new@3"
+
+
+def test_tws_user_profiles_equals_batch(spark, event_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): the
+    final emitted running profile per user equals the batch aggregate —
+    count, value total, distinct-type count, and the deterministic
+    top event type. Requires protobuf (the TWS Python driver worker's
+    wire codec) — skipped in this container, same gate as grpcio; the
+    processor's logic is covered by test_tws_processor_logic below."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from mini_lakehouse_control_plane_executor_spark.streaming.tws import user_profiles_tws
+
+    stream = user_profiles_tws(W.stream_events(spark, event_dir))
+    got = _drain(spark, stream, "t_tws", mode="update")
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+        F.max("n_types").alias("n_types"),
+        F.max_by("top_type", "n_events").alias("top_type"),
+    )
+    batch_events = _batch(spark, event_dir)
+    per_type = batch_events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql.window import Window as SqlWindow
+
+    w = SqlWindow.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    top = (
+        per_type.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.col("event_type").alias("top_type"))
+    )
+    batch = (
+        batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+        .join(top, "user_id")
+    )
+    got_rows = _rows(final, ["user_id"])
+    want_rows = _rows(batch, ["user_id"])
+    assert len(got_rows) == len(want_rows)
+    for g, b in zip(got_rows, want_rows):
+        assert (g.user_id, g.n_events, g.n_types, g.top_type) == (
+            b.user_id, b.n_events, b.n_types, b.top_type
+        )
+        assert abs(g.total_value - b.total_value) < 1e-6
+
+
+def test_tws_processor_logic():
+    """UserProfileProcessor semantics against a fake StatefulProcessor
+    handle (ValueState/MapState in dicts): accumulation across batches,
+    NULL-value coalescing, deterministic top-type tie-break — the
+    fake-twin discipline (operators/multimodal.py) for an API whose
+    runtime transport (protobuf) is absent in this container."""
+    import pandas as pd
+    from mini_lakehouse_control_plane_executor_spark.streaming.tws import UserProfileProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+        def exists(self):
+            return self._v is not None
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+
+    class FakeMapState:
+        def __init__(self):
+            self._m = {}
+        def containsKey(self, k):
+            return k in self._m
+        def getValue(self, k):
+            return self._m[k]
+        def updateValue(self, k, v):
+            self._m[k] = v
+        def iterator(self):
+            return iter(self._m.items())
+
+    class FakeHandle:
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return FakeValueState()
+        def getMapState(self, name, ks, vs, ttlDurationMs=None):
+            return FakeMapState()
+
+    p = UserProfileProcessor()
+    p.init(FakeHandle())
+    b1 = pd.DataFrame({"event_type": ["view", "view", "click"], "value": [1.0, None, 2.0]})
+    (out1,) = p.handleInputRows((7,), iter([b1]), None)
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 3, "total_value": 3.0,
+        "n_types": 2, "top_type": "view",
+    }
+    # Second batch revises the SAME state; 'click' ties 'view' at 2 ->
+    # lexicographic tie-break picks 'click'.
+    b2 = pd.DataFrame({"event_type": ["click"], "value": [4.0]})
+    (out2,) = p.handleInputRows((7,), iter([b2]), None)
+    assert out2.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 4, "total_value": 7.0,
+        "n_types": 2, "top_type": "click",
+    }
