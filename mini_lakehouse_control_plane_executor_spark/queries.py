@@ -5207,6 +5207,59 @@ def events_daily_anomaly(spark, sf_dir):
     )
 
 
+_DATASET_CARD_SQL = r"""
+WITH f AS (
+  SELECT source, lang, n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         len(regexp_extract_all(lower(text), '\w+')) AS n_toks
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       round(avg(n_toks), 6) AS mean_tokens,
+       round(avg(n_chars), 6) AS mean_chars,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+       round((count(*) - count(DISTINCT fp)) * 1.0 / count(*), 6) AS dup_rate
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+@query("dataset_card", oracle=_DATASET_CARD_SQL)
+def dataset_card(spark, sf_dir):
+    """Per-source dataset-card metrics — the one-table summary a corpus
+    release ships (doc/token/char volumes, language spread, exact-dup
+    rate via the same normalized-md5 fingerprint `dedup_exact` keys
+    on). Everything derives from per-row expressions feeding one
+    grouped aggregate; the count(DISTINCT) pair expands into (source,
+    fp)/(source, lang) shuffles whose map-side combine carries distinct
+    keys, not docs — scan-dominated at 100 TB, no joins, no windows."""
+    d = _load(spark, sf_dir, "documents")
+    f = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        _text.fingerprint(F.col("text")).alias("fp"),
+        _text.token_count(F.col("text")).alias("n_toks"),
+    )
+    n = F.count(F.lit(1))
+    dups = n - F.count_distinct(F.col("fp"))
+    return (
+        f.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.count_distinct(F.col("lang")).alias("n_langs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.round(F.avg("n_toks"), 6).alias("mean_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+            dups.alias("n_exact_dups"),
+            F.round(dups / n, 6).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -5244,6 +5297,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_recall_pq_vs_exact",  # new in r5
     "ann_cosine_ivfpq",  # new in r5
     "events_daily_anomaly",  # new in r5
+    "dataset_card",  # new in r5
     "scan_full",  # verdict stale since r02
     "project_columns",  # verdict stale since r02
     # r03-green set, r03 verdict order (minus events_dedup_distinct and
