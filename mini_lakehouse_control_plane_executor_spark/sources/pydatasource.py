@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 from mini_lakehouse_control_plane_executor_spark.table.log import TransactionLog
@@ -167,7 +168,121 @@ def register(spark) -> None:
     enables Python-source filter pushdown (a runtime SQL conf) so
     ``pushFilters`` can prune snapshot files."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    try:
-        spark.dataSource.register(MinilakeDataSource)
-    except Exception:  # already registered under this name
-        pass
+    for src in (MinilakeDataSource, MinilakeStreamDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:  # already registered under this name
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Streaming: tail the transaction log as a CDC feed
+# ---------------------------------------------------------------------------
+
+
+class _MinilakeStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("minilake")``: each micro-batch is the
+    rows ADDED by transaction-log commits since the last offset — the
+    table's own commit log as a streaming source (Delta CDF streaming
+    shape). Offsets are log versions, so progress is exactly-once
+    restartable from the checkpoint and ``readBetweenOffsets`` replays
+    any committed range deterministically (log entries are immutable).
+
+    Every row carries ``_commit_version`` (Delta's ``_commit_version``
+    CDF column) so downstream MERGEs can order changes.
+
+    Non-append commits (anything with removes: DELETE/UPDATE/MERGE
+    rewrites, compaction, restore) RAISE by default — emitting their
+    adds would duplicate rewritten rows. ``ignoreChanges=true`` SKIPS
+    those commits entirely (a cleaner contract than Delta's
+    ignoreChanges, which re-emits rewritten files); appends continue to
+    flow either way.
+
+    Options: root, table (required); startingVersion (default 0 = since
+    creation); ignoreChanges (default false).
+    """
+
+    def __init__(self, options):
+        import os
+
+        root = options.get("root")
+        table = options.get("table")
+        if not root or not table:
+            raise ValueError("minilake stream requires 'root' and 'table' options")
+        self._table_dir = os.path.join(root, "tables", table)
+        self._starting = int(options.get("startingVersion", 0) or 0)
+        self._ignore_changes = str(
+            options.get("ignoreChanges", "false")
+        ).lower() == "true"
+        self._fields = TransactionLog(self._table_dir).snapshot().schema
+
+    def initialOffset(self) -> dict:
+        return {"version": self._starting}
+
+    def read(self, start: dict):
+        latest = TransactionLog(self._table_dir).latest_version()
+        end = {"version": max(latest, start["version"])}
+        return self._rows_between(start["version"], end["version"]), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows_between(start["version"], end["version"])
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the query checkpoint; the log is immutable
+
+    def _rows_between(self, v0: int, v1: int) -> list:
+        # A LIST, not a generator: the simple-reader runtime pickles the
+        # batch into the prefetch cache for replay — bounded by the
+        # commits in the range, which is the micro-batch contract here.
+        return list(self._iter_rows(v0, v1))
+
+    def _iter_rows(self, v0: int, v1: int):
+        import os
+
+        import pyarrow.parquet as pq
+
+        log = TransactionLog(self._table_dir)
+        names = [f.name for f in self._fields]
+        for v in range(v0 + 1, v1 + 1):
+            entry = log.read_entry(v)
+            if entry.removes:
+                if self._ignore_changes:
+                    continue
+                raise ValueError(
+                    f"minilake stream: version {v} is not append-only "
+                    f"({len(entry.removes)} removes — rewrite/delete/compaction). "
+                    "Set ignoreChanges=true to skip non-append commits."
+                )
+            for add in entry.adds:
+                tbl = pq.read_table(os.path.join(self._table_dir, add.path))
+                cols = {
+                    n: (tbl.column(n).to_pylist() if n in tbl.column_names
+                        else [None] * tbl.num_rows)
+                    for n in names
+                }
+                for i in range(tbl.num_rows):
+                    yield tuple(cols[n][i] for n in names) + (v,)
+
+
+class MinilakeStreamDataSource(DataSource):
+    """Registered as format ``minilake-stream`` (the batch reader owns
+    ``minilake``): schema = table schema + ``_commit_version`` long."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "minilake-stream"
+
+    def schema(self):
+        import os
+
+        from pyspark.sql.types import LongType, StructField
+
+        root, table = self.options.get("root"), self.options.get("table")
+        if not root or not table:
+            raise ValueError("minilake-stream requires 'root' and 'table' options")
+        snap = TransactionLog(os.path.join(root, "tables", table)).snapshot()
+        base = to_spark_schema(snap.schema)
+        return base.add(StructField("_commit_version", LongType(), False))
+
+    def simpleStreamReader(self, schema):
+        return _MinilakeStreamReader(self.options)

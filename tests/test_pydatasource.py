@@ -115,3 +115,61 @@ def test_format_missing_options_error(lake, spark):
     register(spark)
     with pytest.raises(Exception):
         spark.read.format("minilake").load().count()
+
+
+def _stream_all(spark, lake, table, name, **opts):
+    r = (
+        spark.readStream.format("minilake-stream")
+        .option("root", lake.root)
+        .option("table", table)
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (
+        r.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_source_tails_commits(lake, spark):
+    """readStream.format('minilake-stream'): appends flow as micro-batch
+    rows tagged with _commit_version."""
+    register(spark)
+    lake.create_table("st", SCHEMA)
+    lake.insert("st", _mk(spark, 0, 5))  # v2
+    lake.insert("st", _mk(spark, 5, 8))  # v3
+    got = _stream_all(spark, lake, "st", "m_st")
+    rows = sorted((r["id"], r["_commit_version"]) for r in got.collect())
+    assert [r[0] for r in rows] == list(range(8))
+    assert {r[1] for r in rows if r[0] < 5} == {2}
+    assert {r[1] for r in rows if r[0] >= 5} == {3}
+
+
+def test_stream_source_starting_version(lake, spark):
+    register(spark)
+    lake.create_table("sv", SCHEMA)
+    lake.insert("sv", _mk(spark, 0, 5))  # v2
+    lake.insert("sv", _mk(spark, 5, 9))  # v3
+    got = _stream_all(spark, lake, "sv", "m_sv", startingVersion=2)
+    assert sorted(r["id"] for r in got.collect()) == list(range(5, 9))
+
+
+def test_stream_source_rejects_rewrites_unless_ignored(lake, spark):
+    """A DELETE (rewrite) commit fails the stream by default; with
+    ignoreChanges=true the non-append commit is skipped and appends
+    continue to flow."""
+    register(spark)
+    lake.create_table("sr", SCHEMA)
+    lake.insert("sr", _mk(spark, 0, 5))  # v2
+    lake.table("sr").delete("id < 2")  # v3: rewrite (adds + removes)
+    lake.insert("sr", _mk(spark, 10, 12))  # v4
+    with pytest.raises(Exception, match="append-only|STREAM_FAILED"):
+        _stream_all(spark, lake, "sr", "m_sr_fail")
+    got = _stream_all(spark, lake, "sr", "m_sr_ok", ignoreChanges=True)
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids == [0, 1, 2, 3, 4, 10, 11]  # v2 + v4; the v3 rewrite skipped
