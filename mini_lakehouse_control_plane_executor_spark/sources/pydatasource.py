@@ -11,10 +11,13 @@ isolation and stats-based file pruning.
 Why this exists next to the native path (``LakehouseTable.read`` =
 ``spark.read.parquet(<snapshot file list>)``, which stays the hot path —
 JVM vectorized scan, codegen): the DataSource API is the INTEROP
-surface. Anything that can call ``spark.read.format(...)`` — SQL
-``CREATE TABLE ... USING minilake``, notebooks, tools that only speak
-reader options — gets log-controlled visibility without importing this
-package's Python API. It also demonstrates the reference's planner
+surface. Anything that can call ``spark.read.format(...)`` — notebooks,
+tools that only speak reader options, ``df.createOrReplaceTempView`` for
+SQL — gets log-controlled visibility without importing this package's
+Python API. (SQL ``CREATE TABLE ... USING minilake`` is parsed and
+schema-inferred, but as of Spark 4.1 the catalog's read path hands a
+Python data source EMPTY options, so persisted-catalog tables over this
+source don't resolve — use format reads + temp views for SQL.) It also demonstrates the reference's planner
 contract in Spark-4-native form: one input partition per snapshot file
 (``query_planner.go:141-160`` fans one map task per file), resolution
 pinned at PLAN time (snapshot isolation — a concurrent commit cannot
@@ -83,11 +86,17 @@ class _MinilakeReader(DataSourceReader):
     def __init__(self, options):
         import os
 
-        root = options.get("root")
-        table = options.get("table")
+        opts = {str(k).lower(): v for k, v in dict(options).items()}
+        root = opts.get("root")
+        # `table` is accepted for reader-API use; SQL DDL callers can use
+        # `tablename` to avoid quoting a reserved word in OPTIONS.
+        table = opts.get("table") or opts.get("tablename")
         if not root or not table:
-            raise ValueError("minilake source requires 'root' and 'table' options")
-        version = int(options.get("version", 0) or 0) or None
+            raise ValueError(
+                "minilake source requires 'root' and 'table' (or 'tableName') "
+                f"options; got {sorted(opts)}"
+            )
+        version = int(opts.get("version", 0) or 0) or None
         table_dir = os.path.join(root, "tables", table)
         # Snapshot resolved HERE, at plan time: the file list is pinned
         # before any task runs — concurrent commits cannot change what

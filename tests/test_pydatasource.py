@@ -173,3 +173,15 @@ def test_stream_source_rejects_rewrites_unless_ignored(lake, spark):
     got = _stream_all(spark, lake, "sr", "m_sr_ok", ignoreChanges=True)
     ids = sorted(r["id"] for r in got.collect())
     assert ids == [0, 1, 2, 3, 4, 10, 11]  # v2 + v4; the v3 rewrite skipped
+
+
+def test_format_temp_view_sql(lake, spark):
+    """The SQL interop path that works today: a format read registered
+    as a temp view (persisted-catalog USING-minilake tables lose their
+    OPTIONS in Spark 4.1's Python-source read path — documented)."""
+    register(spark)
+    lake.create_table("dq", SCHEMA)
+    lake.insert("dq", _mk(spark, 0, 9))
+    _fmt(spark, lake, "dq").createOrReplaceTempView("dq_view")
+    out = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM dq_view").collect()[0]
+    assert (out["n"], out["s"]) == (9, 36)
