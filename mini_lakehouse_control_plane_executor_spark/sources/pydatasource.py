@@ -239,11 +239,13 @@ class _MinilakeStreamReader(SimpleDataSourceStreamReader):
     def commit(self, end: dict) -> None:
         pass  # progress lives in the query checkpoint; the log is immutable
 
-    def _rows_between(self, v0: int, v1: int) -> list:
-        # A LIST, not a generator: the simple-reader runtime pickles the
-        # batch into the prefetch cache for replay — bounded by the
-        # commits in the range, which is the micro-batch contract here.
-        return list(self._iter_rows(v0, v1))
+    def _rows_between(self, v0: int, v1: int):
+        # A LIST ITERATOR, not a generator: the simple-reader runtime
+        # both advances the result with next() AND pickles it into the
+        # prefetch cache for replay — list iterators do both, generators
+        # pickle not at all. Materialization is bounded by the commits
+        # in the range, which is the micro-batch contract here.
+        return iter(list(self._iter_rows(v0, v1)))
 
     def _iter_rows(self, v0: int, v1: int):
         import os
