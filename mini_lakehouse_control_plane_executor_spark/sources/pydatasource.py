@@ -44,6 +44,8 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 
 from mini_lakehouse_control_plane_executor_spark.table.log import TransactionLog
@@ -171,6 +173,9 @@ class MinilakeDataSource(DataSource):
         # schema and file list come from the SAME snapshot.
         return getattr(self, "_reader", None) or _MinilakeReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return _MinilakeWriter(self.options, schema, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent `spark.dataSource.register(MinilakeDataSource)`; also
@@ -297,3 +302,161 @@ class MinilakeStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _MinilakeStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Write: df.write.format("minilake") as an append/overwrite transaction
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    rel_path: str  # relative to the table dir, under _tmp/
+    rows: int
+
+
+class _MinilakeWriter(DataSourceWriter):
+    """Transactional Spark-4 Python writer: each task writes one staged
+    parquet file under ``_tmp/<txn>-dsw/`` (the reference's staging
+    protocol, ``table_service.go:272-307``); the driver-side ``commit``
+    promotes the staged files into ``data/``, harvests footer min/max
+    stats, and publishes ONE OCC log commit — so a ``df.write`` is
+    exactly as atomic, idempotent (``txn`` option), and time-travelable
+    as ``LakehouseSession.insert``. ``abort`` (any task failed) deletes
+    the stage; nothing becomes visible.
+
+    NOT NULL is enforced per batch from Arrow null counts inside
+    ``write``. Tables with CHECK constraints refuse this path (their
+    expressions are Spark SQL — use ``LakehouseSession.insert``, which
+    evaluates them inside the write pass)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        opts = {str(k).lower(): v for k, v in dict(options).items()}
+        root, table = opts.get("root"), opts.get("table") or opts.get("tablename")
+        if not root or not table:
+            raise ValueError("minilake writer requires 'root' and 'table' options")
+        self._table_dir = os.path.join(root, "tables", table)
+        log = TransactionLog(self._table_dir)
+        if log.latest_version() == 0:
+            raise ValueError(f"no such table: {table}")
+        cpath = os.path.join(self._table_dir, "_constraints.json")
+        if os.path.exists(cpath) and _json.load(open(cpath)):
+            raise ValueError(
+                "table has CHECK constraints; write through "
+                "LakehouseSession.insert, which enforces them"
+            )
+        self._fields = log.snapshot().schema
+        declared = {f.name for f in self._fields}
+        written = [f.name for f in schema.fields]
+        if set(written) != declared:
+            raise ValueError(
+                f"dataframe columns {sorted(written)} != table schema "
+                f"{sorted(declared)}"
+            )
+        self._non_nullable = [f.name for f in self._fields if not f.nullable]
+        self._written_names = written
+        self._overwrite = overwrite
+        self._txn = opts.get("txn") or f"dsw-{_uuid.uuid4()}"
+        self._stage_rel = os.path.join("_tmp", f"{self._txn}-dsw")
+        os.makedirs(os.path.join(self._table_dir, self._stage_rel), exist_ok=True)
+
+    def write(self, iterator) -> _StagedFile:
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa_types = {
+            "int32": pa.int32(),
+            "int64": pa.int64(),
+            "float32": pa.float32(),
+            "float64": pa.float64(),
+            "string": pa.string(),
+            "boolean": pa.bool_(),
+            "date": pa.date32(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+        }
+        by_name = {f.name: f for f in self._fields}
+        rows = [tuple(r) for r in iterator]
+        names = [f.name for f in self._fields]
+        # Incoming Row fields follow the dataframe schema order, which
+        # the driver validated to be name-equal to the table's; build
+        # typed arrays per WRITTEN column, then reorder to table order.
+        cols = list(zip(*rows)) if rows else [[] for _ in self._written_names]
+        arrays = [
+            pa.array(list(c), type=pa_types[by_name[n].type])
+            for n, c in zip(self._written_names, cols)
+        ]
+        tbl = pa.table(dict(zip(self._written_names, arrays)))
+        for n in self._non_nullable:
+            if rows and tbl.column(n).null_count:
+                raise ValueError(f"NOT NULL constraint violated: column {n!r}")
+        rel = os.path.join(self._stage_rel, f"part-{_uuid.uuid4()}.parquet")
+        pq.write_table(
+            tbl.select(names), os.path.join(self._table_dir, rel), compression="snappy"
+        )
+        return _StagedFile(rel_path=rel, rows=len(rows))
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+        import time as _time
+        import uuid as _uuid
+
+        from mini_lakehouse_control_plane_executor_spark.table.table import (
+            COMMIT_MAX_RETRIES,
+            _footer_stats,
+        )
+        from mini_lakehouse_control_plane_executor_spark.table.log import (
+            CommitConflictError,
+            FileAdd,
+        )
+
+        log = TransactionLog(self._table_dir)
+        stage_abs = os.path.join(self._table_dir, self._stage_rel)
+        try:
+            if log.find_txn(self._txn) is not None:
+                return  # idempotent replay: already committed
+            adds = []
+            for m in messages:
+                if m.rows == 0:
+                    continue
+                dest_rel = os.path.join(
+                    "data", f"part-dsw-{_uuid.uuid4()}.parquet"
+                )
+                dest = os.path.join(self._table_dir, dest_rel)
+                shutil.move(os.path.join(self._table_dir, m.rel_path), dest)
+                n_rows, mins, maxs = _footer_stats(dest, self._fields)
+                adds.append(
+                    FileAdd(
+                        path=dest_rel,
+                        rows=n_rows,
+                        size=os.path.getsize(dest),
+                        min_values=mins,
+                        max_values=maxs,
+                    )
+                )
+            for attempt in range(COMMIT_MAX_RETRIES + 1):
+                snap = log.snapshot()
+                removes = [f.path for f in snap.files] if self._overwrite else []
+                try:
+                    log.commit(snap.version, self._txn, self._fields, adds, removes)
+                    return
+                except CommitConflictError:
+                    _time.sleep(0.01 * (attempt + 1))
+            raise CommitConflictError(0, 0)
+        finally:
+            shutil.rmtree(stage_abs, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self._table_dir, self._stage_rel), ignore_errors=True
+        )

@@ -221,3 +221,58 @@ def test_cdc_replication_end_to_end(lake, spark, tmp_path):
     # ...and a drain with nothing new is a no-op (no duplicates).
     drain()
     assert lake.table("repl_b").read().count() == 36
+
+
+def test_format_write_append_and_overwrite(lake, spark):
+    """df.write.format('minilake'): staged task files -> one OCC commit;
+    append and overwrite both versioned and time-travelable; txn option
+    makes replays idempotent; NOT NULL enforced in the task."""
+    register(spark)
+    lake.create_table("dw", SCHEMA)
+    lake.insert("dw", _mk(spark, 0, 5))  # v2
+    t = lake.table("dw")
+
+    def write(df, mode="append", **opts):
+        w = df.write.format("minilake").option("root", lake.root).option("table", "dw")
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.mode(mode).save()
+
+    write(_mk(spark, 5, 12))
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(12))
+    v_after_append = t.log.latest_version()
+    # Idempotent replay under an explicit txn id.
+    write(_mk(spark, 100, 105), txn="dsw-once")
+    write(_mk(spark, 100, 105), txn="dsw-once")
+    assert t.read().count() == 17
+    # Overwrite replaces everything in one atomic commit...
+    write(_mk(spark, 200, 203), mode="overwrite")
+    assert sorted(r["id"] for r in t.read().collect()) == [200, 201, 202]
+    # ...and old versions still time-travel.
+    assert t.read(version=v_after_append).count() == 12
+    # NOT NULL enforced inside the task.
+    bad = spark.createDataFrame([(None, "x")], "id long, v string")
+    with pytest.raises(Exception, match="NOT NULL|PYTHON_DATA_SOURCE"):
+        write(bad)
+    assert t.read().count() == 3  # failed write left nothing behind
+    # no orphaned stage dirs
+    import os
+    assert not any(x.endswith("-dsw") for x in os.listdir(t.tmp_dir))
+
+
+def test_format_write_respects_check_constraints_gate(lake, spark):
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field as Fld
+
+    register(spark)
+    lake.create_table(
+        "dwc",
+        [Fld("id", "int64", False)],
+        constraints={"small": "id < 100"},
+    )
+    with pytest.raises(Exception, match="CHECK constraints"):
+        (
+            spark.range(0, 3).select("id")
+            .write.format("minilake")
+            .option("root", lake.root).option("table", "dwc")
+            .mode("append").save()
+        )
