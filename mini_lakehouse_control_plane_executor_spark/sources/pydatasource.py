@@ -328,7 +328,15 @@ class _MinilakeWriter(DataSourceWriter):
     NOT NULL is enforced per batch from Arrow null counts inside
     ``write``. Tables with CHECK constraints refuse this path (their
     expressions are Spark SQL — use ``LakehouseSession.insert``, which
-    evaluates them inside the write pass)."""
+    evaluates them inside the write pass).
+
+    Concurrency: the OCC commit loop serializes racing writers exactly
+    like ``insert`` (same ``TransactionLog.commit`` CAS, threaded-stress
+    covered in tests/test_table.py) — but note Spark 4.1 cannot RESOLVE
+    a Python data source from concurrent driver threads at all
+    (``DATA_SOURCE_NOT_FOUND`` from simultaneous ``save()`` calls, an
+    upstream lookup limitation unrelated to this writer); issue
+    concurrent writes through the native ``insert`` API."""
 
     def __init__(self, options, schema, overwrite: bool):
         import json as _json
