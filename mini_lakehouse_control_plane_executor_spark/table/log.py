@@ -249,6 +249,31 @@ class TransactionLog:
         ordered = [files[p] for p in sorted(files)]
         return Snapshot(version=version, schema=list(schema), files=ordered)
 
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """Delta ``timestampAsOf`` resolution: the LAST version whose
+        commit timestamp is <= ``ts_ms`` (Delta's latest-commit-at-or-
+        before-timestamp rule). Raises when the timestamp predates the
+        table (Delta errors the same way). Binary search over the
+        version list — commit timestamps are monotone because commits
+        serialize through the OCC CAS."""
+        versions = self.list_versions()
+        if not versions:
+            raise ValueError("table has no commits")
+        lo, hi, best = 0, len(versions) - 1, None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self.read_entry(versions[mid]).timestamp_ms <= ts_ms:
+                best = versions[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if best is None:
+            first = self.read_entry(versions[0]).timestamp_ms
+            raise ValueError(
+                f"timestamp {ts_ms} predates the table's first commit ({first})"
+            )
+        return best
+
     # -- replay machinery ----------------------------------------------
 
     @staticmethod

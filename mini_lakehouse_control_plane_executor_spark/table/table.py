@@ -806,18 +806,28 @@ class LakehouseTable:
         return self.log.snapshot(version)
 
     def read(
-        self, version: int | None = None, prune_filter: str | None = None
+        self,
+        version: int | None = None,
+        prune_filter: str | None = None,
+        timestamp_ms: int | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read. The file list is resolved ONCE from the
         log (never by directory listing), so concurrent commits cannot
         change what this DataFrame sees — the reference's snapshot
         isolation guarantee (``pkg/coordinator/snapshot_isolation.go``).
 
+        ``timestamp_ms`` resolves Delta-style ``timestampAsOf``: the last
+        version committed at or before that wall-clock instant.
+
         ``prune_filter`` (reference filter grammar) additionally drops
         whole files via log min/max stats before Spark ever lists them —
         at 100 TB this is the difference between touching every object
         and touching the few that can match.
         """
+        if timestamp_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp_ms, not both")
+            version = self.log.version_at_timestamp(timestamp_ms)
         snap = self.log.snapshot(version)
         schema = to_spark_schema(snap.schema)
         files = snap.files

@@ -746,3 +746,28 @@ def test_not_null_enforced_on_merge(lake, spark):
     with pytest.raises(Exception, match="NOT NULL constraint violated"):
         t.merge(src, "k", when_matched={"v": "CAST(NULL AS STRING)"})
     assert {r.v for r in t.read().collect()} == {"a", "b"}
+
+
+def test_read_timestamp_as_of(lake, spark):
+    """Delta timestampAsOf through read(timestamp_ms=...): resolves the
+    last version committed at or before the instant; exclusive with
+    version=."""
+    import json
+
+    lake.create_table("tts", SCHEMA)
+    lake.insert("tts", _df(spark, 0, 5))  # v2
+    lake.insert("tts", _df(spark, 5, 9))  # v3
+    t = lake.table("tts")
+    for v, ts in [(1, 1000), (2, 2000), (3, 3000)]:
+        pth = t.log._entry_path(v)
+        e = json.load(open(pth))
+        e["timestamp_ms"] = ts
+        json.dump(e, open(pth, "w"))
+    t2 = lake.table("tts")  # same cached handle; timestamps read per call
+    assert t2.read(timestamp_ms=2500).count() == 5
+    assert t2.read(timestamp_ms=3000).count() == 9
+    import pytest as _pt
+    with _pt.raises(ValueError, match="predates"):
+        t2.read(timestamp_ms=10)
+    with _pt.raises(ValueError, match="not both"):
+        t2.read(version=2, timestamp_ms=2500)

@@ -198,3 +198,31 @@ def test_find_txn_bounded_and_correct(tmp_path):
     assert fresh.find_txn("txn-34") == 34    # after it
     assert fresh.find_txn("txn-999") is None
     assert len(reads) <= CHECKPOINT_INTERVAL
+
+
+def test_version_at_timestamp(tmp_path):
+    """Delta timestampAsOf rule: last commit at-or-before the instant;
+    before-the-first-commit errors."""
+    from mini_lakehouse_control_plane_executor_spark.table.log import TransactionLog, FileAdd
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+    import json, os
+
+    log = TransactionLog(str(tmp_path))
+    schema = [Field("id", "int64", False)]
+    for i in range(4):
+        log.commit(i, f"t{i}", schema)
+    # Pin deterministic timestamps by rewriting the entries.
+    for v, ts in zip([1, 2, 3, 4], [1000, 2000, 3000, 4000]):
+        pth = log._entry_path(v)
+        e = json.load(open(pth))
+        e["timestamp_ms"] = ts
+        json.dump(e, open(pth, "w"))
+    # Fresh log instance so no cached entries interfere.
+    log2 = TransactionLog(str(tmp_path))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="predates"):
+        log2.version_at_timestamp(999)
+    assert log2.version_at_timestamp(1000) == 1
+    assert log2.version_at_timestamp(2500) == 2
+    assert log2.version_at_timestamp(4000) == 4
+    assert log2.version_at_timestamp(10**15) == 4
