@@ -5260,6 +5260,68 @@ def dataset_card(spark, sf_dir):
     )
 
 
+_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, ws[gi] || ' ' || ws[gi + 1] || ' ' || ws[gi + 2] AS gram
+  FROM toks, unnest(range(1, len(ws) - 1)) AS t(gi)
+  WHERE len(ws) >= 3
+),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+scored AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM g JOIN firsts f ON g.gram = f.gram
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       round(n_novel * 1.0 / n_grams, 6) AS novelty
+FROM scored ORDER BY doc_id
+"""
+
+
+@query("ngram_novelty_rate", oracle=_NOVELTY_SQL)
+def ngram_novelty_rate(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    trigrams whose FIRST occurrence (by doc_id order) is this doc — the
+    memorization/redundancy curve a curriculum builder reads before
+    ordering training data (late documents full of already-seen grams
+    contribute little new signal; a novelty cliff marks where a crawl
+    starts repeating itself).
+
+    100 TB shape: one shingle explode (the persisted exploded_shingles
+    machinery — distinct per doc), a min aggregate to a VOCAB-sized
+    first-occurrence table, and one gram-keyed join back — no window
+    over a global order: "first" is min(doc_id) per gram, a
+    map-side-combinable aggregate, not a sort."""
+    d = _load(spark, sf_dir, "documents")
+    g = _dedup.exploded_shingles(d, "doc_id", "text", 3).select(
+        "doc_id", F.col("s").alias("gram")
+    )
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -5298,6 +5360,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_cosine_ivfpq",  # new in r5
     "events_daily_anomaly",  # new in r5
     "dataset_card",  # new in r5
+    "ngram_novelty_rate",  # new in r5
     "scan_full",  # verdict stale since r02
     "project_columns",  # verdict stale since r02
     # r03-green set, r03 verdict order (minus events_dedup_distinct and
