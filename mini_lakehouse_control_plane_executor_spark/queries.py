@@ -5322,6 +5322,78 @@ def ngram_novelty_rate(spark, sf_dir):
     )
 
 
+def _recall_matrix_oracle(k: int = 5) -> str:
+    return f"""
+WITH exact AS (SELECT q_id, c_id FROM ({_ANN_BRUTE_ORACLE}) x),
+lsh AS (SELECT 'lsh' AS method, q_id, c_id FROM ({_ann_lsh_oracle()}) a),
+pq AS (SELECT 'pq_adc' AS method, q_id, c_id FROM ({_pq_adc_oracle()}) b),
+ivfpq AS (SELECT 'ivfpq' AS method, q_id, c_id FROM ({_ivfpq_oracle()}) c),
+approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM pq UNION ALL SELECT * FROM ivfpq)
+SELECT a.method, e.q_id,
+       CAST(count(ac.c_id) AS BIGINT) AS n_hits,
+       round(count(ac.c_id) / {k}.0, 2) AS recall_at_{k}
+FROM exact e
+CROSS JOIN (SELECT DISTINCT method FROM approx) a
+LEFT JOIN approx ac
+  ON ac.method = a.method AND ac.q_id = e.q_id AND ac.c_id = e.c_id
+GROUP BY a.method, e.q_id
+ORDER BY a.method, e.q_id
+"""
+
+
+@query("ann_recall_matrix", oracle=_recall_matrix_oracle())
+def ann_recall_matrix(spark, sf_dir):
+    """One tuning table for the whole ANN stack: recall@5 of every
+    approximate strategy (hyperplane-LSH, PQ-ADC, IVF-PQ) against the
+    exact brute-force top-5, per query — the artifact an index-selection
+    decision reads (speed/recall frontier in one frame). All operands
+    are k-rows-per-query frames; the comparison joins are trivially
+    small."""
+    e = _load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = _sim.brute_force_topk(e, "vec_id", "embedding", queries, k=5).select(
+        "q_id", "c_id"
+    )
+    methods = {
+        "lsh": _sim.lsh_topk(
+            e, "vec_id", "embedding", queries, k=5, n_planes=6, dim=64
+        ),
+        "pq_adc": _sim.pq_adc_topk(
+            e, "vec_id", "embedding", queries, k=5, n_sub=4, sub_dim=16, n_codes=8
+        ),
+        "ivfpq": _sim.ivfpq_topk(
+            e, "vec_id", "embedding", queries,
+            k=5, n_centroids=16, n_probe=2, n_sub=4, sub_dim=16, n_codes=8,
+        ),
+    }
+    approx = None
+    for m, df in methods.items():
+        part = df.select(
+            F.lit(m).alias("method"),
+            F.col("q_id").alias("a_qid"),
+            F.col("c_id").alias("a_cid"),
+        )
+        approx = part if approx is None else approx.unionByName(part)
+    m_names = spark.createDataFrame(
+        [(m,) for m in methods], "m_method string"
+    )
+    j = exact.crossJoin(F.broadcast(m_names)).join(
+        approx,
+        (exact.q_id == approx.a_qid)
+        & (exact.c_id == approx.a_cid)
+        & (F.col("m_method") == approx.method),
+        "left",
+    )
+    return (
+        j.groupBy(F.col("m_method").alias("method"), "q_id")
+        .agg(
+            F.count("a_cid").alias("n_hits"),
+            F.round(F.count("a_cid") / F.lit(5.0), 2).alias("recall_at_5"),
+        )
+        .orderBy("method", "q_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -5361,6 +5433,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_daily_anomaly",  # new in r5
     "dataset_card",  # new in r5
     "ngram_novelty_rate",  # new in r5
+    "ann_recall_matrix",  # new in r5
     "scan_full",  # verdict stale since r02
     "project_columns",  # verdict stale since r02
     # r03-green set, r03 verdict order (minus events_dedup_distinct and
