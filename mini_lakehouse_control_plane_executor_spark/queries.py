@@ -5408,8 +5408,8 @@ DRIVER_PRIORITY: list[str] = [
     # then the two r02-stale scans that overflowed the r4 window, then
     # the r03-green set (2 rounds stale after this window). The
     # r04-green set just re-attested rotates to the back and re-enters
-    # in r6. With the r5 additions the head is 21 never-verified + 2
-    # stale = 23 entries; 27 of the r03-green set fill the 50-slot
+    # in r6. With the r5 additions the head is 23 never-verified + 2
+    # stale = 25 entries; 25 of the r03-green set fill the 50-slot
     # window and the remainder overflow to positions 51+ for r6.
     "unigram_lm_surprisal",  # never driver-verified (r4 addition)
     "embedding_neardup_lsh",  # never driver-verified (r4 addition)
