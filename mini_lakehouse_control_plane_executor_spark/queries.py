@@ -5403,67 +5403,22 @@ def ann_recall_matrix(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # round 5: never-driver-verified queries lead (the 5 r4 flagships,
-    # then the new r5 ones — the header rule, now actually applied),
-    # then the two r02-stale scans that overflowed the r4 window, then
-    # the r03-green set (2 rounds stale after this window). The
-    # r04-green set just re-attested rotates to the back and re-enters
-    # in r6. With the r5 additions the head is 23 never-verified + 2
-    # stale = 25 entries; 25 of the r03-green set fill the 50-slot
-    # window and the remainder overflow to positions 51+ for r6.
-    "unigram_lm_surprisal",  # never driver-verified (r4 addition)
-    "embedding_neardup_lsh",  # never driver-verified (r4 addition)
-    "semantic_dedup_clusters",  # never driver-verified (r4 addition)
-    "hard_negative_mining",  # never driver-verified (r4 addition)
-    "events_correlation",  # never driver-verified (r4 addition)
-    "hard_negative_mining_lsh",  # new in r5
-    "boilerplate_ngrams",  # new in r5
-    "temperature_mix_weights",  # new in r5
-    "embedding_decontamination",  # new in r5
-    "minhash_estimate_error",  # new in r5
-    "vocab_growth_heaps",  # new in r5
-    "bigram_pmi_top",  # new in r5
-    "events_transition_matrix",  # new in r5
-    "zipf_slope_by_lang",  # new in r5
-    "embedding_quantization_error",  # new in r5
-    "cross_source_dup_matrix",  # new in r5
-    "ann_cosine_pq_adc",  # new in r5
-    "ann_recall_pq_vs_exact",  # new in r5
-    "ann_cosine_ivfpq",  # new in r5
-    "events_daily_anomaly",  # new in r5
-    "dataset_card",  # new in r5
-    "ngram_novelty_rate",  # new in r5
-    "ann_recall_matrix",  # new in r5
-    "scan_full",  # verdict stale since r02
-    "project_columns",  # verdict stale since r02
-    # r03-green set, r03 verdict order (minus events_dedup_distinct and
-    # rfm_segmentation, re-attested r04; minus sequence_packing,
-    # unregistered in r5)
-    "sequence_packing_sharded",
-    "decontamination_ngram_overlap",
-    "oov_rate_by_source",
-    "token_budget_mix",
-    "docs_length_histogram",
-    "grouping_sets_orders",
-    "events_value_deciles",
-    "dedup_cluster_size_histogram",
-    "supplier_percent_rank",
-    "ann_recall_lsh_vs_exact",
-    "ann_cosine_ivf",
-    "ann_cosine_ivf_kmeans",
-    "multimodal_features",
-    "text_bpe_rolling",
-    "events_session_window",
-    "salted_agg_skew",
-    "events_sliding_window",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_flag",
+    # round 6: never-driver-verified r6 additions lead (the header
+    # rule), then the 22 queries whose latest driver verdict is r03
+    # (the r5 verdict's top-next item), then the full r04-green set in
+    # its r04 verdict order. The 50-slot window covers the r6
+    # additions + all 22 stale + the head of the r04 set; the r04
+    # overflow is first in line for r7, and the r05-green set follows
+    # in definition order via _registry_order(). This keeps every
+    # verdict at most 2 rounds stale.
+    # -- new in r6 (never driver-verified) --
+    "ann_cosine_pq_opq",
+    "doc_dedup_suffix_ngram",
+    "embedding_whitening_stats",
+    "events_heavy_hitters_cms",
+    "quality_weighted_mix",
+    "token_length_calibration",
+    # -- latest verdict r03 (2 rounds stale) --
     "q15_top_supplier",
     "q16_supplier_part_cnt",
     "q17_small_qty_revenue",
@@ -5477,8 +5432,6 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "corpus_filter_shard_pipeline",
     "embedding_label_centroids",
-    # positions 51-59: r03-green overflow — first in line for the r6
-    # window; locally guarded by tests/test_oracle_parity.py every run.
     "langid_confusion",
     "events_cohort_retention",
     "part_cooccurrence",
@@ -5488,5 +5441,55 @@ DRIVER_PRIORITY: list[str] = [
     "ann_cosine_matmul",
     "length_trim_per_lang",
     "embedding_norm_quality",
-    # the r04-green set follows in definition order via _registry_order().
+    # -- r04-green set, r04 verdict order (stale after this window) --
+    "events_sessionize",
+    "events_dedup_distinct",
+    "rfm_segmentation",
+    "filter_comparison",
+    "agg_groupby",
+    "agg_global",
+    "filter_agg_fused",
+    "topk_orders",
+    "q1_pricing_summary",
+    "join_broadcast_dim",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "semi_join_exists",
+    "anti_join_not_exists",
+    "outer_join_coalesce",
+    "union_distinct",
+    "intersect_except",
+    "distinct_agg",
+    "having_filter",
+    "rollup_flag_status",
+    "window_topn_per_group",
+    "window_running_sum",
+    "window_lag_lead",
+    "case_when_buckets",
+    "date_functions",
+    "string_functions",
+    "events_tumbling_window",
+    "pivot_status_by_priority",
+    "text_stats",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_cosine_bruteforce",
+    "ann_cosine_lsh",
+    "embedding_neardup_exact",
+    "json_extract_props",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_customers",
+    "scalar_subquery_premium_parts",
+    "in_like_between",
+    "math_functions",
+    "shuffle_partition_histogram",
+    "stats_percentiles",
+    "cube_priority_status",
+    "hash_sample_orders",
 ]

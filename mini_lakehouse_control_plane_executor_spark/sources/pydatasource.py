@@ -65,6 +65,40 @@ class _FilePartition(InputPartition):
     path: str
 
 
+def _checks_violation_sessionless(
+    paths: list[str], constraints: dict[str, str]
+) -> str | None:
+    """CHECK evaluation for the DataSource writer's ``commit``, which
+    Spark runs in a session-less Python worker process (no
+    ``SparkSession.getActiveSession()``): evaluate each constraint over
+    the staged parquet with DuckDB, whose dialect agrees with Spark SQL
+    on the CHECK-expression subset (comparisons, arithmetic — both do
+    non-truncating ``/`` — boolean ops, IN/LIKE/BETWEEN, CASE). An
+    expression DuckDB cannot evaluate fails the write LOUDLY (commit
+    refused, nothing promoted) rather than skipping the gate — use
+    ``LakehouseSession.insert`` for such constraints."""
+    import duckdb
+
+    con = duckdb.connect()
+    files = ", ".join("'" + p.replace("'", "''") + "'" for p in paths)
+    for name in sorted(constraints):
+        expr = constraints[name]
+        try:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet([{files}]) "
+                f"WHERE NOT coalesce(({expr}), TRUE)"
+            ).fetchone()[0]
+        except Exception as exc:
+            raise ValueError(
+                f"cannot evaluate CHECK constraint {name!r} ({expr}) in "
+                f"the DataSource writer's session-less commit: {exc}; "
+                f"write through LakehouseSession.insert instead"
+            ) from exc
+        if n:
+            return name
+    return None
+
+
 def _filter_to_grammar(f: Filter) -> str | None:
     """Map a pushed Filter onto the reference's ``col op literal``
     grammar (SURVEY §2.3) so the table layer's stats pruner can evaluate
@@ -75,10 +109,21 @@ def _filter_to_grammar(f: Filter) -> str | None:
     v = f.value
     if isinstance(v, bool):
         lit = "true" if v else "false"
-    elif isinstance(v, (int, float)):
+    elif isinstance(v, int):
+        lit = repr(v)
+    elif isinstance(v, float):
+        # Non-finite floats have no grammar literal (repr(nan) would
+        # prune every file); skip pruning and let Spark filter row-level.
+        if v != v or v in (float("inf"), float("-inf")):
+            return None
         lit = repr(v)
     elif isinstance(v, str):
-        lit = '"' + v.replace('"', "") + '"'
+        # The grammar cannot represent an embedded quote; mutating the
+        # literal would prune files on a DIFFERENT value than the real
+        # filter and silently drop matching rows. Decline instead.
+        if '"' in v:
+            return None
+        lit = '"' + v + '"'
     else:
         return None
     return f"{f.attribute[0]} {op} {lit}"
@@ -326,9 +371,12 @@ class _MinilakeWriter(DataSourceWriter):
     the stage; nothing becomes visible.
 
     NOT NULL is enforced per batch from Arrow null counts inside
-    ``write``. Tables with CHECK constraints refuse this path (their
-    expressions are Spark SQL — use ``LakehouseSession.insert``, which
-    evaluates them inside the write pass).
+    ``write``. CHECK constraints (Spark-SQL expressions) are enforced by
+    the driver-side ``commit``: ONE aggregate scan over the staged files
+    evaluates every constraint (same post-cast semantics as
+    ``table.insert``'s write pass) BEFORE anything is promoted into
+    ``data/`` — a violating write aborts with the stage deleted and
+    nothing committed.
 
     Concurrency: the OCC commit loop serializes racing writers exactly
     like ``insert`` (same ``TransactionLog.commit`` CAS, threaded-stress
@@ -351,13 +399,15 @@ class _MinilakeWriter(DataSourceWriter):
         log = TransactionLog(self._table_dir)
         if log.latest_version() == 0:
             raise ValueError(f"no such table: {table}")
-        cpath = os.path.join(self._table_dir, "_constraints.json")
-        if os.path.exists(cpath) and _json.load(open(cpath)):
-            raise ValueError(
-                "table has CHECK constraints; write through "
-                "LakehouseSession.insert, which enforces them"
-            )
-        self._fields = log.snapshot().schema
+        snap = log.snapshot()
+        self._constraints = dict(snap.constraints)
+        if not self._constraints:
+            # Legacy sidecar (pre-versioned-constraints tables).
+            cpath = os.path.join(self._table_dir, "_constraints.json")
+            if os.path.exists(cpath):
+                with open(cpath) as fh:
+                    self._constraints = _json.load(fh)
+        self._fields = snap.schema
         declared = {f.name for f in self._fields}
         written = [f.name for f in schema.fields]
         if set(written) != declared:
@@ -416,20 +466,45 @@ class _MinilakeWriter(DataSourceWriter):
         import time as _time
         import uuid as _uuid
 
+        from pyspark.sql import SparkSession
+
         from mini_lakehouse_control_plane_executor_spark.table.table import (
             COMMIT_MAX_RETRIES,
             _footer_stats,
+            constraint_violation_over_files,
         )
         from mini_lakehouse_control_plane_executor_spark.table.log import (
             CommitConflictError,
+            CommitRetriesExhausted,
             FileAdd,
         )
 
         log = TransactionLog(self._table_dir)
         stage_abs = os.path.join(self._table_dir, self._stage_rel)
+        spark = SparkSession.getActiveSession()
         try:
             if log.find_txn(self._txn) is not None:
                 return  # idempotent replay: already committed
+            staged = [
+                os.path.join(self._table_dir, m.rel_path)
+                for m in messages
+                if m.rows > 0
+            ]
+            # CHECK gate runs over the STAGED files, before any promotion:
+            # a violating write leaves data/ untouched (the finally-clause
+            # stage cleanup is the only side effect).
+            if self._constraints and staged:
+                if spark is not None:
+                    bad = constraint_violation_over_files(
+                        spark, to_spark_schema(self._fields), staged, self._constraints
+                    )
+                else:
+                    bad = _checks_violation_sessionless(staged, self._constraints)
+                if bad:
+                    raise ValueError(
+                        f"CHECK constraint {bad!r} violated: "
+                        f"({self._constraints[bad]})"
+                    )
             adds = []
             for m in messages:
                 if m.rows == 0:
@@ -449,15 +524,58 @@ class _MinilakeWriter(DataSourceWriter):
                         max_values=maxs,
                     )
                 )
-            for attempt in range(COMMIT_MAX_RETRIES + 1):
-                snap = log.snapshot()
-                removes = [f.path for f in snap.files] if self._overwrite else []
-                try:
-                    log.commit(snap.version, self._txn, self._fields, adds, removes)
-                    return
-                except CommitConflictError:
-                    _time.sleep(0.01 * (attempt + 1))
-            raise CommitConflictError(0, 0)
+
+            def _remove_promoted() -> None:
+                # Mirror LakehouseTable._remove_adds: files never made
+                # visible by a log entry must not leak into data/.
+                for a in adds:
+                    try:
+                        os.remove(os.path.join(self._table_dir, a.path))
+                    except FileNotFoundError:
+                        pass
+
+            last = None
+            try:
+                for attempt in range(COMMIT_MAX_RETRIES + 1):
+                    snap = log.snapshot()
+                    # A racing add_constraint may have landed since the
+                    # gate above — validate the promoted adds against any
+                    # constraint we did not already enforce.
+                    delta = {
+                        n: e
+                        for n, e in snap.constraints.items()
+                        if self._constraints.get(n) != e
+                    }
+                    if delta and adds:
+                        apaths = [
+                            os.path.join(self._table_dir, a.path) for a in adds
+                        ]
+                        if spark is not None:
+                            bad = constraint_violation_over_files(
+                                spark, to_spark_schema(self._fields), apaths, delta
+                            )
+                        else:
+                            bad = _checks_violation_sessionless(apaths, delta)
+                        if bad:
+                            raise ValueError(
+                                f"CHECK constraint {bad!r} (added "
+                                f"concurrently) violated: ({delta[bad]})"
+                            )
+                    removes = [f.path for f in snap.files] if self._overwrite else []
+                    try:
+                        log.commit(snap.version, self._txn, self._fields, adds, removes)
+                        return
+                    except CommitConflictError as exc:
+                        last = exc
+                        _time.sleep(0.01 * (attempt + 1))
+                raise CommitRetriesExhausted(
+                    f"minilake write txn {self._txn!r} on "
+                    f"{os.path.basename(self._table_dir)!r} lost "
+                    f"{COMMIT_MAX_RETRIES + 1} OCC races"
+                ) from last
+            except BaseException:
+                _remove_promoted()
+                raise
         finally:
             shutil.rmtree(stage_abs, ignore_errors=True)
 

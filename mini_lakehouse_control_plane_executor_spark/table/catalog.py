@@ -499,9 +499,16 @@ class LakehouseSession:
             info.status = "COMPLETED"
         except Exception as exc:
             info.status = "FAILED"
-            info.error = (
-                "cancelled" if info.extra.get("cancel_requested") else str(exc)
+            # Report 'cancelled' ONLY for the Spark job-group interrupt
+            # itself; any other failure that races a cancel keeps its
+            # real exception text (a genuine error must not be masked by
+            # an unrelated cancel request).
+            msg = str(exc)
+            is_cancel_exc = "cancelled as part of cancellation of all jobs" in msg or (
+                info.extra.get("cancel_requested")
+                and ("cancelled" in msg.lower() or "killed" in msg.lower())
             )
+            info.error = "cancelled" if is_cancel_exc else msg
             job_span.record_error(info.error)
         finally:
             job_span.set_attributes(

@@ -114,9 +114,16 @@ class LogEntry:
     schema: list[Field]
     adds: list[FileAdd] = field(default_factory=list)
     removes: list[str] = field(default_factory=list)
+    # CHECK constraints are VERSIONED in the log (Delta semantics: table
+    # features live in the commit history, so time travel and RESTORE see
+    # the constraint set of that version). ``None`` = unchanged from the
+    # previous entry; a dict (possibly empty) = the FULL set as of this
+    # commit. Committing through the same OCC CAS as data writes also
+    # serializes ADD CONSTRAINT against concurrent inserts.
+    constraints: dict[str, str] | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "version": self.version,
             "timestamp_ms": self.timestamp_ms,
             "txn_id": self.txn_id,
@@ -124,6 +131,9 @@ class LogEntry:
             "adds": [a.to_json() for a in self.adds],
             "removes": list(self.removes),
         }
+        if self.constraints is not None:
+            d["constraints"] = dict(self.constraints)
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "LogEntry":
@@ -134,6 +144,9 @@ class LogEntry:
             schema=fields_from_json(d.get("schema") or []),
             adds=[FileAdd.from_json(a) for a in d.get("adds") or []],
             removes=list(d.get("removes") or []),
+            constraints=(
+                dict(d["constraints"]) if "constraints" in d else None
+            ),
         )
 
 
@@ -142,6 +155,7 @@ class Snapshot:
     version: int
     schema: list[Field]
     files: list[FileAdd]  # sorted by path
+    constraints: dict[str, str] = field(default_factory=dict)
 
     @property
     def file_paths(self) -> list[str]:
@@ -177,6 +191,7 @@ class TransactionLog:
         self._state_files: dict[str, FileAdd] = {}
         self._state_schema: list[Field] = []
         self._state_txns: dict[str, int] = {}
+        self._state_constraints: dict[str, str] = {}
         # Lifetime OCC losses on this log handle (CAS mismatch + lost
         # link races) — surfaced as lakehouse_commit_conflicts_total.
         self.conflict_count = 0
@@ -242,20 +257,31 @@ class TransactionLog:
                 self._advance_locked(version)
                 files, schema = self._state_files, self._state_schema
                 ordered = [files[p] for p in sorted(files)]
-                return Snapshot(version=version, schema=list(schema), files=ordered)
+                return Snapshot(
+                    version=version,
+                    schema=list(schema),
+                    files=ordered,
+                    constraints=dict(self._state_constraints),
+                )
         # Time travel behind the cache: cold replay from the newest
         # checkpoint ≤ version (does not disturb the forward cache).
-        files, schema, _ = self._replay_cold(version)
+        files, schema, _, constraints = self._replay_cold(version)
         ordered = [files[p] for p in sorted(files)]
-        return Snapshot(version=version, schema=list(schema), files=ordered)
+        return Snapshot(
+            version=version,
+            schema=list(schema),
+            files=ordered,
+            constraints=constraints,
+        )
 
     def version_at_timestamp(self, ts_ms: int) -> int:
         """Delta ``timestampAsOf`` resolution: the LAST version whose
         commit timestamp is <= ``ts_ms`` (Delta's latest-commit-at-or-
         before-timestamp rule). Raises when the timestamp predates the
         table (Delta errors the same way). Binary search over the
-        version list — commit timestamps are monotone because commits
-        serialize through the OCC CAS."""
+        version list — commit timestamps are monotone because ``commit``
+        enforces ts = max(now, prev_ts + 1) at write time, so a clock
+        step can never produce an out-of-order sequence."""
         versions = self.list_versions()
         if not versions:
             raise ValueError("table has no commits")
@@ -282,6 +308,7 @@ class TransactionLog:
         files: dict[str, FileAdd],
         schema: list[Field],
         txns: dict[str, int],
+        constraints: dict[str, str],
     ) -> list[Field]:
         if entry.schema:
             schema = entry.schema
@@ -291,6 +318,9 @@ class TransactionLog:
             files.pop(rm, None)
         if entry.txn_id:
             txns.setdefault(entry.txn_id, entry.version)
+        if entry.constraints is not None:
+            constraints.clear()
+            constraints.update(entry.constraints)
         return schema
 
     def _advance_locked(self, target: int) -> None:
@@ -301,11 +331,12 @@ class TransactionLog:
         if self._state_version == 0:
             ckpts = [c for c in self.list_checkpoints() if c <= target]
             if ckpts:
-                files, schema, txns = self._load_checkpoint(ckpts[-1])
+                files, schema, txns, constraints = self._load_checkpoint(ckpts[-1])
                 self._state_version = ckpts[-1]
                 self._state_files = files
                 self._state_schema = schema
                 self._state_txns = txns
+                self._state_constraints = constraints
         for v in self.list_versions():
             if v <= self._state_version:
                 continue
@@ -313,40 +344,48 @@ class TransactionLog:
                 break
             entry = self.read_entry(v)
             self._state_schema = self._apply(
-                entry, self._state_files, self._state_schema, self._state_txns
+                entry,
+                self._state_files,
+                self._state_schema,
+                self._state_txns,
+                self._state_constraints,
             )
         self._state_version = target
 
     def _replay_cold(
         self, version: int
-    ) -> tuple[dict[str, FileAdd], list[Field], dict[str, int]]:
+    ) -> tuple[dict[str, FileAdd], list[Field], dict[str, int], dict[str, str]]:
         files: dict[str, FileAdd] = {}
         schema: list[Field] = []
         txns: dict[str, int] = {}
+        constraints: dict[str, str] = {}
         start = 0
         ckpts = [c for c in self.list_checkpoints() if c <= version]
         if ckpts:
-            files, schema, txns = self._load_checkpoint(ckpts[-1])
+            files, schema, txns, constraints = self._load_checkpoint(ckpts[-1])
             start = ckpts[-1]
         for v in self.list_versions():
             if v <= start:
                 continue
             if v > version:
                 break
-            schema = self._apply(self.read_entry(v), files, schema, txns)
-        return files, schema, txns
+            schema = self._apply(
+                self.read_entry(v), files, schema, txns, constraints
+            )
+        return files, schema, txns, constraints
 
     # -- checkpoints ----------------------------------------------------
 
     def _load_checkpoint(
         self, version: int
-    ) -> tuple[dict[str, FileAdd], list[Field], dict[str, int]]:
+    ) -> tuple[dict[str, FileAdd], list[Field], dict[str, int], dict[str, str]]:
         with open(self._checkpoint_path(version)) as fh:
             d = json.load(fh)
         files = {a["path"]: FileAdd.from_json(a) for a in d.get("files") or []}
         schema = fields_from_json(d.get("schema") or [])
         txns = {k: int(v) for k, v in (d.get("txn_versions") or {}).items()}
-        return files, schema, txns
+        constraints = dict(d.get("constraints") or {})
+        return files, schema, txns, constraints
 
     def _write_checkpoint_locked(self, version: int) -> None:
         """Persist the cached state (which must be at ``version``) as
@@ -359,6 +398,7 @@ class TransactionLog:
                 "schema": fields_to_json(self._state_schema),
                 "files": [self._state_files[p].to_json() for p in sorted(self._state_files)],
                 "txn_versions": self._state_txns,
+                "constraints": self._state_constraints,
             }
         ).encode()
         path = self._checkpoint_path(version)
@@ -382,9 +422,12 @@ class TransactionLog:
         schema: list[Field],
         adds: list[FileAdd] | None = None,
         removes: list[str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         """Atomically commit the next version. Returns the committed
-        version (the original one for an idempotent txn_id replay)."""
+        version (the original one for an idempotent txn_id replay).
+        ``constraints``: None = CHECK set unchanged; a dict replaces the
+        full set as of this version (versioned like schema)."""
         adds = adds or []
         removes = removes or []
 
@@ -414,13 +457,20 @@ class TransactionLog:
                 if add.path in have:
                     raise CommitValidationError(f"add of existing file {add.path!r}")
 
+        # Monotone commit timestamps: wall clocks can step backwards (NTP,
+        # cross-process skew), which would silently break the
+        # ``version_at_timestamp`` binary search. Delta adjusts
+        # non-monotone commit timestamps the same way: ts = max(now,
+        # prev_ts + 1), so version order == timestamp order always.
+        prev_ts = self.read_entry(latest).timestamp_ms if latest else 0
         entry = LogEntry(
             version=latest + 1,
-            timestamp_ms=int(time.time() * 1000),
+            timestamp_ms=max(int(time.time() * 1000), prev_ts + 1),
             txn_id=txn_id,
             schema=schema,
             adds=adds,
             removes=removes,
+            constraints=constraints,
         )
         payload = json.dumps(entry.to_json(), indent=None).encode()
         path = self._entry_path(entry.version)
@@ -451,7 +501,11 @@ class TransactionLog:
         with self._mu:
             if self._state_version == entry.version - 1:
                 self._state_schema = self._apply(
-                    entry, self._state_files, self._state_schema, self._state_txns
+                    entry,
+                    self._state_files,
+                    self._state_schema,
+                    self._state_txns,
+                    self._state_constraints,
                 )
                 self._state_version = entry.version
             else:

@@ -148,6 +148,45 @@ def _footer_stats(path: str, fields: list[Field]) -> tuple[int, dict, dict]:
     return md.num_rows, mins, maxs
 
 
+def constraint_violation_over_files(
+    spark: SparkSession,
+    schema,
+    abs_paths: list[str],
+    constraints: dict[str, str],
+) -> str | None:
+    """Name of the first CHECK constraint any row in ``abs_paths``
+    violates (TRUE/NULL passes, FALSE fails — SQL CHECK semantics), else
+    None. ONE aggregate scan evaluates every constraint; the files are
+    already schema-aligned (written post-cast), so this matches the
+    in-write ``_constraint_guard`` exactly. Shared by the native insert
+    commit loop and the ``minilake`` DataSource writer."""
+    if not constraints or not abs_paths:
+        return None
+    names = sorted(constraints)
+    row = (
+        spark.read.schema(schema)
+        .parquet(*abs_paths)
+        .agg(
+            *[
+                F.count(
+                    F.when(
+                        ~F.coalesce(
+                            F.expr(constraints[n]).cast("boolean"), F.lit(True)
+                        ),
+                        1,
+                    )
+                ).alias(n)
+                for n in names
+            ]
+        )
+        .collect()[0]
+    )
+    for n in names:
+        if row[n]:
+            return n
+    return None
+
+
 class LakehouseTable:
     def __init__(self, spark: SparkSession, root: str, name: str):
         self.spark = spark
@@ -193,14 +232,23 @@ class LakehouseTable:
                         f"constraint {cname!r} does not analyze against the "
                         f"table schema: {exc}"
                     ) from exc
-            with open(os.path.join(table.dir, "_constraints.json"), "w") as f:
-                json.dump(constraints, f, indent=2, sort_keys=True)
-        # Version 1 = creation: schema only, no files.
-        table.log.commit(0, f"create-{uuid.uuid4()}", fields)
+        # Version 1 = creation: schema + the constraint set, one atomic
+        # commit — constraints are VERSIONED in the log (Delta table-
+        # feature semantics), not a sidecar, so a crash can never leave
+        # a half-written constraint file and time travel sees the CHECK
+        # set of the version it reads.
+        table.log.commit(
+            0, f"create-{uuid.uuid4()}", fields, constraints=constraints or {}
+        )
         return table
 
     @property
     def constraints(self) -> dict[str, str]:
+        snap_c = self.log.snapshot().constraints
+        if snap_c:
+            return dict(snap_c)
+        # Legacy sidecar fallback: tables created before constraints were
+        # versioned in the log kept them in _constraints.json.
         path = os.path.join(self.dir, "_constraints.json")
         if not os.path.exists(path):
             return {}
@@ -210,29 +258,63 @@ class LakehouseTable:
     def add_constraint(self, cname: str, expr: str) -> None:
         """Delta ``ALTER TABLE ADD CONSTRAINT`` semantics: the new CHECK
         is validated against ALL existing rows first (one scan — Delta
-        does the same); if any row violates it, nothing changes. Not a
-        versioned table commit: constraints live in the sidecar, and the
-        data itself is untouched."""
+        does the same); if any row violates it, nothing changes. The new
+        set is published as a VERSIONED log commit through the same OCC
+        CAS as data writes, which closes the race with a concurrent
+        insert: either the insert commits first (its rows are covered by
+        this validation scan, which retries on conflict against the
+        fresh snapshot) or this commit lands first (the insert's own
+        commit loop re-checks the snapshot's constraint set and
+        validates its staged files before committing)."""
         if not re.fullmatch(r"[A-Za-z0-9_]+", cname):
             raise ValueError(f"invalid constraint name {cname!r}")
-        if cname in self.constraints:
-            raise ValueError(f"constraint {cname!r} already exists")
         try:
-            violating = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
-            n_bad = self.read().filter(violating).limit(1).count()
+            F.expr(expr)  # syntax; analysis happens in the scan below
         except Exception as exc:
-            raise ValueError(
-                f"constraint {cname!r} does not analyze against the table "
-                f"schema: {exc}"
-            ) from exc
-        if n_bad:
-            raise ValueError(
-                f"cannot add constraint {cname!r}: existing rows violate "
-                f"({expr})"
-            )
-        constraints = {**self.constraints, cname: expr}
-        with open(os.path.join(self.dir, "_constraints.json"), "w") as f:
-            json.dump(constraints, f, indent=2, sort_keys=True)
+            raise ValueError(f"constraint {cname!r} does not parse: {exc}") from exc
+        violating = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        txn = f"add-constraint-{cname}-{uuid.uuid4()}"
+        last: Exception | None = None
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            snap = self.log.snapshot()
+            current = self.constraints
+            if cname in current:
+                raise ValueError(f"constraint {cname!r} already exists")
+            try:
+                n_bad = (
+                    self.read(version=snap.version)
+                    .filter(violating)
+                    .limit(1)
+                    .count()
+                )
+            except Exception as exc:
+                raise ValueError(
+                    f"constraint {cname!r} does not analyze against the "
+                    f"table schema: {exc}"
+                ) from exc
+            if n_bad:
+                raise ValueError(
+                    f"cannot add constraint {cname!r}: existing rows "
+                    f"violate ({expr})"
+                )
+            try:
+                self.log.commit(
+                    snap.version,
+                    txn,
+                    snap.schema,
+                    constraints={**current, cname: expr},
+                )
+                return
+            except CommitConflictError as exc:
+                # A data write landed between our validation snapshot and
+                # the commit: re-validate against the fresh snapshot so
+                # the new rows are covered, then try again.
+                last = exc
+                time.sleep(0.01 * (attempt + 1))
+        raise CommitRetriesExhausted(
+            f"add_constraint {cname!r} on {self.name!r} lost "
+            f"{COMMIT_MAX_RETRIES + 1} OCC races"
+        ) from last
 
     def _constraint_guard(self, cols: list, df: DataFrame) -> list:
         """Fold CHECK enforcement into the first projected column so it
@@ -325,8 +407,11 @@ class LakehouseTable:
         )
         # CHECK constraints ride a second projection over the ALIGNED
         # (post-cast) columns — Delta semantics: constraints see final
-        # values; CollapseProject folds both into one pass.
-        if self.constraints:
+        # values; CollapseProject folds both into one pass. The set
+        # enforced here is captured so the commit loop can detect a
+        # racing add_constraint and re-validate the staged files.
+        enforced = self.constraints
+        if enforced:
             df = df.select(
                 *self._constraint_guard([df[f.name] for f in fields], df)
             )
@@ -351,10 +436,13 @@ class LakehouseTable:
             adds = _fill_partition_from_stats(adds, cluster_by)
         try:
             if mode == "append":
-                return self._commit_with_retry(txn_id, adds=adds, removes=[])
+                return self._commit_with_retry(
+                    txn_id, adds=adds, removes=[], enforced_constraints=enforced
+                )
             last: Exception | None = None
             for attempt in range(COMMIT_MAX_RETRIES + 1):
                 snap = self.log.snapshot()
+                self._recheck_constraints(adds, enforced, snap.constraints)
                 try:
                     return self.log.commit(
                         snap.version, txn_id, fields, adds, [f.path for f in snap.files]
@@ -780,14 +868,58 @@ class LakehouseTable:
             except FileNotFoundError:
                 pass
 
+    def _violated_constraint(
+        self, adds: list[FileAdd], constraints: dict[str, str]
+    ) -> str | None:
+        """Name of the first CHECK constraint any row in ``adds``
+        violates, else None. ONE aggregate scan evaluates every
+        constraint (post-cast values — the files were written through
+        the schema-aligned projection, so semantics match the in-write
+        ``_constraint_guard``). Used when a constraint set changes
+        between a writer's enforcement pass and its OCC commit."""
+        if not constraints or not adds:
+            return None
+        paths = [os.path.join(self.dir, a.path) for a in adds]
+        return constraint_violation_over_files(
+            self.spark, self.spark_schema, paths, constraints
+        )
+
+    def _recheck_constraints(
+        self,
+        adds: list[FileAdd],
+        enforced: dict[str, str],
+        current: dict[str, str],
+    ) -> None:
+        """If CHECKs changed since this write's enforcement pass (a
+        racing ``add_constraint`` won the OCC), validate the staged adds
+        against the constraints it introduced before committing."""
+        delta = {
+            n: e for n, e in current.items() if enforced.get(n) != e
+        }
+        bad = self._violated_constraint(adds, delta)
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {bad!r} (added concurrently) violated "
+                f"by this write: ({current[bad]})"
+            )
+
     def _commit_with_retry(
-        self, txn_id: str, adds: list[FileAdd], removes: list[str]
+        self,
+        txn_id: str,
+        adds: list[FileAdd],
+        removes: list[str],
+        enforced_constraints: dict[str, str] | None = None,
     ) -> int:
         """OCC commit, refreshing base_version on conflict, ≤3 retries
         (``transaction_manager.go:124-233``)."""
         last: Exception | None = None
         for attempt in range(COMMIT_MAX_RETRIES + 1):
-            base = self.log.latest_version()
+            snap = self.log.snapshot()
+            base = snap.version
+            if enforced_constraints is not None:
+                self._recheck_constraints(
+                    adds, enforced_constraints, snap.constraints
+                )
             try:
                 return self.log.commit(base, txn_id, self.fields, adds, removes)
             except CommitConflictError as exc:
@@ -1070,8 +1202,9 @@ class LakehouseTable:
         every interim version keeps working and the restore itself is
         a versioned, diffable event. adds = target files not visible
         now; removes = visible files not in the target; the commit also
-        carries the target's schema (restore restores schema, Delta
-        semantics). Idempotent per ``txn_id``; on OCC conflict the diff
+        carries the target's schema AND its CHECK-constraint set
+        (restore restores both, Delta semantics). Idempotent per
+        ``txn_id``; on OCC conflict the diff
         recomputes against the fresh snapshot. Raises if a needed data
         file was vacuumed away (the same guard Delta applies)."""
         txn = txn_id or f"restore-{uuid.uuid4()}"
@@ -1097,7 +1230,16 @@ class LakehouseTable:
             adds = [f for f in target.files if f.path not in cur_paths]
             removes = sorted(cur_paths - tgt_paths)
             try:
-                return self.log.commit(cur.version, txn, target.schema, adds, removes)
+                # Constraints restore with the data (Delta versions CHECK
+                # constraints in the log; so do we).
+                return self.log.commit(
+                    cur.version,
+                    txn,
+                    target.schema,
+                    adds,
+                    removes,
+                    constraints=dict(target.constraints),
+                )
             except CommitConflictError as exc:
                 last = exc
                 time.sleep(0.01 * (attempt + 1))

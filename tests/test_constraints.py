@@ -173,3 +173,111 @@ def test_add_constraint_over_http(lake, spark):
         post("/tables/cah/constraints", {}, expect=400)
     finally:
         srv.stop()
+
+
+# -- versioned constraints (round 6): CHECKs live in the commit log -----
+
+
+def test_constraints_versioned_in_log(lake, spark):
+    """CHECK constraints are carried in the transaction log (Delta
+    table-feature semantics), not a sidecar: time travel sees the
+    constraint set of the version it reads, and creation is one atomic
+    commit (no separate file to half-write)."""
+    import os
+
+    lake.create_table("cv", SCHEMA, constraints={"pos": "amount > 0"})
+    t = lake.table("cv")
+    # No sidecar file: the v1 log entry is the only constraint record.
+    assert not os.path.exists(os.path.join(t.dir, "_constraints.json"))
+    assert t.snapshot(1).constraints == {"pos": "amount > 0"}
+
+    lake.insert("cv", _df(spark, [(1, 5.0, "new")]))
+    t.add_constraint("known", "status IN ('new', 'done')")
+    v_after_add = t.log.latest_version()
+    # add_constraint is a versioned commit; earlier versions don't see it.
+    assert set(t.snapshot(v_after_add).constraints) == {"pos", "known"}
+    assert set(t.snapshot(2).constraints) == {"pos"}
+    assert set(t.constraints) == {"pos", "known"}
+
+
+def test_restore_restores_constraints(lake, spark):
+    """RESTORE brings back the CHECK set of the target version along
+    with its data (Delta versions constraints in the log; so do we)."""
+    lake.create_table("cr", SCHEMA, constraints={"pos": "amount > 0"})
+    t = lake.table("cr")
+    lake.insert("cr", _df(spark, [(1, 5.0, "new")]))
+    v_before = t.log.latest_version()
+    t.add_constraint("small", "amount < 100")
+    with pytest.raises(Exception, match="small"):
+        lake.insert("cr", _df(spark, [(2, 150.0, "new")]))
+    t.restore(v_before)
+    # The restored state has only the original constraint...
+    assert set(t.constraints) == {"pos"}
+    # ...so the insert the added constraint rejected now passes.
+    lake.insert("cr", _df(spark, [(2, 150.0, "new")]))
+    assert t.read().count() == 2
+
+
+def test_add_constraint_validates_against_current_rows(lake, spark):
+    lake.create_table("ca", SCHEMA)
+    lake.insert("ca", _df(spark, [(1, -5.0, "new")]))
+    t = lake.table("ca")
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("pos", "amount > 0")
+    # Nothing committed: constraint set unchanged.
+    assert t.constraints == {}
+    with pytest.raises(ValueError, match="does not analyze"):
+        t.add_constraint("oops", "no_such_col > 0")
+
+
+def test_commit_recheck_catches_racing_add_constraint(lake, spark):
+    """The insert commit loop re-validates staged files when the
+    snapshot's constraint set differs from the set enforced during the
+    write pass (the add_constraint-vs-insert race, closed via the OCC
+    CAS both sides serialize through)."""
+    lake.create_table("crc", SCHEMA)
+    lake.insert("crc", _df(spark, [(1, -5.0, "new")]))
+    t = lake.table("crc")
+    snap = t.snapshot()
+    # Directly exercise the commit-time recheck against the staged adds.
+    with pytest.raises(ValueError, match="added concurrently"):
+        t._recheck_constraints(
+            snap.files, enforced={}, current={"pos": "amount > 0"}
+        )
+    # No change to the enforced set -> no scan, no error.
+    t._recheck_constraints(snap.files, enforced={}, current={})
+    t._recheck_constraints(
+        snap.files,
+        enforced={"neg": "amount < 0"},
+        current={"neg": "amount < 0"},
+    )
+
+
+def test_commit_timestamps_monotone(lake, spark, tmp_path):
+    """commit() enforces ts = max(now, prev_ts + 1): a wall clock that
+    steps backwards cannot produce an out-of-order timestamp sequence,
+    so version_at_timestamp's binary search stays correct."""
+    import json
+    import os
+
+    from mini_lakehouse_control_plane_executor_spark.table.log import TransactionLog
+
+    lake.create_table("mono", SCHEMA)
+    t = lake.table("mono")
+    # Forge a FUTURE timestamp on the latest entry (simulates NTP step
+    # back between two commits from the writer's point of view).
+    v1 = t.log.latest_version()
+    path = t.log._entry_path(v1)
+    entry = json.load(open(path))
+    future = entry["timestamp_ms"] + 3_600_000
+    entry["timestamp_ms"] = future
+    tmp = path + ".tmp"
+    json.dump(entry, open(tmp, "w"))
+    os.replace(tmp, path)
+
+    fresh = TransactionLog(t.dir)  # no cached entry state
+    v2 = fresh.commit(v1, "mono-txn", t.fields)
+    assert fresh.read_entry(v2).timestamp_ms == future + 1
+    # timestampAsOf at the forged instant resolves to v1, just after to v2.
+    assert fresh.version_at_timestamp(future) == v1
+    assert fresh.version_at_timestamp(future + 1) == v2

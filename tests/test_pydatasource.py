@@ -260,7 +260,13 @@ def test_format_write_append_and_overwrite(lake, spark):
     assert not any(x.endswith("-dsw") for x in os.listdir(t.tmp_dir))
 
 
-def test_format_write_respects_check_constraints_gate(lake, spark):
+def test_format_write_enforces_check_constraints(lake, spark):
+    """The DSv2 writer enforces CHECK constraints at commit time (one
+    aggregate scan over the STAGED files, before promotion): passing rows
+    commit; a violating write fails with nothing committed — no new
+    version, no orphan files in data/."""
+    import os
+
     from mini_lakehouse_control_plane_executor_spark.table.schema import Field as Fld
 
     register(spark)
@@ -269,10 +275,26 @@ def test_format_write_respects_check_constraints_gate(lake, spark):
         [Fld("id", "int64", False)],
         constraints={"small": "id < 100"},
     )
-    with pytest.raises(Exception, match="CHECK constraints"):
+    # Passing rows commit through the format writer.
+    (
+        spark.range(0, 3).select("id")
+        .write.format("minilake")
+        .option("root", lake.root).option("table", "dwc")
+        .mode("append").save()
+    )
+    t = lake.table("dwc")
+    assert t.read().count() == 3
+    v_before = t.log.latest_version()
+    files_before = sorted(os.listdir(os.path.join(t.dir, "data")))
+    # Violating rows fail atomically: same version, same files, no stage.
+    with pytest.raises(Exception, match="CHECK constraint 'small'"):
         (
-            spark.range(0, 3).select("id")
+            spark.range(98, 103).select("id")
             .write.format("minilake")
             .option("root", lake.root).option("table", "dwc")
             .mode("append").save()
         )
+    assert t.log.latest_version() == v_before
+    assert sorted(os.listdir(os.path.join(t.dir, "data"))) == files_before
+    assert os.listdir(t.tmp_dir) == []
+    assert t.read().count() == 3

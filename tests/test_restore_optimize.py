@@ -165,13 +165,13 @@ def test_restore_occ_recompute_under_race(lake, spark, monkeypatch):
     real_commit = t.log.commit
     raced = {"done": False}
 
-    def racing_commit(base_version, txn_id, schema, adds, removes):
+    def racing_commit(base_version, txn_id, schema, adds, removes, **kw):
         # First restore attempt: sneak a concurrent insert in first, so
         # the restore's CAS loses and it must re-diff.
         if txn_id.startswith("restore-race") and not raced["done"]:
             raced["done"] = True
             lake.insert("rr", _mk(spark, 100, 103))
-        return real_commit(base_version, txn_id, schema, adds, removes)
+        return real_commit(base_version, txn_id, schema, adds, removes, **kw)
 
     monkeypatch.setattr(t.log, "commit", racing_commit)
     v = t.restore(2, txn_id="restore-race-1")
