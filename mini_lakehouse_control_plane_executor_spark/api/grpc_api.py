@@ -27,17 +27,21 @@ Layering:
   ``LakehouseSession`` and the transaction log.
 - **``serve()``** binds the servicer to a real ``grpc.Server`` when
   ``grpcio`` is importable and raises a clear ImportError otherwise.
-  The repo ships no generated protobuf stubs, so the wire codec is
-  JSON via generic method handlers — service path, method names, and
-  message shapes are exactly the proto's; only the byte encoding
-  differs, and swapping in generated stubs would touch ``serve()``
-  alone, not the servicer.
+  MetadataService speaks REAL PROTO3 BYTES: ``api.protowire``
+  implements the protobuf wire format for ``metadata.proto``'s
+  messages (field numbers registered below, exactly the .proto's), so
+  any client built from the reference's .proto — Go, generated Python,
+  grpcurl — interoperates byte-for-byte, with no ``google.protobuf``
+  runtime dependency. QueryExecutionService (which has no .proto in
+  the reference) keeps a JSON codec over the same generic handlers.
 """
 
 from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field as dc_field
+
+from mini_lakehouse_control_plane_executor_spark.api import protowire
 
 from mini_lakehouse_control_plane_executor_spark.table.catalog import LakehouseSession
 from mini_lakehouse_control_plane_executor_spark.table.log import (
@@ -468,12 +472,99 @@ RPCS: dict[str, tuple] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Wire descriptors: field numbers/kinds exactly as declared in
+# ``proto/metadata.proto`` — ``api.protowire`` turns these into real
+# proto3 bytes, wire-compatible with any stub generated from that file.
+# ---------------------------------------------------------------------------
+
+protowire.register(Field, {
+    "name": (1, "string"),          # metadata.proto:89
+    "type": (2, "string"),
+    "nullable": (3, "bool"),
+})
+protowire.register(Schema, {
+    "fields": (1, "rmsg", Field),   # metadata.proto:85
+})
+protowire.register(FileStats, {
+    "min_values": (1, "map_ss"),    # metadata.proto:101-104
+    "max_values": (2, "map_ss"),
+})
+protowire.register(FileInfo, {      # FileInfo == FileAdd (same shape)
+    "path": (1, "string"),          # metadata.proto:94-113
+    "rows": (2, "uint64"),
+    "size": (3, "uint64"),
+    "partition": (4, "map_ss"),
+    "stats": (5, "msg", FileStats),
+})
+protowire.register(FileRemove, {
+    "path": (1, "string"),          # metadata.proto:115-117
+})
+protowire.register(CreateTableRequest, {
+    "table_name": (1, "string"),    # metadata.proto:18-21
+    "schema": (2, "msg", Schema),
+})
+protowire.register(CreateTableResponse, {
+    "success": (1, "bool"),         # metadata.proto:23-26
+    "error": (2, "string"),
+})
+protowire.register(GetLatestVersionRequest, {
+    "table_name": (1, "string"),    # metadata.proto:28-30
+})
+protowire.register(GetLatestVersionResponse, {
+    "version": (1, "uint64"),       # metadata.proto:32-35
+    "error": (2, "string"),
+})
+protowire.register(GetSnapshotRequest, {
+    "table_name": (1, "string"),    # metadata.proto:37-40
+    "version": (2, "uint64"),
+})
+protowire.register(GetSnapshotResponse, {
+    "files": (1, "rmsg", FileInfo),  # metadata.proto:42-46
+    "schema": (2, "msg", Schema),
+    "error": (3, "string"),
+})
+protowire.register(CommitRequest, {
+    "table_name": (1, "string"),    # metadata.proto:48-54
+    "base_version": (2, "uint64"),
+    "txn_id": (3, "string"),
+    "adds": (4, "rmsg", FileInfo),
+    "removes": (5, "rmsg", FileRemove),
+})
+protowire.register(CommitResponse, {
+    "new_version": (1, "uint64"),   # metadata.proto:56-59
+    "error": (2, "string"),
+})
+protowire.register(ListVersionsRequest, {
+    "table_name": (1, "string"),    # metadata.proto:61-63
+})
+protowire.register(ListVersionsResponse, {
+    "versions": (1, "ruint64"),     # metadata.proto:65-68
+    "error": (2, "string"),
+})
+protowire.register(LeaderRequest, {})  # metadata.proto:70
+protowire.register(LeaderResponse, {
+    "leader_id": (1, "string"),     # metadata.proto:72-75
+    "leader_address": (2, "string"),
+})
+protowire.register(HealthRequest, {})  # metadata.proto:77
+protowire.register(HealthResponse, {
+    "healthy": (1, "bool"),         # metadata.proto:79-82
+    "status": (2, "string"),
+})
+
+
 def serve(lake: LakehouseSession, host: str = "127.0.0.1", port: int = 0):
     """Bind MetadataServicer + QueryExecutionServicer to a real
-    grpc.Server (JSON codec over
-    generic method handlers — see module docstring). Returns
-    ``(server, bound_port)``; call ``server.stop(grace)`` to shut down.
-    Raises ImportError when grpcio is not installed."""
+    grpc.Server. MetadataService speaks REAL PROTOBUF BYTES (the
+    ``api.protowire`` codec implements the proto3 wire format for
+    ``metadata.proto``'s messages — wire-compatible with any generated
+    stub, no ``google.protobuf`` runtime needed); QueryExecutionService,
+    which never got a .proto in the reference (it is an in-process Go
+    service, ``grpc_service.go:134-257``), keeps the JSON codec over the
+    same generic-handler wiring. Returns ``(server, bound_port)``; call
+    ``server.stop(grace)`` to shut down. Raises ImportError when grpcio
+    is not installed."""
     try:
         import grpc
     except ImportError as exc:  # pragma: no cover - environment-dependent
@@ -483,19 +574,25 @@ def serve(lake: LakehouseSession, host: str = "127.0.0.1", port: int = 0):
         ) from exc
     from concurrent.futures import ThreadPoolExecutor
 
-    def _handler(servicer, method: str, req_cls):
+    def _handler(servicer, method: str, req_cls, codec: str):
         def unary(request, _context):
             return getattr(servicer, method)(request)
 
+        if codec == "proto":
+            return grpc.unary_unary_rpc_method_handler(
+                unary,
+                request_deserializer=lambda b: protowire.decode(req_cls, b),
+                response_serializer=protowire.encode,
+            )
         return grpc.unary_unary_rpc_method_handler(
             unary,
             request_deserializer=lambda b: req_cls.from_json(json.loads(b.decode())),
             response_serializer=lambda resp: json.dumps(resp.to_json()).encode(),
         )
 
-    def _service(servicer, service_name, rpcs):
+    def _service(servicer, service_name, rpcs, codec):
         handlers = {
-            name: _handler(servicer, name, req_cls)
+            name: _handler(servicer, name, req_cls, codec)
             for name, (req_cls, _) in rpcs.items()
         }
         return grpc.method_handlers_generic_handler(service_name, handlers)
@@ -503,8 +600,10 @@ def serve(lake: LakehouseSession, host: str = "127.0.0.1", port: int = 0):
     server = grpc.server(ThreadPoolExecutor(max_workers=8))
     server.add_generic_rpc_handlers(
         (
-            _service(MetadataServicer(lake), SERVICE_NAME, RPCS),
-            _service(QueryExecutionServicer(lake), QUERY_SERVICE_NAME, QUERY_RPCS),
+            _service(MetadataServicer(lake), SERVICE_NAME, RPCS, "proto"),
+            _service(
+                QueryExecutionServicer(lake), QUERY_SERVICE_NAME, QUERY_RPCS, "json"
+            ),
         )
     )
     bound = server.add_insecure_port(f"{host}:{port}")
