@@ -37,6 +37,10 @@ HEADLINE = [
     "ann_cosine_bruteforce",
     "ann_cosine_ivf",
     "multimodal_features",
+    # r6 additions: the heaviest new machinery from rounds 4-5, so the
+    # driver bench (not just pytest) catches regressions in it.
+    "ann_cosine_ivfpq",
+    "ngram_novelty_rate",
 ]
 
 

@@ -392,6 +392,37 @@ class LakehouseSession:
                 ).createOrReplaceTempView(name)
             return self.spark.sql(statement)
 
+    def attach_sql_views(
+        self, prefix: str = "", versions: dict[str, int] | None = None
+    ) -> dict[str, int]:
+        """Register EVERY catalog table as a snapshot-pinned temp view
+        named ``<prefix><table>`` and return {view_name: pinned_version}.
+
+        This is the one-call workaround for Spark 4.1's Python-DataSource
+        catalog gap (``CREATE TABLE ... USING minilake`` parses, but the
+        catalog read path hands Python sources empty options —
+        ``sources/pydatasource.py:17-21``): after ``attach_sql_views()``,
+        plain ``spark.sql("SELECT ... FROM <view>")`` works against
+        log-controlled snapshots with no package import at the call site.
+
+        Pinning semantics: each view binds the snapshot current at THIS
+        call (or ``versions[name]`` when given) — a commit that lands
+        afterwards does not change what the view reads. Call again to
+        refresh to latest. Registration runs under the same lock as
+        ``sql()`` so concurrent pinning of different versions cannot
+        interleave; the pinned version is resolved from one snapshot
+        read per table (no latest-version race between resolving and
+        registering)."""
+        versions = versions or {}
+        out: dict[str, int] = {}
+        with self._sql_mu:
+            for name in self.list_tables():
+                t = self.table(name)
+                snap = t.snapshot(versions.get(name))
+                t.read(version=snap.version).createOrReplaceTempView(prefix + name)
+                out[prefix + name] = snap.version
+        return out
+
     # -- jobs ----------------------------------------------------------
 
     def _planned_scan_metrics(self, q: SimpleQuery) -> dict:

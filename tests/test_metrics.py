@@ -128,3 +128,39 @@ def test_compaction_counter(server, lake, spark):
     lake.compact("m_t", force=True)
     after = _parse(_scrape(server))["lakehouse_compactions_total"]
     assert after == before + 1
+
+
+def test_monitoring_configs_reference_only_exported_metrics(server):
+    """monitoring/lakehouse_alerts.yml and the Grafana dashboard must
+    only reference lakehouse_* series that GET /metrics actually exports
+    (plus the summary's _sum/_count children and Prometheus's own `up`).
+    Guards against alert rules silently going stale when the exporter
+    changes."""
+    import os
+    import re
+
+    text = _scrape(server)
+    exported = set(re.findall(r"^(?:# TYPE )?(lakehouse_[a-z_]+)", text, re.M))
+    # A summary named X exports X_sum / X_count children.
+    for m in list(exported):
+        exported.update({m + "_sum", m + "_count"})
+
+    here = os.path.join(os.path.dirname(__file__), "..", "monitoring")
+    sources = [
+        os.path.join(here, "lakehouse_alerts.yml"),
+        os.path.join(here, "grafana", "lakehouse-dashboard.json"),
+    ]
+    for path in sources:
+        body = open(path).read()
+        # Strip comment lines: they cite the REFERENCE's metric names.
+        body = "\n".join(
+            ln for ln in body.splitlines() if not ln.strip().startswith("#")
+        )
+        used = set(re.findall(r"lakehouse_[a-z_]+", body))
+        missing = used - exported
+        assert not missing, (os.path.basename(path), sorted(missing))
+
+    # The scrape config points at the path the server actually serves.
+    prom = open(os.path.join(here, "prometheus.yml")).read()
+    assert "metrics_path: '/metrics'" in prom
+    assert "lakehouse_alerts.yml" in prom

@@ -402,3 +402,44 @@ def test_tws_processor_logic():
         "user_id": 7, "n_events": 4, "total_value": 7.0,
         "n_types": 2, "top_type": "click",
     }
+
+
+def test_tws_plan_analyzes_and_conforms_to_real_api(spark):
+    """Protobuf-free attestation for transformWithStateInPandas (the
+    runtime e2e above needs protobuf): (a) the processor subclasses
+    pyspark's REAL StatefulProcessor ABC with every abstract method
+    implemented — not a lookalike; (b) building the TWS plan on a real
+    streaming source passes JVM-side analysis (operator registration,
+    output schema, Update mode, grouping key), which is everything
+    short of executing the state server protocol."""
+    import inspect
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from mini_lakehouse_control_plane_executor_spark.streaming.tws import (
+        UserProfileProcessor,
+        user_profiles_tws,
+    )
+
+    assert issubclass(UserProfileProcessor, StatefulProcessor)
+    assert not inspect.isabstract(UserProfileProcessor)
+    proc = UserProfileProcessor()
+    assert isinstance(proc, StatefulProcessor)
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+        .select(
+            (F.col("value") % 5).alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.col("timestamp").alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    out = user_profiles_tws(stream)
+    assert out.isStreaming
+    assert out.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint,total_value:double,"
+        "n_types:bigint,top_type:string>"
+    )

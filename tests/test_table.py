@@ -771,3 +771,41 @@ def test_read_timestamp_as_of(lake, spark):
         t2.read(timestamp_ms=10)
     with _pt.raises(ValueError, match="not both"):
         t2.read(version=2, timestamp_ms=2500)
+
+
+def test_attach_sql_views_pinned_and_refreshable(lake, spark):
+    """attach_sql_views registers every table as a snapshot-pinned temp
+    view: plain spark.sql works with no package import at the call site,
+    a commit AFTER the attach doesn't change what the view reads, and
+    re-attaching refreshes to latest. versions= pins a specific version;
+    prefix= namespaces the views."""
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+
+    lake.create_table("va", [Field("id", "int64", False)])
+    lake.create_table("vb", [Field("id", "int64", False)])
+    lake.insert("va", spark.createDataFrame([(1,), (2,)], "id long"))
+    lake.insert("vb", spark.createDataFrame([(10,)], "id long"))
+
+    pinned = lake.attach_sql_views()
+    assert pinned["va"] == 2 and pinned["vb"] == 2
+    assert spark.sql("SELECT count(*) c FROM va").collect()[0].c == 2
+
+    # Concurrent-commit isolation: the view reads the PINNED snapshot.
+    lake.insert("va", spark.createDataFrame([(3,)], "id long"))
+    assert spark.sql("SELECT count(*) c FROM va").collect()[0].c == 2
+    # Joins across pinned views work like any SQL.
+    n = spark.sql(
+        "SELECT count(*) c FROM va CROSS JOIN vb"
+    ).collect()[0].c
+    assert n == 2
+
+    # Refresh picks up the new commit; explicit versions pin time travel.
+    assert lake.attach_sql_views()["va"] == 3
+    assert spark.sql("SELECT count(*) c FROM va").collect()[0].c == 3
+    lake.attach_sql_views(versions={"va": 2})
+    assert spark.sql("SELECT count(*) c FROM va").collect()[0].c == 2
+
+    # prefix= namespaces without clobbering the unprefixed views.
+    pinned = lake.attach_sql_views(prefix="lk_")
+    assert set(pinned) == {"lk_va", "lk_vb"}
+    assert spark.sql("SELECT count(*) c FROM lk_va").collect()[0].c == 3
