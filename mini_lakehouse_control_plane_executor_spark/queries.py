@@ -4912,8 +4912,16 @@ def cross_source_dup_matrix(spark, sf_dir):
 
 
 def _pq_adc_oracle(
-    k: int = 5, n_sub: int = 4, sub_dim: int = 16, n_codes: int = 8
+    k: int = 5,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+    base_select: str | None = None,
 ) -> str:
+    """``base_select`` overrides the base CTE body (must yield
+    ``vec_id, v DOUBLE[]``) — used by the OPQ variant to precondition
+    the vectors before the same PQ pipeline."""
+    base_select = base_select or "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
     subs = []
     for m in range(n_sub):
         lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
@@ -4922,7 +4930,7 @@ def _pq_adc_oracle(
         )
     sub_union = "\n  UNION ALL\n  ".join(subs)
     return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH base AS ({base_select}),
 sub AS (
   {sub_union}
 ),
@@ -5392,6 +5400,375 @@ def ann_recall_matrix(spark, sf_dir):
         )
         .orderBy("method", "q_id")
     )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: sketch-based heavy hitters, boilerplate suffix
+# dedup, embedding whitening diagnostics, quality-weighted source
+# mixing, tokenizer calibration, and OPQ-style PQ preconditioning.
+# ---------------------------------------------------------------------------
+
+
+_CMS_D, _CMS_W, _CMS_K = 4, 256, 10
+
+_CMS_HASH_SQL = (
+    "(('0x' || substr(md5('s' || CAST({d} AS VARCHAR) || ':' || "
+    "CAST({key} AS VARCHAR)), 1, 8))::BIGINT) % {w}"
+)
+
+_CMS_SQL = f"""
+WITH cells AS (
+  SELECT t.d, {_CMS_HASH_SQL.format(d='t.d', key='e.user_id', w=_CMS_W)} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events e CROSS JOIN range({_CMS_D}) t(d)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count FROM events GROUP BY 1
+),
+est AS (
+  SELECT x.user_id, min(c.c) AS est_count
+  FROM exact x CROSS JOIN range({_CMS_D}) t(d)
+  JOIN cells c
+    ON c.d = t.d
+   AND c.bucket = {_CMS_HASH_SQL.format(d='t.d', key='x.user_id', w=_CMS_W)}
+  GROUP BY 1
+)
+SELECT s.user_id, s.est_count, x.exact_count,
+       s.est_count - x.exact_count AS overestimate
+FROM est s JOIN exact x ON s.user_id = x.user_id
+ORDER BY s.est_count DESC, s.user_id LIMIT {_CMS_K}
+"""
+
+
+@query("events_heavy_hitters_cms", oracle=_CMS_SQL)
+def events_heavy_hitters_cms(spark, sf_dir):
+    """Count-Min-Sketch heavy hitters over ``user_id``: a d=4 x w=256
+    sketch built in ONE pass (each event increments d cells; the cell
+    table is 1024 rows TOTAL regardless of input size), then
+    per-user estimate = min over rows — reported for the top-10 users
+    next to their exact counts, so the query also measures the sketch's
+    overestimate (always >= 0, the CMS guarantee).
+
+    100 TB shape: the sketch aggregation is map-side combinable into a
+    fixed 1024-cell frame that BROADCASTS to the estimate join; the
+    candidate users come from the exact-count aggregate (at real scale:
+    any candidate stream), whose hash partitioning the posexplode
+    preserves, so the min-over-rows groupBy adds no shuffle. No
+    all-pairs, no driver collect. Top-k rides TakeOrdered."""
+    ev = _load(spark, sf_dir, "events")
+
+    def buckets(key_col):
+        return F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(F.lit(f"s{d}:"), key_col.cast("string"))
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _CMS_W
+                )
+                for d in range(_CMS_D)
+            ]
+        )
+
+    cells = (
+        ev.select(F.posexplode(buckets(F.col("user_id"))).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = (
+        exact.select(
+            "user_id", F.posexplode(buckets(F.col("user_id"))).alias("d", "bucket")
+        )
+        .join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(_CMS_K)
+    )
+
+
+_SUFFIX_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '\w+') AS t FROM documents
+),
+tails AS (
+  SELECT doc_id, source, array_to_string(t[-2:], ' ') AS tail
+  FROM toks WHERE len(t) >= 2
+)
+SELECT tail,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM tails GROUP BY tail HAVING count(*) >= 2
+ORDER BY n_docs DESC, tail LIMIT 20
+"""
+
+
+@query("doc_dedup_suffix_ngram", oracle=_SUFFIX_SQL)
+def doc_dedup_suffix_ngram(spark, sf_dir):
+    """Boilerplate-suffix detection: documents sharing their trailing
+    token bigram (the 'same footer' signal — sign-offs, license tails,
+    template endings that whole-doc fingerprints miss because the body
+    differs). Reported as suffix GROUPS (count, distinct sources, id
+    range), never pairs: a 100k-doc boilerplate family is one row here
+    but ~10^10 rows as a pair join — the aggregation IS the scale
+    strategy. One tokenize pass, one groupBy on the tail string
+    (map-side combinable), TakeOrdered top-20."""
+    d = _load(spark, sf_dir, "documents")
+    toks = _text.tokens(F.col("text"))
+    tails = d.select(
+        "doc_id", "source", F.array_join(F.slice(toks, -2, 2), " ").alias("tail")
+    ).filter(F.size(toks) >= 2)
+    return (
+        tails.groupBy("tail")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "tail")
+        .limit(20)
+    )
+
+
+_WHITEN_SQL = """
+WITH dims AS (
+  SELECT unnest(range(1, 65)) AS pos, unnest(embedding::DOUBLE[]) AS val
+  FROM embeddings
+)
+SELECT CAST(pos AS INT) AS pos,
+       round(avg(val), 5) AS mean_val,
+       round(var_pop(val), 5) AS var_val
+FROM dims GROUP BY pos ORDER BY pos
+"""
+
+
+@query("embedding_whitening_stats", oracle=_WHITEN_SQL)
+def embedding_whitening_stats(spark, sf_dir):
+    """Whitening diagnostic: per-dimension mean and variance of the
+    embedding matrix — the statistics a whitening/centering transform
+    consumes, and the anisotropy check (a few dominant-variance dims
+    means cosine is effectively measuring only those dims) run before
+    committing an ANN index or PQ codebook to a corpus.
+
+    100 TB shape: posexplode then ONE map-side-combinable aggregate
+    keyed by dimension — the shuffle moves at most n_partitions x 64
+    partial rows, independent of corpus size."""
+    e = _load(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "val")
+        )
+        .select((F.col("p") + 1).cast("int").alias("pos"), "val")
+        .groupBy("pos")
+        .agg(
+            F.round(F.avg("val"), 5).alias("mean_val"),
+            F.round(F.var_pop("val"), 5).alias("var_val"),
+        )
+        .orderBy("pos")
+    )
+
+
+_QMIX_SQL = r"""
+WITH scored AS (
+  SELECT source,
+         CAST(round(1000000.0 * len(list_distinct(regexp_extract_all(lower(text), '\w+')))
+               / len(regexp_extract_all(lower(text), '\w+'))) AS BIGINT) AS ttr_micro
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '\w+')) > 0
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ttr_micro) AS BIGINT) AS sum_ttr
+  FROM scored GROUP BY source
+),
+tot AS (SELECT CAST(sum(sum_ttr) AS BIGINT) AS total_ttr FROM per_src)
+SELECT source, n_docs,
+       round(sum_ttr / 1000000.0 / n_docs, 5) AS avg_quality,
+       round(sum_ttr / CAST(total_ttr AS DOUBLE), 6) AS weight,
+       CAST(round(10000.0 * sum_ttr / total_ttr) AS BIGINT) AS target_docs
+FROM per_src, tot ORDER BY source
+"""
+
+
+@query("quality_weighted_mix", oracle=_QMIX_SQL)
+def quality_weighted_mix(spark, sf_dir):
+    """Quality-weighted source mixing: score every document by
+    type-token ratio (distinct/total tokens — a repetition-penalizing
+    quality proxy), aggregate per source, and derive sampling weights +
+    a per-source document budget for a 10k-doc mix — the 'how much of
+    each crawl goes into the training set' decision as one query.
+
+    Scores are quantized to integer micro-units BEFORE aggregation
+    (the unigram_lm_surprisal discipline) so sums are order-independent
+    and bit-identical to the oracle. Per-doc scoring is pure map work
+    (array HOFs, no explode); one tiny groupBy + one broadcast total.
+    """
+    d = _load(spark, sf_dir, "documents")
+    toks = _text.tokens(F.col("text"))
+    scored = d.select(
+        "source",
+        F.round(F.lit(1000000.0) * F.size(F.array_distinct(toks)) / F.size(toks))
+        .cast("long")
+        .alias("ttr_micro"),
+    ).filter(F.size(toks) > 0)
+    per_src = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("ttr_micro").alias("sum_ttr")
+    )
+    tot = per_src.agg(F.sum("sum_ttr").alias("total_ttr"))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("sum_ttr") / 1000000.0 / F.col("n_docs"), 5).alias(
+                "avg_quality"
+            ),
+            F.round(F.col("sum_ttr") / F.col("total_ttr").cast("double"), 6).alias(
+                "weight"
+            ),
+            F.round(F.lit(10000.0) * F.col("sum_ttr") / F.col("total_ttr"))
+            .cast("long")
+            .alias("target_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_CALIB_SQL = r"""
+WITH xy AS (
+  SELECT lang, n_chars AS x,
+         CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS y
+  FROM documents
+),
+s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy GROUP BY lang
+)
+SELECT lang, n,
+       round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS chars_to_tokens_slope,
+       round((sy - (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / CAST(n AS DOUBLE), 4) AS intercept,
+       round((n * sxy - sx * sy) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_xy,
+       round(CAST(sx AS DOUBLE) / sy, 4) AS chars_per_token
+FROM s ORDER BY lang
+"""
+
+
+@query("token_length_calibration", oracle=_CALIB_SQL)
+def token_length_calibration(spark, sf_dir):
+    """Tokenizer calibration per language: the linear fit token_count ~
+    chars (slope = tokens per char; its inverse the familiar 'chars per
+    token'), plus correlation — what a budget planner uses to convert a
+    char-count corpus inventory into token budgets without tokenizing
+    everything.
+
+    The regression is computed from INTEGER sufficient statistics
+    (n, Sx, Sy, Sxx, Sxy, Syy — exact in int64), so the result is
+    bit-identical across engines and summation orders, unlike a
+    floating covar_pop. One scan, map-only scoring, one tiny groupBy.
+    """
+    d = _load(spark, sf_dir, "documents")
+    toks = _text.tokens(F.col("text"))
+    xy = d.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(toks).cast("long").alias("y"),
+    )
+    s = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx).cast("double")
+    return s.select(
+        "lang",
+        "n",
+        F.round(slope, 6).alias("chars_to_tokens_slope"),
+        F.round((sy - slope * sx) / n.cast("double"), 4).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            ),
+            6,
+        ).alias("corr_xy"),
+        F.round(sx.cast("double") / sy, 4).alias("chars_per_token"),
+    ).orderBy("lang")
+
+
+# OPQ-lite preconditioner: a fixed stride permutation + sign flips
+# (an orthogonal transform, generated deterministically and inlined
+# IDENTICALLY into the Spark plan and the DuckDB oracle). Rotating
+# before PQ redistributes correlated dimensions across the
+# subquantizers — the cheap structured stand-in for learned OPQ.
+_OPQ_PERM = [1, 38, 11, 48, 21, 58, 31, 4, 41, 14, 51, 24, 61, 34, 7, 44, 17, 54, 27, 64, 37, 10, 47, 20, 57, 30, 3, 40, 13, 50, 23, 60, 33, 6, 43, 16, 53, 26, 63, 36, 9, 46, 19, 56, 29, 2, 39, 12, 49, 22, 59, 32, 5, 42, 15, 52, 25, 62, 35, 8, 45, 18, 55, 28]
+_OPQ_SIGN = [1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1]
+
+_OPQ_BASE_SQL = (
+    "SELECT vec_id, [v0[1], v0[38], v0[11], v0[48], v0[21], v0[58], v0[31], v0[4], -v0[41], -v0[14], -v0[51], -v0[24], -v0[61], -v0[34], -v0[7], -v0[44], v0[17], v0[54], v0[27], v0[64], v0[37], v0[10], v0[47], v0[20], -v0[57], -v0[30], -v0[3], -v0[40], -v0[13], -v0[50], -v0[23], -v0[60], v0[33], v0[6], v0[43], v0[16], v0[53], v0[26], v0[63], v0[36], -v0[9], -v0[46], -v0[19], -v0[56], -v0[29], -v0[2], -v0[39], -v0[12], v0[49], v0[22], v0[59], v0[32], v0[5], v0[42], v0[15], v0[52], -v0[25], -v0[62], -v0[35], -v0[8], -v0[45], -v0[18], -v0[55], -v0[28]]::DOUBLE[] AS v "
+    "FROM (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings)"
+)
+
+
+@query(
+    "ann_cosine_pq_opq",
+    oracle=_pq_adc_oracle(base_select=_OPQ_BASE_SQL),
+)
+def ann_cosine_pq_opq(spark, sf_dir):
+    """PQ-ADC with OPQ-style orthogonal preconditioning: vectors are
+    rotated by a fixed permutation + sign-flip matrix (orthogonal, so
+    exact cosine is unchanged) BEFORE product quantization, spreading
+    correlated dimensions across the 4 subquantizers — the structured
+    zero-training stand-in for learned OPQ rotations. The pipeline
+    after the rotation is exactly ``ann_cosine_pq_adc`` (broadcast
+    codebook, map-only encode, sole exchange = per-query top-k window);
+    the rotation itself is a 64-term projection fused into the scan."""
+    e = _load(spark, sf_dir, "embeddings")
+    v0 = F.col("embedding").cast("array<double>")
+    rotated = F.array(
+        *[
+            (F.element_at(v0, p) * F.lit(float(sg)))
+            for p, sg in zip(_OPQ_PERM, _OPQ_SIGN)
+        ]
+    )
+    re = e.select("vec_id", rotated.alias("embedding"))
+    queries = re.filter(F.col("vec_id") < 10)
+    return _sim.pq_adc_topk(
+        re, "vec_id", "embedding", queries, k=5, n_sub=4, sub_dim=16, n_codes=8
+    ).orderBy("q_id", "rank")
 
 
 # ---------------------------------------------------------------------------
