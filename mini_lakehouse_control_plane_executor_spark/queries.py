@@ -5487,16 +5487,22 @@ def events_heavy_hitters_cms(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
     )
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
-    est = (
+    # exact_count rides THROUGH the estimate pipeline (constant within
+    # each user's d rows), so the query needs no second events
+    # aggregation and no final join — two scans total (cells + exact),
+    # and the min-over-rows groupBy reuses exact's hash partitioning.
+    return (
         exact.select(
-            "user_id", F.posexplode(buckets(F.col("user_id"))).alias("d", "bucket")
+            "user_id",
+            "exact_count",
+            F.posexplode(buckets(F.col("user_id"))).alias("d", "bucket"),
         )
         .join(F.broadcast(cells), ["d", "bucket"])
         .groupBy("user_id")
-        .agg(F.min("c").alias("est_count"))
-    )
-    return (
-        est.join(exact, "user_id")
+        .agg(
+            F.min("c").alias("est_count"),
+            F.max("exact_count").alias("exact_count"),
+        )
         .select(
             "user_id",
             "est_count",

@@ -40,6 +40,11 @@ class JobInfo:
     # execution.
     metrics: dict = dc_field(default_factory=dict)
     extra: dict = dc_field(default_factory=dict)
+    # Set by the runner AFTER all terminal bookkeeping (span_end,
+    # job_completed/job_failed log records, totals) — the signal
+    # job_wait blocks on, so a waiter never observes a finished status
+    # with the lifecycle records still unflushed.
+    done: threading.Event = dc_field(default_factory=threading.Event)
 
     def to_json(self) -> dict:
         return {
@@ -564,6 +569,7 @@ class LakehouseSession:
                 jlog.with_error(info.error or "").error("job_failed")
             self._record_job_totals(info)
             self._evict_finished_jobs()
+            info.done.set()
 
     def _record_job_totals(self, info: JobInfo) -> None:
         with self._totals_mu:
@@ -723,11 +729,8 @@ class LakehouseSession:
         failure; return its JobInfo (path + preview live in .extra)."""
         with self._jobs_mu:
             info = self._jobs[job_id]
-        deadline = time.time() + timeout_s
-        while info.status in ("PENDING", "RUNNING"):
-            if time.time() > deadline:
-                raise TimeoutError(f"job {job_id} still {info.status}")
-            time.sleep(0.02)
+        if not info.done.wait(timeout_s):
+            raise TimeoutError(f"job {job_id} still {info.status}")
         if info.status == "FAILED":
             raise RuntimeError(f"job {job_id} failed: {info.error}")
         return info

@@ -715,6 +715,15 @@ class LakehouseTable:
                                 for f in fields
                             ]
                         )
+                        # when_matched assignments produce NEW values, so
+                        # they pass the same CHECK gate as inserts (the
+                        # source-side guard above cannot cover them).
+                        if self.constraints:
+                            updated = updated.select(
+                                *self._constraint_guard(
+                                    [updated[f.name] for f in fields], updated
+                                )
+                            )
                         updated.coalesce(max(1, len(candidates))).write.mode(
                             "overwrite"
                         ).parquet(os.path.join(stage, "upd"))

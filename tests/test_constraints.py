@@ -281,3 +281,23 @@ def test_commit_timestamps_monotone(lake, spark, tmp_path):
     # timestampAsOf at the forged instant resolves to v1, just after to v2.
     assert fresh.version_at_timestamp(future) == v1
     assert fresh.version_at_timestamp(future + 1) == v2
+
+
+def test_merge_when_matched_enforces_check(lake, spark):
+    """when_matched assignments produce NEW values, so they pass the
+    CHECK gate like inserts: a merge that would update a row into
+    violation fails atomically (no version, rows unchanged)."""
+    lake.create_table("cm", SCHEMA, constraints={"pos": "amount > 0"})
+    lake.insert("cm", _df(spark, [(1, 5.0, "new"), (2, 7.0, "done")]))
+    t = lake.table("cm")
+    v = t.log.latest_version()
+    # Source row itself PASSES the gate; only the when_matched
+    # assignment produces the violating value.
+    src = _df(spark, [(1, 2.0, "new")])
+    with pytest.raises(Exception, match="pos"):
+        t.merge(src, "id", when_matched={"amount": "-1.0"})
+    assert t.log.latest_version() == v
+    assert {r.id: r.amount for r in t.read().collect()} == {1: 5.0, 2: 7.0}
+    # A passing when_matched assignment still works.
+    t.merge(src, "id", when_matched={"amount": "2.5"})
+    assert {r.id: r.amount for r in t.read().collect()}[1] == 2.5
