@@ -4430,10 +4430,15 @@ def temperature_mix_weights(spark, sf_dir):
     pass over the data — the same scan the token-budget mix uses."""
     alpha = 0.3
     d = _load(spark, sf_dir, "documents")
+    # Persisted: t feeds both the rows and the normalizer total, and
+    # Catalyst does not reuse the exchange — without the cache the
+    # corpus scan+tokenize would run twice (r6 fix, also applied to
+    # quality_weighted_mix).
     t = (
         d.select("source", _text.token_count(F.col("text")).alias("n"))
         .groupBy("source")
         .agg(F.sum("n").cast("long").alias("n_tokens"))
+        .persist()
     )
     z = t.agg(
         F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("z"),
@@ -5642,9 +5647,13 @@ def quality_weighted_mix(spark, sf_dir):
         .cast("long")
         .alias("ttr_micro"),
     ).filter(F.size(toks) > 0)
+    # per_src is consumed twice (rows + the grand total); persisted so
+    # the scan+tokenize pass runs ONCE — Catalyst does not reuse the
+    # exchange across the two consumers, and at 100 TB a second corpus
+    # pass costs more than caching a |sources|-row aggregate.
     per_src = scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("ttr_micro").alias("sum_ttr")
-    )
+    ).persist()
     tot = per_src.agg(F.sum("sum_ttr").alias("total_ttr"))
     return (
         per_src.crossJoin(F.broadcast(tot))

@@ -324,3 +324,49 @@ def test_ivfpq_single_pass_index_build(spark):
     assert keys == {"q_id"}, keys
     assert "CartesianProduct" not in plan
     assert "Generate" not in plan  # no corpus explode anywhere
+
+
+def test_cms_is_two_shuffles_and_broadcast(spark):
+    """events_heavy_hitters_cms: exactly two hash shuffles (cell-table
+    aggregation + per-user exact aggregation, whose partitioning the
+    estimate groupBy reuses), the cell table BROADCAST to the estimate
+    join, and top-k via TakeOrdered — no second events aggregation, no
+    join shuffle."""
+    plan = _plan(spark, "events_heavy_hitters_cms")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_whitening_is_single_dim_keyed_shuffle(spark):
+    """embedding_whitening_stats: one partial/final aggregate keyed by
+    dimension — the only exchange moves n_partitions x 64 partial rows,
+    never corpus data."""
+    plan = _plan(spark, "embedding_whitening_stats")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_calibration_and_qmix_shuffle_only_group_keys(spark):
+    """token_length_calibration / quality_weighted_mix: per-doc scoring
+    is map-only (array HOFs, no explode); the only hash shuffles carry
+    per-lang/per-source partial aggregates (plus quality_weighted_mix's
+    one-row broadcast total)."""
+    for name, n in (("token_length_calibration", 1), ("quality_weighted_mix", 2)):
+        # qmix's second source-keyed exchange reads the PERSISTED
+        # per-source aggregate (InMemoryTableScan), not the corpus —
+        # the scan+tokenize pass runs once.
+        plan = _plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == n, (name, plan)
+        assert "Generate explode" not in plan, name
+    assert "InMemoryTableScan" in _plan(spark, "quality_weighted_mix")
+
+
+def test_opq_rotation_stays_map_only(spark):
+    """ann_cosine_pq_opq: the rotation is a projection fused into the
+    scan — the plan keeps pq_adc's pinned shape (sole hash exchange is
+    the per-query top-k window)."""
+    plan = _plan(spark, "ann_cosine_pq_opq")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
