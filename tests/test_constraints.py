@@ -301,3 +301,30 @@ def test_merge_when_matched_enforces_check(lake, spark):
     # A passing when_matched assignment still works.
     t.merge(src, "id", when_matched={"amount": "2.5"})
     assert {r.id: r.amount for r in t.read().collect()}[1] == 2.5
+
+
+def test_constraints_survive_checkpoint_cold_start(lake, spark):
+    """The checkpoint format carries the constraint set: a fresh
+    TransactionLog handle (new process) that cold-starts from a
+    checkpoint — never replaying the v1 entry that declared the CHECK —
+    must still see and enforce it."""
+    from mini_lakehouse_control_plane_executor_spark.table.log import (
+        CHECKPOINT_INTERVAL,
+        TransactionLog,
+    )
+
+    lake.create_table("ckpt", SCHEMA, constraints={"pos": "amount > 0"})
+    t = lake.table("ckpt")
+    # Drive past a checkpoint boundary.
+    for i in range(CHECKPOINT_INTERVAL + 1):
+        lake.insert("ckpt", _df(spark, [(i, 1.0, "new")]))
+    assert t.log.list_checkpoints(), "expected a checkpoint to exist"
+
+    fresh = TransactionLog(t.dir)  # cold cache, loads from checkpoint
+    assert fresh.snapshot().constraints == {"pos": "amount > 0"}
+    # Enforcement via a fresh table handle too.
+    from mini_lakehouse_control_plane_executor_spark.table.table import LakehouseTable
+
+    t2 = LakehouseTable(spark, lake.root, "ckpt")
+    with pytest.raises(Exception, match="pos"):
+        t2.insert(_df(spark, [(99, -1.0, "new")]))
