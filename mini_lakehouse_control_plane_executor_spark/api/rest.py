@@ -26,6 +26,7 @@ REST route table (``pkg/coordinator/rest_api.go:44-76``):
                                                      reference's entry
                                                      delete)
     POST   /tables/{t}/constraints                   ADD CONSTRAINT CHECK
+    DELETE /tables/{t}/constraints/{name}            DROP CONSTRAINT
                                                      (validated vs existing rows)
     POST   /tables/{t}/restore                       Delta-style RESTORE to an
                                                      earlier version (forward
@@ -370,6 +371,16 @@ class LakehouseRestServer:
             raise _ApiError(409, str(exc))
         return 200, {"success": True, "constraints": t.constraints}
 
+    def drop_constraint(self, name: str, cname: str):
+        """DELETE /tables/{t}/constraints/{name} — Delta ALTER TABLE
+        DROP CONSTRAINT: a versioned commit, restorable via RESTORE."""
+        t = self._table(name)
+        try:
+            t.drop_constraint(cname)
+        except KeyError as exc:
+            raise _ApiError(404, str(exc))
+        return 200, {"success": True, "constraints": t.constraints}
+
     def restore(self, name: str, body: dict):
         """POST /tables/{t}/restore {"version": V} — Delta-style RESTORE
         as one forward commit; history stays time-travelable."""
@@ -505,6 +516,11 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
         "cancel_compaction",
     ),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/constraints$"), "add_constraint"),
+    (
+        "DELETE",
+        re.compile(r"^/tables/([A-Za-z0-9_]+)/constraints/([A-Za-z0-9_]+)$"),
+        "drop_constraint",
+    ),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/restore$"), "restore"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/vacuum$"), "vacuum"),
     ("GET", re.compile(r"^/tables/([A-Za-z0-9_]+)/diff/(\d+)/(\d+)$"), "table_diff"),

@@ -304,6 +304,7 @@ class LakehouseTable:
                     snap.schema,
                     constraints={**current, cname: expr},
                 )
+                self._retire_legacy_sidecar()
                 return
             except CommitConflictError as exc:
                 # A data write landed between our validation snapshot and
@@ -315,6 +316,43 @@ class LakehouseTable:
             f"add_constraint {cname!r} on {self.name!r} lost "
             f"{COMMIT_MAX_RETRIES + 1} OCC races"
         ) from last
+
+    def drop_constraint(self, cname: str) -> None:
+        """Delta ``ALTER TABLE DROP CONSTRAINT``: publish the shrunken
+        CHECK set as a versioned log commit (same OCC CAS as
+        ``add_constraint``), so the drop is time-travelable — a RESTORE
+        to an earlier version brings the constraint back. Raises
+        KeyError for an unknown name."""
+        txn = f"drop-constraint-{cname}-{uuid.uuid4()}"
+        last: Exception | None = None
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            snap = self.log.snapshot()
+            current = self.constraints
+            if cname not in current:
+                raise KeyError(f"no such constraint: {cname!r}")
+            remaining = {n: e for n, e in current.items() if n != cname}
+            try:
+                self.log.commit(
+                    snap.version, txn, snap.schema, constraints=remaining
+                )
+                self._retire_legacy_sidecar()
+                return
+            except CommitConflictError as exc:
+                last = exc
+                time.sleep(0.01 * (attempt + 1))
+        raise CommitRetriesExhausted(
+            f"drop_constraint {cname!r} on {self.name!r} lost "
+            f"{COMMIT_MAX_RETRIES + 1} OCC races"
+        ) from last
+
+    def _retire_legacy_sidecar(self) -> None:
+        """After a constraint commit, the log owns the full set; a
+        lingering pre-versioning sidecar would shadow an empty log set
+        through the legacy fallback (resurrecting dropped CHECKs)."""
+        try:
+            os.remove(os.path.join(self.dir, "_constraints.json"))
+        except FileNotFoundError:
+            pass
 
     def _constraint_guard(self, cols: list, df: DataFrame) -> list:
         """Fold CHECK enforcement into the first projected column so it

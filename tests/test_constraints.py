@@ -328,3 +328,87 @@ def test_constraints_survive_checkpoint_cold_start(lake, spark):
     t2 = LakehouseTable(spark, lake.root, "ckpt")
     with pytest.raises(Exception, match="pos"):
         t2.insert(_df(spark, [(99, -1.0, "new")]))
+
+
+def test_drop_constraint_versioned_and_restorable(lake, spark):
+    """DROP CONSTRAINT is a versioned commit: enforcement stops at the
+    drop version, RESTORE to a pre-drop version brings the CHECK back,
+    and dropping an unknown name raises."""
+    lake.create_table(
+        "cd", SCHEMA, constraints={"pos": "amount > 0", "small": "id < 100"}
+    )
+    t = lake.table("cd")
+    lake.insert("cd", _df(spark, [(1, 5.0, "new")]))
+    v_before_drop = t.log.latest_version()
+
+    t.drop_constraint("pos")
+    assert set(t.constraints) == {"small"}
+    # Previously-rejected rows now pass...
+    lake.insert("cd", _df(spark, [(2, -3.0, "new")]))
+    assert t.read().count() == 2
+    # ...but the other constraint still enforces.
+    with pytest.raises(Exception, match="small"):
+        lake.insert("cd", _df(spark, [(500, 1.0, "new")]))
+    with pytest.raises(KeyError, match="no such constraint"):
+        t.drop_constraint("ghost")
+    # Time travel sees the pre-drop set; RESTORE brings it back.
+    assert set(t.snapshot(v_before_drop).constraints) == {"pos", "small"}
+    t.restore(v_before_drop)
+    assert set(t.constraints) == {"pos", "small"}
+    with pytest.raises(Exception, match="pos"):
+        lake.insert("cd", _df(spark, [(3, -1.0, "new")]))
+
+
+def test_drop_constraint_on_legacy_sidecar_table(lake, spark):
+    """A table whose constraints predate log-versioning (sidecar file)
+    can still drop them: the commit moves the set into the log and
+    retires the sidecar, so an emptied set stays empty instead of
+    resurrecting through the legacy fallback."""
+    import json
+    import os
+
+    lake.create_table("cl", SCHEMA)
+    t = lake.table("cl")
+    # Simulate a pre-versioning table: constraint only in the sidecar.
+    with open(os.path.join(t.dir, "_constraints.json"), "w") as f:
+        json.dump({"pos": "amount > 0"}, f)
+    assert t.constraints == {"pos": "amount > 0"}
+    with pytest.raises(Exception, match="pos"):
+        lake.insert("cl", _df(spark, [(1, -1.0, "new")]))
+
+    t.drop_constraint("pos")
+    assert t.constraints == {}
+    assert not os.path.exists(os.path.join(t.dir, "_constraints.json"))
+    lake.insert("cl", _df(spark, [(1, -1.0, "new")]))
+    assert t.read().count() == 1
+
+
+def test_drop_constraint_over_http(lake, spark):
+    import json
+    import urllib.request
+    from mini_lakehouse_control_plane_executor_spark.api.rest import LakehouseRestServer
+
+    lake.create_table("cdh", SCHEMA, constraints={"pos": "amount > 0"})
+    srv = LakehouseRestServer(lake).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/tables/cdh/constraints/pos",
+            method="DELETE",
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            assert json.load(resp)["constraints"] == {}
+        # Unknown constraint -> 404.
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/tables/cdh/constraints/ghost",
+            method="DELETE",
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as err:
+            assert err.code == 404
+    finally:
+        srv.stop()
+    lake.insert("cdh", _df(spark, [(1, -1.0, "new")]))  # gate gone
+    assert lake.table("cdh").read().count() == 1
