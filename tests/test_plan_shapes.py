@@ -353,6 +353,11 @@ def test_calibration_and_qmix_shuffle_only_group_keys(spark):
     is map-only (array HOFs, no explode); the only hash shuffles carry
     per-lang/per-source partial aggregates (plus quality_weighted_mix's
     one-row broadcast total)."""
+    # Deterministic exchange counts need an empty CacheManager: an
+    # earlier test that built qmix registered its persisted aggregate,
+    # and cache substitution would collapse exchanges in the plan built
+    # here (order-dependent counts otherwise).
+    spark.catalog.clearCache()
     for name, n in (("token_length_calibration", 1), ("quality_weighted_mix", 2)):
         # qmix's second source-keyed exchange reads the PERSISTED
         # per-source aggregate (InMemoryTableScan), not the corpus —
