@@ -27,6 +27,8 @@ REST route table (``pkg/coordinator/rest_api.go:44-76``):
                                                      delete)
     POST   /tables/{t}/constraints                   ADD CONSTRAINT CHECK
     DELETE /tables/{t}/constraints/{name}            DROP CONSTRAINT
+    POST   /tables/{t}/columns                       ADD COLUMN (schema evolution)
+    DELETE /tables/{t}/columns/{name}                DROP COLUMN (logical)
                                                      (validated vs existing rows)
     POST   /tables/{t}/restore                       Delta-style RESTORE to an
                                                      earlier version (forward
@@ -371,6 +373,51 @@ class LakehouseRestServer:
             raise _ApiError(409, str(exc))
         return 200, {"success": True, "constraints": t.constraints}
 
+    def add_column(self, name: str, body: dict):
+        """POST /tables/{t}/columns {"name": n, "type": t[, "nullable"]}
+        — Delta ALTER TABLE ADD COLUMN: versioned schema commit, old
+        rows surface NULL, no data rewrite."""
+        t = self._table(name)
+        if not body.get("name") or not body.get("type"):
+            raise _ApiError(400, "missing required fields: name, type")
+        from mini_lakehouse_control_plane_executor_spark.table.schema import Field as _Field
+        from mini_lakehouse_control_plane_executor_spark.table.schema import SchemaError as _SErr
+
+        try:
+            version = t.add_column(
+                _Field(body["name"], body["type"], bool(body.get("nullable", True)))
+            )
+        except _SErr as exc:
+            raise _ApiError(409, str(exc))
+        return 200, {
+            "success": True,
+            "version": version,
+            "schema": [
+                {"name": f.name, "type": f.type, "nullable": f.nullable}
+                for f in t.fields
+            ],
+        }
+
+    def drop_column(self, name: str, col: str):
+        """DELETE /tables/{t}/columns/{col} — logical DROP COLUMN."""
+        t = self._table(name)
+        from mini_lakehouse_control_plane_executor_spark.table.schema import SchemaError as _SErr
+
+        try:
+            version = t.drop_column(col)
+        except KeyError as exc:
+            raise _ApiError(404, str(exc))
+        except _SErr as exc:
+            raise _ApiError(409, str(exc))
+        return 200, {
+            "success": True,
+            "version": version,
+            "schema": [
+                {"name": f.name, "type": f.type, "nullable": f.nullable}
+                for f in t.fields
+            ],
+        }
+
     def drop_constraint(self, name: str, cname: str):
         """DELETE /tables/{t}/constraints/{name} — Delta ALTER TABLE
         DROP CONSTRAINT: a versioned commit, restorable via RESTORE."""
@@ -520,6 +567,12 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
         "DELETE",
         re.compile(r"^/tables/([A-Za-z0-9_]+)/constraints/([A-Za-z0-9_]+)$"),
         "drop_constraint",
+    ),
+    ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/columns$"), "add_column"),
+    (
+        "DELETE",
+        re.compile(r"^/tables/([A-Za-z0-9_]+)/columns/([A-Za-z0-9_]+)$"),
+        "drop_column",
     ),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/restore$"), "restore"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/vacuum$"), "vacuum"),

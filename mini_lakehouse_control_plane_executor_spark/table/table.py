@@ -345,6 +345,75 @@ class LakehouseTable:
             f"{COMMIT_MAX_RETRIES + 1} OCC races"
         ) from last
 
+    def add_column(self, field: Field) -> int:
+        """Delta ``ALTER TABLE ADD COLUMN`` semantics: publish the
+        widened schema as a versioned commit (schema is already
+        latest-wins in log replay). The new column MUST be nullable —
+        rows in existing files have no value for it, and every read
+        imposes the snapshot schema over the files, so old rows surface
+        the column as NULL with no data rewrite (Delta's behavior).
+        Time travel to earlier versions sees the old schema. Subsequent
+        inserts must provide the column (write-path name-equality)."""
+        if not field.nullable:
+            raise SchemaError(
+                f"new column {field.name!r} must be nullable: existing "
+                "rows have no value for it"
+            )
+        txn = f"add-column-{field.name}-{uuid.uuid4()}"
+        last: Exception | None = None
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            snap = self.log.snapshot()
+            if any(f.name == field.name for f in snap.schema):
+                raise SchemaError(f"column {field.name!r} already exists")
+            new_schema = [*snap.schema, field]
+            validate_schema(new_schema)
+            try:
+                return self.log.commit(snap.version, txn, new_schema)
+            except CommitConflictError as exc:
+                last = exc
+                time.sleep(0.01 * (attempt + 1))
+        raise CommitRetriesExhausted(
+            f"add_column {field.name!r} on {self.name!r} lost "
+            f"{COMMIT_MAX_RETRIES + 1} OCC races"
+        ) from last
+
+    def drop_column(self, name: str) -> int:
+        """Delta ``ALTER TABLE DROP COLUMN`` (logical): commit the
+        narrowed schema; no data rewrite — reads impose the snapshot
+        schema, so the files' extra column is simply never scanned
+        (column pruning makes this free), and time travel to pre-drop
+        versions still sees it. Refuses to orphan a CHECK constraint
+        that references the column, and refuses to drop the last
+        column."""
+        txn = f"drop-column-{name}-{uuid.uuid4()}"
+        last: Exception | None = None
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            snap = self.log.snapshot()
+            if not any(f.name == name for f in snap.schema):
+                raise KeyError(f"no such column: {name!r}")
+            new_schema = [f for f in snap.schema if f.name != name]
+            if not new_schema:
+                raise SchemaError("cannot drop the last column")
+            probe = self.spark.createDataFrame([], to_spark_schema(new_schema))
+            for cname, expr in self.constraints.items():
+                try:
+                    probe.filter(F.expr(expr).cast("boolean")).schema
+                except Exception:
+                    raise SchemaError(
+                        f"cannot drop column {name!r}: CHECK constraint "
+                        f"{cname!r} references it ({expr}); drop the "
+                        "constraint first"
+                    )
+            try:
+                return self.log.commit(snap.version, txn, new_schema)
+            except CommitConflictError as exc:
+                last = exc
+                time.sleep(0.01 * (attempt + 1))
+        raise CommitRetriesExhausted(
+            f"drop_column {name!r} on {self.name!r} lost "
+            f"{COMMIT_MAX_RETRIES + 1} OCC races"
+        ) from last
+
     def _retire_legacy_sidecar(self) -> None:
         """After a constraint commit, the log owns the full set; a
         lingering pre-versioning sidecar would shadow an empty log set

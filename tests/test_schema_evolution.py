@@ -1,0 +1,128 @@
+"""Schema evolution (Delta ALTER TABLE ADD/DROP COLUMN semantics): the
+schema is versioned in the log (latest-wins replay, already the
+reference's rule — pkg/storage/transaction_log.go:156-218); reads impose
+the SNAPSHOT schema over the files, so widening surfaces NULLs for old
+rows and narrowing never scans the dropped column — zero data rewrite
+either way, and time travel sees the schema of the version it reads."""
+
+import pytest
+
+from mini_lakehouse_control_plane_executor_spark.table.schema import Field, SchemaError
+
+SCHEMA = [Field("id", "int64", False), Field("v", "float64", True)]
+
+
+def _df(spark, rows, ddl="id long, v double"):
+    return spark.createDataFrame(rows, ddl)
+
+
+def test_add_column_null_fills_old_rows(lake, spark):
+    lake.create_table("se", SCHEMA)
+    lake.insert("se", _df(spark, [(1, 1.5), (2, 2.5)]))
+    t = lake.table("se")
+    v_old = t.log.latest_version()
+
+    t.add_column(Field("tag", "string", True))
+    assert [f.name for f in t.fields] == ["id", "v", "tag"]
+    # Old rows surface the new column as NULL — no rewrite happened.
+    rows = {r.id: r.tag for r in t.read().collect()}
+    assert rows == {1: None, 2: None}
+    # Time travel sees the old schema.
+    assert [f.name for f in t.read(version=v_old).schema.fields] == ["id", "v"]
+
+    # New inserts carry the column; old and new rows coexist.
+    lake.insert("se", _df(spark, [(3, 3.5, "x")], "id long, v double, tag string"))
+    rows = {r.id: r.tag for r in t.read().collect()}
+    assert rows == {1: None, 2: None, 3: "x"}
+
+    # Write-path name-equality now requires the column.
+    with pytest.raises(Exception):
+        lake.insert("se", _df(spark, [(4, 4.5)]))
+
+
+def test_add_column_validation(lake, spark):
+    lake.create_table("sev", SCHEMA)
+    t = lake.table("sev")
+    with pytest.raises(SchemaError, match="must be nullable"):
+        t.add_column(Field("req", "string", False))
+    with pytest.raises(SchemaError, match="already exists"):
+        t.add_column(Field("v", "float64", True))
+
+
+def test_drop_column_logical_and_time_travel(lake, spark):
+    lake.create_table("sd", SCHEMA)
+    lake.insert("sd", _df(spark, [(1, 1.5)]))
+    t = lake.table("sd")
+    v_old = t.log.latest_version()
+
+    t.drop_column("v")
+    assert [f.name for f in t.fields] == ["id"]
+    assert t.read().collect()[0].asDict() == {"id": 1}
+    # Pre-drop versions still see (and read) the column.
+    assert t.read(version=v_old).collect()[0].v == 1.5
+    # Inserts now use the narrowed schema.
+    lake.insert("sd", _df(spark, [(2,)], "id long"))
+    assert t.read().count() == 2
+    with pytest.raises(KeyError, match="no such column"):
+        t.drop_column("ghost")
+    with pytest.raises(SchemaError, match="last column"):
+        t.drop_column("id")
+
+
+def test_drop_column_refuses_constraint_reference(lake, spark):
+    lake.create_table("sc", SCHEMA, constraints={"pos": "v > 0"})
+    t = lake.table("sc")
+    with pytest.raises(SchemaError, match="references it"):
+        t.drop_column("v")
+    t.drop_constraint("pos")
+    t.drop_column("v")
+    assert [f.name for f in t.fields] == ["id"]
+
+
+def test_evolution_restorable(lake, spark):
+    """RESTORE returns the schema (and rows) of the target version —
+    schema evolution is just another versioned event."""
+    lake.create_table("sr", SCHEMA)
+    lake.insert("sr", _df(spark, [(1, 1.5)]))
+    t = lake.table("sr")
+    v_before = t.log.latest_version()
+    t.add_column(Field("tag", "string", True))
+    lake.insert("sr", _df(spark, [(2, 2.5, "x")], "id long, v double, tag string"))
+    t.restore(v_before)
+    assert [f.name for f in t.fields] == ["id", "v"]
+    assert t.read().count() == 1
+
+
+def test_column_evolution_over_http(lake, spark):
+    import json
+    import urllib.request
+
+    from mini_lakehouse_control_plane_executor_spark.api.rest import LakehouseRestServer
+
+    lake.create_table("sh", SCHEMA)
+    lake.insert("sh", _df(spark, [(1, 1.5)]))
+    srv = LakehouseRestServer(lake).start()
+    try:
+        def call(method, path, body=None, expect=200):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}{path}", method=method,
+                data=json.dumps(body).encode() if body is not None else None,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    assert resp.status == expect
+                    return json.load(resp)
+            except urllib.error.HTTPError as err:
+                assert err.code == expect, f"{path}: {err.code}"
+                return json.loads(err.read() or b"{}")
+
+        out = call("POST", "/tables/sh/columns", {"name": "tag", "type": "string"})
+        assert [c["name"] for c in out["schema"]] == ["id", "v", "tag"]
+        call("POST", "/tables/sh/columns", {"name": "v", "type": "float64"}, expect=409)
+        call("POST", "/tables/sh/columns", {"name": "x", "type": "string", "nullable": False}, expect=409)
+        out = call("DELETE", "/tables/sh/columns/tag")
+        assert [c["name"] for c in out["schema"]] == ["id", "v"]
+        call("DELETE", "/tables/sh/columns/ghost", expect=404)
+    finally:
+        srv.stop()
