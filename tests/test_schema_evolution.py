@@ -126,3 +126,27 @@ def test_column_evolution_over_http(lake, spark):
         call("DELETE", "/tables/sh/columns/ghost", expect=404)
     finally:
         srv.stop()
+
+
+def test_format_reader_null_fills_after_add_column(lake, spark):
+    """The minilake DataSource reader imposes the snapshot schema too:
+    files written before ADD COLUMN surface the new column as NULL
+    through spark.read.format('minilake'), same as the native path."""
+    from tests.test_pydatasource import register
+
+    register(spark)
+    lake.create_table("sf", SCHEMA)
+    lake.insert("sf", _df(spark, [(1, 1.5)]))
+    lake.table("sf").add_column(Field("tag", "string", True))
+    lake.insert("sf", _df(spark, [(2, 2.5, "x")], "id long, v double, tag string"))
+    got = {
+        r.id: r.tag
+        for r in (
+            spark.read.format("minilake")
+            .option("root", lake.root)
+            .option("table", "sf")
+            .load()
+            .collect()
+        )
+    }
+    assert got == {1: None, 2: "x"}
