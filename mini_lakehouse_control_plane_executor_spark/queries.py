@@ -5463,34 +5463,11 @@ def events_heavy_hitters_cms(spark, sf_dir):
     any candidate stream), whose hash partitioning the posexplode
     preserves, so the min-over-rows groupBy adds no shuffle. No
     all-pairs, no driver collect. Top-k rides TakeOrdered."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as _sketch
+
     ev = _load(spark, sf_dir, "events")
-
-    def buckets(key_col):
-        return F.array(
-            *[
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(F.lit(f"s{d}:"), key_col.cast("string"))
-                            ),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % _CMS_W
-                )
-                for d in range(_CMS_D)
-            ]
-        )
-
-    cells = (
-        ev.select(F.posexplode(buckets(F.col("user_id"))).alias("d", "bucket"))
-        .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    buckets = lambda key_col: _sketch.cms_bucket_array(key_col, _CMS_D, _CMS_W)  # noqa: E731
+    cells = _sketch.cms_cells(ev, "user_id", _CMS_D, _CMS_W)
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
     # exact_count rides THROUGH the estimate pipeline (constant within
     # each user's d rows), so the query needs no second events

@@ -443,3 +443,41 @@ def test_tws_plan_analyzes_and_conforms_to_real_api(spark):
         "struct<user_id:bigint,n_events:bigint,total_value:double,"
         "n_types:bigint,top_type:string>"
     )
+
+
+def test_cms_sketch_stream_equals_batch(spark, event_dir):
+    """Streaming count-min sketch (operators/sketch.py): the cell table
+    is an UNWINDOWED stateful aggregation whose state is exactly the
+    fixed d*w cells — it cannot grow with the stream, so no watermark
+    is needed. After draining, the cells equal the batch sketch over
+    the same events, and per-key estimates (min over rows) are >= the
+    true counts (the CMS guarantee), exercised for 5 sample users."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as SK
+
+    stream_cells = SK.cms_cells(W.stream_events(spark, event_dir), "user_id")
+    batch_df = _batch(spark, event_dir)
+    batch_cells = SK.cms_cells(batch_df, "user_id")
+
+    got = _rows(_drain(spark, stream_cells, "t_cms"), ["d", "bucket"])
+    want = _rows(batch_cells, ["d", "bucket"])
+    assert got == want and len(want) > 0
+    # State bound: never more than d*w cells.
+    assert len(want) <= SK.CMS_D * SK.CMS_W
+
+    cells = {(r.d, r.bucket): r.c for r in want}
+    truth = {
+        r.user_id: r.n
+        for r in batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sample = sorted(truth)[:5]
+    buckets = {
+        r.user_id: r.b
+        for r in batch_df.select("user_id")
+        .distinct()
+        .select("user_id", SK.cms_bucket_array(F.col("user_id")).alias("b"))
+        .collect()
+        if r.user_id in sample
+    }
+    for u in sample:
+        est = min(cells[(d, b)] for d, b in enumerate(buckets[u]))
+        assert est >= truth[u]  # CMS never undercounts
