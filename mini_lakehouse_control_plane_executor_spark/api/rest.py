@@ -6,6 +6,7 @@ REST route table (``pkg/coordinator/rest_api.go:44-76``):
     DELETE /tables/{t}                               drop table (real, vs the
                                                      reference placeholder)
     GET    /tables/{t}/versions                      list versions
+    GET    /tables/{t}/history                       DESCRIBE HISTORY (newest first)
     GET    /tables/{t}/versions/{v}/snapshot         snapshot file list
     POST   /tables/{t}/data                          insert from a data_path
     POST   /tables/{t}/insert                        insert inline rows
@@ -149,6 +150,11 @@ class LakehouseRestServer:
 
     def list_versions(self, name: str):
         return 200, {"table_name": name, "versions": self._table(name).versions()}
+
+    def table_history(self, name: str):
+        """GET /tables/{t}/history — Delta DESCRIBE HISTORY analogue,
+        newest first, from log entries only (no data reads)."""
+        return 200, {"table_name": name, "history": self._table(name).history()}
 
     def get_snapshot(self, name: str, version: str):
         try:
@@ -530,6 +536,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/tables/([A-Za-z0-9_]+)$"), "get_table"),
     ("DELETE", re.compile(r"^/tables/([A-Za-z0-9_]+)$"), "drop_table"),
     ("GET", re.compile(r"^/tables/([A-Za-z0-9_]+)/versions$"), "list_versions"),
+    ("GET", re.compile(r"^/tables/([A-Za-z0-9_]+)/history$"), "table_history"),
     (
         "GET",
         re.compile(r"^/tables/([A-Za-z0-9_]+)/versions/(\d+)/snapshot$"),

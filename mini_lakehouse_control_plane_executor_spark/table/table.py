@@ -462,6 +462,55 @@ class LakehouseTable:
     def versions(self) -> list[int]:
         return self.log.list_versions()
 
+    # Operation inferred from the txn-id prefix each write path stamps.
+    _HISTORY_OPS = (
+        ("create-", "CREATE TABLE"),
+        ("delete-", "DELETE"),
+        ("update-", "UPDATE"),
+        ("merge-", "MERGE"),
+        ("compact-", "OPTIMIZE"),
+        ("restore-", "RESTORE"),
+        ("add-constraint-", "ADD CONSTRAINT"),
+        ("drop-constraint-", "DROP CONSTRAINT"),
+        ("add-column-", "ADD COLUMN"),
+        ("drop-column-", "DROP COLUMN"),
+    )
+
+    def history(self, limit: int | None = None) -> list[dict]:
+        """Delta ``DESCRIBE HISTORY`` analogue: one dict per version,
+        NEWEST first — version, timestamp_ms, txn_id, inferred
+        operation, add/remove counts, rows added, whether the commit
+        changed the schema, and whether it declared a constraint set
+        (add/drop/create/restore do). Reads log entries only
+        (no data files); ``limit`` bounds how many recent versions are
+        returned."""
+        out = []
+        prev_schema: list[Field] = []
+        for v in self.versions():  # oldest-first so schema diffs compare
+            e = self.log.read_entry(v)
+            op = "WRITE"
+            for prefix, name in self._HISTORY_OPS:
+                if e.txn_id.startswith(prefix):
+                    op = name
+                    break
+            schema = e.schema or prev_schema
+            out.append(
+                {
+                    "version": v,
+                    "timestamp_ms": e.timestamp_ms,
+                    "txn_id": e.txn_id,
+                    "operation": op,
+                    "n_added_files": len(e.adds),
+                    "n_removed_files": len(e.removes),
+                    "rows_added": sum(a.rows for a in e.adds),
+                    "schema_changed": schema != prev_schema,
+                    "constraints_changed": e.constraints is not None,
+                }
+            )
+            prev_schema = schema
+        out.reverse()
+        return out if limit is None else out[:limit]
+
     # -- write path ----------------------------------------------------
 
     def insert(

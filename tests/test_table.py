@@ -809,3 +809,48 @@ def test_attach_sql_views_pinned_and_refreshable(lake, spark):
     pinned = lake.attach_sql_views(prefix="lk_")
     assert set(pinned) == {"lk_va", "lk_vb"}
     assert spark.sql("SELECT count(*) c FROM lk_va").collect()[0].c == 3
+
+
+def test_describe_history(lake, spark):
+    """history(): newest-first per-version records with inferred
+    operation, file/row deltas, and schema/constraint-change flags —
+    the Delta DESCRIBE HISTORY analogue, from log entries only."""
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+
+    lake.create_table("hist", [Field("id", "int64", False)])
+    lake.insert("hist", spark.createDataFrame([(1,), (2,)], "id long"))
+    t = lake.table("hist")
+    t.add_constraint("small", "id < 100")
+    t.delete("id = 1")
+    t.add_column(Field("tag", "string", True))
+    t.restore(2)
+
+    h = t.history()
+    assert [e["version"] for e in h] == [6, 5, 4, 3, 2, 1]
+    ops = {e["version"]: e["operation"] for e in h}
+    assert ops[1] == "CREATE TABLE" and ops[2] == "WRITE"
+    assert ops[3] == "ADD CONSTRAINT" and ops[4] == "DELETE"
+    assert ops[5] == "ADD COLUMN" and ops[6] == "RESTORE"
+    by_v = {e["version"]: e for e in h}
+    assert by_v[2]["rows_added"] == 2 and by_v[2]["n_added_files"] >= 1
+    assert by_v[3]["constraints_changed"] and by_v[3]["n_added_files"] == 0
+    assert by_v[5]["schema_changed"] and not by_v[4]["schema_changed"]
+    # Timestamps are monotone newest-first.
+    ts = [e["timestamp_ms"] for e in h]
+    assert ts == sorted(ts, reverse=True)
+    assert len(t.history(limit=2)) == 2
+
+    # REST surface.
+    import json
+    import urllib.request
+    from mini_lakehouse_control_plane_executor_spark.api.rest import LakehouseRestServer
+
+    srv = LakehouseRestServer(lake).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/tables/hist/history"
+        ) as resp:
+            body = json.load(resp)
+        assert [e["version"] for e in body["history"]] == [6, 5, 4, 3, 2, 1]
+    finally:
+        srv.stop()
