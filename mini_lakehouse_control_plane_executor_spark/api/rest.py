@@ -28,7 +28,6 @@ REST route table (``pkg/coordinator/rest_api.go:44-76``):
                                                      delete)
     POST   /tables/{t}/constraints                   ADD CONSTRAINT CHECK
     DELETE /tables/{t}/constraints/{name}            DROP CONSTRAINT
-    POST   /tables/{t}/columns                       ADD COLUMN (schema evolution)
     DELETE /tables/{t}/columns/{name}                DROP COLUMN (logical)
                                                      (validated vs existing rows)
     POST   /tables/{t}/restore                       Delta-style RESTORE to an
@@ -289,13 +288,31 @@ class LakehouseRestServer:
 
     def add_columns(self, name: str, body: dict):
         """POST /tables/{t}/columns — additive schema evolution (beyond
-        the reference, which has no schema-change operation)."""
+        the reference, which has no schema-change operation). Accepts
+        either {"schema": {"fields": [...]}} (multi-column) or the
+        single-column shorthand {"name": n, "type": t[, "nullable"]}."""
         t = self._table(name)
+        if body.get("name") and body.get("type"):
+            from mini_lakehouse_control_plane_executor_spark.table.schema import Field as _Field
+
+            fields = [
+                _Field(body["name"], body["type"], bool(body.get("nullable", True)))
+            ]
+        else:
+            fields = _fields_from_api(body.get("schema") or body)
         try:
-            version = t.add_columns(_fields_from_api(body.get("schema") or body))
+            version = t.add_columns(fields)
         except (SchemaError, ValueError) as exc:
             raise _ApiError(400, str(exc))
-        return 200, {"success": True, "new_version": version}
+        return 200, {
+            "success": True,
+            "new_version": version,
+            "version": version,
+            "schema": [
+                {"name": f.name, "type": f.type, "nullable": f.nullable}
+                for f in t.fields
+            ],
+        }
 
     def execute_sql(self, body: dict):
         """POST /sql {"sql": "...", "versions": {table: v}} — REAL SQL
@@ -378,31 +395,6 @@ class LakehouseRestServer:
         except ValueError as exc:
             raise _ApiError(409, str(exc))
         return 200, {"success": True, "constraints": t.constraints}
-
-    def add_column(self, name: str, body: dict):
-        """POST /tables/{t}/columns {"name": n, "type": t[, "nullable"]}
-        — Delta ALTER TABLE ADD COLUMN: versioned schema commit, old
-        rows surface NULL, no data rewrite."""
-        t = self._table(name)
-        if not body.get("name") or not body.get("type"):
-            raise _ApiError(400, "missing required fields: name, type")
-        from mini_lakehouse_control_plane_executor_spark.table.schema import Field as _Field
-        from mini_lakehouse_control_plane_executor_spark.table.schema import SchemaError as _SErr
-
-        try:
-            version = t.add_column(
-                _Field(body["name"], body["type"], bool(body.get("nullable", True)))
-            )
-        except _SErr as exc:
-            raise _ApiError(409, str(exc))
-        return 200, {
-            "success": True,
-            "version": version,
-            "schema": [
-                {"name": f.name, "type": f.type, "nullable": f.nullable}
-                for f in t.fields
-            ],
-        }
 
     def drop_column(self, name: str, col: str):
         """DELETE /tables/{t}/columns/{col} — logical DROP COLUMN."""
@@ -575,7 +567,6 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
         re.compile(r"^/tables/([A-Za-z0-9_]+)/constraints/([A-Za-z0-9_]+)$"),
         "drop_constraint",
     ),
-    ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/columns$"), "add_column"),
     (
         "DELETE",
         re.compile(r"^/tables/([A-Za-z0-9_]+)/columns/([A-Za-z0-9_]+)$"),

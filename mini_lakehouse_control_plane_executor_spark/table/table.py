@@ -346,36 +346,10 @@ class LakehouseTable:
         ) from last
 
     def add_column(self, field: Field) -> int:
-        """Delta ``ALTER TABLE ADD COLUMN`` semantics: publish the
-        widened schema as a versioned commit (schema is already
-        latest-wins in log replay). The new column MUST be nullable —
-        rows in existing files have no value for it, and every read
-        imposes the snapshot schema over the files, so old rows surface
-        the column as NULL with no data rewrite (Delta's behavior).
-        Time travel to earlier versions sees the old schema. Subsequent
-        inserts must provide the column (write-path name-equality)."""
-        if not field.nullable:
-            raise SchemaError(
-                f"new column {field.name!r} must be nullable: existing "
-                "rows have no value for it"
-            )
-        txn = f"add-column-{field.name}-{uuid.uuid4()}"
-        last: Exception | None = None
-        for attempt in range(COMMIT_MAX_RETRIES + 1):
-            snap = self.log.snapshot()
-            if any(f.name == field.name for f in snap.schema):
-                raise SchemaError(f"column {field.name!r} already exists")
-            new_schema = [*snap.schema, field]
-            validate_schema(new_schema)
-            try:
-                return self.log.commit(snap.version, txn, new_schema)
-            except CommitConflictError as exc:
-                last = exc
-                time.sleep(0.01 * (attempt + 1))
-        raise CommitRetriesExhausted(
-            f"add_column {field.name!r} on {self.name!r} lost "
-            f"{COMMIT_MAX_RETRIES + 1} OCC races"
-        ) from last
+        """Single-column convenience over ``add_columns`` (the additive
+        schema-evolution commit, Delta ADD COLUMN semantics: nullable
+        only, zero rewrite, old rows surface NULL)."""
+        return self.add_columns([field])
 
     def drop_column(self, name: str) -> int:
         """Delta ``ALTER TABLE DROP COLUMN`` (logical): commit the
@@ -472,7 +446,7 @@ class LakehouseTable:
         ("restore-", "RESTORE"),
         ("add-constraint-", "ADD CONSTRAINT"),
         ("drop-constraint-", "DROP CONSTRAINT"),
-        ("add-column-", "ADD COLUMN"),
+        ("alter-", "ADD COLUMN"),
         ("drop-column-", "DROP COLUMN"),
     )
 

@@ -119,8 +119,8 @@ def test_column_evolution_over_http(lake, spark):
 
         out = call("POST", "/tables/sh/columns", {"name": "tag", "type": "string"})
         assert [c["name"] for c in out["schema"]] == ["id", "v", "tag"]
-        call("POST", "/tables/sh/columns", {"name": "v", "type": "float64"}, expect=409)
-        call("POST", "/tables/sh/columns", {"name": "x", "type": "string", "nullable": False}, expect=409)
+        call("POST", "/tables/sh/columns", {"name": "v", "type": "float64"}, expect=400)
+        call("POST", "/tables/sh/columns", {"name": "x", "type": "string", "nullable": False}, expect=400)
         out = call("DELETE", "/tables/sh/columns/tag")
         assert [c["name"] for c in out["schema"]] == ["id", "v"]
         call("DELETE", "/tables/sh/columns/ghost", expect=404)
