@@ -16,13 +16,14 @@ for the key so far, so after the last batch the output equals the batch
 groupBy aggregate — the stream≡batch equality every operator in
 streaming/ proves.
 
-Environment gate: Spark's transformWithState Python driver worker
-speaks protobuf to the JVM state server (``pyspark/sql/streaming/proto``)
-and needs the ``protobuf`` package at runtime — absent here, like
-grpcio (same import-try discipline, tests/test_streaming.py skips the
-end-to-end run and exercises the processor against a fake handle; the
-semantics twin ``stateful.user_profiles`` runs end-to-end on the legacy
-API).
+Runtime requirements: Spark's transformWithState Python workers speak
+protobuf to the JVM state server (``pyspark/sql/streaming/proto``) and
+the operator needs a state store with column families (RocksDB).
+``session.get_spark`` provides both — it activates the vendored
+pure-Python protobuf shim (``vendor/protoshim``) when no real protobuf
+package is installed, and sets ``RocksDBStateStoreProvider`` — so the
+operator runs end-to-end here (tests/test_streaming.py:
+``test_tws_user_profiles_equals_batch``).
 """
 
 from __future__ import annotations

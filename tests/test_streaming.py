@@ -304,10 +304,11 @@ def test_tws_user_profiles_equals_batch(spark, event_dir):
     """transformWithStateInPandas (Spark 4 arbitrary-state API): the
     final emitted running profile per user equals the batch aggregate —
     count, value total, distinct-type count, and the deterministic
-    top event type. Requires protobuf (the TWS Python driver worker's
-    wire codec) — skipped in this container, same gate as grpcio; the
-    processor's logic is covered by test_tws_processor_logic below."""
-    pytest.importorskip("google.protobuf.descriptor")
+    top event type. The TWS Python workers speak protobuf to the JVM
+    state server: with no protobuf package in this container, get_spark
+    activates the vendored pure-Python shim
+    (``vendor/protoshim``) — so this run is also the wire-format
+    cross-validation of that shim against the JVM's real protobuf."""
     from mini_lakehouse_control_plane_executor_spark.streaming.tws import user_profiles_tws
 
     stream = user_profiles_tws(W.stream_events(spark, event_dir))
