@@ -75,6 +75,101 @@ class UserProfileProcessor(StatefulProcessor):
         pass
 
 
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+
+class SessionFinalizerProcessor(StatefulProcessor):
+    """Event-time sessionization with inactivity-gap finalization — the
+    canonical arbitrary-state + timer operator (stream twin of the
+    batch ``events_sessionize`` query).
+
+    Per key: one open session in ValueState ``sess`` = (start_ms,
+    end_ms, n, total). Each input batch is walked in timestamp order;
+    sessions closed by an in-batch gap emit immediately, the trailing
+    open session goes to state, and an event-time timer re-arms at
+    ``end + gap`` (old timers deleted — exercises ListTimers /
+    DeleteTimer / RegisterTimer). When the watermark passes the timer,
+    ``handleExpiredTimer`` emits the finalized session and clears
+    state. State is O(1) per key; timers are one per key — at 100 TB
+    the state store shards by the grouping key's existing shuffle.
+    """
+
+    def __init__(self, gap_ms: int):
+        self.gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.sess = handle.getValueState(
+            "sess", "start_ms long, end_ms long, n long, total double"
+        )
+
+    def _emit(self, key, start_ms, end_ms, n, total):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = self.sess.get() if self.sess.exists() else None
+        out = []
+        for pdf in rows:
+            pdf = pdf.sort_values("ts")
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            vals = pdf["value"].fillna(0.0).tolist()
+            for t, v in zip(ts_ms, vals):
+                if cur is None:
+                    cur = (t, t, 1, float(v))
+                elif t - cur[1] <= self.gap_ms:
+                    cur = (cur[0], t, cur[2] + 1, cur[3] + float(v))
+                else:
+                    out.append(self._emit(key, *cur))
+                    cur = (t, t, 1, float(v))
+        if cur is not None:
+            self.sess.update(cur)
+            # Re-arm: exactly one live timer per key, at end + gap.
+            for t in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(cur[1] + self.gap_ms)
+        for o in out:
+            yield o
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self.sess.exists():
+            start_ms, end_ms, n, total = self.sess.get()
+            # Only finalize if this timer matches the CURRENT session
+            # end (a stale timer for an extended session re-arms).
+            if expiredTimerInfo.getExpiryTimeInMs() >= end_ms + self.gap_ms:
+                self.sess.clear()
+                yield self._emit(key, start_ms, end_ms, n, total)
+
+    def close(self) -> None:
+        pass
+
+
+def finalized_sessions_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """events (streaming, watermarked on ``ts``): user_id, ts, value →
+    one row per FINALIZED session (inactivity gap exceeded), in Append
+    mode — output rows are immutable once emitted, unlike the running
+    profiles above."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionFinalizerProcessor(gap_ms=gap_minutes * 60_000),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 def user_profiles_tws(events: DataFrame) -> DataFrame:
     """events (streaming or batch): user_id, event_type, value →
     one running-profile row per user per micro-batch (Update mode)."""

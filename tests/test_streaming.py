@@ -482,3 +482,100 @@ def test_cms_sketch_stream_equals_batch(spark, event_dir):
     for u in sample:
         est = min(cells[(d, b)] for d, b in enumerate(buckets[u]))
         assert est >= truth[u]  # CMS never undercounts
+
+
+def test_tws_session_finalizer_equals_batch(spark, tmp_path):
+    """Timer-based event-time sessionization (transformWithStateInPandas,
+    Append mode): finalized sessions equal the batch lag/cumsum
+    sessionization on the same rows. Exercises the full timer protocol
+    through the state server — RegisterTimer, ListTimers, DeleteTimer,
+    watermark-driven handleExpiredTimer — on top of the vendored
+    protobuf shim. A far-future sentinel user pushes the watermark past
+    every real session so all of them finalize."""
+    from pyspark.sql.window import Window as SqlWindow
+
+    from mini_lakehouse_control_plane_executor_spark.streaming.tws import finalized_sessions_tws
+
+    base = 1_700_000_000_000  # ms epoch
+    gap_min = 1
+    rows = []
+    # 4 users x irregular sessions: in-batch splits AND cross-batch state.
+    for u in range(1, 5):
+        t = base + u * 7_000
+        for s in range(u):  # user u has u sessions
+            for i in range(3 + (s % 2)):
+                rows.append((u, t, float(u + i)))
+                t += 10_000 * (i + 1)  # 10-40s steps, inside the gap
+            t += 300_000  # 5 min: exceeds the 1-min gap
+    sentinel = [(99, base + 86_400_000, 0.0)]
+
+    def mk(rs, path):
+        (
+            spark.createDataFrame(rs, "user_id long, ts_ms long, value double")
+            .withColumn("ts", (F.col("ts_ms") / 1000).cast("timestamp"))
+            .select("user_id", "value", "ts")
+            .coalesce(1)
+            .write.parquet(path)
+        )
+
+    # Split real rows across two stream files (state must carry over),
+    # sentinel last so the watermark jump happens after all data.
+    half = len(rows) // 2
+    srcdir = tmp_path / "in"
+    srcdir.mkdir()
+    for i, chunk in enumerate([rows[:half], rows[half:], sentinel]):
+        mk(chunk, str(tmp_path / f"f{i}"))
+        src = glob.glob(str(tmp_path / f"f{i}" / "part-*.parquet"))[0]
+        shutil.copy(src, str(srcdir / f"{i:03d}.parquet"))
+
+    stream = (
+        spark.readStream.schema("user_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(srcdir))
+        .withWatermark("ts", "1 seconds")
+    )
+    out = finalized_sessions_tws(stream, gap_minutes=gap_min)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_tws_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = _rows(spark.table("t_tws_sessions"), ["user_id", "session_start"])
+
+    # Batch oracle: lag/cumsum sessionization over the same (real) rows.
+    batch = (
+        spark.createDataFrame(rows, "user_id long, ts_ms long, value double")
+        .withColumn("ts", (F.col("ts_ms") / 1000).cast("timestamp"))
+    )
+    w = SqlWindow.partitionBy("user_id").orderBy("ts")
+    want_df = (
+        batch.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                | (F.unix_millis("ts") - F.unix_millis("prev") > gap_min * 60_000)
+            ).cast("long"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .drop("sess_id")
+    )
+    want = _rows(want_df, ["user_id", "session_start"])
+    assert len(want) == 1 + 2 + 3 + 4  # user u has u sessions
+    assert [r.user_id for r in got] == [r.user_id for r in want]
+    for g, b in zip(got, want):
+        assert (g.user_id, g.session_start, g.session_end, g.n_events) == (
+            b.user_id, b.session_start, b.session_end, b.n_events
+        )
+        assert abs(g.total_value - b.total_value) < 1e-9
