@@ -5763,6 +5763,210 @@ def ann_cosine_pq_opq(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+_BLOOM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '\\w+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(len(ws)-2), i -> ws[i+1]||' '||ws[i+2]||' '||ws[i+3])) AS grams
+  FROM toks WHERE len(ws) >= 3
+),
+ex AS (SELECT doc_id, source, unnest(grams) AS s FROM sh),
+ab AS (
+  SELECT doc_id, source, s,
+         ('0x'||substr(md5(s), 1, 15))::BIGINT % {_dedup.MINHASH_P} AS a,
+         ('0x'||substr(md5(s), 16, 15))::BIGINT % {_dedup.MINHASH_P} AS b
+  FROM ex
+),
+bpos AS (
+  SELECT DISTINCT ((a + i*b) % {_dedup.MINHASH_P}) % {1 << 20} AS pos
+  FROM ab, (VALUES (0),(1),(2),(3)) t(i) WHERE source = 'src0'
+),
+probes AS (
+  SELECT doc_id, s, ((a + i*b) % {_dedup.MINHASH_P}) % {1 << 20} AS pos
+  FROM ab, (VALUES (0),(1),(2),(3)) t(i) WHERE source <> 'src0'
+),
+gram_hits AS (
+  SELECT doc_id, s, count(*) AS c
+  FROM probes JOIN bpos USING (pos) GROUP BY 1, 2
+),
+flagged AS (SELECT doc_id, count(*) AS n_hit FROM gram_hits WHERE c = 4 GROUP BY 1),
+tot AS (
+  SELECT doc_id, source, count(*) AS n_grams FROM ex WHERE source <> 'src0'
+  GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN coalesce(n_hit, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       round(avg(coalesce(n_hit, 0) * 1.0 / n_grams), 6) AS avg_bloom_rate
+FROM tot LEFT JOIN flagged USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
+@query("bloom_decontaminate", oracle=_BLOOM_ORACLE)
+def bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination: the broadcast-bitset twin of
+    decontamination_ngram_overlap. Source 'src0' is the held-out eval
+    set; its 3-gram shingles set k=4 positions in a 2^20-bit filter
+    (md5 Carter-Wegman family — deterministic, so the oracle replicates
+    it bit-for-bit, false positives included). Training docs probe the
+    filter with k map-side broadcast joins against the packed word
+    table (≤32k rows however big the benchmark is) — the corpus side
+    does ZERO joins against benchmark data, which is the shape you want
+    when re-probing 100 TB against every new benchmark release. Output:
+    per-source doc counts, bloom-flagged docs, mean flagged-gram rate."""
+    from mini_lakehouse_control_plane_executor_spark.operators import bloom as _bloom
+
+    m = 1 << 20
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", _text.tokens(F.col("text")).alias("ws")
+    ).filter(F.size("ws") >= 3)
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " i -> concat_ws(' ', slice(ws, i, 3)))"
+                )
+            )
+        ).alias("s"),
+    )
+    words = _bloom.bloom_build(grams.filter(F.col("source") == "src0"), "s", m=m)
+    train = grams.filter(F.col("source") != "src0")
+    probed = _bloom.bloom_probe(train, "doc_id", "s", words, m=m)
+    tot = train.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        probed.filter("in_bloom")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_doc = tot.join(hits, "doc_id", "left").withColumn(
+        "n_hit", F.coalesce(F.col("n_hit"), F.lit(0))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_hit") > 0).cast("long")).alias("n_flagged"),
+            F.round(F.avg(F.col("n_hit") / F.col("n_grams")), 6).alias(
+                "avg_bloom_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_split(col: str) -> str:
+    """Deterministic md5-hash split bucket, identical in both engines:
+    0-7 train, 8 val, 9 test."""
+    h = f"('0x'||substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT % 10"
+    return f"CASE WHEN {h} < 8 THEN 'train' WHEN {h} = 8 THEN 'val' ELSE 'test' END"
+
+
+def _split_col(col) -> F.Column:
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long") % 10
+    return (
+        F.when(h < 8, F.lit("train")).when(h == 8, F.lit("val")).otherwise(F.lit("test"))
+    )
+
+
+_SPLIT_LEAKAGE_ORACLE = f"""
+WITH pairs AS ({_minhash_pairs_sql(12, 3)})
+SELECT id1, id2, jaccard,
+       {_sql_split('id1')} AS split1,
+       {_sql_split('id2')} AS split2
+FROM pairs
+WHERE {_sql_split('id1')} <> {_sql_split('id2')}
+ORDER BY id1, id2
+"""
+
+
+@query("split_leakage_neardup", oracle=_SPLIT_LEAKAGE_ORACLE)
+def split_leakage_neardup(spark, sf_dir):
+    """Train/val/test leakage audit: assign every doc a deterministic
+    hash split (md5 of doc_id — 80/10/10, reproducible across engines
+    and runs, no RNG), then report verified MinHash near-dup pairs that
+    CROSS split boundaries — the train→test contamination that makes
+    eval numbers lie. Split assignment is a pure column expression on
+    the pair ids (no join against an assignment table); the pair
+    machinery is the banded-LSH path, so the audit costs the same as
+    the dedup pass it rides on."""
+    d = _load(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    out = pairs.select(
+        "id1",
+        "id2",
+        "jaccard",
+        _split_col(F.col("id1")).alias("split1"),
+        _split_col(F.col("id2")).alias("split2"),
+    )
+    return out.filter(F.col("split1") != F.col("split2")).orderBy("id1", "id2")
+
+
+_PII_ORACLE = """
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '\\w+')) AS n_tokens,
+         len(regexp_extract_all(lower(text),
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_email,
+         len(regexp_extract_all(lower(text), 'https?://[^\\s]+')) AS n_url,
+         len(regexp_extract_all(text, '[0-9]{7,}')) AS n_longnum
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_url) AS BIGINT) AS n_url,
+       CAST(sum(n_longnum) AS BIGINT) AS n_longnum,
+       round(sum(n_email + n_url + n_longnum) * 1000.0 / sum(n_tokens), 6)
+         AS pii_per_1k_tokens
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@query("pii_pattern_rates", oracle=_PII_ORACLE)
+def pii_pattern_rates(spark, sf_dir):
+    """PII-pattern exposure rates per source — emails, URLs, long digit
+    runs (phone/account-number proxies) per 1k tokens, the data-card
+    metric that decides whether a source needs scrubbing before
+    training. Pure regexp_count column expressions (portable RE2/Java
+    subset, identical in the oracle): the whole query is one scan-speed
+    map pass plus a 5-row groupBy. At 100 TB this is the cheapest query
+    in the library — no joins, no explode, no UDFs."""
+    d = _load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    per_doc = d.select(
+        "source",
+        F.size(_text.tokens(F.col("text"))).alias("n_tokens"),
+        F.regexp_count(low, F.lit(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")).alias(
+            "n_email"
+        ),
+        F.regexp_count(low, F.lit(r"https?://[^\s]+")).alias("n_url"),
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]{7,}")).alias("n_longnum"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("n_email"),
+            F.sum("n_url").alias("n_url"),
+            F.sum("n_longnum").alias("n_longnum"),
+            F.round(
+                (F.sum("n_email") + F.sum("n_url") + F.sum("n_longnum"))
+                * 1000.0
+                / F.sum("n_tokens"),
+                6,
+            ).alias("pii_per_1k_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -5781,6 +5985,9 @@ DRIVER_PRIORITY: list[str] = [
     # in definition order via _registry_order(). This keeps every
     # verdict at most 2 rounds stale.
     # -- new in r6 (never driver-verified) --
+    "bloom_decontaminate",
+    "split_leakage_neardup",
+    "pii_pattern_rates",
     "ann_cosine_pq_opq",
     "doc_dedup_suffix_ngram",
     "embedding_whitening_stats",
