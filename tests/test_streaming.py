@@ -579,3 +579,62 @@ def test_tws_session_finalizer_equals_batch(spark, tmp_path):
             b.user_id, b.session_start, b.session_end, b.n_events
         )
         assert abs(g.total_value - b.total_value) < 1e-9
+
+
+def test_tws_state_survives_query_restart(spark, tmp_path):
+    """Arbitrary state must restore across SEPARATE query runs from the
+    checkpoint (RocksDB snapshot + changelog replay), not just across
+    micro-batches of one run: drain batch 1, start a NEW query on the
+    same checkpoint with more data, and the running profiles must equal
+    the batch aggregate over ALL rows."""
+    from mini_lakehouse_control_plane_executor_spark.streaming.tws import user_profiles_tws
+
+    part1 = [(1, "view", 1.0), (1, "click", 2.0), (2, "view", 3.0)]
+    part2 = [(1, "view", 4.0), (2, "buy", 5.0), (3, "view", 6.0)]
+    srcdir = tmp_path / "in"
+    srcdir.mkdir()
+
+    def add_file(rows, name):
+        d = tmp_path / name
+        (
+            spark.createDataFrame(rows, "user_id long, event_type string, value double")
+            .coalesce(1)
+            .write.parquet(str(d))
+        )
+        shutil.copy(glob.glob(str(d / "part-*.parquet"))[0], str(srcdir / f"{name}.parquet"))
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        # memory sinks refuse checkpoint recovery; foreachBatch +
+        # parquet-append supports Update mode AND restart.
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, value double"
+        ).parquet(str(srcdir))
+        q = (
+            user_profiles_tws(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        return spark.read.parquet(out_dir)
+
+    add_file(part1, "f1")
+    first = {r.user_id: r.n_events for r in drain().collect()}
+    assert first == {1: 2, 2: 1}
+
+    add_file(part2, "f2")
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in drain().groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        ).collect()
+    }
+    # Profiles reflect part1 + part2 — state carried across query runs.
+    assert got == {1: (3, 7.0), 2: (2, 8.0), 3: (1, 6.0)}
