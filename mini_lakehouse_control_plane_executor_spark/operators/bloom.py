@@ -66,12 +66,18 @@ def bloom_build(
 ) -> DataFrame:
     """Build the packed filter from an exploded gram column → one row
     per 32-bit word: (word_idx long, bits long). Bounded at m/32 rows —
-    broadcastable no matter how large the gram set was."""
+    broadcastable no matter how large the gram set was.
+
+    ONE shuffle: ``bit_or`` is idempotent, so duplicate positions need
+    no pre-distinct (which would cost a second, position-cardinality
+    exchange) — map-side partial bit_or already absorbs them. The same
+    idempotence makes this expression streamable as an unwindowed
+    stateful aggregate whose state is the fixed word table (the
+    ``cms_cells`` discipline — see test_bloom_stream_equals_batch)."""
     return (
         grams.select(
             F.explode(bloom_positions(F.col(gram_col), k, m)).alias("pos")
         )
-        .distinct()
         .select(
             (F.col("pos") / WORD_BITS).cast("long").alias("word_idx"),
             _bitval(F.col("pos")).alias("bitval"),

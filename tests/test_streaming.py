@@ -638,3 +638,27 @@ def test_tws_state_survives_query_restart(spark, tmp_path):
     }
     # Profiles reflect part1 + part2 — state carried across query runs.
     assert got == {1: (3, 7.0), 2: (2, 8.0), 3: (1, 6.0)}
+
+
+def test_bloom_stream_equals_batch(spark, event_dir):
+    """Bloom-filter build as a STREAMING aggregate: bit_or is
+    idempotent and map-side-combinable, so bloom_build runs unwindowed
+    on a stream with state bounded by the fixed word table (the
+    cms_cells discipline) — and the drained words equal the batch
+    build over the same rows."""
+    from mini_lakehouse_control_plane_executor_spark.operators import bloom as B
+
+    grams = lambda df: df.select(
+        F.concat_ws(" ", "event_type", F.col("user_id").cast("string")).alias("g")
+    )
+    batch = {
+        (r.word_idx, r.bits)
+        for r in B.bloom_build(grams(_batch(spark, event_dir)), "g").collect()
+    }
+    stream = B.bloom_build(grams(W.stream_events(spark, event_dir)), "g")
+    got = {
+        (r.word_idx, r.bits)
+        for r in _drain(spark, stream, "t_bloom", mode="complete").collect()
+    }
+    assert got == batch
+    assert 0 < len(batch) <= B.BLOOM_BITS // B.WORD_BITS
