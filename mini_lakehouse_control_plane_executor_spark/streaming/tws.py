@@ -170,6 +170,94 @@ def finalized_sessions_tws(events: DataFrame, gap_minutes: int = 30) -> DataFram
     )
 
 
+FUNNEL_SCHEMA = (
+    "user_id long, n_seen long, ts_signup timestamp, ts_click timestamp, "
+    "ts_purchase timestamp, funnel_depth int"
+)
+
+_FUNNEL_STAGES = {"signup": 0, "click": 1, "purchase": 2}
+
+
+class FunnelProcessor(StatefulProcessor):
+    """Streaming ordered-funnel tracker (stream twin of the batch
+    ``events_funnel`` query): first signup → first LATER click → first
+    LATER purchase, correct under out-of-order arrival.
+
+    ListState is the right primitive here (the third of the typed
+    state kinds, after ValueState/MapState above): a per-user buffer of
+    milestone events, appended per batch (``appendList``) and re-read
+    to recompute the funnel — an earlier signup arriving late can
+    re-qualify a click that previously preceded the known signup, so
+    no single running (signup, click, purchase) triple is sufficient
+    state. State is O(milestone events per user) — bounded by the
+    funnel event types, not the stream; at 100 TB attach a TTL or a
+    per-user cap upstream if users are immortal."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.buf = handle.getListState("milestones", "stage int, ts_us long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        events = [tuple(t) for t in self.buf.get()] if self.buf.exists() else []
+        fresh = []
+        for pdf in rows:
+            hit = pdf[pdf["event_type"].isin(_FUNNEL_STAGES)]
+            codes = hit["event_type"].map(_FUNNEL_STAGES)
+            # Arrow may hand ts as datetime64[us] or [ns] depending on
+            # version; normalize to ns before the int conversion.
+            ts_us = hit["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+            fresh.extend(
+                (int(c), int(t)) for c, t in zip(codes.tolist(), ts_us.tolist())
+            )
+        if not fresh:
+            return
+        self.buf.appendList(fresh)
+        events.extend(fresh)
+        ts_signup = min((t for c, t in events if c == 0), default=None)
+        ts_click = (
+            min((t for c, t in events if c == 1 and t > ts_signup), default=None)
+            if ts_signup is not None
+            else None
+        )
+        ts_purchase = (
+            min((t for c, t in events if c == 2 and t > ts_click), default=None)
+            if ts_click is not None
+            else None
+        )
+        stamp = lambda us: pd.Timestamp(us, unit="us") if us is not None else pd.NaT
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [len(events)],
+                "ts_signup": [stamp(ts_signup)],
+                "ts_click": [stamp(ts_click)],
+                "ts_purchase": [stamp(ts_purchase)],
+                "funnel_depth": [
+                    sum(t is not None for t in (ts_signup, ts_click, ts_purchase))
+                ],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def funnel_tws(events: DataFrame) -> DataFrame:
+    """events (streaming or batch): user_id, event_type, ts → current
+    funnel row per user per micro-batch (Update mode); non-milestone
+    event types are filtered in-processor, users with no milestone
+    events never materialize state."""
+    return (
+        events.select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            FunnelProcessor(),
+            outputStructType=FUNNEL_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def user_profiles_tws(events: DataFrame) -> DataFrame:
     """events (streaming or batch): user_id, event_type, value →
     one running-profile row per user per micro-batch (Update mode)."""

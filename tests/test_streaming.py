@@ -662,3 +662,62 @@ def test_bloom_stream_equals_batch(spark, event_dir):
     }
     assert got == batch
     assert 0 < len(batch) <= B.BLOOM_BITS // B.WORD_BITS
+
+
+def test_tws_funnel_equals_batch(spark, event_dir):
+    """ListState funnel tracker (the third typed state primitive after
+    ValueState/MapState): the final streamed funnel row per user equals
+    the batch chained-min funnel (first signup -> first later click ->
+    first later purchase) on the same rows, for every user that
+    signed up."""
+    from pyspark.sql.window import Window as SqlWindow
+
+    from mini_lakehouse_control_plane_executor_spark.streaming.tws import funnel_tws
+
+    stream = funnel_tws(W.stream_events(spark, event_dir))
+    got = _drain(spark, stream, "t_tws_funnel", mode="update")
+    final = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                SqlWindow.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+            ),
+        )
+        .filter("rn = 1 AND ts_signup IS NOT NULL")
+        .select("user_id", "ts_signup", "ts_click", "ts_purchase", "funnel_depth")
+    )
+
+    e = _batch(spark, event_dir).select("user_id", "ts", "event_type")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_signup"))
+    )
+    c = (
+        e.join(s, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("ts_signup")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_click"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("ts_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_purchase"))
+    )
+    want_df = (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "ts_signup", "ts_click", "ts_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("ts_click").isNull(), 0).otherwise(1)
+                + F.when(F.col("ts_purchase").isNull(), 0).otherwise(1)
+            ).cast("int").alias("funnel_depth"),
+        )
+    )
+    got_rows = _rows(final, ["user_id"])
+    want_rows = _rows(want_df, ["user_id"])
+    assert len(want_rows) > 0
+    assert got_rows == want_rows
