@@ -5968,6 +5968,422 @@ def pii_pattern_rates(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-6 additions (cont.): retrieval (BM25, hybrid dense+sparse RRF),
+# bigram LM scoring, and RAG chunking.
+# ---------------------------------------------------------------------------
+
+
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join merge"),
+    (1, "stream batch window"),
+    (2, "table scan sort order"),
+]
+
+_BM25_SQL = r"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM arr),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+),
+qterm AS (
+  SELECT query_id, unnest(regexp_extract_all(lower(qtext), '\w+')) AS term
+  FROM (VALUES (0, 'hash join merge'), (1, 'stream batch window'),
+               (2, 'table scan sort order')) AS q(query_id, qtext)
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM arr),
+tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok t JOIN (SELECT DISTINCT term FROM qterm) qt ON t.term = qt.term
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfr FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(round(
+           round(ln((s.n_docs - d.dfr + 0.5) / (d.dfr + 0.5) + 1), 6)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+           * 1000000) AS BIGINT) AS s_micro
+  FROM tf
+  JOIN qterm q ON tf.term = q.term
+  JOIN dfreq d ON tf.term = d.term
+  JOIN dl l ON tf.doc_id = l.doc_id
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(s_micro) AS DOUBLE) / 1000000, 4) AS bm25
+  FROM scored GROUP BY 1, 2
+)
+SELECT query_id, doc_id, bm25, rnk FROM (
+  SELECT query_id, doc_id, bm25,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT) AS rnk
+  FROM agg
+) WHERE rnk <= 10 ORDER BY query_id, rnk
+"""
+
+
+@query("bm25_topk", oracle=_BM25_SQL)
+def bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval (k1=1.2, b=0.75, Lucene's always-positive
+    idf ln((N-df+0.5)/(df+0.5)+1)) for a fixed 3-query workload — the
+    sparse-retrieval primitive of every RAG / data-curation stack.
+
+    100 TB shape: the query-term set is broadcast and applied to the
+    token stream FIRST, so document frequencies, tf rows, and the score
+    join all operate on the ~|q| terms that matter rather than the full
+    vocabulary; corpus-sized work is one tokenize pass plus one
+    (doc_id, term) partial-agg shuffle of the matching tokens only.
+    Doc lengths ride the same token arrays (map-only) and join the
+    candidate rows on doc_id; N/avgdl is a 1-row broadcast. Per-term
+    scores are quantized to integer micro-units before the per-doc sum
+    so the result hashes identically to the oracle."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _load(spark, sf_dir, "documents")
+    arr = d.select("doc_id", _text.tokens(F.col("text")).alias("toks")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dl = arr.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterm = spark.createDataFrame(
+        [(qid, t) for qid, q in _BM25_QUERIES for t in q.split()],
+        "query_id int, term string",
+    )
+    qdistinct = qterm.select("term").distinct()
+    tok = arr.select("doc_id", F.explode("toks").alias("term"))
+    tf = (
+        tok.join(F.broadcast(qdistinct), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfr"))
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("dfr") + 0.5) / (F.col("dfr") + 0.5) + 1
+        ),
+        6,
+    )
+    s_micro = (
+        F.round(
+            idf
+            * F.col("tf")
+            * 2.2
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            * 1000000
+        )
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(qterm), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", s_micro.alias("s_micro"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("s_micro").cast("double") / 1000000, 4).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "doc_id", "bm25", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+_HYBRID_SQL = r"""
+WITH probe_vec AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3
+),
+dense AS (
+  SELECT q_id, c_id, CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rd
+  FROM (
+    SELECT p.q_id, c.vec_id AS c_id,
+           round(list_cosine_similarity(p.qv, c.embedding::DOUBLE[]), 6) AS sim
+    FROM probe_vec p, embeddings c WHERE c.vec_id != p.q_id
+  ) WHERE sim > 0
+),
+probe_txt AS (
+  SELECT doc_id AS q_id,
+         list_distinct(regexp_extract_all(lower(text), '\w+')) AS qtoks
+  FROM documents WHERE doc_id < 3
+),
+sparse AS (
+  SELECT q_id, c_id, CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY jac DESC, c_id) AS INT) AS rs
+  FROM (
+    SELECT p.q_id, c.doc_id AS c_id,
+           round(CAST(len(list_intersect(p.qtoks, ctoks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(p.qtoks, ctoks))), 6) AS jac
+    FROM probe_txt p, (
+      SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\w+')) AS ctoks
+      FROM documents
+    ) c WHERE c.doc_id != p.q_id
+  ) WHERE jac > 0
+),
+fused AS (
+  SELECT coalesce(d.q_id, s.q_id) AS q_id,
+         coalesce(d.c_id, s.c_id) AS c_id,
+         round(coalesce(CAST(1 AS DOUBLE) / (60 + d.rd), 0)
+               + coalesce(CAST(1 AS DOUBLE) / (60 + s.rs), 0), 6) AS rrf
+  FROM (SELECT * FROM dense WHERE rd <= 20) d
+  FULL OUTER JOIN (SELECT * FROM sparse WHERE rs <= 20) s
+    ON d.q_id = s.q_id AND d.c_id = s.c_id
+)
+SELECT q_id, c_id, rrf, rnk FROM (
+  SELECT q_id, c_id, rrf, CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY rrf DESC, c_id) AS INT) AS rnk
+  FROM fused
+) WHERE rnk <= 10 ORDER BY q_id, rnk
+"""
+
+
+@query("hybrid_retrieval_rrf", oracle=_HYBRID_SQL)
+def hybrid_retrieval_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion: for 3 probe
+    documents, fuse a dense channel (embedding cosine top-20) and a
+    sparse channel (distinct-token Jaccard top-20) via
+    RRF = sum 1/(60+rank), the standard dense+sparse ensemble of
+    modern RAG retrieval.
+
+    100 TB shape: both channels broadcast the 3-probe side and stream
+    the corpus map-only — cosine against broadcast query vectors,
+    Jaccard via array_intersect/array_union against broadcast query
+    token sets; each channel's only exchange is its per-query top-k
+    window, and the fusion join operates on <= 2*k*|q| rows. Zero-score
+    candidates are dropped in both engines so rank ties cannot differ
+    across tie-break universes."""
+    e = _load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        _sim._as_double(F.col("embedding")).alias("qv"),
+    )
+    dense_scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.round(
+                _sim.cosine(F.col("qv"), _sim._as_double(F.col("embedding"))), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") > 0)
+    )
+    wd = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
+    dense = (
+        dense_scored.withColumn("rd", F.row_number().over(wd).cast("int"))
+        .filter(F.col("rd") <= 20)
+        .select("q_id", "c_id", "rd")
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    toksets = d.select(
+        "doc_id", F.array_distinct(_text.tokens(F.col("text"))).alias("ctoks")
+    )
+    probe_txt = toksets.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("q_id"), F.col("ctoks").alias("qtoks")
+    )
+    jac = F.round(
+        F.size(F.array_intersect(F.col("qtoks"), F.col("ctoks"))).cast("double")
+        / F.size(F.array_union(F.col("qtoks"), F.col("ctoks"))),
+        6,
+    )
+    sparse_scored = (
+        toksets.crossJoin(F.broadcast(probe_txt))
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .select("q_id", F.col("doc_id").alias("c_id"), jac.alias("jac"))
+        .filter(F.col("jac") > 0)
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.col("jac").desc(), "c_id")
+    sparse = (
+        sparse_scored.withColumn("rs", F.row_number().over(ws).cast("int"))
+        .filter(F.col("rs") <= 20)
+        .select("q_id", "c_id", "rs")
+    )
+
+    fused = (
+        dense.join(sparse, ["q_id", "c_id"], "full_outer")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("rd")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rs")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), "c_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "c_id", "rrf", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+_BIGRAM_SQL = r"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i+1]
+                 for i in generate_series(1, len(toks) - 1)]) AS bg
+  FROM arr WHERE len(toks) >= 2
+),
+bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY 1),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS ctot
+  FROM bc GROUP BY 1
+),
+scored AS (
+  SELECT big.doc_id,
+         CAST(round(ln(CAST(ctx.ctot AS DOUBLE) / bc.c) * 1000000) AS BIGINT)
+           AS s_micro
+  FROM big JOIN bc ON big.bg = bc.bg
+  JOIN ctx ON split_part(big.bg, ' ', 1) = ctx.w1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(s_micro) AS DOUBLE) / count(*) / 1000000, 6)
+         AS avg_surprisal
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("bigram_lm_surprisal", oracle=_BIGRAM_SQL)
+def bigram_lm_surprisal(spark, sf_dir):
+    """Bigram-LM quality scoring — the one-step-up-from-unigram
+    perplexity filter (KenLM-shaped): train conditional bigram
+    probabilities P(w2|w1) = c(w1 w2)/c(w1 ·) over the corpus itself,
+    then score each document by mean bigram surprisal ln(1/P). Docs
+    full of never-seen-together word pairs (shuffled text, boilerplate
+    collisions) score high.
+
+    100 TB shape: bigrams are materialized by a map-only
+    transform-with-index over the stored token array (one regex pass
+    per doc, no self-join on position), then ONE (bigram) count shuffle
+    feeds both the bigram counts and, re-aggregated by first word, the
+    context totals — the context table is a rollup of the count table,
+    never a second corpus pass. Scoring joins count+context back onto
+    the bigram stream (AQE picks broadcast vs shuffle from the actual
+    vocab size) and partial-aggregates per doc. Surprisal quantizes to
+    integer micro-nats before the per-doc sum."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _load(spark, sf_dir, "documents")
+    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+    arr = (
+        d.repartition(n_parts)
+        .select("doc_id", _text.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (t, i) -> concat(t, ' ', element_at(toks, i + 2)))"
+            ).alias("bgs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    big = arr.select("doc_id", F.explode("bgs").alias("bg"))
+    bc = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ctx = (
+        bc.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c")
+        .groupBy("w1")
+        .agg(F.sum("c").alias("ctot"))
+    )
+    s_micro = (
+        F.round(F.log(F.col("ctot").cast("double") / F.col("c")) * 1000000)
+    ).cast("long")
+    scored = (
+        big.join(bc, "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(ctx, "w1")
+        .select("doc_id", s_micro.alias("s_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("s_micro").cast("double") / F.count(F.lit(1)) / 1000000, 6
+            ).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CHUNK_SQL = r"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(toks), 1), 24)) AS start_tok,
+         toks
+  FROM arr
+)
+SELECT doc_id,
+       CAST((start_tok - 1) / 24 AS INT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(list_slice(toks, start_tok, start_tok + 31)) AS INT)
+         AS chunk_tokens,
+       md5(array_to_string(list_slice(toks, start_tok, start_tok + 31), ' '))
+         AS chunk_hash
+FROM chunks ORDER BY doc_id, chunk_idx
+"""
+
+
+@query("rag_chunk_stats", oracle=_CHUNK_SQL)
+def rag_chunk_stats(spark, sf_dir):
+    """RAG chunking: split every document into overlapping 32-token
+    windows on a 24-token stride (8-token overlap) and emit one row per
+    chunk with its token count and content hash — the chunk table every
+    retrieval index is built from, with the hash doubling as the
+    chunk-level exact-dedup key.
+
+    100 TB shape: entirely map-side — sequence() generates the chunk
+    start offsets per document and an explode + slice materializes each
+    window from the stored token array; no join, no aggregation, no
+    shuffle except the output ordering. Chunk geometry (32/24) matches
+    the oracle's generate_series/list_slice exactly, and the md5 is
+    computed over the space-joined slice in both engines."""
+    d = _load(spark, sf_dir, "documents")
+    arr = d.select("doc_id", _text.tokens(F.col("text")).alias("toks"))
+    chunks = arr.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(24)
+            )
+        ).alias("start_tok"),
+        "toks",
+    )
+    sl = F.slice(F.col("toks"), F.col("start_tok"), 32)
+    return chunks.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / 24).cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(sl).cast("int").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
 # received a driver verdict are listed here so they enter the window
@@ -5985,6 +6401,10 @@ DRIVER_PRIORITY: list[str] = [
     # in definition order via _registry_order(). This keeps every
     # verdict at most 2 rounds stale.
     # -- new in r6 (never driver-verified) --
+    "bm25_topk",
+    "hybrid_retrieval_rrf",
+    "bigram_lm_surprisal",
+    "rag_chunk_stats",
     "bloom_decontaminate",
     "split_leakage_neardup",
     "pii_pattern_rates",

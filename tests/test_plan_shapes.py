@@ -375,3 +375,50 @@ def test_opq_rotation_stays_map_only(spark):
     plan = _plan(spark, "ann_cosine_pq_opq")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_restricts_to_query_terms_before_scoring(spark):
+    """bm25_topk: the query-term set is a BROADCAST semi-restriction on
+    the exploded token stream, so every hash exchange is keyed on
+    doc_id/term/query_id (candidate-sized), never a corpus repartition;
+    the only SinglePartition is the keyless N/avgdl stats aggregate."""
+    plan = _plan(spark, "bm25_topk")
+    assert "BroadcastHashJoin" in plan  # query terms never shuffle the corpus
+    assert "CartesianProduct" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"doc_id", "term", "query_id"}, keys
+
+
+def test_hybrid_rrf_channels_shuffle_only_per_query_topk(spark):
+    """hybrid_retrieval_rrf: both retrieval channels broadcast the
+    3-probe side and stream the corpus map-only — the ONLY hash
+    exchanges in the whole plan are the per-query top-k windows and the
+    2*k*|q|-row fusion join, all keyed on q_id."""
+    plan = _plan(spark, "hybrid_retrieval_rrf")
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast probes x corpus
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"q_id"}, keys
+
+
+def test_bigram_lm_context_is_rollup_of_count_table(spark):
+    """bigram_lm_surprisal: exchanges keyed on bg (count shuffle),
+    w1 (context rollup of the persisted count table — NOT a second
+    corpus pass), and doc_id (per-doc partial agg). The bigram
+    materialization itself is a map-side transform+explode."""
+    plan = _plan(spark, "bigram_lm_surprisal")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"bg", "w1", "doc_id"}, keys
+
+
+def test_rag_chunking_is_shuffle_free(spark):
+    """rag_chunk_stats: chunking is sequence+explode+slice fused into
+    the scan stage — zero hash exchanges; the only exchange in the plan
+    is the deterministic output ordering's range partitioner."""
+    plan = _plan(spark, "rag_chunk_stats")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" in plan  # the chunk-start explode
+    assert "CartesianProduct" not in plan
