@@ -59,3 +59,75 @@ def cms_cells(df: DataFrame, key_col: str, d: int = CMS_D, w: int = CMS_W) -> Da
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+_HLL_MAXRHO = 61 - HLL_P  # 60-bit md5 hash, p bits spent on the bucket
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """HyperLogLog register table over ``df[key_col]``: (group...,
+    bucket, mj) where mj = max leading-zero rank of the md5-derived
+    60-bit hash within the bucket. Deterministic (no RNG) and computable
+    identically in a DuckDB oracle.
+
+    Works on a batch OR streaming DataFrame: on a stream it is an
+    unwindowed stateful MAX whose state is exactly |groups| * m
+    registers — bounded by construction, the cms_cells discipline
+    applied to cardinality."""
+    group_cols = group_cols or []
+    hv = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w_col = F.expr(f"_hll_hv div {HLL_M}")
+    rho = (
+        F.when(w_col > 0, _HLL_MAXRHO - F.length(F.bin(w_col)))
+        .otherwise(_HLL_MAXRHO)
+    )
+    return (
+        df.select(*group_cols, hv.alias("_hll_hv"))
+        .select(
+            *group_cols,
+            (F.col("_hll_hv") % HLL_M).alias("bucket"),
+            rho.alias("r"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("mj"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Finish a register table into (group..., hll) cardinality
+    estimates: alpha_64 harmonic mean with the standard linear-counting
+    small-range correction. Z accumulates as exact BIGINT 2^(maxrho-mj)
+    terms, so the estimate is summation-order independent."""
+    group_cols = group_cols or []
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_MAXRHO} - mj)")).alias(
+            "z_num_present"
+        ),
+    )
+    two_mr = 1 << _HLL_MAXRHO
+    e_raw = (
+        0.709
+        * HLL_M
+        * HLL_M
+        * two_mr
+        / (
+            F.col("z_num_present") + (HLL_M - F.col("n_regs")) * F.lit(two_mr)
+        ).cast("double")
+    )
+    est = agg.select(
+        *group_cols,
+        (HLL_M - F.col("n_regs")).alias("v_zero"),
+        e_raw.alias("e_raw"),
+    )
+    hll = F.when(
+        (F.col("v_zero") > 0) & (F.col("e_raw") <= 2.5 * HLL_M),
+        float(HLL_M) * F.log(float(HLL_M) / F.col("v_zero")),
+    ).otherwise(F.col("e_raw"))
+    return est.select(*group_cols, hll.alias("hll"))

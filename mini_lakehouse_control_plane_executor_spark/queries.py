@@ -6383,6 +6383,154 @@ def rag_chunk_stats(spark, sf_dir):
     ).orderBy("doc_id", "chunk_idx")
 
 
+_HLL_SQL = r"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+rho AS (
+  SELECT event_type, hv % 64 AS bucket,
+         CASE WHEN hv // 64 > 0
+              THEN 55 - length(bin(hv // 64))
+              ELSE 55 END AS r
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, max(r) AS mj FROM rho GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_regs,
+         CAST(sum(1::BIGINT << (55 - mj)) AS BIGINT) AS z_num_present
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type, 64 - n_regs AS v_zero,
+         0.709 * 64 * 64 * (1::BIGINT << 55)
+           / CAST(z_num_present + (64 - n_regs) * (1::BIGINT << 55) AS DOUBLE)
+           AS e_raw
+  FROM agg
+),
+fin AS (
+  SELECT event_type,
+         CASE WHEN v_zero > 0 AND e_raw <= 160.0
+              THEN 64 * ln(64 / CAST(v_zero AS DOUBLE))
+              ELSE e_raw END AS hll
+  FROM est
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT f.event_type, x.n_exact, round(f.hll, 4) AS hll_est,
+       round((f.hll - x.n_exact) / x.n_exact, 6) AS rel_err
+FROM fin f JOIN exact x ON f.event_type = x.event_type
+ORDER BY f.event_type
+"""
+
+
+@query("events_hll_distinct", oracle=_HLL_SQL)
+def events_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-user estimate per event type — the
+    cardinality sketch every 100 TB pipeline uses where COUNT(DISTINCT)
+    is too expensive, built DETERMINISTICALLY (md5-derived hash, m=64
+    registers, the Flajolet alpha_64=0.709 estimator with the standard
+    linear-counting small-range correction) so the estimate is
+    bit-identical in both engines, with the exact count joined alongside
+    to audit the error — the CMS discipline applied to cardinality.
+
+    100 TB shape: the corpus-sized shuffle is the (event_type, bucket)
+    register max — at most |event_types|*64 rows of state however large
+    the input, map-side combinable; everything after operates on
+    register tables. Z is accumulated in exact integer arithmetic
+    (2^(55-rho) summed as BIGINT) so the harmonic mean is
+    summation-order independent; the only float ops are the final
+    division and ln, rounded before hashing."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as _sk
+
+    e = _load(spark, sf_dir, "events")
+    regs = _sk.hll_registers(e, "user_id", group_cols=["event_type"])
+    fin = _sk.hll_estimate(regs, group_cols=["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        fin.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(F.col("hll"), 4).alias("hll_est"),
+            F.round((F.col("hll") - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WSAMPLE_SQL = r"""
+WITH scored AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+         round(
+           -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+               / CAST(1::BIGINT << 60 AS DOUBLE))
+           / n_chars, 12) AS ekey
+  FROM documents
+)
+SELECT source, doc_id, weight, rnk FROM (
+  SELECT source, doc_id, weight,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY ekey, doc_id) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= 5 ORDER BY source, rnk
+"""
+
+
+@query("weighted_sample_aes", oracle=_WSAMPLE_SQL)
+def weighted_sample_aes(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES
+    via exponential race): 5 docs per source drawn with probability
+    proportional to n_chars, DETERMINISTICALLY — u = (md5_60(id)+1)/2^60
+    replaces the RNG, key = -ln(u)/w, smallest keys win. The standard
+    distributed weighted-sampling primitive (importance sampling for
+    mixture building) with md5 reproducibility instead of seeds.
+
+    100 TB shape: scoring is map-only; the per-source top-k runs TWO
+    phases — a salted (source, md5-salt%32) window prunes each stratum
+    to 32*k candidates in parallel, then the real per-source window
+    ranks only those survivors — so a 5-source 100 TB corpus never
+    single-threads a stratum through one window task (the skew fix for
+    the naive low-cardinality-key window; same result, the oracle ranks
+    in one pass). The key is quantized to 12dp before ranking in both
+    engines, ties broken by doc_id."""
+    d = _load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + 1) / F.lit(float(1 << 60))
+    scored = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round(-F.log(u) / F.col("n_chars"), 12).alias("ekey"),
+        (h % 32).alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("ekey", "doc_id")
+    pruned = (
+        scored.withColumn("prn", F.row_number().over(w1))
+        .filter(F.col("prn") <= 5)
+        .drop("prn", "salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("ekey", "doc_id")
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "doc_id", "weight", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -6401,6 +6549,8 @@ DRIVER_PRIORITY: list[str] = [
     # in definition order via _registry_order(). This keeps every
     # verdict at most 2 rounds stale.
     # -- new in r6 (never driver-verified) --
+    "events_hll_distinct",
+    "weighted_sample_aes",
     "bm25_topk",
     "hybrid_retrieval_rrf",
     "bigram_lm_surprisal",

@@ -422,3 +422,27 @@ def test_rag_chunking_is_shuffle_free(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Generate" in plan  # the chunk-start explode
     assert "CartesianProduct" not in plan
+
+
+def test_hll_state_is_register_sized(spark):
+    """events_hll_distinct: the corpus-sized shuffle is the
+    (event_type, bucket) register max — ≤ |event_types|*64 rows of
+    state; the estimate/exact join is a broadcast of the tiny per-type
+    tables; no window, no SinglePartition anywhere."""
+    plan = _plan(spark, "events_hll_distinct")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"event_type"}, keys  # bucket/user_id ride as 2nd key
+
+
+def test_weighted_sample_two_phase_topk(spark):
+    """weighted_sample_aes: the per-source top-k must run its salted
+    pruning phase first — a (source, salt) window that parallelizes a
+    low-cardinality stratum — before the final per-source window ranks
+    only 32*k survivors."""
+    plan = _plan(spark, "weighted_sample_aes")
+    assert re.search(r"Exchange hashpartitioning\(source#\d+, salt", plan), plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

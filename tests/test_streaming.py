@@ -721,3 +721,42 @@ def test_tws_funnel_equals_batch(spark, event_dir):
     want_rows = _rows(want_df, ["user_id"])
     assert len(want_rows) > 0
     assert got_rows == want_rows
+
+
+def test_hll_registers_stream_equals_batch(spark, event_dir):
+    """Streaming HyperLogLog (operators/sketch.py): the register table
+    is an UNWINDOWED stateful MAX whose state is exactly
+    |event_types| * m registers — bounded by construction like
+    cms_cells, no watermark needed. Drained registers equal the batch
+    registers over the same events, the finished estimates agree, and
+    the state bound holds."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as SK
+
+    stream_regs = SK.hll_registers(
+        W.stream_events(spark, event_dir), "user_id", group_cols=["event_type"]
+    )
+    assert stream_regs.isStreaming
+    batch_df = _batch(spark, event_dir)
+    batch_regs = SK.hll_registers(batch_df, "user_id", group_cols=["event_type"])
+
+    got = _rows(_drain(spark, stream_regs, "t_hll"), ["event_type", "bucket"])
+    want = _rows(batch_regs, ["event_type", "bucket"])
+    assert got == want and len(want) > 0
+    n_types = batch_df.select("event_type").distinct().count()
+    assert len(want) <= n_types * SK.HLL_M  # state bound
+
+    est = {
+        r.event_type: r.hll
+        for r in SK.hll_estimate(
+            spark.table("t_hll"), group_cols=["event_type"]
+        ).collect()
+    }
+    truth = {
+        r.event_type: r.n
+        for r in batch_df.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in truth.items():
+        # m=64 gives ~13% typical error; assert a loose 3-sigma band.
+        assert abs(est[et] - n) / n < 0.5, (et, est[et], n)
