@@ -5308,28 +5308,31 @@ def ngram_novelty_rate(spark, sf_dir):
 
     100 TB shape: one shingle explode (the persisted exploded_shingles
     machinery — distinct per doc), a min aggregate to a VOCAB-sized
-    first-occurrence table, and one gram-keyed join back — no window
-    over a global order: "first" is min(doc_id) per gram, a
+    first-occurrence table, then — the r6 improvement — n_novel comes
+    from ROLLING UP that vocab table by first_doc (each gram credits
+    exactly its min doc), so the corpus-sized gram stream is never
+    joined back: the only corpus-sized shuffles are the gram min and
+    the per-doc gram count, and the final join is doc-count × doc-count.
+    No window over a global order: "first" is min(doc_id) per gram, a
     map-side-combinable aggregate, not a sort."""
     d = _load(spark, sf_dir, "documents")
     g = _dedup.exploded_shingles(d, "doc_id", "text", 3).select(
         "doc_id", F.col("s").alias("gram")
     )
     firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     return (
-        g.join(firsts, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("n_novel"),
-        )
+        per_doc.join(novel, "doc_id", "left")
         .select(
             "doc_id",
             "n_grams",
-            "n_novel",
-            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_grams"), 6
+            ).alias("novelty"),
         )
         .orderBy("doc_id")
     )
