@@ -2687,19 +2687,35 @@ def tfidf_top_terms(spark, sf_dir):
     per doc via window. All shuffles are on uniform keys (term, doc_id);
     idf rounds to 6dp before the multiply so both engines score
     identically."""
+    from pyspark.storagelevel import StorageLevel
+
     d = _load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(_text.tokens(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("dfr"))
-    n_docs = d.count()  # index-build scalar, like IVF's dim probe
-    scored = tf.join(dfreq, "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.round(F.log(F.lit(n_docs) / F.col("dfr")), 6), 4
-        ).alias("tfidf"),
+    # tf is distinct per (doc_id, term), so dfreq is a TERM ROLLUP of tf
+    # — not a second countDistinct pass over the full token stream; the
+    # persist keeps the tokenize+count from running once per consumer.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfr"))
+    # 1-row broadcast instead of a driver-side count() action.
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.round(F.log(F.col("n_docs") / F.col("dfr")), 6),
+                4,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
