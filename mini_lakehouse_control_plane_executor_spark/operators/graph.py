@@ -1,0 +1,80 @@
+"""Iterative graph algorithms as join-aggregate chains.
+
+PageRank here is the join-based formulation every distributed engine
+uses (contributions = rank/outdeg routed along edges, summed per
+destination), with two scale/determinism disciplines:
+
+- **Fixed, unrolled iterations**: each iteration is one edges⋈ranks
+  join plus one dst-keyed aggregate; the rank table is node-sized, the
+  edge table is persisted once and reused by every iteration.
+- **Integer arithmetic throughout**: ranks live in pico-units
+  (SCALE = 10^12) as BIGINT; per-edge contributions use integer
+  division (r div outdeg) and the damping update is
+  (85·Σcontrib) div 100 + (15·(SCALE div N)) div 100 — no float enters
+  until the final display column, so the result is bit-identical to a
+  DuckDB oracle regardless of summation order.
+
+Related: connected components (pointer-doubling min-label) lives in
+operators/dedup.py; this module holds the rank-propagation family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 10**12  # pico-units
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 3, scale: int = PAGERANK_SCALE
+) -> DataFrame:
+    """PageRank (damping 0.85) over a directed edge table with columns
+    (src, dst). Every node must have at least one out-edge (true by
+    construction for undirected/bipartite doublings; dangling-mass
+    redistribution is deliberately out of scope). Returns (node, r)
+    with r in integer ``scale`` units.
+
+    Plan shape per iteration: one src-keyed equi-join of the node-sized
+    rank table onto the persisted edges, one dst-keyed partial+final
+    aggregate. Nothing quadratic, no windows, no driver collect."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_tab = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # r0 = SCALE div N for every node; the (1-d)/N teleport term reuses
+    # the same integer base so both constants agree with the oracle.
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_tab))
+        .select("node", F.expr(f"{scale} div n").alias("r"))
+        .join(deg, F.col("node") == F.col("src"))
+        .select("node", "r", "outdeg")
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    F.expr("r div outdeg").alias("c"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.select("node", "outdeg")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_tab))
+            .select(
+                "node",
+                F.expr(
+                    f"(15 * ({scale} div n)) div 100"
+                    " + (85 * coalesce(s, cast(0 as bigint))) div 100"
+                ).alias("r"),
+                "outdeg",
+            )
+        )
+    return ranks.select("node", "r")

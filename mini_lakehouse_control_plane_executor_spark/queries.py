@@ -6550,6 +6550,75 @@ def weighted_sample_aes(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    base = f"(15 * ({scale} // nn.n)) // 100"
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(
+            f"c{i} AS (SELECT e.dst AS node, CAST(sum({prev}.r // d.outdeg) AS BIGINT) AS s\n"
+            f"       FROM edges e JOIN {prev} ON e.src = {prev}.node"
+            f" JOIN deg d ON e.src = d.src GROUP BY 1),\n"
+            f"r{i} AS (SELECT nd.node, {base} + (85 * coalesce(c{i}.s, 0)) // 100 AS r\n"
+            f"       FROM nodes nd CROSS JOIN nn LEFT JOIN c{i} ON nd.node = c{i}.node)"
+        )
+        prev = f"r{i}"
+    its_sql = ",\n".join(its)
+    return f"""
+WITH items AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT 's' || CAST(s AS VARCHAR) AS src, 'p' || CAST(p AS VARCHAR) AS dst FROM items
+  UNION ALL
+  SELECT 'p' || CAST(p AS VARCHAR), 's' || CAST(s AS VARCHAR) FROM items
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, {scale} // nn.n AS r FROM nodes, nn),
+{its_sql}
+SELECT node, round(CAST(r AS DOUBLE) / {scale}, 8) AS rank
+FROM {prev} ORDER BY r DESC, node LIMIT 20
+"""
+
+
+@query("supplier_part_pagerank", oracle=_pagerank_oracle())
+def supplier_part_pagerank(spark, sf_dir):
+    """PageRank over the bipartite supplier↔part trade graph (who
+    supplies the parts that matter) — the canonical ITERATIVE graph
+    workload, as 3 unrolled join-aggregate rounds (operators/graph.py).
+
+    100 TB shape: edges are the DISTINCT (supplier, part) pairs —
+    linear in lineitem, never a pairwise explosion — persisted once
+    and reused by every iteration; each round is one src-keyed join of
+    the node-sized rank table onto the edges plus one dst-keyed
+    partial+final aggregate. Ranks are integer pico-units end-to-end
+    (contributions via integer division, damping in integer arithmetic)
+    so three rounds of distributed summation stay bit-identical to the
+    oracle's unrolled CTEs; top-20 via TakeOrdered, no global sort."""
+    from mini_lakehouse_control_plane_executor_spark.operators import graph as _graph
+
+    li = _load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    s_node = F.concat(F.lit("s"), F.col("s").cast("string"))
+    p_node = F.concat(F.lit("p"), F.col("p").cast("string"))
+    edges = items.select(s_node.alias("src"), p_node.alias("dst")).unionAll(
+        items.select(p_node.alias("src"), s_node.alias("dst"))
+    )
+    ranks = _graph.pagerank(edges, iterations=3)
+    return (
+        ranks.orderBy(F.col("r").desc(), "node")
+        .limit(20)
+        .select(
+            "node",
+            F.round(F.col("r").cast("double") / _graph.PAGERANK_SCALE, 8).alias(
+                "rank"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -6568,6 +6637,7 @@ DRIVER_PRIORITY: list[str] = [
     # in definition order via _registry_order(). This keeps every
     # verdict at most 2 rounds stale.
     # -- new in r6 (never driver-verified) --
+    "supplier_part_pagerank",
     "events_hll_distinct",
     "weighted_sample_aes",
     "bm25_topk",

@@ -446,3 +446,18 @@ def test_weighted_sample_two_phase_topk(spark):
     assert re.search(r"Exchange hashpartitioning\(source#\d+, salt", plan), plan
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_reuse_persisted_edges(spark):
+    """supplier_part_pagerank: the edge table is built ONCE (persisted
+    — InMemoryTableScan present) and every unrolled iteration is a
+    src-keyed join plus a dst/node-keyed aggregate; top-20 via
+    TakeOrderedAndProject, never a global sort; the only SinglePartition
+    is the keyless node-count aggregate."""
+    spark.catalog.clearCache()
+    plan = _plan(spark, "supplier_part_pagerank")
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"s", "src", "dst", "node"}, keys
