@@ -34,6 +34,8 @@ REST route table (``pkg/coordinator/rest_api.go:44-76``):
                                                      earlier version (forward
                                                      commit, history intact)
     POST   /tables/{t}/vacuum                        retention GC (beyond ref)
+    POST   /tables/{t}/clone                         Delta-style SHALLOW CLONE
+                                                     (metadata-only, zero copy)
     GET    /tables/{t}/diff/{from}/{to}?limit=N      CDC row changes, bounded
     GET    /queries/{id}/metrics                     QueryExecutionMetrics
     DELETE /queries/{id}                             best-effort job cancel
@@ -440,6 +442,29 @@ class LakehouseRestServer:
             raise _ApiError(409, str(exc))
         return 200, {"success": True, "new_version": new_version}
 
+    def clone(self, name: str, body: dict):
+        """POST /tables/{t}/clone {"target": name[, "version": V]} —
+        Delta-style SHALLOW CLONE: metadata-only, the new table
+        references the source snapshot's files."""
+        self._table(name)
+        target = body.get("target")
+        if not target:
+            raise _ApiError(400, "missing required field: target")
+        try:
+            t = self.lake.clone_table(
+                name,
+                str(target),
+                version=int(body["version"]) if "version" in body else None,
+                txn_id=body.get("txn_id") or None,
+            )
+        except ValueError as exc:  # bad name / existing table / version
+            raise _ApiError(409, str(exc))
+        return 200, {
+            "success": True,
+            "table": str(target),
+            "version": t.log.latest_version(),
+        }
+
     def vacuum(self, name: str, body: dict):
         self._table(name)
         stats = self.lake.vacuum(
@@ -573,6 +598,7 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
         "drop_column",
     ),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/restore$"), "restore"),
+    ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/clone$"), "clone"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/vacuum$"), "vacuum"),
     ("GET", re.compile(r"^/tables/([A-Za-z0-9_]+)/diff/(\d+)/(\d+)$"), "table_diff"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/columns$"), "add_columns"),

@@ -149,6 +149,61 @@ class LakehouseSession:
         t.insert(df, txn_id=txn_id, cluster_by=cluster_by)
         return t
 
+    def clone_table(
+        self,
+        src_name: str,
+        dst_name: str,
+        version: int | None = None,
+        txn_id: str | None = None,
+    ) -> LakehouseTable:
+        """Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src
+        [VERSION AS OF v]`): create ``dst_name`` whose first data commit
+        REFERENCES the source snapshot's files by absolute path — zero
+        data copy, metadata-only, O(|files|) however large the table.
+        The clone then evolves independently: inserts/deletes/compaction
+        write into its own data dir, and the clone's vacuum can never
+        touch source-owned files (vacuum only lists the table's OWN
+        data/ dir, and compaction deletes nothing physically — physical
+        reclamation is vacuum-only).
+
+        Delta-parity caveat, inherited deliberately: VACUUM or DROP of
+        the SOURCE table invalidates the cloned files — a shallow clone
+        is a pointer, not a backup."""
+        from mini_lakehouse_control_plane_executor_spark.table.log import FileAdd
+
+        src = self.table(src_name)
+        snap = src.snapshot(version)
+        dst = LakehouseTable.create(
+            self.spark, self.root, dst_name, snap.schema, constraints=snap.constraints
+        )
+        adds = [
+            FileAdd(
+                path=f.path
+                if os.path.isabs(f.path)
+                else os.path.join(src.dir, f.path),
+                rows=f.rows,
+                size=f.size,
+                partition=dict(f.partition),
+                min_values=dict(f.min_values),
+                max_values=dict(f.max_values),
+            )
+            for f in snap.files
+        ]
+        dst.log.commit(
+            dst.log.latest_version(),
+            txn_id or f"clone-{uuid.uuid4()}",
+            snap.schema,
+            adds=adds,
+        )
+        self._tables[dst_name] = dst
+        _slog.with_table_name(dst_name).info(
+            "table_cloned",
+            src=src_name,
+            src_version=snap.version,
+            n_files=len(adds),
+        )
+        return dst
+
     def table(self, name: str) -> LakehouseTable:
         # Handles are cached so the transaction log's in-memory replay
         # state (see TransactionLog) persists across calls.

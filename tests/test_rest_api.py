@@ -340,3 +340,26 @@ def test_cancel_query_over_http(server, lake):
     out = _call(server, "DELETE", "/queries/syn-http")
     assert out["cancelled"] is True and info.extra["cancel_requested"] is True
     _call(server, "DELETE", "/queries/ghost", expect=404)
+
+
+def test_shallow_clone_over_http(server, lake):
+    """POST /tables/{t}/clone: metadata-only shallow clone — the new
+    table serves the pinned snapshot over the query routes, evolves
+    independently, and bad requests map to 400/409/404."""
+    _call(server, "POST", "/tables", {"table_name": "cl_src", "schema": SCHEMA_API})
+    _call(server, "POST", "/tables/cl_src/insert", {"rows": ROWS})
+    out = _call(server, "POST", "/tables/cl_src/clone", {"target": "cl_dup"})
+    assert out["success"] is True and out["table"] == "cl_dup"
+    # clone's data dir is empty (zero copy), reads serve the snapshot
+    t = lake.table("cl_dup")
+    import os as _os
+
+    assert _os.listdir(t.data_dir) == []
+    assert t.read().count() == len(ROWS)
+    # source advances; clone stays pinned
+    _call(server, "POST", "/tables/cl_src/insert", {"rows": [dict(ROWS[0], id=100)]})
+    assert lake.table("cl_src").read().count() == len(ROWS) + 1
+    assert t.read().count() == len(ROWS)
+    _call(server, "POST", "/tables/cl_src/clone", {}, expect=400)  # no target
+    _call(server, "POST", "/tables/cl_src/clone", {"target": "cl_dup"}, expect=409)
+    _call(server, "POST", "/tables/ghost/clone", {"target": "x"}, expect=404)

@@ -854,3 +854,57 @@ def test_describe_history(lake, spark):
         assert [e["version"] for e in body["history"]] == [6, 5, 4, 3, 2, 1]
     finally:
         srv.stop()
+
+
+def test_shallow_clone_zero_copy_and_independent(lake, spark):
+    """clone_table references the source files by absolute path (zero
+    data copy: clone's data/ starts empty), reads the pinned snapshot
+    even as the source advances, carries CHECK constraints, and evolves
+    independently — inserts land in the clone's OWN data dir and never
+    appear in the source."""
+    lake.create_table("src", SCHEMA, constraints={"k_pos": "k >= 0"})
+    s = lake.table("src")
+    s.insert(_df(spark, 0, 100).coalesce(1))
+    c = lake.clone_table("src", "dup")
+    assert os.listdir(c.data_dir) == []  # zero copy
+    assert c.read().count() == 100
+    assert c.constraints == {"k_pos": "k >= 0"}
+    # source advances -> clone pinned at clone-time snapshot
+    s.insert(_df(spark, 100, 150).coalesce(1))
+    assert c.read().count() == 100 and s.read().count() == 150
+    # clone evolves independently, enforcing the cloned constraint
+    c.insert(_df(spark, 200, 210).coalesce(1))
+    assert c.read().count() == 110 and s.read().count() == 150
+    assert len(os.listdir(c.data_dir)) == 1  # the clone's own insert
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="k_pos"):
+        c.insert(
+            spark.createDataFrame([(-1, "bad", 0.0)], "k long, v string, x double")
+        )
+
+
+def test_shallow_clone_version_pin_and_vacuum_isolation(lake, spark):
+    """VERSION AS OF cloning picks the requested source version; the
+    clone's vacuum (after the clone rewrites data with delete) only
+    reclaims clone-owned files — the absolute source references are
+    outside its data/ listing, so the source stays intact (the Delta
+    caveat runs the OTHER way: vacuuming the SOURCE breaks the clone,
+    documented in clone_table)."""
+    lake.create_table("src2", SCHEMA)
+    s = lake.table("src2")
+    s.insert(_df(spark, 0, 50).coalesce(1))
+    v_after_first = s.versions()[-1]
+    s.insert(_df(spark, 50, 80).coalesce(1))
+    c = lake.clone_table("src2", "dup2", version=v_after_first)
+    assert c.read().count() == 50
+    # Rewrite inside the clone: delete() copies surviving rows into
+    # clone-owned files, dropping the absolute source refs from HEAD.
+    c.delete("k >= 25")
+    assert c.read().count() == 25
+    stats = c.vacuum(retain_versions=1, min_age_seconds=0.0)
+    # Only clone-owned files were candidates; source files all survive.
+    assert s.read().count() == 80
+    assert s.read(version=v_after_first).count() == 50
+    assert c.read().count() == 25
+    assert stats["deleted_files"] == 0  # nothing clone-owned was dead yet
