@@ -6619,6 +6619,324 @@ def supplier_part_pagerank(spark, sf_dir):
     )
 
 
+_SILHOUETTE_SQL = """
+WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT label, list(m ORDER BY pos) AS cv FROM (
+    SELECT label, pos, round(avg(val), 6) AS m FROM (
+      SELECT label, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM base
+    ) GROUP BY label, pos
+  ) GROUP BY label
+),
+sims AS (
+  SELECT b.vec_id, b.label, c.label AS clabel,
+         round(list_cosine_similarity(b.v, c.cv), 6) AS sim
+  FROM base b CROSS JOIN cent c
+),
+ab AS (
+  SELECT vec_id, label,
+         1 - max(CASE WHEN clabel = label THEN sim END) AS a,
+         1 - max(CASE WHEN clabel != label THEN sim END) AS b
+  FROM sims GROUP BY 1, 2
+),
+s AS (
+  SELECT label,
+         CAST(round(a * 1000000) AS BIGINT) AS a_u,
+         CAST(round(b * 1000000) AS BIGINT) AS b_u,
+         CAST(round(round((b - a) / greatest(a, b), 6) * 1000000) AS BIGINT) AS s_u
+  FROM ab WHERE greatest(a, b) > 0
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(s_u) AS DOUBLE) / count(*) / 1000000, 6) AS avg_silhouette,
+       round(CAST(sum(a_u) AS DOUBLE) / count(*) / 1000000, 6) AS avg_intra_dist,
+       round(CAST(sum(b_u) AS DOUBLE) / count(*) / 1000000, 6) AS avg_nearest_other_dist
+FROM s GROUP BY label ORDER BY label
+"""
+
+
+@query("embedding_silhouette", oracle=_SILHOUETTE_SQL)
+def embedding_silhouette(spark, sf_dir):
+    """Simplified silhouette score per label (centroid-based: a = cosine
+    distance to own centroid, b = distance to the nearest OTHER
+    centroid, s = (b-a)/max(a,b)) — the cluster-quality check run
+    before trusting labels or k-means cells for semantic dedup /
+    curriculum bucketing.
+
+    100 TB shape: centroids come from one per-component grouped mean
+    (map-side combinable, |labels|×dim cells); the full centroid set is
+    ONE broadcast row, so per-vector a/b are pure map-side array
+    expressions over the broadcast structs (no pairwise join, no
+    explode); the final rollup is |labels| rows. Centroids and per-row
+    sims are 6dp-quantized so both engines bucket identically."""
+    from mini_lakehouse_control_plane_executor_spark.operators import similarity as _s
+
+    e = _load(spark, sf_dir, "embeddings")
+    dim = e.select(F.size("embedding")).first()[0]
+    base = e.select(
+        "vec_id", "label", _s._as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", _s.norm(F.col("v")))
+    cent = (
+        base.groupBy("label")
+        .agg(*[F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}") for i in range(dim)])
+        .select(
+            "label", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cv")
+        )
+        .withColumn("cnrm", _s.norm(F.col("cv")))
+    )
+    cents_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("label", "cv", "cnrm"))).alias("cents")
+    )
+    sims = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(
+                _s.dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"]), 6
+            ).alias("sim"),
+            c["label"].alias("clabel"),
+        ),
+    )
+    own = F.filter(F.col("sims"), lambda x: x["clabel"] == F.col("label"))
+    other = F.filter(F.col("sims"), lambda x: x["clabel"] != F.col("label"))
+    ab = (
+        base.crossJoin(F.broadcast(cents_row))
+        .withColumn("sims", sims)
+        .select(
+            "label",
+            (1 - F.element_at(own, 1)["sim"]).alias("a"),
+            (
+                1 - F.array_max(F.transform(other, lambda x: x["sim"]))
+            ).alias("b"),
+        )
+        .filter(F.greatest(F.col("a"), F.col("b")) > 0)
+    )
+    # a/b/s quantize to integer micro-units BEFORE the per-label sums
+    # (the surprisal discipline): a and b derive from 6dp-rounded sims,
+    # so the micro values are exact integers and the label averages are
+    # summation-order independent — a plain avg() of doubles hit a 6dp
+    # half-boundary at sf0.01 and diverged between engines.
+    s_col = F.round(
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")), 6
+    )
+    n = F.count(F.lit(1))
+    return (
+        ab.select(
+            "label",
+            F.round(F.col("a") * 1000000).cast("long").alias("a_u"),
+            F.round(F.col("b") * 1000000).cast("long").alias("b_u"),
+            F.round(s_col * 1000000).cast("long").alias("s_u"),
+        )
+        .groupBy("label")
+        .agg(
+            n.alias("n_vectors"),
+            F.round(F.sum("s_u").cast("double") / n / 1000000, 6).alias(
+                "avg_silhouette"
+            ),
+            F.round(F.sum("a_u").cast("double") / n / 1000000, 6).alias(
+                "avg_intra_dist"
+            ),
+            F.round(F.sum("b_u").cast("double") / n / 1000000, 6).alias(
+                "avg_nearest_other_dist"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+_COND_ENTROPY_SQL = r"""
+WITH arr AS (
+  SELECT lang, regexp_extract_all(lower(text), '\w+') AS toks FROM documents
+),
+big AS (
+  SELECT lang,
+         unnest([toks[i] || ' ' || toks[i+1]
+                 for i in generate_series(1, len(toks) - 1)]) AS bg
+  FROM arr WHERE len(toks) >= 2
+),
+bc AS (SELECT lang, bg, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY 1, 2),
+ctx AS (
+  SELECT lang, split_part(bg, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS ctot
+  FROM bc GROUP BY 1, 2
+),
+terms AS (
+  SELECT bc.lang,
+         bc.c * CAST(round(ln(CAST(ctx.ctot AS DOUBLE) / bc.c) * 1000000) AS BIGINT)
+           AS t,
+         bc.c AS n
+  FROM bc JOIN ctx ON bc.lang = ctx.lang AND split_part(bc.bg, ' ', 1) = ctx.w1
+)
+SELECT lang,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(t) AS DOUBLE) / sum(n) / 1000000, 6) AS cond_entropy_nats,
+       round(exp(CAST(sum(t) AS DOUBLE) / sum(n) / 1000000), 4) AS perplexity
+FROM terms GROUP BY lang ORDER BY lang
+"""
+
+
+@query("bigram_cond_entropy", oracle=_COND_ENTROPY_SQL)
+def bigram_cond_entropy(spark, sf_dir):
+    """Corpus-level conditional entropy H(w2|w1) and its perplexity per
+    language — the information-theoretic redundancy diagnostic
+    (low H = templated/boilerplate-heavy corpus; complements Zipf slope
+    and Heaps exponent with a sequence-level statistic).
+
+    100 TB shape: one map-side bigram materialization (transform-with-
+    index over the stored token array), ONE (lang, bigram) count
+    shuffle; the context totals are a rollup of that count table and
+    the entropy sum runs over the VOCAB-sized count table — the corpus
+    token stream is aggregated exactly once. Entropy terms quantize to
+    integer micro-nats weighted by exact counts, so the per-lang sums
+    are order-independent and bit-identical to the oracle."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _load(spark, sf_dir, "documents")
+    arr = (
+        d.select("lang", _text.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "lang",
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (t, i) -> concat(t, ' ', element_at(toks, i + 2)))"
+            ).alias("bgs"),
+        )
+    )
+    big = arr.select("lang", F.explode("bgs").alias("bg"))
+    bc = (
+        big.groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ctx = (
+        bc.select("lang", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "c")
+        .groupBy("lang", "w1")
+        .agg(F.sum("c").alias("ctot"))
+    )
+    term = (
+        F.col("c")
+        * F.round(F.log(F.col("ctot").cast("double") / F.col("c")) * 1000000).cast(
+            "long"
+        )
+    )
+    terms = (
+        bc.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(ctx, ["lang", "w1"])
+        .select("lang", term.alias("t"), F.col("c").alias("n"))
+    )
+    h = F.sum("t").cast("double") / F.sum("n") / 1000000
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(h, 6).alias("cond_entropy_nats"),
+            F.round(F.exp(h), 4).alias("perplexity"),
+        )
+        .orderBy("lang")
+    )
+
+
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_GOPHER_SQL = rf"""
+WITH per_doc AS (
+  SELECT source,
+         regexp_extract_all(lower(text), '\w+') AS ws,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
+  FROM documents
+),
+gates AS (
+  SELECT source,
+         len(ws) AS n_words,
+         (len(ws) BETWEEN 50 AND 100000) AS g_wordcount,
+         (CAST(len(array_to_string(ws, '')) AS DOUBLE) / len(ws)
+            BETWEEN 3 AND 10) AS g_meanlen,
+         (CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+            / len(ws) >= 0.8) AS g_alpha,
+         (len(list_intersect(ws, {_sql_strlist(_GOPHER_STOPWORDS)})) >= 2)
+           AS g_stopwords,
+         (CAST(n_sym AS DOUBLE) / len(ws) < 0.1) AS g_symbols
+  FROM per_doc WHERE len(ws) > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN g_wordcount THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordcount,
+       CAST(sum(CASE WHEN g_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS pass_meanlen,
+       CAST(sum(CASE WHEN g_alpha THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha,
+       CAST(sum(CASE WHEN g_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopwords,
+       CAST(sum(CASE WHEN g_symbols THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbols,
+       CAST(sum(CASE WHEN g_wordcount AND g_meanlen AND g_alpha AND g_stopwords
+                      AND g_symbols THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+       round(sum(CASE WHEN g_wordcount AND g_meanlen AND g_alpha AND g_stopwords
+                       AND g_symbols THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS pass_rate
+FROM gates GROUP BY source ORDER BY source
+"""
+
+
+@query("gopher_quality_gates", oracle=_GOPHER_SQL)
+def gopher_quality_gates(spark, sf_dir):
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    minus the line-level rules — the synthetic docs are single-line):
+    word count in [50, 100k], mean word length in [3, 10], >=80% of
+    words alphabetic, >=2 distinct required stopwords, symbol-to-word
+    ratio < 0.1 — reported as per-source pass counts and the all-gates
+    pass rate, the standard pre-training quality funnel report.
+
+    100 TB shape: every gate is a pure column expression over one
+    tokenize pass (scan-speed, no explode, no joins); the groupBy is
+    |sources| rows. Gate arithmetic is integer-ratio comparisons, so
+    booleans agree bit-for-bit across engines."""
+    d = _load(spark, sf_dir, "documents")
+    ws = _text.tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    per_doc = d.select(
+        "source",
+        ws.alias("ws"),
+        F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.")).alias("n_sym"),
+    ).filter(F.size("ws") > 0)
+    n_words = F.size("ws")
+    g = per_doc.select(
+        "source",
+        n_words.between(50, 100000).alias("g_wordcount"),
+        (
+            F.length(F.concat_ws("", F.col("ws"))).cast("double") / n_words
+        ).between(3, 10).alias("g_meanlen"),
+        (
+            F.size(F.filter(F.col("ws"), lambda t: t.rlike("[a-z]"))).cast("double")
+            / n_words
+            >= 0.8
+        ).alias("g_alpha"),
+        (F.size(F.array_intersect(F.col("ws"), stop_arr)) >= 2).alias("g_stopwords"),
+        (F.col("n_sym").cast("double") / n_words < 0.1).alias("g_symbols"),
+    )
+    def _n(col):
+        return F.sum(F.when(F.col(col), 1).otherwise(0)).cast("long")
+
+    all_pass = (
+        F.col("g_wordcount")
+        & F.col("g_meanlen")
+        & F.col("g_alpha")
+        & F.col("g_stopwords")
+        & F.col("g_symbols")
+    )
+    return (
+        g.withColumn("g_all", all_pass)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _n("g_wordcount").alias("pass_wordcount"),
+            _n("g_meanlen").alias("pass_meanlen"),
+            _n("g_alpha").alias("pass_alpha"),
+            _n("g_stopwords").alias("pass_stopwords"),
+            _n("g_symbols").alias("pass_symbols"),
+            _n("g_all").alias("pass_all"),
+            F.round(
+                _n("g_all") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -6637,6 +6955,9 @@ DRIVER_PRIORITY: list[str] = [
     # in definition order via _registry_order(). This keeps every
     # verdict at most 2 rounds stale.
     # -- new in r6 (never driver-verified) --
+    "embedding_silhouette",
+    "bigram_cond_entropy",
+    "gopher_quality_gates",
     "supplier_part_pagerank",
     "events_hll_distinct",
     "weighted_sample_aes",

@@ -461,3 +461,36 @@ def test_pagerank_iterations_reuse_persisted_edges(spark):
     assert "CartesianProduct" not in plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"s", "src", "dst", "node"}, keys
+
+
+def test_silhouette_is_broadcast_centroid_map_pass(spark):
+    """embedding_silhouette: centroids collapse through a keyless
+    collect (one broadcast row); per-vector a/b are map-side expressions
+    — the only grouped exchanges are label-keyed (centroid build +
+    final rollup); no pairwise join, no corpus explode."""
+    plan = _plan(spark, "embedding_silhouette")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid broadcast
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan  # no corpus posexplode
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"label"}, keys
+
+
+def test_cond_entropy_sums_vocab_not_corpus(spark):
+    """bigram_cond_entropy: one (lang, bigram) count shuffle; context
+    totals and entropy terms are rollups/joins of the persisted count
+    table; exchanges keyed on lang(+bg/w1) only, no SinglePartition."""
+    plan = _plan(spark, "bigram_cond_entropy")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"lang"}, keys
+
+
+def test_gopher_gates_are_scan_speed(spark):
+    """gopher_quality_gates: pure column expressions + one |sources|
+    groupBy — no joins, no explode, no windows."""
+    plan = _plan(spark, "gopher_quality_gates")
+    assert "Generate" not in plan and "Join" not in plan and "Window" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys == {"source"}, keys
