@@ -298,3 +298,23 @@ def test_format_write_enforces_check_constraints(lake, spark):
     assert sorted(os.listdir(os.path.join(t.dir, "data"))) == files_before
     assert os.listdir(t.tmp_dir) == []
     assert t.read().count() == 3
+
+
+def test_format_reads_shallow_clone(lake, spark):
+    """A shallow clone's snapshot stores ABSOLUTE source-file paths;
+    the DataSource's per-file partitions must pass them through (posix
+    os.path.join semantics) — format reads serve the pinned snapshot
+    even after the source advances, and the clone's own inserts appear
+    alongside the referenced files."""
+    register(spark)
+    lake.create_table("cl_ds_src", SCHEMA)
+    lake.insert("cl_ds_src", _mk(spark, 0, 30))
+    lake.clone_table("cl_ds_src", "cl_ds_dup")
+    lake.insert("cl_ds_src", _mk(spark, 30, 50))  # source advances
+    lake.insert("cl_ds_dup", _mk(spark, 100, 110))  # clone-owned file
+    df = _fmt(spark, lake, "cl_ds_dup")
+    assert df.count() == 40
+    assert sorted(r["id"] for r in df.collect()) == list(range(30)) + list(
+        range(100, 110)
+    )
+    assert _fmt(spark, lake, "cl_ds_src").count() == 50
