@@ -17,6 +17,7 @@ Surfaces driven:
   6. Compaction        small files bin-packed, old versions intact
   7. Time travel       read(version=), timestampAsOf
   8. RESTORE           back to a prior version, forward-commit only
+ 10. SHALLOW CLONE     metadata-only copy, pinned snapshot, zero data moved
 """
 
 from __future__ import annotations
@@ -188,6 +189,27 @@ def main() -> int:
         f"({t.read(version=new_v - 1).count()} rows at v{new_v - 1})"
     )
     assert t.read().count() == 100
+
+    _step(10, "SHALLOW CLONE (metadata-only, pinned; evolves independently)")
+    import os as _os
+
+    c = lake.clone_table("orders", "orders_clone")
+    assert _os.listdir(c.data_dir) == []  # zero data copied
+    print(
+        f"cloned -> orders_clone: {c.read().count()} rows referenced, "
+        f"0 files copied (data dir empty)"
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(500 + i, float(i + 1), "new") for i in range(20)],
+            "o_id long, amount double, status string",
+        )
+    )
+    print(
+        f"source advanced to {t.read().count()} rows; "
+        f"clone still serves {c.read().count()} (pinned snapshot)"
+    )
+    assert c.read().count() == 100 and t.read().count() == 120
 
     srv.stop()
     print("\nall steps passed")
