@@ -6937,6 +6937,140 @@ def gopher_quality_gates(spark, sf_dir):
     )
 
 
+_CHUNK_DEDUP_SQL = r"""
+WITH arr AS (
+  SELECT source, regexp_extract_all(lower(text), '\w+') AS toks FROM documents
+),
+chunks AS (
+  SELECT source,
+         md5(array_to_string(list_slice(toks, s, s + 31), ' ')) AS h
+  FROM arr, unnest(generate_series(1, greatest(len(toks), 1), 24)) AS t(s)
+),
+per AS (
+  SELECT source, count(*) AS n_chunks, count(DISTINCT h) AS n_unique
+  FROM chunks GROUP BY 1
+)
+SELECT source,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       round(1 - CAST(n_unique AS DOUBLE) / n_chunks, 6) AS dup_rate
+FROM per ORDER BY source
+"""
+
+
+@query("chunk_dedup_rate", oracle=_CHUNK_DEDUP_SQL)
+def chunk_dedup_rate(spark, sf_dir):
+    """Chunk-level duplication rate per source — the consumer of
+    rag_chunk_stats' md5 chunk key: what fraction of a source's 32-token
+    windows are exact repeats (the fine-grained boilerplate/copy signal
+    document-level dedup can't see; high chunk dup with low doc dup =
+    shared templates).
+
+    100 TB shape: chunking stays map-side (same sequence+slice pass as
+    rag_chunk_stats); the one corpus-sized shuffle is the
+    (source, chunk_hash) distinct-count expansion — uniform md5 keys —
+    into a |sources| rollup."""
+    d = _load(spark, sf_dir, "documents")
+    arr = d.select("source", _text.tokens(F.col("text")).alias("toks"))
+    chunks = arr.select(
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(24))
+        ).alias("s"),
+        "toks",
+    ).select(
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("s"), 32))).alias("h"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("h").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_unique",
+            F.round(
+                1 - F.col("n_unique").cast("double") / F.col("n_chunks"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_SURVIVOR_FINAL = """
+, q AS (
+  SELECT doc_id,
+         CAST(round(1000000 * CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+              AS BIGINT) AS q_u
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws FROM documents)
+  WHERE len(ws) > 0
+),
+ranked AS (
+  SELECT comp.root, comp.id, q.q_u,
+         row_number() OVER (PARTITION BY comp.root
+                            ORDER BY q.q_u DESC, comp.id) AS rn,
+         count(*) OVER (PARTITION BY comp.root) AS n_members
+  FROM comp JOIN q ON comp.id = q.doc_id
+)
+SELECT root,
+       CAST(n_members AS BIGINT) AS n_members,
+       id AS keep_id,
+       round(CAST(q_u AS DOUBLE) / 1000000, 6) AS keep_quality
+FROM ranked WHERE rn = 1 ORDER BY root
+"""
+
+
+@query("dedup_survivor_quality", oracle=_components_oracle(_SURVIVOR_FINAL))
+def dedup_survivor_quality(spark, sf_dir):
+    """Quality-based survivor selection — the END PRODUCT of a dedup
+    job: within each near-duplicate cluster keep the HIGHEST-QUALITY
+    member (type-token ratio, micro-unit quantized; ties to the lowest
+    id) instead of the arbitrary min-id canonical. This is the policy
+    real corpus builds use: among N copies, keep the cleanest.
+
+    100 TB shape: rides the shared banded-LSH cluster machinery (one
+    persisted shingle pass, candidate-bounded verification, pointer-
+    doubling components); the quality join and per-cluster argmax
+    window operate on CLUSTER-MEMBER rows only — a vanishing fraction
+    of the corpus — partitioned by cluster root."""
+    d = _load(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    comp = _dedup.connected_components(pairs)
+    toks = _text.tokens(F.col("text"))
+    q = d.select(
+        F.col("doc_id").alias("id"),
+        F.round(
+            1000000
+            * F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks)
+        )
+        .cast("long")
+        .alias("q_u"),
+    ).filter(F.col("q_u").isNotNull())
+    w = Window.partitionBy("root").orderBy(F.col("q_u").desc(), "id")
+    wn = Window.partitionBy("root")
+    ranked = (
+        comp.join(q, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wn))
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "root",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("id").alias("keep_id"),
+            F.round(F.col("q_u").cast("double") / 1000000, 6).alias(
+                "keep_quality"
+            ),
+        )
+        .orderBy("root")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -6955,6 +7089,8 @@ DRIVER_PRIORITY: list[str] = [
     # in definition order via _registry_order(). This keeps every
     # verdict at most 2 rounds stale.
     # -- new in r6 (never driver-verified) --
+    "chunk_dedup_rate",
+    "dedup_survivor_quality",
     "embedding_silhouette",
     "bigram_cond_entropy",
     "gopher_quality_gates",
