@@ -41,6 +41,13 @@ HEADLINE = [
     # driver bench (not just pytest) catches regressions in it.
     "ann_cosine_ivfpq",
     "ngram_novelty_rate",
+    # late-r6 additions: sparse retrieval and bigram-LM scoring — the
+    # heaviest of the round's new operator classes that belong in the
+    # driver bench (supplier_part_pagerank is excluded: a 3-iteration
+    # graph algorithm is stage-barrier-bound at sf0.1; its regressions
+    # are caught by oracle parity + the mass-conservation invariant).
+    "bm25_topk",
+    "bigram_lm_surprisal",
 ]
 
 
