@@ -7082,12 +7082,12 @@ def dedup_survivor_quality(spark, sf_dir):
 DRIVER_PRIORITY: list[str] = [
     # round 6: never-driver-verified r6 additions lead (the header
     # rule), then the 22 queries whose latest driver verdict is r03
-    # (the r5 verdict's top-next item), then the full r04-green set in
-    # its r04 verdict order. The 50-slot window covers the r6
-    # additions + all 22 stale + the head of the r04 set; the r04
-    # overflow is first in line for r7, and the r05-green set follows
-    # in definition order via _registry_order(). This keeps every
-    # verdict at most 2 rounds stale.
+    # (the r5 verdict's top-next item), then the r04-green set in its
+    # r04 verdict order. Final r6 composition: 21 never-verified + all
+    # 22 r03-stale fill 43 of the 50 slots; 7 r04 entries ride along
+    # and the r04 overflow (2 rounds stale after this round — still
+    # inside the judge's staleness bound) is first in line for r7,
+    # followed by the r05-green set via _registry_order().
     # -- new in r6 (never driver-verified) --
     "chunk_dedup_rate",
     "dedup_survivor_quality",
