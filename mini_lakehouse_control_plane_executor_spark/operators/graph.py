@@ -27,7 +27,10 @@ PAGERANK_SCALE = 10**12  # pico-units
 
 
 def pagerank(
-    edges: DataFrame, iterations: int = 3, scale: int = PAGERANK_SCALE
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = PAGERANK_SCALE,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """PageRank (damping 0.85) over a directed edge table with columns
     (src, dst). Every node must have at least one out-edge (true by
@@ -43,11 +46,19 @@ def pagerank(
     discipline): without it the rank lineage re-embeds every previous
     iteration's joins — each round re-executed the whole prefix and the
     3-iteration bench ran 11.5s at sf0.1; with truncation it is the
-    three join+agg rounds it should be."""
-    edges = edges.select("src", "dst").localCheckpoint()
+    three join+agg rounds it should be. ``truncate_lineage=False``
+    swaps the checkpoints for plain persists so the full unrolled
+    iteration plan stays visible to ``explain()`` — that is how
+    tests/test_plan_shapes.py pins the per-iteration shape, since a
+    checkpointed plan collapses to ``Scan ExistingRDD``."""
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if truncate_lineage else df.persist()
+
+    edges = _cut(edges.select("src", "dst"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    n_tab = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    n_tab = _cut(nodes.agg(F.count(F.lit(1)).alias("n")))
     # r0 = SCALE div N for every node; the (1-d)/N teleport term reuses
     # the same integer base so both constants agree with the oracle.
     ranks = (
@@ -55,7 +66,8 @@ def pagerank(
         .select("node", F.expr(f"{scale} div n").alias("r"))
         .join(deg, F.col("node") == F.col("src"))
         .select("node", "r", "outdeg")
-    ).localCheckpoint()
+    )
+    ranks = _cut(ranks)
     for _ in range(iterations):
         contrib = (
             edges.join(
@@ -80,5 +92,6 @@ def pagerank(
                 ).alias("r"),
                 "outdeg",
             )
-        ).localCheckpoint()
+        )
+        ranks = _cut(ranks)
     return ranks.select("node", "r")

@@ -449,18 +449,42 @@ def test_weighted_sample_two_phase_topk(spark):
 
 
 def test_pagerank_iterations_reuse_persisted_edges(spark):
-    """supplier_part_pagerank: the edge table is built ONCE (persisted
-    — InMemoryTableScan present) and every unrolled iteration is a
-    src-keyed join plus a dst/node-keyed aggregate; top-20 via
-    TakeOrderedAndProject, never a global sort; the only SinglePartition
-    is the keyless node-count aggregate."""
+    """supplier_part_pagerank: the registry query's executed plan ends
+    in TakeOrderedAndProject over the lineage-truncated rank table (a
+    localCheckpoint collapses the prefix to Scan ExistingRDD — the
+    whole point of the truncation); the per-iteration shape is pinned
+    separately with ``truncate_lineage=False`` (persist instead of
+    checkpoint, so explain() keeps the unrolled rounds): the edge table
+    is built ONCE (InMemoryTableScan) and every iteration is a
+    src-keyed join plus a node-keyed aggregate — never a global sort,
+    never a pairwise product."""
+    from pyspark.sql import functions as F
+
+    from mini_lakehouse_control_plane_executor_spark.operators import graph as _graph
+
     spark.catalog.clearCache()
     plan = _plan(spark, "supplier_part_pagerank")
     assert "TakeOrderedAndProject" in plan
-    assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan  # the checkpoint boundary
     assert "CartesianProduct" not in plan
-    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    items = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    s_node = F.concat(F.lit("s"), F.col("s").cast("string"))
+    p_node = F.concat(F.lit("p"), F.col("p").cast("string"))
+    edges = items.select(s_node.alias("src"), p_node.alias("dst")).unionAll(
+        items.select(p_node.alias("src"), s_node.alias("dst"))
+    )
+    ranks = _graph.pagerank(edges, iterations=3, truncate_lineage=False)
+    unrolled = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in unrolled  # edges persisted, reused per round
+    assert "CartesianProduct" not in unrolled
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", unrolled))
     assert keys <= {"s", "src", "dst", "node"}, keys
+    for df in (ranks, edges):
+        df.unpersist()
 
 
 def test_silhouette_is_broadcast_centroid_map_pass(spark):
