@@ -89,3 +89,101 @@ def test_bm25_ranks_well_formed(spark):
         scores = [r.bm25 for r in grp]
         assert all(a >= b for a, b in zip(scores, scores[1:]))
         assert all(s > 0 for s in scores)
+
+
+def test_dedup_aware_split_has_zero_leakage(spark):
+    """The split policy's DEFINING property: no near-duplicate pair may
+    straddle a split boundary. Recompute the same MinHash pairs and
+    cluster roots the query uses, assign each member its root's split,
+    and assert every cluster is wholly inside ONE split — the guarantee
+    that makes the policy dedup-AWARE rather than a plain id hash."""
+    from mini_lakehouse_control_plane_executor_spark.operators import dedup as D
+    from mini_lakehouse_control_plane_executor_spark.queries import _split_col
+
+    d = qlib._load(spark, SF_DIR, "documents")
+    pairs = D.minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    comp = D.connected_components(pairs)
+    n_multi_split_clusters = (
+        comp.select("root", _split_col(F.col("root")).alias("split"))
+        .groupBy("root")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert n_multi_split_clusters == 0
+    # census covers the whole corpus exactly once
+    out = qlib.all_queries()["dedup_aware_split"](spark, SF_DIR)
+    assert out.agg(F.sum("n_docs")).first()[0] == d.count()
+
+
+def test_ccnet_buckets_partition_each_lang(spark):
+    """Per language: bucket doc-counts sum to the language's doc count,
+    terciles differ by at most ~one value-group from n/3 each, and the
+    head cut <= middle cut <= tail cut (monotone surprisal bands)."""
+    d = qlib._load(spark, SF_DIR, "documents")
+    per_lang = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = qlib.all_queries()["ccnet_perplexity_buckets"](spark, SF_DIR).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, buckets in by_lang.items():
+        assert sum(b.n_docs for b in buckets.values()) == per_lang[lang]
+        cuts = [buckets[b].cut_surprisal for b in ("head", "middle", "tail") if b in buckets]
+        assert cuts == sorted(cuts)
+
+
+def test_dsir_target_source_scores_highest(spark):
+    """The importance weight is ln(p_target/p_raw) averaged over a
+    document's features — so the target source itself must have the
+    HIGHEST average weight (its features are by construction the
+    target distribution), and weights must be finite everywhere."""
+    rows = qlib.all_queries()["dsir_importance_weights"](spark, SF_DIR).collect()
+    best = max(rows, key=lambda r: r.avg_logweight)
+    assert best.source == "src0"
+    import math
+
+    assert all(math.isfinite(r.avg_logweight) for r in rows)
+
+
+def test_embedding_outliers_are_per_label_minima(spark):
+    """The returned rank-1 outlier per label really is that label's
+    global cosine minimum: recompute every cosine-to-centroid and
+    compare. Guards the salted two-phase window against a pruning bug
+    that drops the true minimum."""
+    out = qlib.all_queries()["embedding_outlier_centroid"](spark, SF_DIR).collect()
+    rank1 = {r.label: r.cos_to_centroid for r in out if r.outlier_rank == 1}
+    per_label = {}
+    for r in out:
+        per_label.setdefault(r.label, []).append(r)
+    for label, grp in per_label.items():
+        grp = sorted(grp, key=lambda r: r.outlier_rank)
+        assert [r.outlier_rank for r in grp] == list(range(1, len(grp) + 1))
+        cs = [r.cos_to_centroid for r in grp]
+        assert cs == sorted(cs)  # ascending cosine = worst first
+    # brute-force check of the rank-1 minimum via the exact same centroid math
+    from mini_lakehouse_control_plane_executor_spark.operators import similarity as S
+
+    e = qlib._load(spark, SF_DIR, "embeddings")
+    dim = e.select(F.size("embedding")).first()[0]
+    base = e.select(
+        "vec_id", "label", S._as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", S.norm(F.col("v")))
+    cent = (
+        base.groupBy("label")
+        .agg(*[F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}") for i in range(dim)])
+        .select("label", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cv"))
+        .withColumn("cnrm", S.norm(F.col("cv")))
+    )
+    cos = F.round(
+        S.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
+    )
+    mins = {
+        r.label: r.mn
+        for r in base.join(F.broadcast(cent), "label")
+        .select("label", cos.alias("c"))
+        .groupBy("label")
+        .agg(F.min("c").alias("mn"))
+        .collect()
+    }
+    for label, got in rank1.items():
+        assert abs(got - mins[label]) < 1e-9, (label, got, mins[label])
