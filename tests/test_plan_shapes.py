@@ -518,3 +518,54 @@ def test_gopher_gates_are_scan_speed(spark):
     assert "Generate" not in plan and "Join" not in plan and "Window" not in plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys == {"source"}, keys
+
+
+def test_dsir_ratio_is_broadcast_onto_stream(spark):
+    """dsir_importance_weights: the 256-row ratio table and the 1-row
+    totals broadcast back onto the feature stream (BroadcastHashJoin /
+    BroadcastNestedLoopJoin); grouped exchanges stay on the bucket /
+    per-doc / per-source keys; never a pairwise product, never a
+    window."""
+    plan = _plan(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"b", "doc_id", "source"}, keys
+
+
+def test_ccnet_window_runs_over_histogram_not_docs(spark):
+    """ccnet_perplexity_buckets: the cumulative window partitions by
+    lang OVER THE VALUE HISTOGRAM — its input exchange is
+    hashpartitioning(lang) fed by the (lang, s_doc) count aggregate,
+    never a per-doc ntile sort; no pairwise product."""
+    plan = _plan(spark, "ccnet_perplexity_buckets")
+    assert "Window" in plan
+    assert "ntile" not in plan.lower()
+    assert "CartesianProduct" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"t", "doc_id", "lang"}, keys
+
+
+def test_dedup_aware_split_is_join_plus_rollup(spark):
+    """dedup_aware_split: after the shared cluster machinery, the full
+    corpus sees ONE join onto the member→root map and one
+    (source, split) rollup — no window over documents, no global sort
+    before the aggregate, no pairwise product."""
+    plan = _plan(spark, "dedup_aware_split")
+    assert "CartesianProduct" not in plan
+    # the split assignment itself is a pure projection: no window may
+    # touch the documents side (the cluster machinery has none either)
+    assert "Window" not in plan
+
+
+def test_embedding_outliers_use_salted_two_phase_window(spark):
+    """embedding_outlier_centroid: the bottom-k must prune through the
+    salted (label, salt) window before the exact per-label rank — the
+    weighted_sample_aes discipline that keeps a low-cardinality label
+    stratum from single-threading."""
+    plan = _plan(spark, "embedding_outlier_centroid")
+    assert re.search(r"Exchange hashpartitioning\(label#\d+, salt", plan), plan
+    assert "BroadcastHashJoin" in plan  # centroids broadcast
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
