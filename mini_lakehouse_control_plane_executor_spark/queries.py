@@ -6293,10 +6293,13 @@ def bigram_lm_surprisal(spark, sf_dir):
     per doc, no self-join on position), then ONE (bigram) count shuffle
     feeds both the bigram counts and, re-aggregated by first word, the
     context totals — the context table is a rollup of the count table,
-    never a second corpus pass. Scoring joins count+context back onto
-    the bigram stream (AQE picks broadcast vs shuffle from the actual
-    vocab size) and partial-aggregates per doc. Surprisal quantizes to
-    integer micro-nats before the per-doc sum."""
+    never a second corpus pass. The per-bigram surprisal is
+    precomputed on the VOCAB-sized tables (count ⋈ context on w1 —
+    bounded by distinct bigrams, not the corpus), so the corpus-sized
+    bigram stream is joined exactly ONCE (AQE picks broadcast vs
+    shuffle from the actual vocab size) before the per-doc partial
+    aggregate. Surprisal quantizes to integer micro-nats before the
+    per-doc sum."""
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
@@ -6328,12 +6331,12 @@ def bigram_lm_surprisal(spark, sf_dir):
     s_micro = (
         F.round(F.log(F.col("ctot").cast("double") / F.col("c")) * 1000000)
     ).cast("long")
-    scored = (
-        big.join(bc, "bg")
-        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+    rate = (
+        bc.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
         .join(ctx, "w1")
-        .select("doc_id", s_micro.alias("s_micro"))
+        .select("bg", s_micro.alias("s_micro"))
     )
+    scored = big.join(rate, "bg").select("doc_id", "s_micro")
     return (
         scored.groupBy("doc_id")
         .agg(
