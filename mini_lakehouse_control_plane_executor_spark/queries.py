@@ -36,6 +36,22 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scale_up(df: DataFrame) -> DataFrame:
+    """Repartition UP to cluster parallelism ONLY when the scan
+    under-parallelizes (fewer input splits than cores — the small-file
+    case). For CPU-heavy per-row passes (regex profiling, tokenization)
+    a single small parquet file otherwise pins the whole pass to one
+    task. At 100 TB the file count exceeds the core count, the
+    condition is false, and this is a zero-cost no-op — unlike an
+    unconditional repartition, which would re-shuffle a corpus that is
+    already wide enough."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 _EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
@@ -874,9 +890,11 @@ FROM scored ORDER BY doc_id
 def text_stats(spark, sf_dir):
     """Text analysis in one scan-only pass: token count, quality score,
     language ID, content fingerprint. Pure column expressions — at 100 TB
-    this runs at parquet-scan speed with zero shuffles. Tokenization is
-    materialized once and every stat reads the attribute."""
-    d = _load(spark, sf_dir, "documents")
+    this runs at parquet-scan speed with zero shuffles (the _scale_up
+    spread only fires when the scan has fewer splits than cores, i.e.
+    never at scale). Tokenization is materialized once and every stat
+    reads the attribute."""
+    d = _scale_up(_load(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", "text", _text.tokens(F.col("text")).alias("toks"))
         .select(
