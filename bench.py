@@ -48,6 +48,11 @@ HEADLINE = [
     # are caught by oracle parity + the mass-conservation invariant).
     "bm25_topk",
     "bigram_lm_surprisal",
+    # data-selection class (late r6): DSIR is its heaviest member (two
+    # persisted-stream consumers + broadcast ratio scoring); CCNet
+    # bucketing shares the unigram-LM machinery bigram_lm already
+    # exercises, and dedup_aware_split rides the benched LSH path.
+    "dsir_importance_weights",
 ]
 
 
