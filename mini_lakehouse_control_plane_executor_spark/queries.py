@@ -6081,6 +6081,9 @@ def bm25_topk(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
+    # Deliberately NOT _scale_up'd: bm25's corpus pass is explode+
+    # broadcast-join (stage-latency-bound, not tokenize-CPU-bound) and
+    # the extra exchange measured 1.41s -> 1.92s at sf0.1.
     arr = d.select("doc_id", _text.tokens(F.col("text")).alias("toks")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
