@@ -89,14 +89,20 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(col), n)
 
 
-def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc_id, s) shingle rows. The shingle ARRAYS are materialized
-    (cached) before the explode: Generate's input must be a stored
-    attribute, because Catalyst collapses a projected HOF chain into the
-    generator and re-evaluates it per EMITTED row — O(shingles²) per doc
-    (measured 16.8s vs 0.36s for the explode at sf0.1). A cache is the
-    one boundary projection-collapse cannot cross; a repartition is not
-    (the optimizer re-orders the projection around the exchange).
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, sh) persisted per-doc DISTINCT-shingle arrays — the
+    shared materialization under ``exploded_shingles``. Exposed so
+    consumers that need per-doc shingle COUNTS (array size) can read
+    them map-side from the stored attribute instead of re-aggregating
+    the exploded corpus stream.
+
+    The shingle ARRAYS are materialized (cached) before any explode:
+    Generate's input must be a stored attribute, because Catalyst
+    collapses a projected HOF chain into the generator and re-evaluates
+    it per EMITTED row — O(shingles²) per doc (measured 16.8s vs 0.36s
+    for the explode at sf0.1). A cache is the one boundary
+    projection-collapse cannot cross; a repartition is not (the
+    optimizer re-orders the projection around the exchange).
 
     The raw docs are repartitioned up to the cluster's parallelism
     before tokenization (never down — a 100 TB scan keeps its
@@ -109,12 +115,25 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     persist."""
     sc = df.sparkSession.sparkContext
     n_parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
-    arr = (
+    return (
         df.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
         .select("doc_id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def exploded_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    arrays: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, s) shingle rows from the persisted array table (see
+    ``shingle_arrays`` for the materialization/repartition rationale).
+    Pass ``arrays`` to share one materialization across consumers."""
+    arr = arrays if arrays is not None else shingle_arrays(df, id_col, text_col, n)
     return arr.select("doc_id", F.explode("sh").alias("s"))
 
 

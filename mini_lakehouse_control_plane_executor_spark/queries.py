@@ -5345,19 +5345,24 @@ def ngram_novelty_rate(spark, sf_dir):
     first-occurrence table, then — the r6 improvement — n_novel comes
     from ROLLING UP that vocab table by first_doc (each gram credits
     exactly its min doc), so the corpus-sized gram stream is never
-    joined back: the only corpus-sized shuffles are the gram min and
-    the per-doc gram count, and the final join is doc-count × doc-count.
-    No window over a global order: "first" is min(doc_id) per gram, a
-    map-side-combinable aggregate, not a sort."""
+    joined back; and per-doc gram counts are read MAP-SIDE from the
+    stored distinct-shingle ARRAY size (no second corpus-stream
+    aggregate), leaving the gram min as the sole corpus-sized shuffle.
+    The final join is doc-count × doc-count. No window over a global
+    order: "first" is min(doc_id) per gram, a map-side-combinable
+    aggregate, not a sort."""
     d = _load(spark, sf_dir, "documents")
-    g = _dedup.exploded_shingles(d, "doc_id", "text", 3).select(
+    arr = _dedup.shingle_arrays(d, "doc_id", "text", 3)
+    g = _dedup.exploded_shingles(d, "doc_id", "text", 3, arrays=arr).select(
         "doc_id", F.col("s").alias("gram")
     )
     firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_novel")
     )
-    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    per_doc = arr.filter(F.size("sh") > 0).select(
+        "doc_id", F.size("sh").cast("long").alias("n_grams")
+    )
     return (
         per_doc.join(novel, "doc_id", "left")
         .select(
