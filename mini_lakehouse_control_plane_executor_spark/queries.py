@@ -7166,18 +7166,25 @@ def dsir_importance_weights(spark, sf_dir):
 
     d = _load(spark, sf_dir, "documents")
     n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
-    toks = _text.tokens(F.col("text"))
-    arr = d.repartition(n_parts).select("doc_id", "source", toks.alias("toks"))
-    bigrams = F.when(
-        F.size("toks") >= 2,
-        F.zip_with(
-            F.slice(F.col("toks"), 1, F.size("toks") - 1),
-            F.slice(F.col("toks"), 2, F.size("toks") - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Bigram ARRAYS are materialized (persisted) before the explode —
+    # the shingle_arrays/bigram_lm discipline: a Generate whose input
+    # is an inline HOF chain re-evaluates it per EMITTED row.
+    arr = (
+        d.repartition(n_parts)
+        .select("doc_id", "source", _text.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (t, i) -> concat(t, ' ', element_at(toks, i + 2)))"
+            ).alias("bgs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     feat = (
-        arr.select("doc_id", "source", F.explode(bigrams).alias("g"))
+        arr.select("doc_id", "source", F.explode("bgs").alias("g"))
         .select(
             "doc_id",
             "source",
