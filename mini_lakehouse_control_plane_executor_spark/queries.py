@@ -7236,6 +7236,116 @@ def dsir_importance_weights(spark, sf_dir):
     )
 
 
+_JSD_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS t FROM documents
+),
+feat AS (
+  SELECT source, ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b FROM tok
+),
+cnt AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c FROM feat GROUP BY 1, 2),
+tots AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+srcs AS (SELECT DISTINCT source FROM documents),
+grid AS (
+  SELECT s.source, gb.b FROM srcs s
+  CROSS JOIN (SELECT unnest(range(256)) AS b) gb
+),
+p AS (
+  SELECT g.source, g.b,
+         (coalesce(c.c, 0) + 1.0) / (t.tot + 256) AS p
+  FROM grid g
+  LEFT JOIN cnt c ON g.source = c.source AND g.b = c.b
+  JOIN tots t ON g.source = t.source
+),
+pairs AS (
+  SELECT a.source AS source_a, b2.source AS source_b,
+         CAST(round((a.p * ln(a.p / ((a.p + b2.p) / 2))
+                   + b2.p * ln(b2.p / ((a.p + b2.p) / 2))) * 1000000000)
+              AS BIGINT) AS t_nano
+  FROM p a JOIN p b2 ON a.b = b2.b AND a.source < b2.source
+)
+SELECT source_a, source_b,
+       round(sum(t_nano) / 2000000000.0, 6) AS jsd
+FROM pairs GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
+
+@query("source_similarity_jsd", oracle=_JSD_SQL)
+def source_similarity_jsd(spark, sf_dir):
+    """Domain-similarity matrix for mixture design: Jensen-Shannon
+    divergence between every pair of per-source unigram distributions
+    (md5-hashed to 256 buckets, add-1 smoothing) — the statistic a
+    data-mixing pipeline reads to group near-identical sources, spot
+    the outlier domain, and seed mixture weights (low JSD = redundant
+    sources; high = complementary).
+
+    100 TB shape: ONE corpus pass builds the per-source bucket counts
+    (a |sources|·256-key partial+final aggregate); everything after —
+    the source×bucket smoothing grid, the bucket-keyed pairwise join
+    (|sources|²·256 rows), the per-pair rollup — is CORPUS-SIZE
+    INDEPENDENT. Per-bucket JSD terms are quantized to integer
+    NANO-nats before the per-pair sum (nano, not the usual micro: the
+    terms are ~1e-3 and a 1-ulp engine difference in ln() sat exactly
+    on a micro .5 boundary at sf0.01), so distributed summation order
+    cannot flip the hash."""
+    d = _load(spark, sf_dir, "documents")
+    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+    tok = (
+        d.repartition(n_parts)
+        .select("source", _text.tokens(F.col("text")).alias("toks"))
+        .select("source", F.explode("toks").alias("t"))
+    )
+    cnt = (
+        tok.select(
+            "source",
+            (F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long") % 256).alias(
+                "b"
+            ),
+        )
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tots = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
+    srcs = d.select("source").distinct()
+    spine = spark.range(256).select(F.col("id").alias("b"))
+    grid = srcs.crossJoin(F.broadcast(spine))
+    p = (
+        grid.join(cnt, ["source", "b"], "left")
+        .join(F.broadcast(tots), "source")
+        .select(
+            "source",
+            "b",
+            ((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("tot") + 256)).alias(
+                "p"
+            ),
+        )
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "b", F.col("p").alias("pa")
+    )
+    b2 = p.select(
+        F.col("source").alias("source_b"), "b", F.col("p").alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    t_nano = F.round(
+        (
+            F.col("pa") * F.log(F.col("pa") / m)
+            + F.col("pb") * F.log(F.col("pb") / m)
+        )
+        * 1000000000
+    ).cast("long")
+    pairs = (
+        a.join(b2, "b")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", t_nano.alias("t_nano"))
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.round(F.sum("t_nano") / 2000000000.0, 6).alias("jsd"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 _CCNET_BUCKETS_SQL = r"""
 WITH tok AS (
   SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '\w+')) AS t FROM documents
@@ -7494,12 +7604,13 @@ DRIVER_PRIORITY: list[str] = [
     # round 6: never-driver-verified r6 additions lead (the header
     # rule), then the 22 queries whose latest driver verdict is r03
     # (the r5 verdict's top-next item), then the r04-green set in its
-    # r04 verdict order. Final r6 composition: 25 never-verified + all
-    # 22 r03-stale fill 47 of the 50 slots; 3 r04 entries ride along
+    # r04 verdict order. Final r6 composition: 26 never-verified + all
+    # 22 r03-stale fill 48 of the 50 slots; 2 r04 entries ride along
     # and the r04 overflow (2 rounds stale after this round — still
     # inside the judge's staleness bound) is first in line for r7,
     # followed by the r05-green set via _registry_order().
     # -- new in r6 (never driver-verified) --
+    "source_similarity_jsd",
     "dsir_importance_weights",
     "ccnet_perplexity_buckets",
     "dedup_aware_split",

@@ -187,3 +187,19 @@ def test_embedding_outliers_are_per_label_minima(spark):
     }
     for label, got in rank1.items():
         assert abs(got - mins[label]) < 1e-9, (label, got, mins[label])
+
+
+def test_jsd_matrix_is_complete_and_bounded(spark):
+    """C(n_sources, 2) rows, every JSD within [0, ln 2] (the JSD bound
+    for two distributions), and self-similarity excluded by the a<b
+    pairing. A sign error or un-normalized distribution breaks the
+    bound immediately."""
+    import math
+
+    d = qlib._load(spark, SF_DIR, "documents")
+    n_src = d.select("source").distinct().count()
+    out = qlib.all_queries()["source_similarity_jsd"](spark, SF_DIR).collect()
+    assert len(out) == n_src * (n_src - 1) // 2
+    for r in out:
+        assert 0.0 <= r.jsd <= math.log(2) + 1e-9, (r.source_a, r.source_b, r.jsd)
+        assert r.source_a < r.source_b

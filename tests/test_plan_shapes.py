@@ -569,3 +569,15 @@ def test_embedding_outliers_use_salted_two_phase_window(spark):
     assert "BroadcastHashJoin" in plan  # centroids broadcast
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_jsd_pairwise_stage_is_corpus_independent(spark):
+    """source_similarity_jsd: ONE corpus-sized aggregate (the
+    (source, bucket) count — its exchange is keyed on source); the
+    smoothing grid and the bucket-keyed pairwise join run over
+    |sources|x256 rows (broadcast-sized, no corpus key anywhere);
+    never a pairwise product of data rows."""
+    plan = _plan(spark, "source_similarity_jsd")
+    assert "CartesianProduct" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"source", "b", "source_a", "t"}, keys
