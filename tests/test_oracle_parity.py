@@ -72,3 +72,14 @@ def test_sequence_packing_global_baseline(spark, duck):
         _normalize(spark_pdf), _normalize(duck_pdf),
         check_dtype=False, check_exact=False, rtol=0, atol=1e-9,
     )
+
+
+def test_driver_priority_names_are_registered():
+    """Every DRIVER_PRIORITY entry must resolve to a registered query —
+    a typo here silently reorders the driver's 50-slot verification
+    window and can leave a stale query unverified for a round."""
+    missing = [n for n in qlib.DRIVER_PRIORITY if n not in qlib.all_queries()]
+    assert missing == [], missing
+    # the prefix rule: priority names lead the registry ordering
+    head = list(qlib.all_queries())[: len(qlib.DRIVER_PRIORITY)]
+    assert head == qlib.DRIVER_PRIORITY
