@@ -175,6 +175,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs (id1 < id2) with shingle-Jaccard ≥ threshold.
 
@@ -183,16 +184,24 @@ def jaccard_pairs(
     restricted to those pairs — the LSH-pruned path. ``shingles`` lets a
     caller that already materialized the (doc_id, s) exploded-shingle
     table (e.g. the MinHash pipeline) hand it in so the corpus is
-    tokenized once, not once per stage.
+    tokenized once, not once per stage; ``arrays`` additionally hands in
+    the persisted per-doc shingle ARRAY table so |A| and |B| are read
+    map-side from the stored array size instead of re-aggregating the
+    exploded corpus stream (the union-size shuffle disappears).
     """
     # The shingle table feeds sizes plus both sides of the intersection
     # join; persist it so the explode runs once per pipeline (the shingle
-    # ARRAYS are additionally cached inside exploded_shingles — see its
+    # ARRAYS are additionally cached inside shingle_arrays — see its
     # docstring for why that boundary is load-bearing).
     ex = shingles if shingles is not None else exploded_shingles(
         df, id_col, text_col, n
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if arrays is not None:
+        sizes = arrays.filter(F.size("sh") > 0).select(
+            "doc_id", F.size("sh").cast("long").alias("n_sh")
+        )
+    else:
+        sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if candidates is not None:
         # Candidate-driven intersection: fan each candidate pair out over
@@ -307,11 +316,17 @@ def minhash_dedup_pairs(
     Jaccard verification of candidates only. The exploded shingle table
     is materialized ONCE and shared by signature generation and Jaccard
     verification — at cluster scale that's one corpus tokenization pass,
-    not two."""
-    ex = exploded_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    not two — and per-doc shingle sizes are read map-side from the
+    shared array table (no union-size re-aggregation of the stream)."""
+    arr = shingle_arrays(df, id_col, text_col, n)
+    ex = exploded_shingles(df, id_col, text_col, n, arrays=arr).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures(df, id_col, text_col, n, k, shingles=ex)
     cands = lsh_candidates(sigs, k, band_rows)
-    return jaccard_pairs(df, id_col, text_col, n, threshold, candidates=cands, shingles=ex)
+    return jaccard_pairs(
+        df, id_col, text_col, n, threshold, candidates=cands, shingles=ex, arrays=arr
+    )
 
 
 # ---------------------------------------------------------------------------
