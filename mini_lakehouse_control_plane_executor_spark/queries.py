@@ -1098,12 +1098,17 @@ def minhash_estimate_error(spark, sf_dir):
 
     k = _dedup.MINHASH_K
     d = _load(spark, sf_dir, "documents")
-    ex = _dedup.exploded_shingles(d, "doc_id", "text", 3).persist(
+    arr = _dedup.shingle_arrays(d, "doc_id", "text", 3)
+    ex = _dedup.exploded_shingles(d, "doc_id", "text", 3, arrays=arr).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = _dedup.minhash_signatures(d, "doc_id", "text", 3, k, shingles=ex)
     cands = _dedup.lsh_candidates(sigs, k, _dedup.MINHASH_BAND_ROWS)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Sizes map-side from the stored array (the r6 jaccard_pairs
+    # discipline) — no union-size re-aggregation of the stream.
+    sizes = arr.filter(F.size("sh") > 0).select(
+        "doc_id", F.size("sh").cast("long").alias("n_sh")
+    )
 
     a = sigs.select(F.col("doc_id").alias("id1"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
     b = sigs.select(F.col("doc_id").alias("id2"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
