@@ -7300,6 +7300,11 @@ def source_similarity_jsd(spark, sf_dir):
         .select("source", _text.tokens(F.col("text")).alias("toks"))
         .select("source", F.explode("toks").alias("t"))
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # Persisted: the count table feeds BOTH the smoothing grid join and
+    # the per-source totals — without the boundary each would re-run
+    # the corpus token pass (2 full scans instead of 1 at 100 TB).
     cnt = (
         tok.select(
             "source",
@@ -7309,6 +7314,7 @@ def source_similarity_jsd(spark, sf_dir):
         )
         .groupBy("source", "b")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tots = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
     srcs = d.select("source").distinct()
