@@ -3442,24 +3442,39 @@ def decontamination_ngram_overlap(spark, sf_dir):
     held-out eval set and measure, per training source, how many docs
     share at least one 5-token-gram with it and the mean overlap ratio.
     This is the standard n-gram-overlap decontamination pass run before
-    pretraining. Shuffle inventory: one distinct on (doc, gram), one
-    semi join on the gram key (at 100 TB the eval-gram side is small —
+    pretraining. Per-doc DISTINCT gram ARRAYS are materialized once
+    (size-aware spread + persist — the shingle_arrays discipline: three
+    consumers and a Generate must read a stored attribute), so per-doc
+    gram totals are a map-side array size. Shuffle inventory: one semi
+    join on the gram key (at 100 TB the eval-gram side is small —
     benchmarks are a few MB — so it broadcasts), two small groupBys.
     Nothing quadratic."""
+    from pyspark.storagelevel import StorageLevel
+
     d = _load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source", _text.tokens(F.col("text")).alias("ws")
-    ).filter(F.size("ws") >= 5)
-    grams = toks.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr("transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5)))")
-        ).alias("gram"),
-    ).distinct()
+    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+    arr = (
+        d.repartition(n_parts)
+        .select("doc_id", "source", _text.tokens(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 4),"
+                    " i -> concat_ws(' ', slice(ws, i, 5)))"
+                )
+            ).alias("gs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    grams = arr.select("doc_id", "source", F.explode("gs").alias("gram"))
     evalg = grams.filter(F.col("source") == "src0").select("gram").distinct()
     train = grams.filter(F.col("source") != "src0")
-    tot = train.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_grams"))
+    tot = arr.filter(F.col("source") != "src0").select(
+        "doc_id", "source", F.size("gs").cast("long").alias("n_grams")
+    )
     hit = (
         train.join(evalg, "gram", "left_semi")
         .groupBy("doc_id")
@@ -5866,27 +5881,37 @@ def bloom_decontaminate(spark, sf_dir):
     per-source doc counts, bloom-flagged docs, mean flagged-gram rate."""
     from mini_lakehouse_control_plane_executor_spark.operators import bloom as _bloom
 
+    from pyspark.storagelevel import StorageLevel
+
     m = 1 << 20
     d = _load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source", _text.tokens(F.col("text")).alias("ws")
-    ).filter(F.size("ws") >= 3)
-    grams = toks.select(
-        "doc_id",
-        "source",
-        F.explode(
+    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+    # Distinct-gram ARRAYS materialized once (size-aware spread +
+    # persist — the shingle_arrays discipline; the array feeds the
+    # filter build, the probe stream, AND the map-side per-doc totals).
+    arr = (
+        d.repartition(n_parts)
+        .select("doc_id", "source", _text.tokens(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            "source",
             F.array_distinct(
                 F.expr(
                     "transform(sequence(1, size(ws) - 2),"
                     " i -> concat_ws(' ', slice(ws, i, 3)))"
                 )
-            )
-        ).alias("s"),
+            ).alias("gs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    grams = arr.select("doc_id", "source", F.explode("gs").alias("s"))
     words = _bloom.bloom_build(grams.filter(F.col("source") == "src0"), "s", m=m)
     train = grams.filter(F.col("source") != "src0")
     probed = _bloom.bloom_probe(train, "doc_id", "s", words, m=m)
-    tot = train.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_grams"))
+    tot = arr.filter(F.col("source") != "src0").select(
+        "doc_id", "source", F.size("gs").cast("long").alias("n_grams")
+    )
     hits = (
         probed.filter("in_bloom")
         .groupBy("doc_id")
