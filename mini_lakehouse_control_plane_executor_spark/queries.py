@@ -6848,8 +6848,14 @@ def bigram_cond_entropy(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
+    # Size-aware spread + persist before the explode (the
+    # shingle_arrays discipline): the persist is the Generate-input
+    # boundary and the repartition parallelizes the CPU-heavy tokenize
+    # when the scan has fewer splits than cores (never down at scale).
+    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     arr = (
-        d.select("lang", _text.tokens(F.col("text")).alias("toks"))
+        d.repartition(n_parts)
+        .select("lang", _text.tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 2)
         .select(
             "lang",
@@ -6858,6 +6864,7 @@ def bigram_cond_entropy(spark, sf_dir):
                 " (t, i) -> concat(t, ' ', element_at(toks, i + 2)))"
             ).alias("bgs"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     big = arr.select("lang", F.explode("bgs").alias("bg"))
     bc = (
