@@ -4905,7 +4905,9 @@ def embedding_quantization_error(spark, sf_dir, dim: int = 64):
         start=F.lit(0.0),
     )
     mse_pico = F.round(sq / dim * 1e12).cast("long").alias("mse_pico")
-    err = e.crossJoin(F.broadcast(ranges)).select("label", mse_pico)
+    # The encode/decode/MSE map pass is the CPU-heavy side — spread it
+    # when the scan under-parallelizes (no-op at scale).
+    err = _scale_up(e).crossJoin(F.broadcast(ranges)).select("label", mse_pico)
     return (
         err.groupBy("label")
         .agg(
