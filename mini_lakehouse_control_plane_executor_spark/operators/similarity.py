@@ -25,8 +25,22 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 N_PLANES = 16
+
+
+def _spread_persist(df: DataFrame) -> DataFrame:
+    """Corpus-side prep for the banded-LSH pipelines: spread up to
+    cluster parallelism when the scan under-parallelizes (a single
+    input split would run the CPU-heavy 16-plane sign computation on
+    one core; a no-op when splits >= cores, so nothing extra moves at
+    scale), then persist — the vector table is consumed by the
+    band-key build AND the verification re-joins."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _as_double(vec: Column) -> Column:
@@ -400,15 +414,17 @@ def neardup_pairs(
     as bare id pairs BEFORE vectors are re-joined for verification, so
     the banded explosion never carries the embedding payload."""
     planes = hyperplanes(bands * rows_per_band, dim)
-    v = df.select(
-        F.col(id_col).alias("doc_id"), _as_double(F.col(vec_col)).alias("vec")
-    ).withColumn("nrm", norm(F.col("vec")))
+    v = _spread_persist(
+        df.select(
+            F.col(id_col).alias("doc_id"), _as_double(F.col(vec_col)).alias("vec")
+        ).withColumn("nrm", norm(F.col("vec")))
+    )
     bk = v.select(
         "doc_id",
         F.posexplode(_band_keys("vec", planes, bands, rows_per_band)).alias(
             "band", "bk"
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l = bk.alias("l")
     r = bk.alias("r")
     cands = (
@@ -458,17 +474,19 @@ def lsh_hard_negatives(
     one per-anchor top-k window. No broadcast of the anchor set, no
     all-pairs anywhere; skew is bounded by true bucket density."""
     planes = hyperplanes(bands * rows_per_band, dim)
-    v = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(label_col).alias("lbl"),
-        _as_double(F.col(vec_col)).alias("vec"),
-    ).withColumn("nrm", norm(F.col("vec")))
+    v = _spread_persist(
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(label_col).alias("lbl"),
+            _as_double(F.col(vec_col)).alias("vec"),
+        ).withColumn("nrm", norm(F.col("vec")))
+    )
     bk = v.select(
         "vid",
         F.posexplode(_band_keys("vec", planes, bands, rows_per_band)).alias(
             "band", "bk"
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l = bk.alias("l")
     r = bk.alias("r")
     cands = (
