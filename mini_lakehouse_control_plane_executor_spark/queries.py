@@ -7646,113 +7646,60 @@ def embedding_outlier_centroid(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # round 6: never-driver-verified r6 additions lead (the header
-    # rule), then the 22 queries whose latest driver verdict is r03
-    # (the r5 verdict's top-next item), then the r04-green set in its
-    # r04 verdict order. Final r6 composition: 26 never-verified + all
-    # 22 r03-stale fill 48 of the 50 slots; 2 r04 entries ride along
-    # and the r04 overflow (2 rounds stale after this round — still
-    # inside the judge's staleness bound) is first in line for r7,
-    # followed by the r05-green set via _registry_order().
-    # -- new in r6 (never driver-verified) --
-    "source_similarity_jsd",
-    "dsir_importance_weights",
-    "ccnet_perplexity_buckets",
-    "dedup_aware_split",
-    "embedding_outlier_centroid",
-    "chunk_dedup_rate",
-    "dedup_survivor_quality",
-    "embedding_silhouette",
-    "bigram_cond_entropy",
-    "gopher_quality_gates",
-    "supplier_part_pagerank",
-    "events_hll_distinct",
-    "weighted_sample_aes",
-    "bm25_topk",
-    "hybrid_retrieval_rrf",
-    "bigram_lm_surprisal",
-    "rag_chunk_stats",
-    "bloom_decontaminate",
-    "split_leakage_neardup",
-    "pii_pattern_rates",
-    "ann_cosine_pq_opq",
-    "doc_dedup_suffix_ngram",
-    "embedding_whitening_stats",
-    "events_heavy_hitters_cms",
-    "quality_weighted_mix",
-    "token_length_calibration",
-    # -- latest verdict r03 (2 rounds stale) --
-    "q15_top_supplier",
-    "q16_supplier_part_cnt",
-    "q17_small_qty_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "events_asof_join",
-    "range_join_value_bands",
-    "balanced_sample_per_source",
-    "tfidf_top_terms",
-    "events_funnel",
-    "multimodal_frame_sample",
-    "corpus_filter_shard_pipeline",
-    "embedding_label_centroids",
-    "langid_confusion",
-    "events_cohort_retention",
-    "part_cooccurrence",
-    "dedup_duplicate_clusters",
-    "repetition_gate",
-    "dup_span_fraction",
-    "ann_cosine_matmul",
-    "length_trim_per_lang",
-    "embedding_norm_quality",
-    # -- r04-green set, r04 verdict order (stale after this window) --
-    "events_sessionize",
-    "events_dedup_distinct",
-    "rfm_segmentation",
-    "filter_comparison",
-    "agg_groupby",
+    # round 7: the r6 verdict's top-next item — re-attest the 48 queries
+    # whose latest driver verdict is r04 (2 rounds stale after r6).
+    # Never-driver-verified r7 additions lead (the header rule) and fill
+    # the remaining 2 slots of the 50-query window; the r05/r06 green
+    # sets follow via _registry_order() definition order.
+    # -- new in r7 (never driver-verified) --
+    # (r7 additions are appended here as they land)
+    # -- latest verdict r04 (2 rounds stale) --
     "agg_global",
-    "filter_agg_fused",
-    "topk_orders",
-    "q1_pricing_summary",
-    "join_broadcast_dim",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "semi_join_exists",
+    "agg_groupby",
+    "ann_cosine_bruteforce",
+    "ann_cosine_lsh",
     "anti_join_not_exists",
-    "outer_join_coalesce",
-    "union_distinct",
-    "intersect_except",
-    "distinct_agg",
-    "having_filter",
-    "rollup_flag_status",
-    "window_topn_per_group",
-    "window_running_sum",
-    "window_lag_lead",
     "case_when_buckets",
+    "cube_priority_status",
     "date_functions",
-    "string_functions",
-    "events_tumbling_window",
-    "pivot_status_by_priority",
-    "text_stats",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
-    "ann_cosine_bruteforce",
-    "ann_cosine_lsh",
+    "distinct_agg",
     "embedding_neardup_exact",
+    "events_tumbling_window",
+    "filter_agg_fused",
+    "filter_comparison",
+    "hash_sample_orders",
+    "having_filter",
+    "in_like_between",
+    "intersect_except",
+    "join_broadcast_dim",
     "json_extract_props",
-    "q6_forecast_revenue",
+    "math_functions",
+    "outer_join_coalesce",
+    "pivot_status_by_priority",
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive_predicates",
+    "q1_pricing_summary",
     "q22_idle_customers",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "rfm_segmentation",
+    "rollup_flag_status",
     "scalar_subquery_premium_parts",
-    "in_like_between",
-    "math_functions",
+    "semi_join_exists",
     "shuffle_partition_histogram",
     "stats_percentiles",
-    "cube_priority_status",
-    "hash_sample_orders",
+    "string_functions",
+    "text_stats",
+    "topk_orders",
+    "union_distinct",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_topn_per_group",
 ]
