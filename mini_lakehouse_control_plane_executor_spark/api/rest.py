@@ -428,15 +428,32 @@ class LakehouseRestServer:
             raise _ApiError(404, str(exc))
         return 200, {"success": True, "constraints": t.constraints}
 
+    @staticmethod
+    def _body_version(body: dict, required: bool = False) -> int | None:
+        """Parse body["version"] BEFORE the semantic try-block: malformed
+        input (non-numeric string, list/dict, bool) is the client's
+        fault -> 400, while ValueError raised later by the lake layer
+        (unknown version, vacuumed files) keeps mapping to 409."""
+        if "version" not in body:
+            if required:
+                raise _ApiError(400, "missing required field: version")
+            return None
+        v = body["version"]
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            raise _ApiError(400, f"version must be an integer, got {type(v).__name__}")
+        try:
+            return int(v)
+        except ValueError:
+            raise _ApiError(400, f"version must be an integer, got {v!r}")
+
     def restore(self, name: str, body: dict):
         """POST /tables/{t}/restore {"version": V} — Delta-style RESTORE
         as one forward commit; history stays time-travelable."""
         self._table(name)
-        if "version" not in body:
-            raise _ApiError(400, "missing required field: version")
+        version = self._body_version(body, required=True)
         try:
             new_version = self.lake.restore(
-                name, int(body["version"]), txn_id=body.get("txn_id") or None
+                name, version, txn_id=body.get("txn_id") or None
             )
         except ValueError as exc:  # unknown version / vacuumed files
             raise _ApiError(409, str(exc))
@@ -450,11 +467,12 @@ class LakehouseRestServer:
         target = body.get("target")
         if not target:
             raise _ApiError(400, "missing required field: target")
+        version = self._body_version(body)
         try:
             t = self.lake.clone_table(
                 name,
                 str(target),
-                version=int(body["version"]) if "version" in body else None,
+                version=version,
                 txn_id=body.get("txn_id") or None,
             )
         except ValueError as exc:  # bad name / existing table / version

@@ -112,7 +112,18 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     measured at sf0.1, one 600KB file). The explicit partition count
     keeps AQE from coalescing the tiny-by-bytes exchange back to one
     partition; the shuffle moves only raw text once, amortized by the
-    persist."""
+    persist.
+
+    Cache lifecycle: the persist is deliberately NOT paired with an
+    unpersist — the returned table is shared across an unknown set of
+    downstream consumers inside one query pipeline, and the pipeline's
+    result DataFrame is lazily collected by the caller AFTER this
+    function returns, so there is no safe in-function release point.
+    MEMORY_AND_DISK makes eviction safe (LRU spills, never recompute
+    errors). Long-lived sessions running many pipelines should call
+    ``queries.release_cached_intermediates(spark)`` (equivalently
+    ``spark.catalog.clearCache()``) between pipelines, which is what
+    bench.py does between queries."""
     sc = df.sparkSession.sparkContext
     n_parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
     return (

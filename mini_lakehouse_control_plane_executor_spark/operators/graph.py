@@ -31,12 +31,21 @@ def pagerank(
     iterations: int = 3,
     scale: int = PAGERANK_SCALE,
     truncate_lineage: bool = True,
+    check_dangling: bool = True,
 ) -> DataFrame:
     """PageRank (damping 0.85) over a directed edge table with columns
     (src, dst). Every node must have at least one out-edge (true by
     construction for undirected/bipartite doublings; dangling-mass
     redistribution is deliberately out of scope). Returns (node, r)
     with r in integer ``scale`` units.
+
+    ``check_dangling`` (default on) enforces the no-dangling-node
+    precondition at runtime with one distinct + left-anti pass over the
+    persisted edge table: a dst that never appears as a src would
+    silently absorb rank mass the inner node-set join then drops,
+    returning wrong ranks with no error. Callers whose edges are
+    symmetric by construction (undirected doublings) may pass False to
+    skip the extra job.
 
     Plan shape per iteration: one src-keyed equi-join of the node-sized
     rank table onto the edges, one dst-keyed partial+final aggregate.
@@ -56,6 +65,20 @@ def pagerank(
         return df.localCheckpoint() if truncate_lineage else df.persist()
 
     edges = _cut(edges.select("src", "dst"))
+    if check_dangling:
+        dangling = (
+            edges.select(F.col("dst").alias("node"))
+            .distinct()
+            .join(edges.select(F.col("src").alias("node")).distinct(), "node", "left_anti")
+        )
+        if not dangling.isEmpty():
+            sample = [r.node for r in dangling.limit(5).collect()]
+            raise ValueError(
+                "pagerank requires every dst to also appear as a src "
+                f"(no dangling nodes); offenders include {sample!r}. "
+                "Symmetrize the edge set or pass check_dangling=False "
+                "only when the invariant holds by construction."
+            )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_tab = _cut(nodes.agg(F.count(F.lit(1)).alias("n")))

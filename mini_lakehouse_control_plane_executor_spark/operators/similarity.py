@@ -332,7 +332,11 @@ def ivf_topk(
 
 
 def brute_force_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    broadcast_cap_rows: int = 200_000,
 ) -> DataFrame:
     """Exact cosine pairs (id1 < id2, sim ≥ threshold). Quadratic — the
     correctness baseline for ``neardup_pairs``; at scale use the
@@ -342,7 +346,16 @@ def brute_force_pairs(
     is explicitly broadcast and the STREAM side is spread up to cluster
     parallelism when the scan under-parallelizes (a single input split
     would otherwise evaluate all O(n²) cosine folds on ONE core —
-    measured 41s -> ~2s at sf0.1; a no-op when splits >= cores)."""
+    measured 41s -> ~2s at sf0.1; a no-op when splits >= cores).
+
+    The broadcast hint is GATED on ``broadcast_cap_rows`` (default
+    200k rows ~ tens of MB of doubles — comfortably inside the 8 GB
+    broadcast hard limit and typical driver heaps): an unconditional
+    hint would override the planner and OOM the driver on a large
+    input instead of degrading. Above the cap the hint is dropped and
+    the planner picks its own nested-loop strategy (and the caller
+    should really be on ``neardup_pairs``). The probe is a
+    short-circuiting ``limit(cap+1).count()`` — one cheap job."""
     v = df.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     ).withColumn("nrm", norm(F.col("vec")))
@@ -351,7 +364,8 @@ def brute_force_pairs(
     if stream.rdd.getNumPartitions() < sc.defaultParallelism:
         stream = stream.repartition(sc.defaultParallelism)
     l = stream.alias("l")
-    r = F.broadcast(v).alias("r")
+    small = v.limit(broadcast_cap_rows + 1).count() <= broadcast_cap_rows
+    r = (F.broadcast(v) if small else v).alias("r")
     sim = F.round(
         dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l.nrm") * F.col("r.nrm")), 6
     )

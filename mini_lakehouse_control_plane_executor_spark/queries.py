@@ -142,6 +142,17 @@ def all_oracles() -> dict[str, str]:
     return {n: _ORACLE[n] for n in _registry_order() if n in _ORACLE}
 
 
+def release_cached_intermediates(spark) -> None:
+    """Drop every persisted shared intermediate (shingle arrays, bigram
+    tables, spread vector tables, ...) accumulated by registry queries.
+    Queries persist pipeline-shared tables without a paired unpersist —
+    the caller collects the result lazily after the query function
+    returns, so the pipeline itself has no safe release point (see
+    dedup.shingle_arrays). Long-lived sessions call this between
+    pipelines; bench.py does it between queries."""
+    spark.catalog.clearCache()
+
+
 # ---------------------------------------------------------------------------
 # Reference-parity operators (SURVEY §2.1-§2.5)
 # ---------------------------------------------------------------------------
@@ -6667,7 +6678,9 @@ def supplier_part_pagerank(spark, sf_dir):
     edges = items.select(s_node.alias("src"), p_node.alias("dst")).unionAll(
         items.select(p_node.alias("src"), s_node.alias("dst"))
     )
-    ranks = _graph.pagerank(edges, iterations=3)
+    # Symmetric doubling above => no dangling nodes by construction;
+    # skip the runtime guard's extra distinct+anti-join job.
+    ranks = _graph.pagerank(edges, iterations=3, check_dangling=False)
     return (
         ranks.orderBy(F.col("r").desc(), "node")
         .limit(20)

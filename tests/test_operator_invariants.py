@@ -36,6 +36,22 @@ def test_pagerank_conserves_mass(spark):
     assert ranks.filter(F.col("r") <= 0).count() == 0
 
 
+def test_pagerank_rejects_dangling_nodes(spark):
+    """A dst that never appears as a src silently absorbs rank mass the
+    node-set inner join then drops; the default-on guard turns that
+    wrong-ranks-no-error case into a ValueError naming offenders."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "sink")], ["src", "dst"]
+    )  # "sink" has no out-edge
+    with pytest.raises(ValueError, match="dangling"):
+        G.pagerank(edges, iterations=1)
+    # symmetric closure of the same edges passes the guard
+    sym = edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    assert G.pagerank(sym, iterations=1).count() == 3
+
+
 def test_hll_registers_merge_associatively(spark):
     """HLL's operational superpower: per-partition register tables
     max-merge to EXACTLY the global register table (max is associative),

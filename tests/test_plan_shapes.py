@@ -477,7 +477,9 @@ def test_pagerank_iterations_reuse_persisted_edges(spark):
     edges = items.select(s_node.alias("src"), p_node.alias("dst")).unionAll(
         items.select(p_node.alias("src"), s_node.alias("dst"))
     )
-    ranks = _graph.pagerank(edges, iterations=3, truncate_lineage=False)
+    ranks = _graph.pagerank(
+        edges, iterations=3, truncate_lineage=False, check_dangling=False
+    )
     unrolled = ranks._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in unrolled  # edges persisted, reused per round
     assert "CartesianProduct" not in unrolled

@@ -363,3 +363,21 @@ def test_shallow_clone_over_http(server, lake):
     _call(server, "POST", "/tables/cl_src/clone", {}, expect=400)  # no target
     _call(server, "POST", "/tables/cl_src/clone", {"target": "cl_dup"}, expect=409)
     _call(server, "POST", "/tables/ghost/clone", {"target": "x"}, expect=404)
+    # malformed version is a CLIENT error (400), never 409/500: a
+    # non-numeric string used to hit the semantic try's ValueError arm
+    # (409) and a list escaped as TypeError (500)
+    for bad in ("abc", [3], {"v": 3}, True):
+        _call(
+            server,
+            "POST",
+            "/tables/cl_src/clone",
+            {"target": "cl_v", "version": bad},
+            expect=400,
+        )
+        _call(server, "POST", "/tables/cl_src/restore", {"version": bad}, expect=400)
+    # numeric-string versions still parse (restore to v2 = first insert)
+    out = _call(server, "POST", "/tables/cl_src/clone", {"target": "cl_v", "version": "2"})
+    assert out["success"] is True
+    assert lake.table("cl_v").read().count() == len(ROWS)
+    # semantically-unknown version stays 409
+    _call(server, "POST", "/tables/cl_src/restore", {"version": 99}, expect=409)
