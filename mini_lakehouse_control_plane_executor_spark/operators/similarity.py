@@ -30,17 +30,24 @@ from pyspark.storagelevel import StorageLevel
 N_PLANES = 16
 
 
-def _spread_persist(df: DataFrame) -> DataFrame:
-    """Corpus-side prep for the banded-LSH pipelines: spread up to
-    cluster parallelism when the scan under-parallelizes (a single
-    input split would run the CPU-heavy 16-plane sign computation on
-    one core; a no-op when splits >= cores, so nothing extra moves at
-    scale), then persist — the vector table is consumed by the
-    band-key build AND the verification re-joins."""
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a scan up to cluster parallelism when it
+    under-parallelizes: a single input split would run a CPU-heavy
+    vector map pass (plane signs, centroid argmax, PQ encode — all
+    interpreted HOFs) on ONE core. A no-op when splits >= cores, so
+    nothing extra moves at scale; the spread is RoundRobinPartitioning,
+    which the plan-shape pins (hash-exchange key allow-lists) ignore."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
+def _spread_persist(df: DataFrame) -> DataFrame:
+    """Corpus-side prep for the banded-LSH pipelines: ``_spread`` then
+    persist — the vector table is consumed by the band-key build AND
+    the verification re-joins."""
+    return _spread(df).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _as_double(vec: Column) -> Column:
@@ -783,9 +790,14 @@ def pq_adc_topk(
     here the same arithmetic rides the codebook lookup expression
     (element_at on the broadcast book), which whole-stage codegen
     evaluates once per (query, code) anyway at this fan-out."""
-    book = pq_codebook(df, id_col, vec_col, n_sub, sub_dim, n_codes)
-    base = df.select(
-        F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("v")
+    # The one-row codebook is broadcast at TWO sites (encode + ADC
+    # scoring); persisting it makes the seed aggregate run once instead
+    # of once per broadcast exchange (each broadcast is its own job).
+    book = pq_codebook(df, id_col, vec_col, n_sub, sub_dim, n_codes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    base = _spread(
+        df.select(F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("v"))
     )
     enc = base.crossJoin(F.broadcast(book)).select(
         "c_id",
@@ -864,14 +876,22 @@ def ivfpq_topk(
     cents = df.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_vec")
     ).withColumn("cent_nrm", norm(F.col("cent_vec")))
-    book = pq_codebook(df, id_col, vec_col, n_sub, sub_dim, n_codes)
-    base = df.select(
-        F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("v")
+    # ONE persisted one-row auxiliary table carrying the centroid array
+    # AND the PQ codebook: the encode pass and the ADC scoring pass each
+    # broadcast it, and every broadcast exchange is a separate job — a
+    # shared cached row turns 3 seed-aggregate jobs (book at two sites,
+    # centroid array at one) into 1.
+    aux = (
+        _centroid_array(cents)
+        .crossJoin(pq_codebook(df, id_col, vec_col, n_sub, sub_dim, n_codes))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base = _spread(
+        df.select(F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("v"))
     ).withColumn("c_nrm", norm(F.col("v")))
     enc = (
         base.withColumnsRenamed({"v": "c_vec"})
-        .crossJoin(F.broadcast(_centroid_array(cents)))
-        .crossJoin(F.broadcast(book))
+        .crossJoin(F.broadcast(aux))
         .select(
             "c_id",
             _nearest_centroid("c_vec", "c_nrm").alias("cent_id"),
@@ -918,7 +938,7 @@ def ivfpq_topk(
     )
     scored = (
         enc.join(F.broadcast(probes), "cent_id")
-        .crossJoin(F.broadcast(book))
+        .crossJoin(F.broadcast(aux.drop("cents")))
         .filter(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id",

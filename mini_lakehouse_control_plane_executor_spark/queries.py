@@ -7213,7 +7213,15 @@ def dsir_importance_weights(spark, sf_dir):
     broadcast back onto the stream; the only corpus-sized shuffle is
     the per-doc partial aggregate. Weights are quantized to integer
     micro-nats per doc before any cross-doc mean, so summation order
-    cannot flip the hash."""
+    cannot flip the hash.
+
+    Measured alternative (r7): pre-aggregating the persisted stream to
+    per-(doc, bucket) COUNTS shrinks the cache ~bigrams/256-fold but
+    adds a corpus-keyed exchange + stage barrier BEFORE the persist —
+    min-of-6 at sf0.1 said 2.23s vs 1.76s for this shape, so the
+    barrier costs more than the compact cache saves here (the bm25
+    scan-spread lesson). At a true 100 TB run, where the exploded
+    cache would be disk-bound, flip to the pre-aggregated variant."""
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
