@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Build a deterministic local sf1 (~10x sf0.1) for the scale-ladder
+self-bench (SCALE.md): union 10 key-shifted copies of each sf0.1 table
+into $SPARK_GRAFT_SCALE_OUT (default /root/repo/.scale/sf1).
+
+Design choices, so the ladder measures the ENGINE's scaling and not a
+data artifact:
+
+- Fact/entity keys are shifted by copy*10^9 so the 10 copies are
+  disjoint row sets and join fan-outs scale the way real 10x data
+  would (10x orders per 10x customers, not 100x collisions).
+- region/nation are BOUNDED dimensions (5/25 rows by spec) and are not
+  replicated — real 10x data has the same nation list.
+- documents.text gets a per-copy token suffix (every word w -> w<i>,
+  copy 0 unchanged): near-duplicate CLUSTER SIZES stay what sf0.1
+  planted instead of every doc gaining 9 cross-copy twins — 10x data
+  should mean 10x clusters, not 10x-bigger clusters (which would make
+  every pairwise-verify stage quadratically heavier as a pure data
+  artifact). Vocabulary grows with scale, which is also how real
+  corpora behave (Heaps' law).
+- embeddings keep their vectors; only vec_id shifts. ANN query sets
+  are pinned to vec_id < 10, so the probe count stays fixed while the
+  corpus grows 10x — the production shape of a scale-up.
+- events keep their timestamps: 10x events over the same wall-clock
+  range is a rate increase, which is what a bigger deployment sees.
+
+Each table is written with input-split parallelism in mind (32 files
+for the big facts) so sf1 reads spread across local[32] the way a real
+multi-file lake table would.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from mini_lakehouse_control_plane_executor_spark.session import get_spark
+
+SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+OUT = os.environ.get("SPARK_GRAFT_SCALE_OUT", "/root/repo/.scale/sf1")
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+SHIFT = 10**9
+
+# table -> (key columns to shift, output file count)
+SHIFT_COLS: dict[str, tuple[list[str], int]] = {
+    "customer": (["c_custkey"], 8),
+    "supplier": (["s_suppkey"], 4),
+    "part": (["p_partkey"], 8),
+    "orders": (["o_orderkey", "o_custkey"], 16),
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], 32),
+    "events": (["event_id", "user_id"], 16),
+    "documents": (["doc_id"], 16),
+    "embeddings": (["vec_id"], 8),
+}
+BOUNDED_DIMS = ["region", "nation"]
+
+
+def main() -> None:
+    spark = get_spark("scale-build")
+    os.makedirs(OUT, exist_ok=True)
+    t_start = time.time()
+    for t in BOUNDED_DIMS:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+        print(f"{t}: copied (bounded dim)", flush=True)
+    for t, (keys, n_files) in SHIFT_COLS.items():
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        copies = []
+        for i in range(COPIES):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, (F.col(k) + F.lit(i * SHIFT)).cast("long"))
+            if t == "documents" and i > 0:
+                # suffix every token with the copy index: in-copy
+                # duplicate structure is preserved exactly, cross-copy
+                # shingle overlap drops to ~0
+                c = c.withColumn(
+                    "text", F.regexp_replace("text", r"(\w+)", rf"$1{i}")
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionAll(c)
+        out.repartition(n_files).write.mode("overwrite").parquet(
+            f"{OUT}/{t}.parquet"
+        )
+        n = spark.read.parquet(f"{OUT}/{t}.parquet").count()
+        print(f"{t}: {n} rows in {n_files} files", flush=True)
+    print(f"done in {time.time() - t_start:.0f}s -> {OUT}", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
