@@ -65,21 +65,114 @@ class _FilePartition(InputPartition):
     path: str
 
 
+_SOUNDEX_MAP = "01230127022455012623017202"  # A..Z; 0=vowel reset, 7=H/W skip
+
+
+def _soundex(s: str | None) -> str | None:
+    """Byte-for-byte port of Spark's ``UTF8String.soundex`` semantics:
+    a non-letter FIRST byte returns the input unchanged; later non-letter
+    bytes (including each byte of a multi-byte char) reset the adjacency
+    run, vowels reset it, H/W are transparent, output is exactly 4 chars
+    zero-padded."""
+    if s is None or not s:
+        return s
+    data = s.encode("utf-8")
+    b = data[0]
+    if 0x61 <= b <= 0x7A:
+        b -= 32
+    elif not (0x41 <= b <= 0x5A):
+        return s
+    out = [chr(b)]
+    last = _SOUNDEX_MAP[b - 0x41]
+    for b in data[1:]:
+        if 0x61 <= b <= 0x7A:
+            b -= 32
+        elif not (0x41 <= b <= 0x5A):
+            last = "0"
+            continue
+        code = _SOUNDEX_MAP[b - 0x41]
+        if code == "7":
+            continue
+        if code != "0" and code != last:
+            out.append(code)
+            if len(out) == 4:
+                break
+        last = code
+    return "".join(out).ljust(4, "0")
+
+
+def _register_spark_shims(con) -> None:
+    """Register exact-Spark-semantics Python UDFs for scalar functions
+    Spark SQL has and DuckDB lacks, so CHECK expressions using them stay
+    enforceable in the session-less commit worker. Each shim is
+    cross-validated against the real Spark function in
+    ``tests/test_constraints.py`` (same inputs, equal outputs). NULL in
+    -> NULL out is DuckDB's default UDF null handling, matching Spark."""
+    import hashlib
+    import zlib
+
+    from duckdb.typing import BIGINT, INTEGER, VARCHAR
+
+    _SHA2 = {0: "sha256", 224: "sha224", 256: "sha256", 384: "sha384", 512: "sha512"}
+
+    # Hash shims take VARCHAR and UTF-8-encode inside the shim — the
+    # byte-equal twin of Spark's implicit string->binary cast, so write
+    # `crc32(col)` (Spark accepts it via the implicit cast). An explicit
+    # `cast(col as binary)` in the expression is NOT supported here:
+    # DuckDB's VARCHAR->BLOB cast rejects non-ASCII rather than UTF-8
+    # encoding, so it would fail loudly on the first non-ASCII row —
+    # and this package's table schema has no binary column type, making
+    # the explicit cast always avoidable.
+    con.create_function(
+        "crc32", lambda s: zlib.crc32(s.encode("utf-8")), [VARCHAR], BIGINT
+    )
+    con.create_function(
+        "sha1",
+        lambda s: hashlib.sha1(s.encode("utf-8")).hexdigest(),
+        [VARCHAR],
+        VARCHAR,
+    )
+    con.create_function(
+        "sha2",
+        lambda s, bits: (
+            getattr(hashlib, _SHA2[bits])(s.encode("utf-8")).hexdigest()
+            if bits in _SHA2
+            else None
+        ),
+        [VARCHAR, INTEGER],
+        VARCHAR,
+    )
+    con.create_function("soundex", _soundex, [VARCHAR], VARCHAR)
+    con.create_function(
+        "initcap",
+        lambda s: " ".join(w[:1].upper() + w[1:].lower() for w in s.split(" ")),
+        [VARCHAR],
+        VARCHAR,
+    )
+    con.create_function("space", lambda n: " " * max(n, 0), [INTEGER], VARCHAR)
+
+
 def _checks_violation_sessionless(
     paths: list[str], constraints: dict[str, str]
 ) -> str | None:
     """CHECK evaluation for the DataSource writer's ``commit``, which
     Spark runs in a session-less Python worker process (no
-    ``SparkSession.getActiveSession()``): evaluate each constraint over
-    the staged parquet with DuckDB, whose dialect agrees with Spark SQL
-    on the CHECK-expression subset (comparisons, arithmetic — both do
-    non-truncating ``/`` — boolean ops, IN/LIKE/BETWEEN, CASE). An
-    expression DuckDB cannot evaluate fails the write LOUDLY (commit
-    refused, nothing promoted) rather than skipping the gate — use
+    ``SparkSession.getActiveSession()`` — probed empirically: the commit
+    runner is a fresh worker, so the Spark-evaluated
+    ``constraint_violation_over_files`` branch cannot fire there):
+    evaluate each constraint over the staged parquet with DuckDB, whose
+    dialect agrees with Spark SQL on the CHECK-expression subset
+    (comparisons, arithmetic — both do non-truncating ``/`` — boolean
+    ops, IN/LIKE/BETWEEN, CASE), extended with exact-semantics shims
+    (``_register_spark_shims``) for Spark-only scalar functions
+    (crc32/sha1/sha2/soundex/initcap/space). An expression DuckDB still
+    cannot evaluate fails the write LOUDLY (commit refused, nothing
+    promoted) rather than skipping the gate — use
     ``LakehouseSession.insert`` for such constraints."""
     import duckdb
 
     con = duckdb.connect()
+    _register_spark_shims(con)
     files = ", ".join("'" + p.replace("'", "''") + "'" for p in paths)
     for name in sorted(constraints):
         expr = constraints[name]

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Scale-ladder self-bench: run the bench.py headline set at sf0.1 AND
+at the locally-synthesized sf1 (scale_build.py, 10x rows) and report the
+wall-time ratio per query.
+
+This turns every SURVEY "100 TB shape" argument into a measurement: a
+query whose plan is scale-correct (shuffles keyed, broadcasts bounded,
+no per-pair blowup) should grow ~linearly in input size on a fixed
+local[32] box — a superlinear ratio flags a plan whose cost is driven by
+something other than the data (pair joins, driver collects, global
+sorts).
+
+Interpreting the ratio: 10x rows on UNCHANGED parallelism would be 10x
+work, but sf0.1 timings are dominated by fixed per-query overhead
+(query planning, stage scheduling, Python<->JVM round trips — the
+observed floor is ~0.3-0.5s/query however small the input), so healthy
+ratios land well UNDER 10x. The red line used here is 15x (vs a 10x
+data increase) to leave headroom for cache effects; anything above it
+gets investigated in SCALE.md.
+
+Writes SCALE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from bench import HEADLINE
+
+from mini_lakehouse_control_plane_executor_spark import queries as qlib
+from mini_lakehouse_control_plane_executor_spark.session import get_spark
+
+SMALL = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG = os.environ.get("SPARK_GRAFT_SCALE_OUT", "/root/repo/.scale/sf1")
+PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2"))
+RED_LINE = 15.0
+
+
+def run_set(spark, registry, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    # warmup pass (untimed), then min of PASSES timed passes — same
+    # methodology as bench.py (min-of-N beats mean under co-tenant noise)
+    for timed in [False] + [True] * PASSES:
+        for name in HEADLINE:
+            fn = registry.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if timed:
+                times[name] = min(times.get(name, elapsed), elapsed)
+            spark.catalog.clearCache()
+    return times
+
+
+def main() -> None:
+    spark = get_spark("scale-ladder")
+    registry = qlib.all_queries()
+    small = run_set(spark, registry, SMALL)
+    big = run_set(spark, registry, BIG)
+    rows = []
+    for name in HEADLINE:
+        if name in small and name in big:
+            r = big[name] / small[name] if small[name] else float("inf")
+            rows.append((name, small[name], big[name], r))
+    rows.sort(key=lambda t: -t[3])
+
+    lines = [
+        "# SCALE.md — scale-ladder self-bench (sf0.1 -> sf1)",
+        "",
+        f"Data: `{SMALL}` vs `{BIG}` (built by `scale_build.py`: 10 "
+        "key-shifted copies of every fact table; bounded dims kept; "
+        "document text token-suffixed per copy so near-dup cluster "
+        "sizes stay constant — see its docstring). 10x rows, fixed "
+        "local[32] box, min-of-%d after warmup per scale." % PASSES,
+        "",
+        "A scale-correct plan on a fixed box grows ~linearly in input "
+        "size; sf0.1 timings carry ~0.3-0.5s fixed per-query overhead "
+        "(planning, scheduling), so healthy ratios land well under "
+        "10x. Red line: %.0fx." % RED_LINE,
+        "",
+        "| query | sf0.1 s | sf1 s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, s, b, r in rows:
+        flag = " **<- over red line**" if r > RED_LINE else ""
+        lines.append(f"| {name} | {s:.2f} | {b:.2f} | {r:.1f}x{flag} |")
+    tot_s = sum(s for _, s, _, _ in rows)
+    tot_b = sum(b for _, _, b, _ in rows)
+    lines += [
+        f"| **total** | **{tot_s:.2f}** | **{tot_b:.2f}** | "
+        f"**{tot_b / tot_s:.1f}x** |",
+        "",
+    ]
+    with open("SCALE.md", "w") as fh:
+        fh.write("\n".join(lines))
+    print(
+        json.dumps(
+            {
+                "metric": "scale_ladder_ratio",
+                "value": round(tot_b / tot_s, 2),
+                "unit": "x (sf1/sf0.1 wall)",
+                "queries": {n: round(r, 2) for n, _, _, r in rows},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -318,3 +318,83 @@ def test_format_reads_shallow_clone(lake, spark):
         range(100, 110)
     )
     assert _fmt(spark, lake, "cl_ds_src").count() == 50
+
+
+def test_sessionless_check_shims_match_spark(spark):
+    """The session-less commit worker evaluates CHECKs with DuckDB plus
+    exact-semantics shims for Spark-only scalar functions
+    (`_register_spark_shims`). Cross-validate: same inputs through the
+    real Spark functions and through the shimmed DuckDB connection must
+    agree byte-for-byte — including the soundex edge cases Spark's
+    UTF8String.soundex defines (non-letter first byte returns the input,
+    multi-byte chars reset the run, H/W transparency)."""
+    import duckdb
+
+    from mini_lakehouse_control_plane_executor_spark.sources.pydatasource import (
+        _register_spark_shims,
+    )
+
+    samples = [
+        "Robert", "Rupert", "Tymczak", "Pfister", "Ashcraft", "Honeyman",
+        "hello world", "a", "12abc", "MiXeD CaSe tExT", "O'Brien",
+        "résumé", "Résumé", "HW", "bhhb", "baab", "",
+    ]
+    # `crc32(s)` etc. rely on Spark's implicit string->binary cast —
+    # the exact form the shims support (they UTF-8-encode internally).
+    exprs = [
+        "crc32(s)", "sha1(s)",
+        "sha2(s, 224)", "sha2(s, 256)",
+        "sha2(s, 384)", "sha2(s, 512)",
+        "soundex(s)", "initcap(s)",
+    ]
+    rows = spark.createDataFrame([(s,) for s in samples], "s string")
+    got_spark = [
+        tuple(r) for r in rows.selectExpr(*[f"{e} as c{i}" for i, e in enumerate(exprs)])
+        .collect()
+    ]
+    con = duckdb.connect()
+    _register_spark_shims(con)
+    duck_exprs = [e.replace("(s", "($s") for e in exprs]
+    got_duck = [
+        con.execute("SELECT " + ", ".join(duck_exprs), {"s": s}).fetchone()
+        for s in samples
+    ]
+    assert len(got_spark) == len(got_duck)
+    for s, sp, du in zip(samples, got_spark, got_duck):
+        assert tuple(sp) == tuple(du), f"shim mismatch for {s!r}: {sp} != {du}"
+    assert con.execute("SELECT space(3)").fetchone()[0] == "   "
+    assert con.execute("SELECT sha2('x', 999)").fetchone()[0] is None
+
+
+def test_format_write_check_with_spark_only_function(lake, spark):
+    """End-to-end: a CHECK constraint using a scalar function DuckDB
+    does not have natively (crc32) is still enforced by the format
+    writer's session-less commit — passing rows commit, violating rows
+    abort atomically with nothing staged and nothing promoted."""
+    import os
+    import zlib
+
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field as Fld
+
+    register(spark)
+    lake.create_table("dwx", [Fld("id", "int64", False), Fld("v", "string", True)])
+    forbidden = zlib.crc32(b"forbidden")
+    lake.table("dwx").add_constraint("not_forbidden", f"crc32(v) <> {forbidden}")
+
+    def write(df):
+        (
+            df.write.format("minilake")
+            .option("root", lake.root).option("table", "dwx")
+            .mode("append").save()
+        )
+
+    write(spark.createDataFrame([(1, "ok"), (2, "fine")], "id long, v string"))
+    t = lake.table("dwx")
+    assert t.read().count() == 2
+    v_before = t.log.latest_version()
+    files_before = sorted(os.listdir(os.path.join(t.dir, "data")))
+    with pytest.raises(Exception, match="not_forbidden"):
+        write(spark.createDataFrame([(3, "forbidden")], "id long, v string"))
+    assert t.log.latest_version() == v_before
+    assert sorted(os.listdir(os.path.join(t.dir, "data"))) == files_before
+    assert os.listdir(t.tmp_dir) == []
