@@ -212,6 +212,39 @@ def _nearest_centroid(vec: str, nrm: str) -> Column:
     )
 
 
+def _probe_cent_ids(vec: str, nrm: str, n_probe: int) -> Column:
+    """Top-``n_probe`` centroid ids for one query row, as a pure
+    expression over the broadcast `cents` array — the probe-selection
+    twin of `_nearest_centroid`: cosine rounded to 6dp, descending,
+    ties to the LOWEST cent_id (explicit comparator — identical order
+    to the former row_number window over (qsim DESC, cent_id)), sliced
+    to ``n_probe``. Probe selection this way needs NO extra centroid
+    scan, NO second broadcast shape, and NO window shuffle — it rides
+    the same one-row array the assignment argmax already broadcasts
+    (3 fewer jobs per query at bench scale; at 100 TB it removes a
+    |queries|-row exchange and an entire broadcast build)."""
+    scored = F.transform(
+        F.col("cents"),
+        lambda x: F.struct(
+            F.round(
+                dot(F.col(vec), x["cent_vec"]) / (F.col(nrm) * x["cent_nrm"]), 6
+            ).alias("sim"),
+            x["cent_id"].alias("cent_id"),
+        ),
+    )
+    ordered = F.array_sort(
+        scored,
+        lambda l, r: (
+            F.when(l["sim"] > r["sim"], -1)
+            .when(l["sim"] < r["sim"], 1)
+            .when(l["cent_id"] < r["cent_id"], -1)
+            .when(l["cent_id"] > r["cent_id"], 1)
+            .otherwise(0)
+        ),
+    )
+    return F.transform(F.slice(ordered, 1, n_probe), lambda x: x["cent_id"])
+
+
 def kmeans_refine(
     corpus: DataFrame, centroids: DataFrame, dim: int, n_iters: int = 1
 ) -> DataFrame:
@@ -302,8 +335,12 @@ def ivf_topk(
         c_tab = kmeans_refine(corpus, seed, dim, n_iters).persist()
     else:
         c_tab = seed
+    # ONE persisted one-row centroid array feeds BOTH broadcast sites
+    # (corpus assignment + query probe selection) — same shared-aux
+    # discipline as ivfpq_topk.
+    cent_arr = _centroid_array(c_tab).persist(StorageLevel.MEMORY_AND_DISK)
     assigned = (
-        corpus.crossJoin(F.broadcast(_centroid_array(c_tab)))
+        corpus.crossJoin(F.broadcast(cent_arr))
         .select(
             "c_id",
             "c_vec",
@@ -314,16 +351,11 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_nrm", norm(F.col("q_vec")))
-    qsim = F.round(
-        dot(F.col("q_vec"), F.col("cent_vec")) / (F.col("q_nrm") * F.col("cent_nrm")), 6
-    )
-    qw = Window.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("cent_id"))
-    probes = (
-        q.crossJoin(F.broadcast(c_tab))
-        .select("q_id", "q_vec", "q_nrm", "cent_id", qsim.alias("qsim"))
-        .withColumn("qrn", F.row_number().over(qw))
-        .filter(F.col("qrn") <= n_probe)
-        .select("q_id", "q_vec", "q_nrm", "cent_id")
+    probes = q.crossJoin(F.broadcast(cent_arr)).select(
+        "q_id",
+        "q_vec",
+        "q_nrm",
+        F.explode(_probe_cent_ids("q_vec", "q_nrm", n_probe)).alias("cent_id"),
     )
     scored = (
         assigned.join(F.broadcast(probes), "cent_id")
@@ -873,19 +905,51 @@ def ivfpq_topk(
     ONE broadcast row); probes broadcast; the scoring join is an equi
     join on cent_id against the code table; the only data shuffle is
     the per-query top-k window."""
-    cents = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_vec")
-    ).withColumn("cent_nrm", norm(F.col("cent_vec")))
     # ONE persisted one-row auxiliary table carrying the centroid array
-    # AND the PQ codebook: the encode pass and the ADC scoring pass each
+    # AND the PQ codebook, built by ONE aggregate over ONE seed scan
+    # (conditional collect_list per part — collect_list drops the
+    # non-matching NULLs): the encode pass and the ADC scoring pass each
     # broadcast it, and every broadcast exchange is a separate job — a
-    # shared cached row turns 3 seed-aggregate jobs (book at two sites,
-    # centroid array at one) into 1.
-    aux = (
-        _centroid_array(cents)
-        .crossJoin(pq_codebook(df, id_col, vec_col, n_sub, sub_dim, n_codes))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # shared cached row turns 3 seed-aggregate jobs over 2 scans (book
+    # at two sites, centroid array at one) into 1 job over 1 scan.
+    seed = (
+        df.filter(F.col(id_col) < max(n_centroids, n_codes))
+        .select(F.col(id_col).alias("sid"), _as_double(F.col(vec_col)).alias("sv"))
+        .withColumn("snrm", norm(F.col("sv")))
     )
+
+    def _nrm2(cv):
+        return F.aggregate(cv, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    aux = seed.agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("sid") < n_centroids,
+                    F.struct(
+                        F.col("sid").alias("cent_id"),
+                        F.col("sv").alias("cent_vec"),
+                        F.col("snrm").alias("cent_nrm"),
+                    ),
+                )
+            )
+        ).alias("cents"),
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("sid") < n_codes,
+                        F.struct(
+                            F.col("sid").alias("code_id"),
+                            _sub(F.col("sv"), m, sub_dim).alias("cv"),
+                            _nrm2(_sub(F.col("sv"), m, sub_dim)).alias("nrm2"),
+                        ),
+                    )
+                )
+            ).alias(f"book{m}")
+            for m in range(n_sub)
+        ],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     base = _spread(
         df.select(F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("v"))
     ).withColumn("c_nrm", norm(F.col("v")))
@@ -906,16 +970,14 @@ def ivfpq_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_nrm", norm(F.col("q_vec")))
-    qsim = F.round(
-        dot(F.col("q_vec"), F.col("cent_vec")) / (F.col("q_nrm") * F.col("cent_nrm")), 6
-    )
-    qw = Window.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("cent_id"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("q_id", "q_vec", "q_nrm", "cent_id", qsim.alias("qsim"))
-        .withColumn("qrn", F.row_number().over(qw))
-        .filter(F.col("qrn") <= n_probe)
-        .select("q_id", "q_vec", "q_nrm", "cent_id")
+    # Probe selection rides the SAME persisted aux row the encode pass
+    # broadcasts (`_probe_cent_ids` — no second centroid scan, no
+    # probe-window shuffle).
+    probes = q.crossJoin(F.broadcast(aux.select("cents"))).select(
+        "q_id",
+        "q_vec",
+        "q_nrm",
+        F.explode(_probe_cent_ids("q_vec", "q_nrm", n_probe)).alias("cent_id"),
     )
     adot = sum(
         (

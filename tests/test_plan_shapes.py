@@ -323,7 +323,12 @@ def test_ivfpq_single_pass_index_build(spark):
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys == {"q_id"}, keys
     assert "CartesianProduct" not in plan
-    assert "Generate" not in plan  # no corpus explode anywhere
+    # The ONLY Generate is the probe-selection explode on the QUERY side
+    # (n_probe elements per query row — |queries|·n_probe rows total,
+    # corpus-size independent); the corpus stream itself is never
+    # exploded.
+    gens = re.findall(r"Generate explode\((\w+)", plan)
+    assert all(g == "transform" for g in gens) and len(gens) <= 1, gens
 
 
 def test_cms_is_two_shuffles_and_broadcast(spark):
