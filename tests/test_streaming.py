@@ -760,3 +760,40 @@ def test_hll_registers_stream_equals_batch(spark, event_dir):
     for et, n in truth.items():
         # m=64 gives ~13% typical error; assert a loose 3-sigma band.
         assert abs(est[et] - n) / n < 0.5, (et, est[et], n)
+
+
+def test_neardup_stream_equals_batch(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup detection (watermark-bounded
+    stream-stream self-join on band keys, in-window Jaccard verify,
+    first-collision-band emission) must find exactly the pairs its batch
+    twin finds on the same rows — and actually find the planted
+    near-dup clusters."""
+    from mini_lakehouse_control_plane_executor_spark.streaming import neardup as ND
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            "text",
+            # Synthetic event time spreading docs over ~100 minutes so the
+            # time-range bound and watermark do real work.
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,cast(doc_id % 100 as int),0)"
+            ).alias("ts"),
+        )
+    )
+    doc_dir = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(doc_dir)
+    schema = "doc_id long, text string, ts timestamp"
+
+    stream_in = spark.readStream.schema(schema).parquet(doc_dir)
+    batch_in = spark.read.schema(schema).parquet(doc_dir)
+    got = _rows(
+        _drain(spark, ND.neardup_pairs(stream_in), "t_neardup", mode="append"),
+        ["id1", "id2"],
+    )
+    want = _rows(ND.neardup_pairs(batch_in), ["id1", "id2"])
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) > 0  # planted near-dups within the gap are found
+    # exactly-once emission: no pair appears twice
+    assert len({(r["id1"], r["id2"]) for r in got}) == len(got)
