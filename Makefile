@@ -1,0 +1,59 @@
+# Build/test/demo surface — parity with the reference's Makefile
+# (proto/build/test/docker targets). A PySpark library has no
+# compile/codegen step (api/protowire.py IS the wire codec, spec-gated
+# by tests/test_protowire.py), so `all` is test.
+
+.PHONY: all test test-fast oracle demo serve bench scale docker compose-config compose-up clean
+
+all: test
+
+# Full suite: table layer, APIs, streaming, per-query DuckDB-oracle
+# gate, plan-shape audit, chaos. Run on a quiet box (see
+# .claude/skills/verify + bench methodology notes).
+test:
+	python -m pytest tests/ -q
+
+# The no-Spark spec gates only (seconds, not minutes).
+test-fast:
+	python -m pytest tests/test_protowire.py tests/test_protoshim.py -q
+
+# The driver-style correctness gate at a chosen scale:
+#   make oracle ORACLE_SF_DIR=/root/testdata/sf0.01
+oracle:
+	python -m pytest tests/test_oracle_parity.py -q
+
+# End-to-end walkthrough (create -> insert -> SQL -> gRPC bytes ->
+# concurrent writers -> compaction -> time travel -> restore -> clone);
+# the analogue of the reference's demo/demo.sh. Exits non-zero on any
+# step failure, so CI runs it as a gate.
+demo:
+	python -m mini_lakehouse_control_plane_executor_spark.demo
+
+# Long-running REST (+ gRPC when grpcio is present) service — what the
+# docker image runs. LAKEHOUSE_ROOT defaults to /warehouse.
+serve:
+	python -m mini_lakehouse_control_plane_executor_spark.server
+
+# Headline benchmark: ONE JSON line at $SPARK_GRAFT_SF_DIR (default
+# /root/testdata/sf0.1).
+bench:
+	python bench.py
+
+# Scale-ladder self-bench: build the synthetic sf1 (10x) locally, then
+# measure sf1/sf0.1 wall ratios per headline query into SCALE.md.
+scale:
+	python scale_build.py
+	python scale_ladder.py
+
+docker:
+	docker build -f docker/Dockerfile -t mini-lakehouse-spark .
+
+# Validate the compose file without a daemon-side build (CI gate).
+compose-config:
+	docker compose config -q
+
+compose-up:
+	docker compose up --build
+
+clean:
+	rm -rf spark-warehouse metastore_db derby.log .scale
