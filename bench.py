@@ -53,6 +53,11 @@ HEADLINE = [
     # bucketing shares the unigram-LM machinery bigram_lm already
     # exercises, and dedup_aware_split rides the benched LSH path.
     "dsir_importance_weights",
+    # r7: prefix-filtered containment join (PPJoin) — the heaviest new
+    # operator class this round (incremental_dedup_newbatch rides the
+    # already-benched banded-LSH machinery and stays out, same argument
+    # as dedup_aware_split).
+    "containment_dedup_pairs",
 ]
 
 

@@ -1032,6 +1032,121 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+_CONTAINMENT_ORACLE = f"""
+WITH {_sql_shingles(3)},
+dfreq AS (SELECT s, count(*) AS dfr FROM ex GROUP BY s),
+ranked AS (
+  SELECT e.doc_id, e.s,
+         row_number() OVER (
+           PARTITION BY e.doc_id ORDER BY d.dfr, md5(e.s), e.s
+         ) AS rn,
+         count(*) OVER (PARTITION BY e.doc_id) AS n_sh
+  FROM ex e JOIN dfreq d ON e.s = d.s
+),
+pref AS (
+  SELECT doc_id AS a_id, s, n_sh AS na FROM ranked
+  WHERE n_sh >= 5 AND rn <= n_sh * 1 // 10 + 1
+),
+cand AS (
+  SELECT DISTINCT p.a_id, r.doc_id AS b_id, p.na
+  FROM pref p JOIN ranked r
+    ON p.s = r.s AND p.a_id != r.doc_id AND r.n_sh * 10 >= p.na * 9
+),
+inter AS (
+  SELECT c.a_id, c.b_id, c.na, count(*) AS c
+  FROM cand c
+  JOIN ex e1 ON e1.doc_id = c.a_id
+  JOIN ex e2 ON e2.doc_id = c.b_id AND e2.s = e1.s
+  GROUP BY 1, 2, 3
+)
+SELECT a_id AS contained_id, b_id AS container_id,
+       round(c * 1.0 / na, 4) AS containment
+FROM inter
+WHERE c * 10 >= na * 9
+ORDER BY contained_id, container_id
+"""
+
+
+@query("containment_dedup_pairs", oracle=_CONTAINMENT_ORACLE)
+def containment_dedup_pairs(spark, sf_dir):
+    """Asymmetric containment dedup: pairs where ≥90% of doc A's
+    shingles appear in doc B — the quote/boilerplate-inclusion
+    duplicates symmetric Jaccard and MinHash-LSH structurally miss.
+    Blocking is prefix filtering (PPJoin): A meets B only through A's
+    floor(|A|/10)+1 smallest-by-md5 shingles, so the blocking join
+    streams ~10% of the corpus shingles on the contained side — never
+    all-pairs — and the verify is candidate-restricted
+    (operators/dedup.py::containment_pairs)."""
+    d = _load(spark, sf_dir, "documents")
+    return _dedup.containment_pairs(d, "doc_id", "text", n=3).orderBy(
+        "contained_id", "container_id"
+    )
+
+
+_INCR_DEDUP_ORACLE = f"""
+WITH pairs AS ({_minhash_pairs_sql()}),
+cross_pairs AS (
+  SELECT CASE WHEN id1 % 10 >= 8 THEN id1 ELSE id2 END AS new_id,
+         CASE WHEN id1 % 10 >= 8 THEN id2 ELSE id1 END AS dup_of,
+         jaccard
+  FROM pairs
+  WHERE (id1 % 10 >= 8) <> (id2 % 10 >= 8)
+),
+best AS (
+  SELECT new_id, dup_of, jaccard,
+         row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, dup_of) AS rn
+  FROM cross_pairs
+)
+SELECT new_id, dup_of, jaccard FROM best WHERE rn = 1 ORDER BY new_id
+"""
+
+
+@query("incremental_dedup_newbatch", oracle=_INCR_DEDUP_ORACLE)
+def incremental_dedup_newbatch(spark, sf_dir):
+    """Incremental (new-batch-vs-corpus) near-dup detection — the
+    production shape for APPENDING to a 100 TB corpus: the existing
+    corpus (doc_id % 10 < 8 here; in production the already-ingested
+    table, whose banded-signature table is precomputed and static) is
+    probed by the new batch (doc_id % 10 >= 8) through an ASYMMETRIC
+    band-key join — new×old only, never old×old (the whole existing
+    corpus is never re-paired against itself, which is what makes
+    incremental ingest O(|batch|) instead of O(|corpus|)). Candidates
+    are Jaccard-verified on the shared shingle tables; each flagged new
+    doc reports its best existing match (highest verified Jaccard, tie
+    to lowest old id). In-batch duplicates are deliberately out of
+    scope here (that is dedup_minhash_lsh's symmetric job)."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _load(spark, sf_dir, "documents")
+    arr = _dedup.shingle_arrays(d, "doc_id", "text", 3)
+    ex = _dedup.exploded_shingles(d, "doc_id", "text", 3, arrays=arr).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _dedup.minhash_signatures(d, "doc_id", "text", 3, shingles=ex)
+    bands = _dedup.band_keys(sigs)
+    new_b = bands.filter(F.col("doc_id") % 10 >= 8).withColumnsRenamed(
+        {"doc_id": "id1"}
+    )
+    old_b = bands.filter(F.col("doc_id") % 10 < 8).withColumnsRenamed(
+        {"doc_id": "id2"}
+    )
+    cand = new_b.join(old_b, ["band", "bk"]).select("id1", "id2").distinct()
+    verified = _dedup.jaccard_pairs(
+        d, "doc_id", "text", 3, 0.8, candidates=cand, shingles=ex, arrays=arr
+    )
+    w = Window.partitionBy("id1").orderBy(F.col("jaccard").desc(), "id2")
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id1").alias("new_id"),
+            F.col("id2").alias("dup_of"),
+            "jaccard",
+        )
+        .orderBy("new_id")
+    )
+
+
 def _minhash_estimate_error_oracle(k: int = 12, band_rows: int = 3) -> str:
     p = _dedup.MINHASH_P
     sig_cols = ", ".join(f"min((a + {i} * b) % {p}) AS h{i}" for i in range(k))
@@ -7673,7 +7788,8 @@ DRIVER_PRIORITY: list[str] = [
     # the remaining 2 slots of the 50-query window; the r05/r06 green
     # sets follow via _registry_order() definition order.
     # -- new in r7 (never driver-verified) --
-    # (r7 additions are appended here as they land)
+    "containment_dedup_pairs",
+    "incremental_dedup_newbatch",
     # -- latest verdict r04 (2 rounds stale) --
     "agg_global",
     "agg_groupby",
