@@ -298,6 +298,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 2,
     n_iters: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is bucketed by
     nearest centroid; each query probes only its ``n_probe`` nearest
@@ -328,7 +329,11 @@ def ivf_topk(
         F.col(id_col).alias("cent_id"), _as_double(F.col(vec_col)).alias("cent_vec")
     ).withColumn("cent_nrm", norm(F.col("cent_vec")))
     if n_iters > 0:
-        dim = df.select(F.size(vec_col)).first()[0]
+        # dim is a PLAN parameter (it unrolls the per-component mean
+        # aggregate); callers that know it (e.g. from a parquet footer
+        # probe) pass it to avoid a one-scalar Spark job here.
+        if dim is None:
+            dim = df.select(F.size(vec_col)).first()[0]
         # Persist: c_tab feeds BOTH the corpus assignment and the query
         # probes; without the cache the whole k-means subplan is inlined
         # (planned, compiled, executed) twice.
