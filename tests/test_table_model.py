@@ -19,6 +19,8 @@ The model tracks three dimensions the reference's property discipline
   own history then evolves independently).
 """
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -65,7 +67,9 @@ _OP = st.one_of(
 
 
 @settings(
-    max_examples=6,
+    # CI runs 6 examples; set MODEL_MAX_EXAMPLES for a deep local soak
+    # (each op is a Spark job, ~25s per 6-op example).
+    max_examples=int(os.environ.get("MODEL_MAX_EXAMPLES", "6")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.data_too_large],
 )
