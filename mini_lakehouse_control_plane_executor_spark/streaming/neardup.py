@@ -77,6 +77,108 @@ def _band_key(ab: Column, band: Column, band_rows: int) -> Column:
     return F.concat_ws("|", *[h(j) for j in range(band_rows)])
 
 
+def corpus_band_index(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+) -> DataFrame:
+    """Static band-key index of an EXISTING corpus: (band, bk, doc_id,
+    sh, ab) — the probe target for ``incremental_neardup_stream``. In
+    production this is maintained incrementally as batches commit (each
+    committed batch appends its own band rows); here it is derived in
+    one map-side pass + explode and persisted."""
+    n_bands = k // band_rows
+    from pyspark.storagelevel import StorageLevel
+
+    base = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("ab", _ab_structs(F.col("sh")))
+    )
+    return (
+        base.select(
+            "doc_id",
+            "sh",
+            "ab",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        )
+        .withColumn("bk", _band_key(F.col("ab"), F.col("band"), band_rows))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def incremental_neardup_stream(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Streaming ingest dedup — the stream twin of the batch
+    ``incremental_dedup_newbatch`` query: each ARRIVING doc is checked
+    against the STATIC corpus index via a stream-static equi-join on
+    (band, band_key), and verified near-dup pairs (new_id, old_id,
+    jaccard ≥ threshold) are emitted exactly once (first-collision-band
+    filter, stateless).
+
+    This operator keeps ZERO streaming state: no watermark, no join
+    state, no dedup state — the static side is a bounded relation Spark
+    hash-joins per micro-batch, signatures are map-side expressions, and
+    pair uniqueness is a stateless filter. Throughput is therefore
+    bounded only by the band join; at 100 TB the corpus index is the
+    thing that scales (band rows per corpus doc), and it is partitioned
+    by band key exactly like the batch path's self-join side.
+
+    ``new_docs`` needs (doc_id, text) and may be streaming or batch (the
+    batch form is what the stream≡batch test pins)."""
+    n_bands = k // band_rows
+    probe = (
+        new_docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("ab", _ab_structs(F.col("sh")))
+        .select(
+            "doc_id",
+            "sh",
+            "ab",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        )
+        .withColumn("bk", _band_key(F.col("ab"), F.col("band"), band_rows))
+        .alias("l")
+    )
+    r = corpus_index.alias("r")
+    joined = probe.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bk") == F.col("r.bk"))
+        & (F.col("l.doc_id") != F.col("r.doc_id")),
+    )
+    first_band = F.array_position(
+        F.array(
+            *[
+                _band_key(F.col("l.ab"), F.lit(b), band_rows)
+                == _band_key(F.col("r.ab"), F.lit(b), band_rows)
+                for b in range(n_bands)
+            ]
+        ),
+        True,
+    ) - 1
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    return (
+        joined.filter(F.col("l.band") == first_band)
+        .filter(inter * 1000000 >= F.lit(int(round(threshold * 1000000))) * union)
+        .select(
+            F.col("l.doc_id").alias("new_id"),
+            F.col("r.doc_id").alias("old_id"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+
+
 def neardup_pairs(
     docs: DataFrame,
     n: int = 3,

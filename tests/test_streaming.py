@@ -797,3 +797,49 @@ def test_neardup_stream_equals_batch(spark, tmp_path):
     assert len(want) > 0  # planted near-dups within the gap are found
     # exactly-once emission: no pair appears twice
     assert len({(r["id1"], r["id2"]) for r in got}) == len(got)
+
+
+def test_incremental_neardup_stream_equals_batch(spark, tmp_path):
+    """Stream-static incremental dedup: a stream of NEW docs probing the
+    static corpus band index must emit exactly the verified pairs the
+    batch form emits — and agree with the registered batch
+    incremental_dedup_newbatch query's pre-best-match pair set (same
+    split, same threshold). The operator is STATELESS: no watermark, no
+    join/dedup state."""
+    from mini_lakehouse_control_plane_executor_spark.streaming import neardup as ND
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    corpus = ND.corpus_band_index(docs.filter(F.col("doc_id") % 10 < 8))
+    new_batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    new_dir = str(tmp_path / "new_docs")
+    new_batch.repartition(2).write.parquet(new_dir)
+    schema = "doc_id long, text string"
+
+    stream_in = spark.readStream.schema(schema).parquet(new_dir)
+    got = _rows(
+        _drain(
+            spark,
+            ND.incremental_neardup_stream(stream_in, corpus),
+            "t_incr_neardup",
+            mode="append",
+        ),
+        ["new_id", "old_id"],
+    )
+    want = _rows(
+        ND.incremental_neardup_stream(
+            spark.read.schema(schema).parquet(new_dir), corpus
+        ),
+        ["new_id", "old_id"],
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) > 0
+    assert len({(r["new_id"], r["old_id"]) for r in got}) == len(got)
+    # Consistency with the registered batch query: every best-match row
+    # it reports must be one of the streamed pairs.
+    from mini_lakehouse_control_plane_executor_spark import queries as qlib
+
+    best = qlib.all_queries()["incremental_dedup_newbatch"](spark, SF_DIR).collect()
+    pairs = {(r["new_id"], r["old_id"]) for r in got}
+    assert len(best) > 0
+    for b in best:
+        assert (b["new_id"], b["dup_of"]) in pairs
