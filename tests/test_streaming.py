@@ -843,3 +843,65 @@ def test_incremental_neardup_stream_equals_batch(spark, tmp_path):
     assert len(best) > 0
     for b in best:
         assert (b["new_id"], b["dup_of"]) in pairs
+
+
+def test_neardup_stream_state_survives_restart(spark, tmp_path):
+    """The watermarked band-key self-join must buffer its join state in
+    the checkpoint ACROSS query runs: a doc arriving in run 2 pairs with
+    its near-dup from run 1 only if run 1's band rows were restored.
+    Final pair set must equal the batch twin over all rows."""
+    import glob as _glob
+
+    from mini_lakehouse_control_plane_executor_spark.streaming import neardup as ND
+
+    t0 = "2024-01-01 00:00:00"
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "totally different words appear here entirely unrelated text"
+    part1 = [(1, base, t0), (2, other, t0)]
+    part2 = [(11, base, "2024-01-01 00:10:00")]  # near-dup of doc 1, next run
+    schema = "doc_id long, text string, ts timestamp"
+    srcdir = tmp_path / "in"
+    srcdir.mkdir()
+
+    def add_file(rows, name):
+        d = tmp_path / name
+        (
+            spark.createDataFrame(rows, "doc_id long, text string, ts string")
+            .selectExpr("doc_id", "text", "cast(ts as timestamp) ts")
+            .coalesce(1)
+            .write.parquet(str(d))
+        )
+        shutil.copy(
+            _glob.glob(str(d / "part-*.parquet"))[0], str(srcdir / f"{name}.parquet")
+        )
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(srcdir))
+        q = (
+            ND.neardup_pairs(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        return spark.read.parquet(out_dir)
+
+    add_file(part1, "f1")
+    assert drain().count() == 0  # no pairs within run 1
+    add_file(part2, "f2")
+    got = sorted((r.id1, r.id2, r.jaccard) for r in drain().collect())
+    # The cross-run pair exists only if run 1's join state was restored.
+    assert got == [(1, 11, 1.0)]
+    want = sorted(
+        (r.id1, r.id2, r.jaccard)
+        for r in ND.neardup_pairs(
+            spark.read.schema(schema).parquet(str(srcdir))
+        ).collect()
+    )
+    assert got == want
