@@ -131,3 +131,80 @@ def hll_estimate(regs: DataFrame, group_cols: list[str] | None = None) -> DataFr
         float(HLL_M) * F.log(float(HLL_M) / F.col("v_zero")),
     ).otherwise(F.col("e_raw"))
     return est.select(*group_cols, hll.alias("hll"))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+QH_NB = 1024  # buckets per group
+QH_W = 1.0  # bucket width (value units)
+
+
+def quantile_hist_cells(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    nb: int = QH_NB,
+    width: float = QH_W,
+) -> DataFrame:
+    """(g, bucket) -> count fixed-width histogram — the QUANTILE member
+    of the mergeable-sketch family (CMS for heavy hitters, HLL for
+    cardinality, Bloom for membership, this for percentiles; the
+    HDR-histogram shape used by every latency pipeline). Works
+    identically on a batch or streaming DataFrame: on a stream it is an
+    unwindowed stateful aggregation whose state is at most
+    |groups| * nb cells — bounded by construction however long the
+    stream, no watermark needed. Merging two sketches is adding cell
+    counts, which is exactly what Spark's partial aggregation does, so
+    the sketch is map-side combinable for free. Values are clamped into
+    [0, nb*width); the last bucket absorbs the overflow tail (estimates
+    there degrade to the clamp edge — size nb to the domain)."""
+    b = (
+        F.least(
+            F.greatest(F.floor(F.col(value_col) / width), F.lit(0)),
+            F.lit(nb - 1),
+        )
+    ).cast("long")
+    return (
+        df.select(F.col(group_col).alias("g"), b.alias("bucket"))
+        .groupBy("g", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def quantiles_from_cells(
+    cells: DataFrame, q_pcts: list[int], width: float = QH_W
+) -> DataFrame:
+    """Estimated quantiles from the cell table: for each q (integer
+    percent — integer arithmetic keeps bucket selection engine-exact),
+    the LOWER EDGE of the first bucket whose cumulative count reaches
+    q% of n (cum*100 >= q*n). Error is bounded by one bucket width.
+    Everything here runs on the |groups|*nb cell table — the raw data
+    is never touched again."""
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("g")
+    cum = cells.withColumn("cum", F.sum("c").over(wc)).withColumn(
+        "n", F.sum("c").over(wt)
+    )
+    return cum.groupBy("g").agg(
+        F.max("n").alias("n"),
+        *[
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum") * 100 >= F.lit(q) * F.col("n"), F.col("bucket")
+                    )
+                )
+                * width,
+                6,
+            ).alias(f"est_p{q}")
+            for q in q_pcts
+        ],
+    )

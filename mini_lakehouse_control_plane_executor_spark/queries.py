@@ -6664,6 +6664,95 @@ ORDER BY f.event_type
 """
 
 
+_QSKETCH_SQL = """
+WITH cells AS (
+  SELECT event_type AS g,
+         CAST(least(greatest(floor(value / 1.0), 0), 1023) AS BIGINT) AS bucket,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, bucket, c,
+         sum(c) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM cells
+),
+est AS (
+  SELECT g, max(n) AS n,
+         round(min(CASE WHEN cum*100 >= 50*n THEN bucket END) * 1.0, 6) AS est_p50,
+         round(min(CASE WHEN cum*100 >= 90*n THEN bucket END) * 1.0, 6) AS est_p90,
+         round(min(CASE WHEN cum*100 >= 99*n THEN bucket END) * 1.0, 6) AS est_p99
+  FROM cum GROUP BY g
+),
+exact AS (
+  SELECT event_type AS g,
+         round(quantile_cont(value, 0.5), 6) AS exact_p50,
+         round(quantile_cont(value, 0.9), 6) AS exact_p90,
+         round(quantile_cont(value, 0.99), 6) AS exact_p99
+  FROM events GROUP BY 1
+)
+SELECT e.g AS event_type, e.n, est_p50, est_p90, est_p99,
+       exact_p50, exact_p90, exact_p99,
+       round(greatest(abs(est_p50 - exact_p50), abs(est_p90 - exact_p90),
+                      abs(est_p99 - exact_p99)), 6) AS max_abs_err
+FROM est e JOIN exact x ON e.g = x.g
+ORDER BY event_type
+"""
+
+
+@query("events_value_quantile_sketch", oracle=_QSKETCH_SQL)
+def events_value_quantile_sketch(spark, sf_dir):
+    """Fixed-width histogram quantile sketch (the HDR-histogram shape)
+    per event type: p50/p90/p99 estimated from a 1024-bucket cell table
+    with the exact interpolated percentiles audited alongside —
+    completing the mergeable-sketch family (CMS heavy hitters, HLL
+    cardinality, Bloom membership, histogram quantiles).
+
+    100 TB shape: the sketch aggregation is map-side combinable into at
+    most |groups|·1024 cells (merging sketches IS adding cells — what
+    partial aggregation already does); quantile extraction runs
+    entirely on the cell table. The exact-percentile audit is the only
+    sort-based pass, and it exists to MEASURE the sketch's error —
+    bounded by one bucket width against the DISCRETE quantile by
+    construction (against the INTERPOLATED one reported here it can
+    exceed that in sparse tails, which is what the audit column makes
+    visible); a production pipeline drops the audit and never sorts. The same cell aggregation runs streaming as an
+    unwindowed stateful agg with bounded state (stream≡batch pinned in
+    tests/test_streaming.py)."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as _sketch
+
+    e = _load(spark, sf_dir, "events")
+    cells = _sketch.quantile_hist_cells(e, "event_type", "value")
+    est = _sketch.quantiles_from_cells(cells, [50, 90, 99])
+    exact = e.groupBy(F.col("event_type").alias("g")).agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("exact_p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("exact_p99"),
+    )
+    return (
+        est.join(exact, "g")
+        .select(
+            F.col("g").alias("event_type"),
+            "n",
+            "est_p50",
+            "est_p90",
+            "est_p99",
+            "exact_p50",
+            "exact_p90",
+            "exact_p99",
+            F.round(
+                F.greatest(
+                    F.abs(F.col("est_p50") - F.col("exact_p50")),
+                    F.abs(F.col("est_p90") - F.col("exact_p90")),
+                    F.abs(F.col("est_p99") - F.col("exact_p99")),
+                ),
+                6,
+            ).alias("max_abs_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @query("events_hll_distinct", oracle=_HLL_SQL)
 def events_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-user estimate per event type — the

@@ -905,3 +905,40 @@ def test_neardup_stream_state_survives_restart(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_quantile_hist_stream_equals_batch(spark, event_dir):
+    """Streaming fixed-width histogram quantile sketch: the cell table
+    is an unwindowed stateful aggregation whose state is bounded at
+    |groups|*nb cells; drained cells equal the batch sketch, and the
+    estimated p50/p90/p99 derived from them are within one bucket width
+    of the DISCRETE per-group quantiles."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as SK
+
+    stream_cells = SK.quantile_hist_cells(
+        W.stream_events(spark, event_dir), "event_type", "value"
+    )
+    batch_df = _batch(spark, event_dir)
+    batch_cells = SK.quantile_hist_cells(batch_df, "event_type", "value")
+    got = _rows(_drain(spark, stream_cells, "t_qhist"), ["g", "bucket"])
+    want = _rows(batch_cells, ["g", "bucket"])
+    assert got == want and len(want) > 0
+    n_groups = batch_df.select("event_type").distinct().count()
+    assert len(want) <= n_groups * SK.QH_NB  # state bound
+
+    est = {
+        r.g: (r.est_p50, r.est_p90, r.est_p99)
+        for r in SK.quantiles_from_cells(batch_cells, [50, 90, 99]).collect()
+    }
+    disc = {
+        r.g: (r.d50, r.d90, r.d99)
+        for r in batch_df.groupBy(F.col("event_type").alias("g")).agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("d50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("d90"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("d99"),
+        ).collect()
+    }
+    assert set(est) == set(disc)
+    for g in est:
+        for e, d in zip(est[g], disc[g]):
+            assert abs(e - d) <= SK.QH_W  # one-bucket error bound
