@@ -7905,6 +7905,11 @@ DRIVER_PRIORITY: list[str] = [
     # the remaining 2 slots of the 50-query window; the r05/r06 green
     # sets follow via _registry_order() definition order.
     # -- new in r7 (never driver-verified) --
+    # The r6 verdict reserved exactly 2 window slots beyond the 48
+    # stale re-attestations, so the two dedup operators take them;
+    # `events_value_quantile_sketch` (also new in r7, locally
+    # oracle-green every CI run) deliberately waits — r8's rotation
+    # must lead with it.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
     # -- latest verdict r04 (2 rounds stale) --
