@@ -211,7 +211,12 @@ class LakehouseRestServer:
         return 200, {"success": True, "new_version": version}
 
     def execute_query_async(self, body: dict):
-        job_id = self.lake.submit_async(body)
+        try:
+            # Parsing happens synchronously in submit_async; execution
+            # errors surface through the job's FAILED status instead.
+            job_id = self.lake.submit_async(body)
+        except Exception as exc:
+            raise _ApiError(400, f"Invalid query: {exc}")
         return 200, {
             "success": True,
             "job_id": job_id,
@@ -651,6 +656,14 @@ def _make_handler(server: LakehouseRestServer):
                         body = json.loads(raw) if raw else {}
                     except json.JSONDecodeError as exc:
                         return self._send(400, {"error": f"Invalid JSON: {exc}"})
+                    # Every body-taking handler addresses fields by name;
+                    # a syntactically-valid non-object body (list/str/
+                    # number) is a client error, not a server fault.
+                    if not isinstance(body, dict):
+                        return self._send(
+                            400,
+                            {"error": "Request body must be a JSON object"},
+                        )
                     args.append(body)
                 fn = getattr(server, fn_name)
                 kwargs = {}

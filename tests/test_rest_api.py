@@ -381,3 +381,77 @@ def test_shallow_clone_over_http(server, lake):
     assert lake.table("cl_v").read().count() == len(ROWS)
     # semantically-unknown version stays 409
     _call(server, "POST", "/tables/cl_src/restore", {"version": 99}, expect=409)
+
+
+def test_fuzz_malformed_bodies_never_500(lake, server, spark):
+    """Robustness contract: for EVERY route, any syntactically-valid
+    JSON body of the wrong shape (non-dict, wrong types, junk fields,
+    absurd values) maps to a 4xx — never an unhandled 500. This is the
+    fuzz twin of the advisor findings about status-code mapping
+    (restore/clone 400-vs-409-vs-500)."""
+    import urllib.error
+    import urllib.request as _rq
+
+    from mini_lakehouse_control_plane_executor_spark.api.rest import _ROUTES
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+
+    lake.create_table("ft", [Field("a", "int64", False)])
+    lake.insert("ft", spark.range(0, 3).selectExpr("id as a"))
+
+    bodies = [
+        None, {}, [], "junk", 5, [1, {"x": []}],
+        {"version": "abc"}, {"version": {"x": 1}}, {"version": [1, 2]},
+        {"name": 123, "schema": "x"}, {"name": ["a"], "expr": {}},
+        {"schema": {"fields": [{"name": "", "type": "wat"}]}},
+        {"schema": {"fields": "zzz"}},
+        {"rows": "nope"}, {"rows": [{"a": {}}], "key": 5},
+        {"rows": [[1, 2]], "key": ["a", {"b": 1}]},
+        {"sql": 7}, {"sql": {"q": "SELECT 1"}},
+        {"expr": [], "name": []},
+        {"data_path": 123}, {"data_path": {"p": "/x"}},
+        {"target": 5, "version": "x"}, {"table": 9, "filter": {"op": []}},
+        {"name": "x" * 100_000},
+        {"query": {"table_name": 5, "aggregates": "no"}},
+        {"query": {"table_name": "ft", "filter": 17}},
+    ]
+    subs = {
+        r"([A-Za-z0-9_]+)": ["ft", "fz_missing"],
+        r"([A-Za-z0-9-]+)": ["no-such-job"],
+        r"(\d+)": ["7"],
+    }
+
+    def paths_for(pat):
+        out = [pat.pattern.lstrip("^").rstrip("$")]
+        for group, values in subs.items():
+            nxt = []
+            for p in out:
+                if group in p:
+                    nxt.extend(p.replace(group, v, 1) for v in values)
+                else:
+                    nxt.append(p)
+            out = nxt
+        # a path still containing a regex group means an unknown shape
+        return [p for p in out if "(" not in p]
+
+    import json as _json
+
+    checked = 0
+    for method, pat, _fn in _ROUTES:
+        for path in paths_for(pat):
+            for body in bodies if method in ("POST", "DELETE") else [None]:
+                req = _rq.Request(
+                    f"http://127.0.0.1:{server.port}{path}",
+                    method=method,
+                    data=_json.dumps(body).encode() if body is not None else None,
+                    headers={"Content-Type": "application/json"},
+                )
+                try:
+                    with _rq.urlopen(req, timeout=60) as resp:
+                        status = resp.status
+                except urllib.error.HTTPError as exc:
+                    status = exc.code
+                assert status < 500, (
+                    f"{method} {path} body={body!r} -> {status}"
+                )
+                checked += 1
+    assert checked > 300  # the grid actually ran
