@@ -9,6 +9,8 @@ additionally drives these bytes over a real grpc.Server.
 """
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 import mini_lakehouse_control_plane_executor_spark.api.grpc_api as g
 from mini_lakehouse_control_plane_executor_spark.api import protowire as pw
@@ -178,3 +180,29 @@ def test_servicer_over_wire_bytes(lake):
     # Error-in-response convention survives the wire.
     missing = call("GetSnapshot", g.GetSnapshotRequest("nope"))
     assert missing.error and not missing.files
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_decode_arbitrary_bytes_never_crashes_uncleanly(data):
+    """Adversarial robustness: decoding ARBITRARY bytes as any message
+    type either succeeds (bytes happened to be a valid proto3 payload —
+    unknown fields are skipped by spec) or raises a clean ValueError /
+    EOF-style error — never an unbounded loop, IndexError, or crash.
+    This is the property a network-facing codec must have: a malformed
+    peer cannot take the server down."""
+    for cls in (
+        g.CreateTableRequest,
+        g.GetSnapshotResponse,
+        g.CommitRequest,
+        g.FileInfo,
+        g.Schema,
+    ):
+        try:
+            msg = pw.decode(cls, data)
+        except (ValueError, IndexError) as exc:
+            # IndexError would be a lazy bound-check; require ValueError
+            assert isinstance(exc, ValueError), f"{cls.__name__}: {type(exc)}"
+            continue
+        # decodable garbage must re-encode without error
+        pw.encode(msg)
