@@ -493,6 +493,7 @@ class LakehouseTable:
         txn_id: str | None = None,
         mode: str = "append",
         cluster_by: list[str] | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Commit ``df`` as a new version (staged write → move → OCC
         commit with bounded retry). Idempotent per ``txn_id``.
@@ -518,6 +519,25 @@ class LakehouseTable:
             return prior
 
         fields = self.fields
+        # Delta write semantics for EXTRA dataframe columns: error by
+        # default (silently dropping data is never correct), evolve the
+        # schema first when ``merge_schema=True`` (Delta's
+        # ``mergeSchema`` option — one additive nullable-columns commit,
+        # idempotent under this txn's replay, then the data commit).
+        extra = [c for c in df.columns if c not in {f.name for f in fields}]
+        if extra:
+            if not merge_schema:
+                raise SchemaError(
+                    f"dataframe column(s) {extra} not in table schema; "
+                    "pass merge_schema=True to evolve the schema, or drop "
+                    "them explicitly"
+                )
+            new_fields = [
+                Field(f.name, f.type, True)
+                for f in from_spark_schema(df.select(*extra).schema)
+            ]
+            self.add_columns(new_fields, txn_id=f"{txn_id}-mergeschema")
+            fields = self.fields
         schema = to_spark_schema(fields)
         if cluster_by:
             unknown = set(cluster_by) - {f.name for f in fields}

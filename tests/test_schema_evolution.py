@@ -150,3 +150,48 @@ def test_format_reader_null_fills_after_add_column(lake, spark):
         )
     }
     assert got == {1: None, 2: "x"}
+
+
+def test_insert_extra_columns_errors_without_merge_schema(lake, spark):
+    """Delta write semantics: a dataframe with columns the table lacks
+    is an ERROR by default (silently dropping data is never correct) —
+    nothing committed, no schema change."""
+    lake.create_table("ms0", [Field("id", "int64", False)])
+    t = lake.table("ms0")
+    t.insert(spark.range(0, 3).selectExpr("id"))
+    v = t.log.latest_version()
+    df = spark.range(3, 5).selectExpr("id", "cast(id as string) AS note")
+    with pytest.raises(Exception, match="merge_schema"):
+        t.insert(df)
+    assert t.log.latest_version() == v
+    assert [f.name for f in t.fields] == ["id"]
+    assert t.read().count() == 3
+
+
+def test_insert_merge_schema_evolves_and_is_idempotent(lake, spark):
+    """`insert(df, merge_schema=True)` (Delta mergeSchema): extra
+    dataframe columns become nullable table columns in one additive
+    schema commit, old rows surface NULL, the data commit follows, and
+    replaying the same txn_id commits nothing twice."""
+    lake.create_table("ms1", [Field("id", "int64", False)])
+    t = lake.table("ms1")
+    t.insert(spark.range(0, 3).selectExpr("id"))
+    v_before = t.log.latest_version()
+
+    df = spark.range(3, 5).selectExpr(
+        "id", "cast(id as string) AS note", "cast(id * 2 as long) AS dbl"
+    )
+    t.insert(df, txn_id="ms1-tx", merge_schema=True)
+    assert [f.name for f in t.fields] == ["id", "note", "dbl"]
+    assert all(f.nullable for f in t.fields if f.name != "id")
+    rows = {r["id"]: (r["note"], r["dbl"]) for r in t.read().collect()}
+    assert rows[0] == (None, None) and rows[3] == ("3", 6) and rows[4] == ("4", 8)
+    # two commits: schema evolution + data
+    assert t.log.latest_version() == v_before + 2
+    # idempotent replay (schema txn and data txn both keyed off txn_id)
+    t.insert(df, txn_id="ms1-tx", merge_schema=True)
+    assert t.read().count() == 5
+    assert t.log.latest_version() == v_before + 2
+    # pre-evolution time travel still sees the narrow schema
+    old = t.read(version=v_before)
+    assert old.columns == ["id"] and old.count() == 3
