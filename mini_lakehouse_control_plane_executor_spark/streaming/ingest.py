@@ -19,6 +19,7 @@ micro-batches is reclaimed by the table's existing compaction.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -122,3 +123,58 @@ def merge_batch(
         table_name, batch_df, key, txn_id=f"{query_name}:{batch_id}"
     )
     return version
+
+
+def dedup_gated_ingest(
+    stream_df: DataFrame,
+    lake,
+    table_name: str,
+    corpus_index: DataFrame,
+    checkpoint_dir: str,
+    query_name: str | None = None,
+    threshold: float = 0.8,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Dedup-gated exactly-once ingest — the production "append only
+    novel documents" pipeline in one operator: every micro-batch of
+    (doc_id, text, ...) rows is probed against the STATIC corpus band
+    index (``streaming.neardup.corpus_band_index``; maintained from the
+    already-committed corpus), rows with a verified near-duplicate
+    already in the corpus are dropped (left-anti join on the flagged
+    ids), and the survivors commit through the idempotent
+    ``(query-name, batch_id)`` txn — so a replayed batch neither
+    duplicates rows nor re-flags differently (the corpus index is pinned
+    for the query's lifetime).
+
+    Composition note: the probe is the stateless band join of
+    ``incremental_neardup_stream`` applied per micro-batch, so the gate
+    adds no streaming state of its own; at 100 TB the corpus index is
+    the scaling object and the per-batch work is O(|batch| · bands).
+    In-batch duplicates are NOT gated here (two novel near-identical
+    docs in one batch both land) — run the symmetric batch dedup on the
+    corpus table on its compaction cadence for that."""
+    from mini_lakehouse_control_plane_executor_spark.streaming.neardup import (
+        incremental_neardup_stream,
+    )
+
+    name = query_name or f"dedup-ingest-{table_name}"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = (
+            incremental_neardup_stream(
+                batch_df, corpus_index, threshold=threshold
+            )
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        keep = batch_df.join(flagged, "doc_id", "left_anti")
+        write_batch(lake, table_name, keep, name, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

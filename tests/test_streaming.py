@@ -942,3 +942,55 @@ def test_quantile_hist_stream_equals_batch(spark, event_dir):
     for g in est:
         for e, d in zip(est[g], disc[g]):
             assert abs(e - d) <= SK.QH_W  # one-bucket error bound
+
+
+def test_dedup_gated_ingest_exactly_once(spark, lake, tmp_path):
+    """Dedup-gated streaming ingest: docs near-duplicating the existing
+    corpus are dropped per micro-batch, survivors land in the lakehouse
+    table exactly once (idempotent batch txns), and a re-drain over the
+    same checkpoint commits nothing new."""
+    from mini_lakehouse_control_plane_executor_spark.streaming import ingest as ING
+    from mini_lakehouse_control_plane_executor_spark.streaming import neardup as ND
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field as Fld
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    corpus_docs = docs.filter(F.col("doc_id") % 10 < 8)
+    new_docs = docs.filter(F.col("doc_id") % 10 >= 8)
+    index = ND.corpus_band_index(corpus_docs)
+
+    new_dir = str(tmp_path / "arriving")
+    new_docs.repartition(2).write.parquet(new_dir)
+    schema = "doc_id long, text string"
+
+    lake.create_table(
+        "docs_clean", [Fld("doc_id", "int64", False), Fld("text", "string", True)]
+    )
+    stream = spark.readStream.schema(schema).parquet(new_dir)
+    q = ING.dedup_gated_ingest(
+        stream, lake, "docs_clean", index, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(240)
+
+    flagged = {
+        r.new_id
+        for r in ND.incremental_neardup_stream(
+            spark.read.schema(schema).parquet(new_dir), index
+        ).collect()
+    }
+    landed = {r.doc_id for r in lake.table("docs_clean").read().collect()}
+    arriving = {r.doc_id for r in new_docs.collect()}
+    assert len(flagged) > 0  # the gate did real work
+    assert landed == arriving - flagged
+    v = lake.table("docs_clean").log.latest_version()
+
+    # Re-drain over the same checkpoint: no new batches, nothing commits.
+    q2 = ING.dedup_gated_ingest(
+        spark.readStream.schema(schema).parquet(new_dir),
+        lake,
+        "docs_clean",
+        index,
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(240)
+    assert lake.table("docs_clean").log.latest_version() == v
+    assert {r.doc_id for r in lake.table("docs_clean").read().collect()} == landed
