@@ -7890,6 +7890,312 @@ def embedding_outlier_centroid(spark, sf_dir):
     )
 
 
+_TRIANGLE_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT p1 AS v FROM e UNION ALL SELECT p2 FROM e) GROUP BY v
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM e e1 JOIN e e2 ON e2.p1 = e1.p2
+            JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+),
+wed AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT w FROM wed) AS n_wedges,
+       (SELECT t FROM tri) AS n_triangles,
+       (SELECT round(3.0 * tri.t / wed.w, 6) FROM tri, wed) AS global_clustering
+"""
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_SQL)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the part
+    co-occurrence graph (parts sharing >= 2 orders — the
+    part_cooccurrence edge set): the standard graph-cohesion statistic
+    a curation pipeline runs over citation / co-purchase / link graphs.
+
+    100 TB shape: degree-ordered orientation (the compact-forward /
+    MapReduce triangle discipline): every edge is directed from its
+    lower-(degree, id) endpoint, so wedges are enumerated only at each
+    triangle's LOWEST-degree vertex — per-node wedge work is
+    O(out-degree²) where out-degree is bounded by sqrt(|E|)-ish even on
+    power-law graphs, never the raw hub degree. Closure is one
+    equi-join of the wedge list against the canonical edge list; wedge
+    totals come from the degree table (Σ d·(d−1)/2), never enumerated.
+    Everything is equi-joins and partial+final aggregates; the final
+    one-row assembly broadcasts three single-row aggregates."""
+    items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("nord"))
+        .filter(F.col("nord") >= 2)
+        .select("p1", "p2")
+        .persist()
+    )
+    deg = (
+        e.select(F.col("p1").alias("v"))
+        .unionAll(e.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    d1 = deg.select(F.col("v").alias("p1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("v").alias("p2"), F.col("d").alias("d2"))
+    p1_lower = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    ori = (
+        e.join(d1, "p1")
+        .join(d2, "p2")
+        .select(
+            F.when(p1_lower, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+            F.when(p1_lower, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        )
+    )
+    o1 = ori.alias("o1")
+    o2 = ori.alias("o2")
+    # Both wedge arms leave the same src, so (x, y) with x < y is the
+    # id-canonical closing pair — exactly how e stores its edges.
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(F.col("o1.dst").alias("p1"), F.col("o2.dst").alias("p2"))
+    tri = wedges.join(e, ["p1", "p2"]).agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    edge_stats = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        node_stats.crossJoin(F.broadcast(edge_stats))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("t").alias("n_triangles"),
+            F.round(F.lit(3.0) * F.col("t") / F.col("n_wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id AS t_id, event_type AS channel, ts AS t_ts
+  FROM events WHERE event_type <> 'purchase'
+),
+j AS (
+  SELECT p.p_id, t.channel, p.cents, t.t_ts, t.t_id
+  FROM p JOIN t ON p.user_id = t.user_id
+  WHERE t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+),
+r AS (
+  SELECT p_id, channel, cents,
+         row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rf,
+         row_number() OVER (PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC) AS rl
+  FROM j
+),
+f AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS n_first,
+         CAST(sum(cents) AS BIGINT) AS fc
+  FROM r WHERE rf = 1 GROUP BY channel
+),
+l AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS n_last,
+         CAST(sum(cents) AS BIGINT) AS lc
+  FROM r WHERE rl = 1 GROUP BY channel
+)
+SELECT coalesce(f.channel, l.channel) AS channel,
+       coalesce(n_first, 0) AS n_first,
+       round(coalesce(fc, 0) / 100.0, 2) AS first_touch_revenue,
+       coalesce(n_last, 0) AS n_last,
+       round(coalesce(lc, 0) / 100.0, 2) AS last_touch_revenue
+FROM f FULL OUTER JOIN l ON f.channel = l.channel
+ORDER BY channel
+"""
+
+
+@query("event_attribution_touch", oracle=_ATTRIBUTION_SQL)
+def event_attribution_touch(spark, sf_dir):
+    """Marketing-style conversion attribution: every purchase's value is
+    credited to the user's FIRST and LAST non-purchase touch within a
+    7-day lookback, rolled up per channel — the classic first-touch /
+    last-touch revenue split.
+
+    100 TB shape: the touch join is user-keyed (equi-join on user_id
+    bounds the range condition to one user's events — never a time-only
+    range join across the corpus); the first/last picks are per-purchase
+    windows over that user-bounded join output, partitioned on the
+    high-cardinality purchase id. Revenue is cent-quantized BEFORE
+    summation so channel totals are bit-identical across engines and
+    partitionings. Ties on touch timestamp break by event_id in both
+    directions."""
+    ev = _load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    j = p.join(t, "user_id").filter(
+        (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    wf = Window.partitionBy("p_id").orderBy(F.col("t_ts").asc(), F.col("t_id").asc())
+    wl = Window.partitionBy("p_id").orderBy(F.col("t_ts").desc(), F.col("t_id").desc())
+    r = j.select(
+        "p_id",
+        "channel",
+        "cents",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    first = (
+        r.filter(F.col("rf") == 1)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_first"),
+            F.sum("cents").cast("long").alias("fc"),
+        )
+    )
+    last = (
+        r.filter(F.col("rl") == 1)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_last"),
+            F.sum("cents").cast("long").alias("lc"),
+        )
+    )
+    return (
+        first.join(last, ["channel"], "full_outer")
+        .select(
+            "channel",
+            F.coalesce(F.col("n_first"), F.lit(0)).cast("long").alias("n_first"),
+            F.round(F.coalesce(F.col("fc"), F.lit(0)) / 100.0, 2).alias(
+                "first_touch_revenue"
+            ),
+            F.coalesce(F.col("n_last"), F.lit(0)).cast("long").alias("n_last"),
+            F.round(F.coalesce(F.col("lc"), F.lit(0)) / 100.0, 2).alias(
+                "last_touch_revenue"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+_TRIMMED_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u FROM events
+),
+hist AS (
+  SELECT event_type, v_u, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, v_u, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v_u) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+kept AS (
+  SELECT event_type, v_u, n,
+         least(cum, (19 * n) // 20) - greatest(cum - c, n // 20) AS kc
+  FROM cum
+  WHERE least(cum, (19 * n) // 20) > greatest(cum - c, n // 20)
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_total,
+       CAST(sum(kc) AS BIGINT) AS n_kept,
+       round(CAST(sum(v_u * kc) AS DOUBLE) / sum(kc) / 1000000, 4) AS trimmed_mean,
+       round(min(v_u) / 1000000.0, 6) AS trimmed_min,
+       round(max(v_u) / 1000000.0, 6) AS trimmed_max
+FROM kept GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("robust_trimmed_stats", oracle=_TRIMMED_SQL)
+def robust_trimmed_stats(spark, sf_dir):
+    """Robust per-group statistics: the 5%-trimmed mean / min / max of
+    event values per event_type — the outlier-resistant summary a
+    metrics pipeline reports instead of a raw mean that one fat-finger
+    value can drag.
+
+    100 TB shape: trimming via the VALUE HISTOGRAM (the
+    ccnet_perplexity_buckets discipline) — per-group cut ranks
+    (n div 20, 19n div 20] are applied to the cumulative counts of the
+    DISTINCT-value histogram with exact partial inclusion of boundary
+    values (kc = overlap of each value's rank interval with the kept
+    range), so the result is bit-identical to sorting all rows and
+    dropping each tail, without any per-group corpus sort. The only
+    corpus shuffle is the histogram aggregate; windows run over
+    histogram rows. Values are micro-quantized before any sum."""
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1000000).cast("long").alias("v_u")
+    )
+    hist = ev.groupBy("event_type", "v_u").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v_u")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("event_type"))
+    )
+    hi = F.expr("least(cum, (19 * n) div 20)")
+    lo = F.expr("greatest(cum - c, n div 20)")
+    kept = cum.filter(hi > lo).select(
+        "event_type", "v_u", "n", (hi - lo).alias("kc")
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_total"),
+            F.sum("kc").cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.col("v_u") * F.col("kc")).cast("double")
+                / F.sum("kc")
+                / 1000000,
+                4,
+            ).alias("trimmed_mean"),
+            F.round(F.min("v_u") / 1000000.0, 6).alias("trimmed_min"),
+            F.round(F.max("v_u") / 1000000.0, 6).alias("trimmed_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
