@@ -58,6 +58,12 @@ HEADLINE = [
     # already-benched banded-LSH machinery and stays out, same argument
     # as dedup_aware_split).
     "containment_dedup_pairs",
+    # late-r7: graph motif counting — a flat 3-join pipeline (unlike
+    # pagerank's stage-barrier-bound iteration) and the heaviest of the
+    # round's new analytics trio (event_attribution_touch and
+    # robust_trimmed_stats ride already-benched join/window/histogram
+    # shapes).
+    "graph_triangle_count",
 ]
 
 

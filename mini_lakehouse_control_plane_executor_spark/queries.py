@@ -1100,10 +1100,11 @@ def containment_dedup_pairs(spark, sf_dir):
     shingles appear in doc B — the quote/boilerplate-inclusion
     duplicates symmetric Jaccard and MinHash-LSH structurally miss.
     Blocking is prefix filtering (PPJoin): A meets B only through A's
-    floor(|A|/10)+1 smallest-by-md5 shingles, so the blocking join
-    streams ~10% of the corpus shingles on the contained side — never
-    all-pairs — and the verify is candidate-restricted
-    (operators/dedup.py::containment_pairs)."""
+    floor(|A|/10)+1 rarest shingles (ascending document frequency, md5
+    tiebreak), so the blocking join streams ~10% of the corpus shingles
+    on the contained side — never all-pairs — and the verify is
+    candidate-restricted array_intersect over the persisted shingle
+    arrays (operators/dedup.py::containment_pairs)."""
     d = _load(spark, sf_dir, "documents")
     return _dedup.containment_pairs(d, "doc_id", "text", n=3).orderBy(
         "contained_id", "container_id"
@@ -7981,14 +7982,15 @@ def graph_triangle_count(spark, sf_dir):
     tri = wedges.join(e, ["p1", "p2"]).agg(
         F.count(F.lit(1)).cast("long").alias("t")
     )
+    # n_edges = Σd/2 (handshake lemma) — read from the degree table so
+    # the one-row assembly needs two aggregates, not three.
     node_stats = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+        F.expr("sum(d) div 2").cast("long").alias("n_edges"),
     )
-    edge_stats = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (
-        node_stats.crossJoin(F.broadcast(edge_stats))
-        .crossJoin(F.broadcast(tri))
+        node_stats.crossJoin(F.broadcast(tri))
         .select(
             "n_nodes",
             "n_edges",
@@ -8213,9 +8215,11 @@ DRIVER_PRIORITY: list[str] = [
     # -- new in r7 (never driver-verified) --
     # The r6 verdict reserved exactly 2 window slots beyond the 48
     # stale re-attestations, so the two dedup operators take them;
-    # `events_value_quantile_sketch` (also new in r7, locally
-    # oracle-green every CI run) deliberately waits — r8's rotation
-    # must lead with it.
+    # `events_value_quantile_sketch`, `graph_triangle_count`,
+    # `event_attribution_touch`, and `robust_trimmed_stats` (also new
+    # in r7, locally oracle-green every CI run) deliberately wait —
+    # r8's rotation must lead with these four never-driver-verified
+    # queries, then the 50 queries whose latest verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
     # -- latest verdict r04 (2 rounds stale) --

@@ -588,3 +588,40 @@ def test_jsd_pairwise_stage_is_corpus_independent(spark):
     assert "CartesianProduct" not in plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"source", "b", "source_a", "t"}, keys
+
+
+def test_triangle_wedges_ride_equi_joins(spark):
+    """graph_triangle_count: the wedge enumeration must be an equi
+    self-join of the oriented edge list on src (never a pairing of
+    node sets), closure an equi-join on the canonical (p1, p2) pair;
+    the only nested-loop join allowed is the one-row stats assembly."""
+    plan = _plan(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[src", plan), plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"l_orderkey", "l_partkey", "p1", "p2", "src", "v"}, keys
+
+
+def test_attribution_join_is_user_keyed(spark):
+    """event_attribution_touch: the purchase-touch lookback join must
+    be planned as an equi join on user_id with the time-range predicate
+    as a post-condition — never a time-only cartesian/nested-loop
+    pairing — and the first/last windows partition on the purchase id."""
+    plan = _plan(spark, "event_attribution_touch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[user_id", plan), plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"user_id", "p_id", "channel"}, keys
+
+
+def test_trimmed_stats_windows_run_on_histogram(spark):
+    """robust_trimmed_stats: the sole corpus shuffle is the
+    (event_type, value) histogram aggregate; the cut windows and final
+    rollup are keyed on event_type over HISTOGRAM rows. No joins, no
+    SinglePartition, no per-group corpus sort anywhere."""
+    plan = _plan(spark, "robust_trimmed_stats")
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"event_type", "v_u"}, keys
