@@ -8198,6 +8198,162 @@ def robust_trimmed_stats(spark, sf_dir):
     )
 
 
+_KMV_SQL = """
+WITH uh AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+),
+nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM uh GROUP BY 1),
+rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM uh
+),
+sk AS (
+  SELECT event_type, list_sort(list(h)) AS sk
+  FROM rk WHERE rn <= 32 GROUP BY event_type
+),
+ei AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS xi
+  FROM uh a JOIN uh b ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+         (list_sort(list_distinct(flatten([sa.sk, sb.sk]))))[1:32] AS mg,
+         sa.sk AS ska, sb.sk AS skb
+  FROM sk sa JOIN sk sb ON sa.event_type < sb.event_type
+),
+est AS (
+  SELECT type_a, type_b,
+         CAST(len(mg) AS BIGINT) AS k_eff,
+         len(list_intersect(list_intersect(mg, ska), skb)) AS c,
+         CASE WHEN len(mg) < 32 THEN CAST(len(mg) AS DOUBLE)
+              ELSE round(31 * 1152921504606846976.0 / mg[32], 4)
+         END AS est_union
+  FROM pr
+)
+SELECT e.type_a AS type_a, e.type_b AS type_b, e.k_eff, e.est_union,
+       CAST(na.n + nb.n - coalesce(ei.xi, 0) AS BIGINT) AS exact_union,
+       round(e.c * e.est_union / e.k_eff, 4) AS est_intersection,
+       CAST(coalesce(ei.xi, 0) AS BIGINT) AS exact_intersection
+FROM est e
+JOIN nd na ON na.event_type = e.type_a
+JOIN nd nb ON nb.event_type = e.type_b
+LEFT JOIN ei ON ei.type_a = e.type_a AND ei.type_b = e.type_b
+ORDER BY e.type_a, e.type_b
+"""
+
+
+@query("events_kmv_setops", oracle=_KMV_SQL)
+def events_kmv_setops(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) distinct sketch with SET
+    OPERATIONS — the mergeable-sketch family member (CMS / HLL / Bloom /
+    quantile-hist / this) that HLL alone cannot provide: merged sketches
+    estimate the UNION of two audiences, and the KMV intersection
+    estimator (c/k · est_union over the merged k-window) estimates the
+    overlap — per event-type pair, with exact audits alongside (the
+    family's audit discipline).
+
+    Hashes are md5-derived (no RNG), so the k smallest per group — and
+    therefore every estimate — is bit-identical in both engines.
+
+    100 TB shape: sketch state is k=32 values per group however large
+    the input; bottom-k per low-cardinality group runs the salted
+    two-phase window (never a per-group corpus sort on one task); the
+    pair stage is |types|² rows of k-length arrays — corpus-size
+    independent, all map-side array expressions. The exact audit join
+    is keyed on the user hash (each user contributes ≤ |types| rows per
+    key — bounded fanout); at production scale the audit drops and only
+    the O(k·|groups|) sketch table remains."""
+    k = 32
+    ev = _load(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    uh = ev.select("event_type", h.alias("h")).distinct().persist()
+    nd = uh.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ws = Window.partitionBy("event_type", "salt").orderBy("h")
+    pruned = (
+        uh.withColumn("salt", F.pmod(F.col("h"), F.lit(32)))
+        .withColumn("prn", F.row_number().over(ws))
+        .filter(F.col("prn") <= k)
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("h")).alias("sk"))
+    )
+    ei = (
+        uh.alias("a")
+        .join(
+            uh.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("xi"))
+    )
+    sa = sk.alias("sa")
+    sb = sk.alias("sb")
+    mg = F.slice(F.array_sort(F.array_union(F.col("sa.sk"), F.col("sb.sk"))), 1, k)
+    pr = sa.join(
+        F.broadcast(sb), F.col("sa.event_type") < F.col("sb.event_type")
+    ).select(
+        F.col("sa.event_type").alias("type_a"),
+        F.col("sb.event_type").alias("type_b"),
+        mg.alias("mg"),
+        F.col("sa.sk").alias("ska"),
+        F.col("sb.sk").alias("skb"),
+    )
+    est = pr.select(
+        "type_a",
+        "type_b",
+        F.size("mg").cast("long").alias("k_eff"),
+        F.size(F.array_intersect(F.array_intersect("mg", "ska"), "skb")).alias("c"),
+        F.when(F.size("mg") < k, F.size("mg").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(31) * F.lit(1152921504606846976.0) / F.element_at("mg", k), 4
+            )
+        )
+        .alias("est_union"),
+    )
+    na = nd.select(F.col("event_type").alias("type_a"), F.col("n").alias("na_n"))
+    nb = nd.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb_n"))
+    return (
+        est.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .join(F.broadcast(ei), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "k_eff",
+            "est_union",
+            (
+                F.col("na_n") + F.col("nb_n") - F.coalesce(F.col("xi"), F.lit(0))
+            )
+            .cast("long")
+            .alias("exact_union"),
+            F.round(F.col("c") * F.col("est_union") / F.col("k_eff"), 4).alias(
+                "est_intersection"
+            ),
+            F.coalesce(F.col("xi"), F.lit(0)).cast("long").alias(
+                "exact_intersection"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -8216,9 +8372,10 @@ DRIVER_PRIORITY: list[str] = [
     # The r6 verdict reserved exactly 2 window slots beyond the 48
     # stale re-attestations, so the two dedup operators take them;
     # `events_value_quantile_sketch`, `graph_triangle_count`,
-    # `event_attribution_touch`, and `robust_trimmed_stats` (also new
+    # `event_attribution_touch`, `robust_trimmed_stats`, and
+    # `events_kmv_setops` (also new
     # in r7, locally oracle-green every CI run) deliberately wait —
-    # r8's rotation must lead with these four never-driver-verified
+    # r8's rotation must lead with these five never-driver-verified
     # queries, then the 50 queries whose latest verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
