@@ -208,3 +208,55 @@ def quantiles_from_cells(
             for q in q_pcts
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+
+
+def kmv_bottom_k(
+    df: DataFrame,
+    group_col: str,
+    hash_col: str,
+    k: int = KMV_K,
+    distinct: bool = True,
+) -> DataFrame:
+    """(g, sk) — the k smallest hash values per group, sorted ascending:
+    the KMV distinct sketch (Bar-Yossef et al. 2002 / the theta-sketch
+    ancestor). Distinct estimate = (k-1)/u_k on the normalized k-th
+    minimum; sketches MERGE by keeping the k smallest of the union,
+    which also yields union (from the merged sketch) and intersection
+    (c/k over the merged k-window) estimates — the set-operation
+    capability HLL registers don't have.
+
+    100 TB shape: state is k values per group however large the input;
+    bottom-k per low-cardinality group runs the salted two-phase window
+    (a per-(g, salt) prune to k survivors parallelizes the stratum,
+    then the exact window ranks only 32·k survivors) — never a
+    per-group corpus sort on one task. Pass ``distinct=False`` when the
+    input is already (group, hash)-distinct to skip the dedup shuffle.
+
+    The streaming twin is ``streaming/stateful.py::kmv_sketch_stream``
+    (bounded O(k) state per group; bottom-k is exactly mergeable:
+    bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ B))."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(group_col).alias("g"), F.col(hash_col).alias("h"))
+    if distinct:
+        base = base.distinct()
+    ws = Window.partitionBy("g", "salt").orderBy("h")
+    w = Window.partitionBy("g").orderBy("h")
+    pruned = (
+        base.withColumn("salt", F.pmod(F.col("h"), F.lit(32)))
+        .withColumn("prn", F.row_number().over(ws))
+        .filter(F.col("prn") <= k)
+    )
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list("h")).alias("sk"))
+    )

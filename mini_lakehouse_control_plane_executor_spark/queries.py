@@ -8268,7 +8268,9 @@ def events_kmv_setops(spark, sf_dir):
     is keyed on the user hash (each user contributes ≤ |types| rows per
     key — bounded fanout); at production scale the audit drops and only
     the O(k·|groups|) sketch table remains."""
-    k = 32
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as _sk
+
+    k = _sk.KMV_K
     ev = _load(spark, sf_dir, "events")
     h = (
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
@@ -8276,18 +8278,8 @@ def events_kmv_setops(spark, sf_dir):
     )
     uh = ev.select("event_type", h.alias("h")).distinct().persist()
     nd = uh.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    ws = Window.partitionBy("event_type", "salt").orderBy("h")
-    pruned = (
-        uh.withColumn("salt", F.pmod(F.col("h"), F.lit(32)))
-        .withColumn("prn", F.row_number().over(ws))
-        .filter(F.col("prn") <= k)
-    )
-    w = Window.partitionBy("event_type").orderBy("h")
-    sk = (
-        pruned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .groupBy("event_type")
-        .agg(F.array_sort(F.collect_list("h")).alias("sk"))
+    sk = _sk.kmv_bottom_k(uh, "event_type", "h", k, distinct=False).select(
+        F.col("g").alias("event_type"), "sk"
     )
     ei = (
         uh.alias("a")

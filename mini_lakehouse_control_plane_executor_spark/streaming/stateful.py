@@ -17,6 +17,7 @@ from typing import Any, Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -63,6 +64,68 @@ def user_profiles(events: DataFrame) -> DataFrame:
             _update_profile,
             outputStructType=PROFILE_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV (bottom-k) distinct sketch
+# ---------------------------------------------------------------------------
+
+KMV_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.StringType()),
+        T.StructField("sk", T.ArrayType(T.LongType())),
+        T.StructField("upd", T.LongType()),
+    ]
+)
+
+KMV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sk", T.ArrayType(T.LongType())),
+        T.StructField("upd", T.LongType()),
+    ]
+)
+
+KMV_K = 32
+
+
+def _update_kmv(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (g,) = key
+    if state.exists:
+        cur, upd = state.get
+        s = set(cur)
+    else:
+        s, upd = set(), 0
+    for pdf in pdfs:
+        s.update(int(x) for x in pdf["h"])
+    # Bottom-k is exactly mergeable: keeping the k smallest of
+    # (previous sketch ∪ batch) equals the batch sketch over everything
+    # seen so far — state stays O(k) however long the stream runs.
+    sk = sorted(s)[:KMV_K]
+    upd += 1
+    state.update((sk, upd))
+    yield pd.DataFrame([{"g": g, "sk": sk, "upd": upd}])
+
+
+def kmv_sketch_stream(events: DataFrame, group_col: str, hash_col: str) -> DataFrame:
+    """Streaming twin of ``operators/sketch.py::kmv_bottom_k``: per-group
+    bottom-k hash window evolved across micro-batches with O(k) state
+    per group (no watermark needed — the state is bounded by
+    construction, like the CMS/HLL/quantile-cell twins). Emits the
+    updated sketch per group per batch; ``upd`` is a monotone update
+    counter so a drain can pick each group's final emission."""
+    return (
+        events.select(F.col(group_col).alias("g"), F.col(hash_col).alias("h"))
+        .groupBy("g")
+        .applyInPandasWithState(
+            _update_kmv,
+            outputStructType=KMV_OUT_SCHEMA,
+            stateStructType=KMV_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -994,3 +994,40 @@ def test_dedup_gated_ingest_exactly_once(spark, lake, tmp_path):
     q2.awaitTermination(240)
     assert lake.table("docs_clean").log.latest_version() == v
     assert {r.doc_id for r in lake.table("docs_clean").read().collect()} == landed
+
+
+def test_kmv_sketch_stream_equals_batch(spark, event_dir):
+    """Streaming KMV (bottom-k) sketch: per-group state is the k
+    smallest user hashes — bounded O(k) by construction (bottom-k is
+    exactly mergeable across micro-batches), no watermark needed. Each
+    group's final emission must equal the batch bottom-k sketch over
+    the same events."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as SK
+    from mini_lakehouse_control_plane_executor_spark.streaming import stateful as ST
+
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    stream = ST.kmv_sketch_stream(
+        W.stream_events(spark, event_dir).select("event_type", h.alias("h")),
+        "event_type",
+        "h",
+    )
+    got_all = _drain(spark, stream, "t_kmv", mode="update").collect()
+    # Final emission per group = the row with the largest update counter.
+    got = {}
+    upd = {}
+    for r in got_all:
+        if r.upd >= upd.get(r.g, 0):
+            upd[r.g] = r.upd
+            got[r.g] = list(r.sk)
+    batch = SK.kmv_bottom_k(
+        _batch(spark, event_dir).select("event_type", h.alias("h")),
+        "event_type",
+        "h",
+    )
+    want = {r.g: list(r.sk) for r in batch.collect()}
+    assert got == want and len(want) > 0
+    for sk in want.values():
+        assert sk == sorted(sk) and len(sk) <= SK.KMV_K
