@@ -219,3 +219,96 @@ def test_jsd_matrix_is_complete_and_bounded(spark):
     for r in out:
         assert 0.0 <= r.jsd <= math.log(2) + 1e-9, (r.source_a, r.source_b, r.jsd)
         assert r.source_a < r.source_b
+
+
+def test_triangle_stats_match_bruteforce(spark):
+    """The degree-ordered wedge enumeration must count EXACTLY the
+    triangles of an arbitrary graph — orientation is a traversal
+    optimization, never an approximation. Checked against an
+    itertools brute force on a seeded random graph (a shape with hubs,
+    leaves, and ties the TPC-H fixture doesn't exercise)."""
+    import itertools
+    import random
+
+    rnd = random.Random(7)
+    nodes = list(range(30))
+    edges = sorted({tuple(sorted(rnd.sample(nodes, 2))) for _ in range(120)})
+    adj = set(edges)
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    row = G.triangle_stats(spark.createDataFrame(edges, ["p1", "p2"])).first()
+    assert row.n_triangles == tri
+    assert row.n_wedges == wedges
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(deg)
+
+
+def test_kmv_sketches_merge_exactly(spark):
+    """KMV's operational superpower (like HLL's register max-merge):
+    bottom-k of the UNION of per-source sketches equals the bottom-k
+    of all values — shards/streams/days can be sketched independently
+    and merged with zero error in the merge step."""
+    d = qlib._load(spark, SF_DIR, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    base = d.select("source", h.alias("h"))
+    per_source = SK.kmv_bottom_k(base, "source", "h")
+    merged_in = per_source.select(
+        F.lit("all").alias("g"), F.explode("sk").alias("h")
+    )
+    merged = SK.kmv_bottom_k(merged_in, "g", "h").first()
+    glob = SK.kmv_bottom_k(
+        d.select(F.lit("all").alias("g"), h.alias("h")), "g", "h"
+    ).first()
+    assert list(merged.sk) == list(glob.sk) and len(glob.sk) > 0
+
+
+def test_trimmed_stats_equal_rowlevel_trimming(spark):
+    """The histogram-with-partial-boundary-inclusion formulation must
+    be BIT-IDENTICAL to sorting every row and dropping each 5% tail —
+    the claim that lets the operator skip per-group corpus sorts.
+    Row-level twin computed independently in DuckDB."""
+    import duckdb
+
+    got = {
+        r.event_type: r
+        for r in qlib.all_queries()["robust_trimmed_stats"](spark, SF_DIR).collect()
+    }
+    ev = qlib._load(spark, SF_DIR, "events").select("event_type", "value").toPandas()
+    con = duckdb.connect()
+    con.register("ev", ev)
+    want = con.execute(
+        """
+        WITH v AS (
+          SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u FROM ev
+        ),
+        r AS (
+          SELECT event_type, v_u,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v_u) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM v
+        ),
+        k AS (SELECT * FROM r WHERE rn > n // 20 AND rn <= (19 * n) // 20)
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               round(CAST(sum(v_u) AS DOUBLE) / count(*) / 1000000, 4) AS trimmed_mean,
+               round(min(v_u) / 1000000.0, 6) AS trimmed_min,
+               round(max(v_u) / 1000000.0, 6) AS trimmed_max
+        FROM k GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    assert len(want) == len(got) > 0
+    for et, n_total, n_kept, mean, lo, hi in want:
+        g = got[et]
+        assert (g.n_total, g.n_kept) == (n_total, n_kept)
+        assert (g.trimmed_mean, g.trimmed_min, g.trimmed_max) == (mean, lo, hi)
