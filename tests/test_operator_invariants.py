@@ -312,3 +312,19 @@ def test_trimmed_stats_equal_rowlevel_trimming(spark):
         g = got[et]
         assert (g.n_total, g.n_kept) == (n_total, n_kept)
         assert (g.trimmed_mean, g.trimmed_min, g.trimmed_max) == (mean, lo, hi)
+
+
+def test_attribution_conserves_revenue(spark):
+    """Every purchase with at least one lookback touch is credited to
+    EXACTLY ONE first-touch channel and one last-touch channel, so both
+    channel columns must sum to the same total: the cent-exact revenue
+    of attributable purchases. Double-credit (a window tie emitting two
+    rank-1 rows) or dropped credit breaks the equality immediately."""
+    rows = qlib.all_queries()["event_attribution_touch"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    first_total = round(sum(r.first_touch_revenue for r in rows), 2)
+    last_total = round(sum(r.last_touch_revenue for r in rows), 2)
+    assert first_total == last_total
+    n_first = sum(r.n_first for r in rows)
+    n_last = sum(r.n_last for r in rows)
+    assert n_first == n_last  # one credit per attributable purchase each way
