@@ -8298,6 +8298,94 @@ def events_kmv_setops(spark, sf_dir):
     )
 
 
+_ASSOC_RULES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+si AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS c
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+rules AS (
+  SELECT p1 AS antecedent, p2 AS consequent, c FROM pairs
+  UNION ALL
+  SELECT p2, p1, c FROM pairs
+)
+SELECT r.antecedent, r.consequent, r.c AS supp_pair,
+       round(CAST(r.c AS DOUBLE) / sa.s, 4) AS confidence,
+       round(CAST(r.c * tot.n AS DOUBLE) / (sa.s * sb.s), 4) AS lift
+FROM rules r
+JOIN si sa ON sa.p = r.antecedent
+JOIN si sb ON sb.p = r.consequent
+CROSS JOIN tot
+ORDER BY lift DESC, antecedent, consequent
+LIMIT 20
+"""
+
+
+@query("association_rules", oracle=_ASSOC_RULES_SQL)
+def association_rules(spark, sf_dir):
+    """Market-basket association rules over the part co-occurrence
+    counts: for every ordered rule A→B with pair support ≥ 2,
+    confidence = supp(AB)/supp(A) and lift = N·supp(AB)/(supp(A)·
+    supp(B)) — the completion of the part_cooccurrence family
+    (support → confidence → lift), top-20 by lift.
+
+    100 TB shape: the pair join is keyed on l_orderkey with per-order
+    fanout bounded by order line counts (≤7 in TPC-H) — per-key
+    quadratic with a tiny constant, never all-pairs; item supports are
+    a part-keyed aggregate joined back on the rule endpoints (both
+    part-keyed equi-joins); the order total is ONE broadcast row; the
+    top-20 is TakeOrdered. Ratios are single integer-operand double
+    divisions, so both engines round identically."""
+    items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    tot = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
+    si = items.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    rules = pairs.select(
+        F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"), "c"
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("antecedent"), F.col("p1").alias("consequent"), "c"
+        )
+    )
+    sa = si.select(F.col("p").alias("antecedent"), F.col("s").alias("sa_s"))
+    sb = si.select(F.col("p").alias("consequent"), F.col("s").alias("sb_s"))
+    return (
+        rules.join(sa, "antecedent")
+        .join(sb, "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c").alias("supp_pair"),
+            F.round(F.col("c").cast("double") / F.col("sa_s"), 4).alias("confidence"),
+            F.round(
+                (F.col("c") * F.col("n")).cast("double")
+                / (F.col("sa_s") * F.col("sb_s")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -8316,10 +8404,10 @@ DRIVER_PRIORITY: list[str] = [
     # The r6 verdict reserved exactly 2 window slots beyond the 48
     # stale re-attestations, so the two dedup operators take them;
     # `events_value_quantile_sketch`, `graph_triangle_count`,
-    # `event_attribution_touch`, `robust_trimmed_stats`, and
-    # `events_kmv_setops` (also new
+    # `event_attribution_touch`, `robust_trimmed_stats`,
+    # `events_kmv_setops`, and `association_rules` (also new
     # in r7, locally oracle-green every CI run) deliberately wait —
-    # r8's rotation must lead with these five never-driver-verified
+    # r8's rotation must lead with these six never-driver-verified
     # queries, then the 50 queries whose latest verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
