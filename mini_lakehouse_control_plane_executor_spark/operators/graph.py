@@ -181,3 +181,42 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             "global_clustering"
         ),
     )
+
+
+def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
+    """Bounded-round k-core peel over CANONICAL undirected edges
+    (p1 < p2): each round drops every node whose current degree is
+    below k, then restricts the adjacency to surviving endpoints —
+    after enough rounds the survivors are exactly the k-core (the
+    maximal subgraph of minimum degree ≥ k, the standard community /
+    spam-tail pruning primitive). Iterations are FIXED and unrolled
+    (the pagerank discipline) so the plan is finite and oracle-twinned
+    by an unrolled CTE chain; callers size ``rounds`` to their graph's
+    peel depth (each round strictly shrinks or fixpoints).
+
+    Returns (node, residual_degree) for nodes alive after ``rounds``.
+
+    100 TB shape: per round one src-keyed degree aggregate and two
+    node-keyed LEFT SEMI joins — all equi-joins on the node key, no
+    wedge/pair enumeration anywhere; the adjacency is persisted per
+    round (strictly shrinking), never recomputed from round 0."""
+    adj = (
+        edges.select(F.col("p1").alias("s"), F.col("p2").alias("d"))
+        .unionAll(edges.select(F.col("p2").alias("s"), F.col("p1").alias("d")))
+        .persist()
+    )
+    for _ in range(rounds):
+        keep = (
+            adj.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= k)
+            .select("s")
+        )
+        adj = (
+            adj.join(keep, "s", "left_semi")
+            .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+            .persist()
+        )
+    return adj.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("residual_degree")
+    )

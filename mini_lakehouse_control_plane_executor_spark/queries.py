@@ -8386,6 +8386,69 @@ def association_rules(spark, sf_dir):
     )
 
 
+def _kcore_oracle(k: int = 2, rounds: int = 3) -> str:
+    body = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+a0 AS (SELECT p1 AS s, p2 AS d FROM e UNION ALL SELECT p2, p1 FROM e)"""
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        body += f""",
+k{i} AS (SELECT s FROM {prev} GROUP BY s HAVING count(*) >= {k}),
+a{i} AS (
+  SELECT a.s, a.d FROM {prev} a
+  JOIN k{i} x ON a.s = x.s JOIN k{i} y ON a.d = y.s
+)"""
+        prev = f"a{i}"
+    body += f"""
+SELECT CAST(s AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS residual_degree
+FROM {prev} GROUP BY s
+ORDER BY residual_degree DESC, node LIMIT 20
+"""
+    return body
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark, sf_dir):
+    """Bounded 3-round 2-core peel of the part co-occurrence graph:
+    iteratively drop nodes of degree < 2 (trees and chains hanging off
+    the cyclic core), report the top-20 survivors by residual degree —
+    the degeneracy-pruning member of the graph family (pagerank /
+    components / triangles / this).
+
+    100 TB shape: see operators/graph.py::kcore_peel — per round one
+    node-keyed degree aggregate plus two left-semi adjacency filters,
+    strictly-shrinking persisted adjacency, unrolled rounds twinned by
+    an unrolled CTE chain in the oracle."""
+    from mini_lakehouse_control_plane_executor_spark.operators import graph as _g
+
+    items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("nord"))
+        .filter(F.col("nord") >= 2)
+        .select("p1", "p2")
+    )
+    return (
+        _g.kcore_peel(e, k=2, rounds=3)
+        .select(F.col("s").alias("node"), "residual_degree")
+        .orderBy(F.col("residual_degree").desc(), "node")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -8405,9 +8468,9 @@ DRIVER_PRIORITY: list[str] = [
     # stale re-attestations, so the two dedup operators take them;
     # `events_value_quantile_sketch`, `graph_triangle_count`,
     # `event_attribution_touch`, `robust_trimmed_stats`,
-    # `events_kmv_setops`, and `association_rules` (also new
+    # `events_kmv_setops`, `association_rules`, and `graph_kcore_peel` (also new
     # in r7, locally oracle-green every CI run) deliberately wait —
-    # r8's rotation must lead with these six never-driver-verified
+    # r8's rotation must lead with these seven never-driver-verified
     # queries, then the 50 queries whose latest verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",

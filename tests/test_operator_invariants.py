@@ -328,3 +328,66 @@ def test_attribution_conserves_revenue(spark):
     n_first = sum(r.n_first for r in rows)
     n_last = sum(r.n_last for r in rows)
     assert n_first == n_last  # one credit per attributable purchase each way
+
+
+def test_containment_prefix_filter_is_complete(spark):
+    """PPJoin prefix filtering must be LOSSLESS: if C(A→B) ≥ t then at
+    least one of A's floor((1-t)|A|)+1 prefix shingles is in B, so the
+    blocking join cannot drop a true pair. Planted subset-inclusion
+    pairs (container = contained doc's full text + extra tokens) on
+    random docs must all surface with containment 1.0 — a prefix-size
+    off-by-one or a broken canonical order loses pairs SILENTLY, which
+    the fixture-based oracle check can miss on lucky data."""
+    import random
+
+    from mini_lakehouse_control_plane_executor_spark.operators import dedup as D
+
+    rnd = random.Random(11)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    rows = []
+    for i in range(40):
+        toks = [vocab[rnd.randrange(500)] for _ in range(rnd.randrange(30, 80))]
+        rows.append((i, " ".join(toks)))
+    planted = []
+    for i in range(12):
+        extra = " ".join(
+            vocab[rnd.randrange(500)] for _ in range(rnd.randrange(20, 40))
+        )
+        rows.append((100 + i, rows[i][1] + " " + extra))
+        planted.append((i, 100 + i))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.contained_id, r.container_id): r.containment
+        for r in D.containment_pairs(df, "doc_id", "text", n=3).collect()
+    }
+    for pair in planted:
+        assert pair in got, f"planted containment pair {pair} lost by blocking"
+        assert got[pair] == 1.0
+
+
+def test_kcore_peel_matches_bruteforce(spark):
+    """The distributed peel must remove EXACTLY the nodes a literal
+    round-by-round simulation removes — same surviving set, same
+    residual degrees — on a seeded random sparse graph (chains, leaves,
+    and a cyclic core the TPC-H fixture's shape doesn't vary)."""
+    import random
+    from collections import Counter
+
+    rnd = random.Random(13)
+    nodes = list(range(40))
+    edges = sorted({tuple(sorted(rnd.sample(nodes, 2))) for _ in range(55)})
+
+    adj = [(s, d) for s, d in edges] + [(d, s) for s, d in edges]
+    for _ in range(3):
+        deg = Counter(s for s, _ in adj)
+        keep = {s for s, c in deg.items() if c >= 2}
+        adj = [(s, d) for s, d in adj if s in keep and d in keep]
+    want = dict(Counter(s for s, _ in adj))
+
+    got = {
+        r.s: r.residual_degree
+        for r in G.kcore_peel(
+            spark.createDataFrame(edges, ["p1", "p2"]), k=2, rounds=3
+        ).collect()
+    }
+    assert got == want and len(want) > 0
