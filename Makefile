@@ -45,6 +45,12 @@ scale:
 	python scale_build.py
 	python scale_ladder.py
 
+# Full-registry ladder: every registered query (explicit exclusions for
+# the documented quadratic exact baselines) into SCALE_FULL.md. ~30 min.
+scale-full:
+	python scale_build.py
+	SPARK_GRAFT_SCALE_SET=full SPARK_GRAFT_SCALE_PASSES=1 python scale_ladder.py
+
 docker:
 	docker build -f docker/Dockerfile -t mini-lakehouse-spark .
 
