@@ -8449,6 +8449,94 @@ def graph_kcore_peel(spark, sf_dir):
     )
 
 
+_CHAR_ENTROPY_SQL = r"""
+WITH ch AS (
+  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS c
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, source, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY 1, 2, 3
+),
+nd AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cnt GROUP BY 1
+),
+terms AS (
+  SELECT cnt.doc_id, cnt.source,
+         CAST(round(ln(CAST(nd.n AS DOUBLE) / cnt.k) * cnt.k / nd.n * 1000000000)
+              AS BIGINT) AS t_nano
+  FROM cnt JOIN nd ON nd.doc_id = cnt.doc_id
+),
+doc AS (
+  SELECT doc_id, source, CAST(sum(t_nano) AS BIGINT) AS e_nano
+  FROM terms GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(e_nano) AS DOUBLE) / count(*) / 1000000000, 6) AS avg_entropy,
+       round(min(e_nano) / 1000000000.0, 6) AS min_entropy,
+       round(max(e_nano) / 1000000000.0, 6) AS max_entropy
+FROM doc GROUP BY source ORDER BY source
+"""
+
+
+@query("char_entropy_quality", oracle=_CHAR_ENTROPY_SQL)
+def char_entropy_quality(spark, sf_dir):
+    """Per-document character-level Shannon entropy rolled up per
+    source — the gibberish / repetition signal (mojibake, base64 blobs,
+    and aaaa-padding sit at the entropy extremes) that complements the
+    token-ratio Gopher gates.
+
+    100 TB shape: one linear pass — char rows are a map-side
+    regexp_extract_all explode of the scan (bounded by text size, the
+    same inflation the shingle pipelines already carry), then a
+    (doc, char) count whose per-doc fanout is the ≤36-symbol alphabet,
+    then per-doc and per-source rollups. Entropy terms are
+    nano-nat-quantized per (doc, char) BEFORE any sum (the JSD
+    discipline), so distributed summation order cannot move a digit."""
+    d = _load(spark, sf_dir, "documents")
+    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+    ch = (
+        d.repartition(n_parts)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]', 0)")
+            ).alias("c"),
+        )
+    )
+    cnt = ch.groupBy("doc_id", "source", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    nd = cnt.groupBy("doc_id").agg(F.sum("k").cast("long").alias("n"))
+    t_nano = (
+        F.round(
+            F.log(F.col("n").cast("double") / F.col("k"))
+            * F.col("k")
+            / F.col("n")
+            * 1000000000
+        )
+    ).cast("long")
+    doc = (
+        cnt.join(nd, "doc_id")
+        .select("doc_id", "source", t_nano.alias("t_nano"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("t_nano").cast("long").alias("e_nano"))
+    )
+    return (
+        doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("e_nano").cast("double") / F.count(F.lit(1)) / 1000000000, 6
+            ).alias("avg_entropy"),
+            F.round(F.min("e_nano") / 1000000000.0, 6).alias("min_entropy"),
+            F.round(F.max("e_nano") / 1000000000.0, 6).alias("max_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
