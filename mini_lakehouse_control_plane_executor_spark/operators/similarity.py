@@ -506,6 +506,130 @@ def neardup_pairs(
     )
 
 
+def collapse_identical(
+    df: DataFrame, id_col: str, vec_col: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Exact-duplicate collapse — the stage every near-dup pipeline
+    should run BEFORE LSH banding. One window pass groups rows whose
+    (vector, *extra_cols) are identical, electing the min-id member as
+    representative; the returned (persisted) frame carries every input
+    row with its ``rep`` and the group size ``gsize``, so callers slice
+    out members (``doc_id, rep``) and reps (``doc_id == rep``) from the
+    same materialization.
+
+    Why this is load-bearing at 100 TB: banded-LSH candidate generation
+    costs Σ_buckets |bucket|², and exact duplicates land EVERY copy in
+    EVERY one of its bands' buckets — d copies of one vector inflate the
+    self-join by d². Duplicate-heavy corpora are precisely what dedup
+    passes are pointed at (measured: 10× verbatim copies sent the
+    sf0.1→sf1 scale ratio of the un-collapsed cluster pipeline to 45×).
+    Collapsing first makes the banding see each distinct vector once —
+    identical vectors have identical band keys and identical cosines, so
+    rep-level candidacy/similarity is EXACTLY member-level candidacy/
+    similarity and group structure re-expands linearly at the output
+    stage (equivalence pinned on duplicate-heavy data in
+    tests/test_operator_invariants.py). Cost when there are NO
+    duplicates: the one vec-keyed exchange this window adds — the price
+    a real pipeline pays anyway to run its exact-dedup stage."""
+    v = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c).alias(c) for c in extra_cols],
+            _as_double(F.col(vec_col)).alias("vec"),
+        ).withColumn("nrm", norm(F.col("vec")))
+    )
+    w = Window.partitionBy("vec", *[F.col(c) for c in extra_cols])
+    return v.select(
+        "doc_id",
+        *extra_cols,
+        "vec",
+        "nrm",
+        F.min("doc_id").over(w).alias("rep"),
+        F.count(F.lit(1)).over(w).alias("gsize"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def neardup_components(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic near-dup CLUSTER assignment: (doc_id, root) for every
+    vector belonging to a cluster of ≥2 members, where clusters are
+    connected components of the banded-LSH pair graph ``neardup_pairs``
+    describes and root is the smallest member id (the SemDeDup keep-id
+    convention).
+
+    Shape: ``collapse_identical`` first (see its docstring — duplicate
+    groups otherwise cost d² in the band self-join AND multiply the
+    component fixpoint's edge list), then the rep-level banded pair
+    graph plus one self-edge per ≥2-member duplicate group (its members
+    are mutual near-dups at sim 1.0 whenever the threshold admits a
+    vector's self-similarity — same filter expression as real pairs, so
+    degenerate zero-norm vectors behave identically either way), then
+    the pointer-doubling fixpoint over REP nodes only, and a final
+    linear member→root expansion. With d duplicate copies per vector the
+    component loop's input shrinks d²-fold vs member-level pairs; with
+    no duplicates the plan degenerates to exactly the member-level one
+    plus the collapse window."""
+    planes = hyperplanes(bands * rows_per_band, dim)
+    vm = collapse_identical(df, id_col, vec_col)
+    reps = vm.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "vec", "nrm", "gsize"
+    )
+    bk = reps.select(
+        "doc_id",
+        F.posexplode(_band_keys("vec", planes, bands, rows_per_band)).alias(
+            "band", "bk"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    l = bk.alias("l")
+    r = bk.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bk") == F.col("r.bk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
+        .distinct()
+    )
+    a = reps.select(
+        F.col("doc_id").alias("id1"), F.col("vec").alias("v1"), F.col("nrm").alias("n1")
+    )
+    b_ = reps.select(
+        F.col("doc_id").alias("id2"), F.col("vec").alias("v2"), F.col("nrm").alias("n2")
+    )
+    sim = F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6)
+    edges = (
+        cands.join(a, "id1")
+        .join(b_, "id2")
+        .select("id1", "id2", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("id1", "id2")
+    )
+    self_sim = F.round(
+        dot(F.col("vec"), F.col("vec")) / (F.col("nrm") * F.col("nrm")), 6
+    )
+    self_edges = (
+        reps.filter((F.col("gsize") >= 2) & (self_sim >= threshold))
+        .select(F.col("doc_id").alias("id1"), F.col("doc_id").alias("id2"))
+    )
+    from .dedup import connected_components
+
+    comp = connected_components(edges.unionByName(self_edges))
+    return (
+        vm.select("doc_id", "rep")
+        .join(comp.select(F.col("id").alias("rep"), "root"), "rep")
+        .select("doc_id", "root")
+    )
+
+
 def lsh_hard_negatives(
     df: DataFrame,
     id_col: str,
@@ -525,21 +649,26 @@ def lsh_hard_negatives(
     exactly what LSH buckets surface, so the approximation loses only
     low-similarity (easy) negatives.
 
-    100 TB shape mirrors ``neardup_pairs``: one (band, key) equi
-    self-join over bare ids (directed — both (a,b) and (b,a) survive,
-    since each side is someone's anchor), distinct BEFORE the vectors
-    re-join, label-mismatch applied with the verification join, then
-    one per-anchor top-k window. No broadcast of the anchor set, no
-    all-pairs anywhere; skew is bounded by true bucket density."""
+    100 TB shape mirrors ``neardup_pairs``: ``collapse_identical`` on
+    (vector, label) first — duplicate copies otherwise cost d² in the
+    band self-join, and every copy of an anchor recomputes the SAME
+    candidate list — then one (band, key) equi self-join over bare REP
+    ids (directed — both (a,b) and (b,a) survive, since each side is
+    someone's anchor), distinct BEFORE the vectors re-join,
+    label-mismatch applied with the verification join, a rep-level
+    rank()≤k cut (ties kept: any group that could reach the expanded
+    top-k has sim ≥ the k-th rep sim, so the cut is lossless), candidate
+    groups expanded to member ids for the exact (sim desc, c_id)
+    row_number, and anchors expanded LAST — every member of an anchor
+    group shares the finished top-k list verbatim. No broadcast of the
+    anchor set, no all-pairs anywhere; skew is bounded by
+    distinct-vector bucket density."""
     planes = hyperplanes(bands * rows_per_band, dim)
-    v = _spread_persist(
-        df.select(
-            F.col(id_col).alias("vid"),
-            F.col(label_col).alias("lbl"),
-            _as_double(F.col(vec_col)).alias("vec"),
-        ).withColumn("nrm", norm(F.col("vec")))
+    vm = collapse_identical(df, id_col, vec_col, extra_cols=(label_col,))
+    reps = vm.filter(F.col("doc_id") == F.col("rep")).select(
+        F.col("doc_id").alias("vid"), F.col(label_col).alias("lbl"), "vec", "nrm"
     )
-    bk = v.select(
+    bk = reps.select(
         "vid",
         F.posexplode(_band_keys("vec", planes, bands, rows_per_band)).alias(
             "band", "bk"
@@ -554,17 +683,17 @@ def lsh_hard_negatives(
             & (F.col("l.bk") == F.col("r.bk"))
             & (F.col("l.vid") != F.col("r.vid")),
         )
-        .select(F.col("l.vid").alias("q_id"), F.col("r.vid").alias("c_id"))
+        .select(F.col("l.vid").alias("q_rep"), F.col("r.vid").alias("c_rep"))
         .distinct()
     )
-    qa = v.select(
-        F.col("vid").alias("q_id"),
+    qa = reps.select(
+        F.col("vid").alias("q_rep"),
         F.col("lbl").alias("q_lbl"),
         F.col("vec").alias("q_vec"),
         F.col("nrm").alias("q_nrm"),
     )
-    cb = v.select(
-        F.col("vid").alias("c_id"),
+    cb = reps.select(
+        F.col("vid").alias("c_rep"),
         F.col("lbl").alias("c_lbl"),
         F.col("vec").alias("c_vec"),
         F.col("nrm").alias("c_nrm"),
@@ -572,16 +701,25 @@ def lsh_hard_negatives(
     sim = F.round(
         dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
-    return (
-        cands.join(qa, "q_id")
-        .join(cb, "c_id")
+    wg = Window.partitionBy("q_rep").orderBy(F.col("sim").desc())
+    top_groups = (
+        cands.join(qa, "q_rep")
+        .join(cb, "c_rep")
         .filter(F.col("q_lbl") != F.col("c_lbl"))
-        .select("q_id", "c_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "sim", "rank")
+        .select("q_rep", "c_rep", sim.alias("sim"))
+        .withColumn("g_rank", F.rank().over(wg))
+        .filter(F.col("g_rank") <= k)
+        .select("q_rep", "c_rep", "sim")
     )
+    cm = vm.select(F.col("rep").alias("c_rep"), F.col("doc_id").alias("c_id"))
+    wr = Window.partitionBy("q_rep").orderBy(F.col("sim").desc(), F.col("c_id"))
+    ranked = (
+        top_groups.join(cm, "c_rep")
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+    qm = vm.select(F.col("rep").alias("q_rep"), F.col("doc_id").alias("q_id"))
+    return ranked.join(qm, "q_rep").select("q_id", "c_id", "sim", "rank")
 
 
 def lsh_decontaminate(

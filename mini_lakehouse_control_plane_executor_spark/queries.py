@@ -4333,12 +4333,15 @@ def semantic_dedup_clusters(spark, sf_dir):
     path (embedding_neardup_lsh — nothing quadratic anywhere in this
     plan), and the component loop is the same pointer-doubling fixpoint
     used for MinHash clusters; the oracle runs the identical blocking
-    plus a recursive-CTE transitive closure."""
+    plus a recursive-CTE transitive closure. Identical vectors are
+    collapsed BEFORE the banding and the component fixpoint
+    (operators/similarity.py::neardup_components — the d²
+    duplicate-skew guard), exactly equivalent because exact duplicates
+    are trivially one semantic cluster."""
     e = _load(spark, sf_dir, "embeddings")
-    pairs = _sim.neardup_pairs(
+    comp = _sim.neardup_components(
         e, "vec_id", "embedding", threshold=0.45, bands=4, rows_per_band=4, dim=64
     )
-    comp = _dedup.connected_components(pairs.select("id1", "id2"))
     return (
         comp.groupBy(F.col("root").alias("keep_id"))
         .agg(

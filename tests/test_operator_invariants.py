@@ -391,3 +391,133 @@ def test_kcore_peel_matches_bruteforce(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def _dup_embeddings(spark, n_base=40, copies=3):
+    """Duplicate-heavy embedding fixture: ``copies`` verbatim copies of
+    each base vector (id-shifted, label kept) plus a handful of copies
+    whose LABEL differs — the corpus shape that makes un-collapsed
+    banded-LSH cost d² per duplicate group."""
+    e = (
+        qlib._load(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") < n_base)
+        .select("vec_id", "embedding", "label")
+    )
+    parts = [
+        e.select(
+            (F.col("vec_id") + F.lit(i * 1000)).cast("long").alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(copies)
+    ]
+    flipped = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + F.lit(9000)).cast("long").alias("vec_id"),
+        "embedding",
+        (F.col("label") + F.lit(100)).cast("int").alias("label"),
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.unionByName(flipped)
+
+
+def test_neardup_components_collapse_is_exact(spark):
+    """The d²-skew guard must be invisible in the answer: cluster
+    assignment from the collapsed path (identical vectors grouped
+    BEFORE banding + the component fixpoint) equals the member-level
+    path (banded pairs over every copy, components over the full pair
+    list) on duplicate-heavy input — every (id, root), not just
+    aggregate counts."""
+    from mini_lakehouse_control_plane_executor_spark.operators import dedup as D
+    from mini_lakehouse_control_plane_executor_spark.operators import (
+        similarity as S,
+    )
+
+    dup = _dup_embeddings(spark)
+    kw = dict(threshold=0.45, bands=4, rows_per_band=4, dim=64)
+    got = {
+        (r["doc_id"], r["root"])
+        for r in S.neardup_components(dup, "vec_id", "embedding", **kw).collect()
+    }
+    pairs = S.neardup_pairs(dup, "vec_id", "embedding", **kw)
+    want = {
+        (r["id"], r["root"])
+        for r in D.connected_components(pairs.select("id1", "id2")).collect()
+    }
+    assert got == want
+    # sanity: the fixture really exercises duplicate groups (clusters
+    # span id-shifted copies, so roots repeat across shifts)
+    assert len(want) >= 120
+
+
+def test_lsh_hard_negatives_collapse_is_exact(spark):
+    """Collapsed hard-negative mining must reproduce the member-level
+    algorithm row-for-row on duplicate-heavy input: same anchors, same
+    (sim desc, c_id) top-k per anchor — including anchors whose copies
+    share a candidate list and candidate groups that straddle the k
+    boundary by c_id tiebreak."""
+    from mini_lakehouse_control_plane_executor_spark.operators import (
+        similarity as S,
+    )
+    from pyspark.sql import Window
+
+    dup = _dup_embeddings(spark)
+    k, bands, rpb, dim = 3, 4, 4, 64
+    got = {
+        (r["q_id"], r["c_id"], r["sim"], r["rank"])
+        for r in S.lsh_hard_negatives(
+            dup, "vec_id", "embedding", "label", k=k, bands=bands,
+            rows_per_band=rpb, dim=dim,
+        ).collect()
+    }
+    # Member-level reference: the pre-collapse algorithm, spelled out.
+    planes = S.hyperplanes(bands * rpb, dim)
+    v = (
+        dup.select(
+            F.col("vec_id").alias("vid"),
+            F.col("label").alias("lbl"),
+            S._as_double(F.col("embedding")).alias("vec"),
+        )
+        .withColumn("nrm", S.norm(F.col("vec")))
+    )
+    bk = v.select(
+        "vid",
+        F.posexplode(S._band_keys("vec", planes, bands, rpb)).alias("band", "bk"),
+    )
+    cands = (
+        bk.alias("l")
+        .join(
+            bk.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bk") == F.col("r.bk"))
+            & (F.col("l.vid") != F.col("r.vid")),
+        )
+        .select(F.col("l.vid").alias("q_id"), F.col("r.vid").alias("c_id"))
+        .distinct()
+    )
+    qa = v.select(
+        F.col("vid").alias("q_id"), F.col("lbl").alias("q_lbl"),
+        F.col("vec").alias("q_vec"), F.col("nrm").alias("q_nrm"),
+    )
+    cb = v.select(
+        F.col("vid").alias("c_id"), F.col("lbl").alias("c_lbl"),
+        F.col("vec").alias("c_vec"), F.col("nrm").alias("c_nrm"),
+    )
+    sim = F.round(
+        S.dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    want = {
+        (r["q_id"], r["c_id"], r["sim"], r["rank"])
+        for r in (
+            cands.join(qa, "q_id")
+            .join(cb, "c_id")
+            .filter(F.col("q_lbl") != F.col("c_lbl"))
+            .select("q_id", "c_id", sim.alias("sim"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+        ).collect()
+    }
+    assert got == want
+    assert len(want) >= 300  # every copy is an anchor with a full top-k

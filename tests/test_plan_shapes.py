@@ -148,10 +148,24 @@ def test_boilerplate_is_one_count_shuffle_plus_take_ordered(spark):
 def test_lsh_blocked_pair_ops_shuffle_only_on_block_and_group_keys(spark):
     """The LSH-blocked pair operators (hard negatives, decontamination)
     must shuffle only on the (band, bk) candidate join, id-pair
-    distinct/re-join keys, and the final per-anchor grouping — never a
-    cartesian, never a nested-loop pairing of the two sides."""
+    distinct/re-join keys, the final per-anchor grouping, and — since
+    the duplicate-collapse stage landed — the exact-dedup window keyed
+    on the vector itself (its array key appears in the plan wrapped as
+    ``knownfloatingpointnormalized``) plus the rep-level candidate/
+    expansion keys. Never a cartesian, never a nested-loop pairing of
+    the two sides."""
     for name, allowed in [
-        ("hard_negative_mining_lsh", {"band", "q_id", "c_id", "vid"}),
+        (
+            "hard_negative_mining_lsh",
+            {
+                "band",
+                "vid",
+                "q_rep",
+                "c_rep",
+                "rep",
+                "knownfloatingpointnormalized",
+            },
+        ),
         ("embedding_decontamination", {"band", "t_id", "e_id"}),
     ]:
         plan = _plan(spark, name)
