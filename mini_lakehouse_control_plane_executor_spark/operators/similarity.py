@@ -467,17 +467,25 @@ def neardup_pairs(
     wide bucket (the AND-only construction) loses recall exponentially
     in plane count.
 
-    100 TB shape: the self-join key is (band, band_key) — sum of
-    per-bucket squares, never corpus-squared; candidates are distinct'd
-    as bare id pairs BEFORE vectors are re-joined for verification, so
-    the banded explosion never carries the embedding payload."""
+    100 TB shape: ``collapse_identical`` first (exact duplicates
+    otherwise cost d² inside the band self-join — see its docstring),
+    then a self-join keyed (band, band_key) over distinct-vector REPS —
+    sum of per-bucket squares over DISTINCT vectors, never
+    corpus-squared; candidates are distinct'd as bare id pairs BEFORE
+    vectors are re-joined for verification, so the banded explosion
+    never carries the embedding payload. Qualifying rep pairs expand to
+    member pairs LAST: cross pairs via two member joins (sim computed
+    once per distinct-vector pair, shared by every copy pair), internal
+    pairs of each ≥2 duplicate group at the vector's self-similarity.
+    The OUTPUT is still every qualifying member pair — quadratic in
+    duplicate-group size because the pair contract demands it — but the
+    join work is linear in it, not d²-inflated before it."""
     planes = hyperplanes(bands * rows_per_band, dim)
-    v = _spread_persist(
-        df.select(
-            F.col(id_col).alias("doc_id"), _as_double(F.col(vec_col)).alias("vec")
-        ).withColumn("nrm", norm(F.col("vec")))
+    vm = collapse_identical(df, id_col, vec_col)
+    reps = vm.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "vec", "nrm", "gsize"
     )
-    bk = v.select(
+    bk = reps.select(
         "doc_id",
         F.posexplode(_band_keys("vec", planes, bands, rows_per_band)).alias(
             "band", "bk"
@@ -495,15 +503,40 @@ def neardup_pairs(
         .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
         .distinct()
     )
-    a = v.select(F.col("doc_id").alias("id1"), F.col("vec").alias("v1"), F.col("nrm").alias("n1"))
-    b_ = v.select(F.col("doc_id").alias("id2"), F.col("vec").alias("v2"), F.col("nrm").alias("n2"))
+    a = reps.select(F.col("doc_id").alias("id1"), F.col("vec").alias("v1"), F.col("nrm").alias("n1"))
+    b_ = reps.select(F.col("doc_id").alias("id2"), F.col("vec").alias("v2"), F.col("nrm").alias("n2"))
     sim = F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6)
-    return (
+    rep_pairs = (
         cands.join(a, "id1")
         .join(b_, "id2")
         .select("id1", "id2", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+    m1 = vm.select(F.col("rep").alias("id1"), F.col("doc_id").alias("m1"))
+    m2 = vm.select(F.col("rep").alias("id2"), F.col("doc_id").alias("m2"))
+    cross = (
+        rep_pairs.join(m1, "id1")
+        .join(m2, "id2")
+        .select(
+            F.least("m1", "m2").alias("id1"),
+            F.greatest("m1", "m2").alias("id2"),
+            "sim",
+        )
+    )
+    self_sim = F.round(
+        dot(F.col("vec"), F.col("vec")) / (F.col("nrm") * F.col("nrm")), 6
+    )
+    grp = reps.filter((F.col("gsize") >= 2) & (self_sim >= threshold)).select(
+        F.col("doc_id").alias("rep"), self_sim.alias("sim")
+    )
+    mem = vm.select("rep", "doc_id")
+    internal = (
+        grp.join(mem.select("rep", F.col("doc_id").alias("ma")), "rep")
+        .join(mem.select("rep", F.col("doc_id").alias("mb")), "rep")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(F.col("ma").alias("id1"), F.col("mb").alias("id2"), "sim")
+    )
+    return cross.unionByName(internal)
 
 
 def collapse_identical(

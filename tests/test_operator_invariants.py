@@ -422,6 +422,77 @@ def _dup_embeddings(spark, n_base=40, copies=3):
     return out.unionByName(flipped)
 
 
+def _member_level_pairs(dup, threshold=0.45, bands=4, rpb=4, dim=64):
+    """Independent witness: the PRE-collapse banded-pair algorithm,
+    spelled out over every member copy — banding, candidate distinct,
+    verification — with no shared code path through
+    ``collapse_identical``."""
+    from mini_lakehouse_control_plane_executor_spark.operators import (
+        similarity as S,
+    )
+
+    planes = S.hyperplanes(bands * rpb, dim)
+    v = dup.select(
+        F.col("vec_id").alias("doc_id"),
+        S._as_double(F.col("embedding")).alias("vec"),
+    ).withColumn("nrm", S.norm(F.col("vec")))
+    bk = v.select(
+        "doc_id",
+        F.posexplode(S._band_keys("vec", planes, bands, rpb)).alias("band", "bk"),
+    )
+    cands = (
+        bk.alias("l")
+        .join(
+            bk.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bk") == F.col("r.bk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
+        .distinct()
+    )
+    a = v.select(
+        F.col("doc_id").alias("id1"), F.col("vec").alias("v1"), F.col("nrm").alias("n1")
+    )
+    b_ = v.select(
+        F.col("doc_id").alias("id2"), F.col("vec").alias("v2"), F.col("nrm").alias("n2")
+    )
+    sim = F.round(S.dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6)
+    return (
+        cands.join(a, "id1")
+        .join(b_, "id2")
+        .select("id1", "id2", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def test_neardup_pairs_collapse_is_exact(spark):
+    """The collapsed pair path must emit EXACTLY the member-level pair
+    set on duplicate-heavy input — cross pairs (every copy-pair of two
+    qualifying distinct vectors, same sim) and internal pairs (every
+    copy-pair within a duplicate group at self-similarity), all ordered
+    id1 < id2."""
+    from mini_lakehouse_control_plane_executor_spark.operators import (
+        similarity as S,
+    )
+
+    dup = _dup_embeddings(spark)
+    kw = dict(threshold=0.45, bands=4, rows_per_band=4, dim=64)
+    got = {
+        (r["id1"], r["id2"], r["sim"])
+        for r in S.neardup_pairs(dup, "vec_id", "embedding", **kw).collect()
+    }
+    want = {
+        (r["id1"], r["id2"], r["sim"]) for r in _member_level_pairs(dup).collect()
+    }
+    assert got == want
+    # the fixture's duplicate groups produce internal sim-1.0 pairs:
+    # 35 groups of 3 copies (C(3,2)=3) + 5 groups of 4 (the flipped-label
+    # copies share their base vector; labels don't key THIS collapse)
+    assert any(s == 1.0 for _, _, s in want)
+    assert len(want) >= 135
+
+
 def test_neardup_components_collapse_is_exact(spark):
     """The d²-skew guard must be invisible in the answer: cluster
     assignment from the collapsed path (identical vectors grouped
@@ -440,7 +511,7 @@ def test_neardup_components_collapse_is_exact(spark):
         (r["doc_id"], r["root"])
         for r in S.neardup_components(dup, "vec_id", "embedding", **kw).collect()
     }
-    pairs = S.neardup_pairs(dup, "vec_id", "embedding", **kw)
+    pairs = _member_level_pairs(dup)
     want = {
         (r["id"], r["root"])
         for r in D.connected_components(pairs.select("id1", "id2")).collect()
