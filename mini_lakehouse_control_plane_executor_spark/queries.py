@@ -8559,10 +8559,11 @@ DRIVER_PRIORITY: list[str] = [
     # stale re-attestations, so the two dedup operators take them;
     # `events_value_quantile_sketch`, `graph_triangle_count`,
     # `event_attribution_touch`, `robust_trimmed_stats`,
-    # `events_kmv_setops`, `association_rules`, and `graph_kcore_peel` (also new
-    # in r7, locally oracle-green every CI run) deliberately wait —
-    # r8's rotation must lead with these seven never-driver-verified
-    # queries, then the 50 queries whose latest verdict is r05.
+    # `events_kmv_setops`, `association_rules`, `graph_kcore_peel`, and
+    # `char_entropy_quality` (also new in r7, locally oracle-green
+    # every CI run) deliberately wait — r8's rotation must lead with
+    # these eight never-driver-verified queries, then the 50 queries
+    # whose latest verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
     # -- latest verdict r04 (2 rounds stale) --
