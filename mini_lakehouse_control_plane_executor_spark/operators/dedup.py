@@ -410,12 +410,32 @@ def lsh_candidates(
     is exploded into (doc_id, band, band_key) rows (``band_keys``) and
     candidates come from ONE equi-self-join on (band, band_key) instead
     of one join per band, so the signature pipeline is evaluated once
-    per side, not once per band per side. The shuffle key is the band
-    hash: skew is bounded by true near-dup cluster size."""
-    bands = band_keys(sigs, k, band_rows)
+    per side, not once per band per side.
+
+    Duplicate-skew guard (the ``collapse_identical`` discipline of
+    operators/similarity.py, applied at the SIGNATURE level): the band
+    self-join costs Σ|bucket|², and d docs with identical signatures —
+    exact-duplicate texts foremost, 30-50% of a raw crawl — land every
+    copy in every band bucket, a d² blowup. One window keyed on the k
+    signature columns elects a min-id representative per distinct
+    signature; the band join runs over representatives only, cross-group
+    candidates expand to member pairs through two linear joins, and
+    same-signature members are emitted as candidates directly (identical
+    signatures collide in EVERY band by definition). Exactly the
+    member-level candidate set — pinned row-for-row on duplicate-heavy
+    input in tests/test_operator_invariants.py. The remaining shuffle
+    key is the band hash over DISTINCT signatures: skew is bounded by
+    true near-dup cluster size, not duplicate multiplicity."""
+    hcols = [f"h{i}" for i in range(k)]
+    w = Window.partitionBy(*hcols)
+    vm = sigs.select(
+        "doc_id", *hcols, F.min("doc_id").over(w).alias("rep")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    reps = vm.filter(F.col("doc_id") == F.col("rep")).select("doc_id", *hcols)
+    bands = band_keys(reps, k, band_rows)
     l = bands.alias("l")
     r = bands.alias("r")
-    return (
+    rep_cands = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
@@ -425,6 +445,28 @@ def lsh_candidates(
         .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
         .distinct()
     )
+    mem = vm.select("rep", "doc_id")
+    cross = (
+        rep_cands.join(
+            mem.select(F.col("rep").alias("id1"), F.col("doc_id").alias("m1")), "id1"
+        )
+        .join(
+            mem.select(F.col("rep").alias("id2"), F.col("doc_id").alias("m2")), "id2"
+        )
+        .select(
+            F.least("m1", "m2").alias("id1"), F.greatest("m1", "m2").alias("id2")
+        )
+    )
+    internal = (
+        mem.alias("x")
+        .join(
+            mem.alias("y"),
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2"))
+    )
+    return cross.unionByName(internal)
 
 
 def minhash_dedup_pairs(

@@ -592,3 +592,50 @@ def test_lsh_hard_negatives_collapse_is_exact(spark):
     }
     assert got == want
     assert len(want) >= 300  # every copy is an anchor with a full top-k
+
+
+def test_lsh_candidates_signature_collapse_is_exact(spark):
+    """MinHash candidate generation's duplicate-skew guard must be
+    invisible in the answer: the signature-collapsed path (band join
+    over distinct signatures + member expansion + same-signature
+    internal pairs) emits exactly the member-level candidate set on a
+    corpus where every document has verbatim copies."""
+    from mini_lakehouse_control_plane_executor_spark.operators import dedup as D
+
+    base = (
+        qlib._load(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    dup = base
+    for i in (1, 2):
+        dup = dup.unionByName(
+            base.select(
+                (F.col("doc_id") + F.lit(i * 10000)).cast("long").alias("doc_id"),
+                "text",
+            )
+        )
+    sigs = D.minhash_signatures(dup, "doc_id", "text", 3)
+    got = {
+        (r["id1"], r["id2"]) for r in D.lsh_candidates(sigs).collect()
+    }
+    # Member-level witness: the pre-collapse algorithm — band join over
+    # EVERY doc's signature rows, no shared code through the collapse.
+    bands = D.band_keys(sigs)
+    want = {
+        (r["id1"], r["id2"])
+        for r in (
+            bands.alias("l")
+            .join(
+                bands.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bk") == F.col("r.bk"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
+            .distinct()
+        ).collect()
+    }
+    assert got == want
+    # the duplicate groups alone contribute 60·C(3,2)=180 internal pairs
+    assert len(want) >= 180
