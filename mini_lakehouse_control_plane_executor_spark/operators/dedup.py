@@ -546,7 +546,18 @@ def simhash_pairs(
     pair with hamming ≤ bands-1 shares a chunk, so the join key is
     (band index, chunk value) — linear shuffle, no cross join — and with
     the default max_hamming=3 < bands=4 the result is EXACT, not
-    approximate. Verification computes the true hamming distance."""
+    approximate. Verification computes the true hamming distance.
+
+    Duplicate-skew guard (the ``lsh_candidates`` discipline, cheapest of
+    the family since the collapse key is ONE long): d docs with an
+    identical signature — exact-duplicate texts foremost — land every
+    copy in every chunk bucket, a d² blowup of the chunk self-join. A
+    min-id representative is elected per distinct signature, the chunk
+    join runs over representatives, qualifying rep pairs expand to
+    member pairs linearly, and same-signature members emit directly at
+    hamming 0. Exactly the member-level pair set (hamming is a function
+    of the signature alone); pinned on duplicate-heavy input in
+    tests/test_operator_invariants.py."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     # Two-phase projection: materialize the md5 hash array once, then the
@@ -560,13 +571,25 @@ def simhash_pairs(
         .select("doc_id", simhash_from_hashes(F.col("hs"), bits).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    w = Window.partitionBy("sh")
+    vm = (
+        sigs.select(
+            "doc_id",
+            "sh",
+            F.min("doc_id").over(w).alias("rep"),
+            F.count(F.lit(1)).over(w).alias("gsize"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    reps = vm.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "sh", "gsize"
+    )
     chunk_arr = F.array(
         *[
             F.shiftright(F.col("sh"), b * band_bits).bitwiseAND(F.lit(mask))
             for b in range(bands)
         ]
     )
-    chunks = sigs.select("doc_id", "sh", F.posexplode(chunk_arr).alias("band", "ck"))
+    chunks = reps.select("doc_id", "sh", F.posexplode(chunk_arr).alias("band", "ck"))
     l = chunks.alias("l")
     r = chunks.alias("r")
     cands = (
@@ -585,9 +608,36 @@ def simhash_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
-    return cands.select(
+    rep_pairs = cands.select(
         "id1", "id2", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+    mem = vm.select("rep", "doc_id")
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("id1"), F.col("doc_id").alias("m1")), "id1"
+        )
+        .join(
+            mem.select(F.col("rep").alias("id2"), F.col("doc_id").alias("m2")), "id2"
+        )
+        .select(
+            F.least("m1", "m2").alias("id1"),
+            F.greatest("m1", "m2").alias("id2"),
+            "hamming",
+        )
+    )
+    internal = (
+        reps.filter(F.col("gsize") >= 2)
+        .select(F.col("doc_id").alias("grp"))
+        .join(mem.select(F.col("rep").alias("grp"), F.col("doc_id").alias("ma")), "grp")
+        .join(mem.select(F.col("rep").alias("grp"), F.col("doc_id").alias("mb")), "grp")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            F.col("ma").alias("id1"),
+            F.col("mb").alias("id2"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(internal)
 
 
 def connected_components(pairs: DataFrame, max_iters: int = 30) -> DataFrame:

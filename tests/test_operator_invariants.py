@@ -639,3 +639,76 @@ def test_lsh_candidates_signature_collapse_is_exact(spark):
     assert got == want
     # the duplicate groups alone contribute 60·C(3,2)=180 internal pairs
     assert len(want) >= 180
+
+
+def test_simhash_pairs_signature_collapse_is_exact(spark):
+    """SimHash's duplicate-skew guard must be invisible in the answer:
+    the signature-collapsed path equals the member-level chunk join —
+    every (id1, id2, hamming) — on a corpus where every document has
+    verbatim copies (hamming is a function of the signature alone, so
+    rep-level distances transfer verbatim)."""
+    from mini_lakehouse_control_plane_executor_spark.operators import dedup as D
+    from mini_lakehouse_control_plane_executor_spark.operators.text import tokens
+
+    base = (
+        qlib._load(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    dup = base
+    for i in (1, 2):
+        dup = dup.unionByName(
+            base.select(
+                (F.col("doc_id") + F.lit(i * 10000)).cast("long").alias("doc_id"),
+                "text",
+            )
+        )
+    got = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in D.simhash_pairs(dup, "doc_id", "text").collect()
+    }
+    # Member-level witness: chunk join over EVERY doc's signature.
+    bits, bands, max_hamming = D.SIMHASH_BITS, D.SIMHASH_BANDS, 3
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sigs = (
+        dup.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
+        .select("doc_id", D.shingles_from_tokens(F.col("toks"), 3).alias("shl"))
+        .select("doc_id", F.transform(F.col("shl"), D._feature_hash60).alias("hs"))
+        .select("doc_id", D.simhash_from_hashes(F.col("hs"), bits).alias("sh"))
+    )
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("sh"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    chunks = sigs.select("doc_id", "sh", F.posexplode(chunk_arr).alias("band", "ck"))
+    cands = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.ck") == F.col("r.ck"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id1"),
+            F.col("r.doc_id").alias("id2"),
+            F.col("l.sh").alias("sh1"),
+            F.col("r.sh").alias("sh2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    want = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in cands.select(
+            "id1", "id2", hamming.cast("int").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .collect()
+    }
+    assert got == want
+    # duplicate groups contribute 60*C(3,2)=180 hamming-0 internal pairs
+    assert sum(1 for _, _, h in want if h == 0) >= 180
