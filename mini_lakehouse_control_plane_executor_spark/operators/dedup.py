@@ -300,8 +300,39 @@ def containment_pairs(
     stream. At scale: one vocab-sized DF aggregate, the blocking join
     streams ~(1-t) of the corpus's shingles on the contained side, and
     nothing is ever all-pairs. Docs with < ``min_shingles`` shingles
-    are excluded (containment over a handful of shingles is noise)."""
+    are excluded (containment over a handful of shingles is noise).
+
+    Duplicate-skew guard (the ``lsh_candidates`` discipline, keyed on
+    the distinct-shingle SET): d docs with identical shingle sets —
+    exact duplicates foremost — collide on every prefix shingle, a d²
+    blowup of the blocking join. The prefix machinery runs over one
+    min-id representative per distinct set; PPJoin completeness holds
+    under ANY fixed global order, so ordering by rep-level document
+    frequency changes only the candidate count, never the verified
+    output. Qualifying DIRECTED rep pairs expand to member pairs
+    linearly; same-set members emit both directions at containment 1.0
+    (what the member-level algorithm produces for identical sets).
+    Row-for-row equivalence pinned in tests/test_operator_invariants.py.
+    """
     arr = shingle_arrays(df, id_col, text_col, n)
+    # NARROW collapse: the set key is md5 over the SORTED distinct-
+    # shingle array, computed map-side — the window then shuffles only
+    # (doc_id, key, n_sh) rows, never the array payload (keying the
+    # window on the array itself re-shuffled the whole corpus's shingle
+    # sets and cost +35% at sf1 with zero duplicates — measured and
+    # rejected).
+    k = arr.select(
+        "doc_id",
+        F.md5(F.concat_ws("\x1f", F.array_sort("sh"))).alias("skey"),
+        F.size("sh").alias("nsh"),
+    )
+    wg = Window.partitionBy("skey")
+    vm = k.select(
+        "doc_id",
+        "nsh",
+        F.min("doc_id").over(wg).alias("rep"),
+        F.count(F.lit(1)).over(wg).alias("gsize"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ex = exploded_shingles(df, id_col, text_col, n, arrays=arr).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -309,9 +340,16 @@ def containment_pairs(
     w = Window.partitionBy("doc_id")
     wo = w.orderBy("dfr", F.md5("s"), "s")
     # ONE window pass yields both the global-order rank and |doc|;
-    # persisted because the prefix AND the container side read it.
+    # persisted because the prefix AND the container side read it. The
+    # rep filter joins in BEFORE the window, so the member stream
+    # shrinks to distinct-set representatives ahead of the expensive
+    # rank pass AND the blocking join; the join's doc_id shuffle is the
+    # same partitioning the window needs, so it costs no extra exchange.
     ranked = (
         ex.join(dfreq, "s")
+        .join(
+            vm.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
+        )
         .withColumn("rn", F.row_number().over(wo))
         .withColumn("n_sh", F.count(F.lit(1)).over(w))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -338,18 +376,48 @@ def containment_pairs(
     # fan-out and no (b_id, s) re-shuffle of the corpus stream. The
     # arrays are distinct-shingle sets, so the intersect size equals the
     # exploded equi-join count exactly (measured 2.5x faster at sf0.1:
-    # 0.64s vs 1.63s for the exploded verify).
+    # 0.64s vs 1.63s for the exploded verify). Verification runs at REP
+    # level — containment is a function of the two sets, and candidate
+    # ids are rep ids, so the id-keyed array joins touch rep rows only —
+    # and the verified value expands with the member pairs.
     a_arr = arr.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     b_arr = arr.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
-    return (
+    rep_out = (
         cand.join(a_arr, "a_id")
         .join(b_arr, "b_id")
         .withColumn("c", F.size(F.array_intersect("a_sh", "b_sh")).cast("long"))
         .filter(F.col("c") * threshold_den >= F.col("na") * threshold_num)
+        .select("a_id", "b_id", F.round(F.col("c") / F.col("na"), 4).alias("cont"))
+    )
+    # ONE expansion pass for both pair kinds: same-set duplicate groups
+    # enter as rep-level SELF pairs at containment 1.0 (identical sets
+    # contain each other; the member-level algorithm emits both directed
+    # rows), and the ma != mb guard — a no-op for true cross pairs,
+    # whose member sets are disjoint — drops only the degenerate
+    # self-member row of self pairs.
+    self_pairs = vm.filter(
+        (F.col("doc_id") == F.col("rep"))
+        & (F.col("gsize") >= 2)
+        & (F.col("nsh") >= min_shingles)
+    ).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("doc_id").alias("b_id"),
+        F.lit(1.0).alias("cont"),
+    )
+    mem = vm.select("rep", "doc_id")
+    return (
+        rep_out.unionByName(self_pairs)
+        .join(
+            mem.select(F.col("rep").alias("a_id"), F.col("doc_id").alias("ma")), "a_id"
+        )
+        .join(
+            mem.select(F.col("rep").alias("b_id"), F.col("doc_id").alias("mb")), "b_id"
+        )
+        .filter(F.col("ma") != F.col("mb"))
         .select(
-            F.col("a_id").alias("contained_id"),
-            F.col("b_id").alias("container_id"),
-            F.round(F.col("c") / F.col("na"), 4).alias("containment"),
+            F.col("ma").alias("contained_id"),
+            F.col("mb").alias("container_id"),
+            F.col("cont").alias("containment"),
         )
     )
 

@@ -712,3 +712,81 @@ def test_simhash_pairs_signature_collapse_is_exact(spark):
     assert got == want
     # duplicate groups contribute 60*C(3,2)=180 hamming-0 internal pairs
     assert sum(1 for _, _, h in want if h == 0) >= 180
+
+
+def test_containment_pairs_set_collapse_is_exact(spark):
+    """Containment's duplicate-skew guard must be invisible in the
+    answer: the set-collapsed path equals the member-level PPJoin —
+    every DIRECTED (contained_id, container_id, containment) row — on a
+    corpus where every document has verbatim copies. Identical-set
+    members must appear in BOTH directions at containment 1.0, exactly
+    as the member-level algorithm emits them."""
+    from pyspark.sql import Window
+    from mini_lakehouse_control_plane_executor_spark.operators import dedup as D
+
+    base = (
+        qlib._load(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    dup = base
+    for i in (1, 2):
+        dup = dup.unionByName(
+            base.select(
+                (F.col("doc_id") + F.lit(i * 10000)).cast("long").alias("doc_id"),
+                "text",
+            )
+        )
+    tn, td, mins = 9, 10, 5
+    got = {
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in D.containment_pairs(
+            dup, "doc_id", "text", 3, tn, td, mins
+        ).collect()
+    }
+    # Member-level witness: the pre-collapse PPJoin, spelled out.
+    arr = D.shingle_arrays(dup, "doc_id", "text", 3)
+    ex = D.exploded_shingles(dup, "doc_id", "text", 3, arrays=arr)
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("dfr"))
+    w = Window.partitionBy("doc_id")
+    wo = w.orderBy("dfr", F.md5("s"), "s")
+    ranked = (
+        ex.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w))
+    )
+    miss = F.expr(f"n_sh * {td - tn} div {td}")
+    pref = ranked.filter(
+        (F.col("n_sh") >= mins) & (F.col("rn") <= miss + 1)
+    ).select(F.col("doc_id").alias("a_id"), "s", F.col("n_sh").alias("na"))
+    bside = ranked.select(
+        F.col("doc_id").alias("b_id"), "s", F.col("n_sh").alias("nb")
+    )
+    cand = (
+        pref.join(bside, ["s"])
+        .filter(
+            (F.col("a_id") != F.col("b_id"))
+            & (F.col("nb") * td >= F.col("na") * tn)
+        )
+        .select("a_id", "b_id", "na")
+        .distinct()
+    )
+    a_arr = arr.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b_arr = arr.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    want = {
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in (
+            cand.join(a_arr, "a_id")
+            .join(b_arr, "b_id")
+            .withColumn("c", F.size(F.array_intersect("a_sh", "b_sh")).cast("long"))
+            .filter(F.col("c") * td >= F.col("na") * tn)
+            .select(
+                F.col("a_id").alias("contained_id"),
+                F.col("b_id").alias("container_id"),
+                F.round(F.col("c") / F.col("na"), 4).alias("containment"),
+            )
+        ).collect()
+    }
+    assert got == want
+    # duplicate groups contribute 60*3*2=360 directed containment-1.0 pairs
+    assert sum(1 for _, _, c in want if c == 1.0) >= 360
