@@ -41,6 +41,7 @@ from mini_lakehouse_control_plane_executor_spark.session import get_spark
 
 SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 OUT = os.environ.get("SPARK_GRAFT_SCALE_OUT", "/root/repo/.scale/sf1")
+OUT_DUP = os.environ.get("SPARK_GRAFT_SCALE_OUT_DUP", "/root/repo/.scale/sf1dup")
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 SHIFT = 10**9
 
@@ -61,6 +62,7 @@ BOUNDED_DIMS = ["region", "nation"]
 def main() -> None:
     spark = get_spark("scale-build")
     os.makedirs(OUT, exist_ok=True)
+    os.makedirs(OUT_DUP, exist_ok=True)
     t_start = time.time()
     for t in BOUNDED_DIMS:
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
@@ -89,6 +91,25 @@ def main() -> None:
         )
         n = spark.read.parquet(f"{OUT}/{t}.parquet").count()
         print(f"{t}: {n} rows in {n_files} files", flush=True)
+    # Duplicate-heavy twin corpus: VERBATIM document copies (id shift
+    # only, no token suffixing) — the adversarial input for the
+    # duplicate-skew guards in the text near-dup pipelines (minhash,
+    # simhash, containment). Embeddings need no twin: the main sf1
+    # build already keeps vectors verbatim, so .scale/sf1 IS the
+    # duplicate-heavy corpus for the embedding-side guards.
+    base = spark.read.parquet(f"{SRC}/documents.parquet")
+    dups = [
+        base.withColumn("doc_id", (F.col("doc_id") + F.lit(i * SHIFT)).cast("long"))
+        for i in range(COPIES)
+    ]
+    out = dups[0]
+    for c in dups[1:]:
+        out = out.unionAll(c)
+    out.repartition(16).write.mode("overwrite").parquet(
+        f"{OUT_DUP}/documents.parquet"
+    )
+    n = spark.read.parquet(f"{OUT_DUP}/documents.parquet").count()
+    print(f"documents (verbatim dup twin): {n} rows -> {OUT_DUP}", flush=True)
     print(f"done in {time.time() - t_start:.0f}s -> {OUT}", flush=True)
 
 

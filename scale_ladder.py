@@ -56,9 +56,35 @@ FULL_EXCLUDED = {
 }
 
 
+# SPARK_GRAFT_SCALE_SET=dup measures the DUPLICATE-SKEW GUARDS on their
+# adversarial input: 10x VERBATIM copies (scale_build's .scale/sf1dup
+# for documents; the main .scale/sf1 already keeps embedding vectors
+# verbatim). Without the guards each verbatim copy lands in every one of
+# its band/chunk/prefix buckets, so the blocking self-joins pay d² per
+# duplicate group — pre-guard this measured 45x (semantic_dedup_clusters)
+# and 31x (hard_negative_mining_lsh) wall ratios for 10x data. With the
+# guards the banding runs on distinct texts/signatures/vectors and the
+# ratio should be output-bound.
+DUP_SET: dict[str, str] = {
+    # text-side guards -> verbatim-copy documents
+    "dedup_exact": "dup",
+    "dedup_minhash_lsh": "dup",
+    "dedup_simhash_pairs": "dup",
+    "containment_dedup_pairs": "dup",
+    "dedup_cluster_size_histogram": "dup",
+    # embedding-side guards -> the main sf1 (vectors already verbatim)
+    "embedding_neardup_lsh": "big",
+    "semantic_dedup_clusters": "big",
+    "hard_negative_mining_lsh": "big",
+}
+DUP_DIR = os.environ.get("SPARK_GRAFT_SCALE_OUT_DUP", "/root/repo/.scale/sf1dup")
+
+
 def query_set(registry) -> list[str]:
     if SCALE_SET == "full":
         return [n for n in registry if n not in FULL_EXCLUDED]
+    if SCALE_SET == "dup":
+        return [n for n in DUP_SET if n in registry]
     return [n for n in HEADLINE if n in registry]
 
 
@@ -85,7 +111,13 @@ def main() -> None:
     registry = qlib.all_queries()
     names = query_set(registry)
     small = run_set(spark, registry, names, SMALL)
-    big = run_set(spark, registry, names, BIG)
+    if SCALE_SET == "dup":
+        dup_names = [n for n in names if DUP_SET[n] == "dup"]
+        big_names = [n for n in names if DUP_SET[n] == "big"]
+        big = run_set(spark, registry, dup_names, DUP_DIR)
+        big.update(run_set(spark, registry, big_names, BIG))
+    else:
+        big = run_set(spark, registry, names, BIG)
     rows = []
     for name in names:
         if name in small and name in big:
@@ -93,20 +125,44 @@ def main() -> None:
             rows.append((name, small[name], big[name], r))
     rows.sort(key=lambda t: -t[3])
 
-    out_file = "SCALE_FULL.md" if SCALE_SET == "full" else "SCALE.md"
-    title = (
-        "# SCALE_FULL.md — full-registry scale ladder (sf0.1 -> sf1)"
-        if SCALE_SET == "full"
-        else "# SCALE.md — scale-ladder self-bench (sf0.1 -> sf1)"
-    )
+    out_file = {
+        "full": "SCALE_FULL.md", "dup": "SCALE_DUP.md"
+    }.get(SCALE_SET, "SCALE.md")
+    title = {
+        "full": "# SCALE_FULL.md — full-registry scale ladder (sf0.1 -> sf1)",
+        "dup": (
+            "# SCALE_DUP.md — duplicate-skew guard ladder "
+            "(sf0.1 -> 10x VERBATIM copies)"
+        ),
+    }.get(SCALE_SET, "# SCALE.md — scale-ladder self-bench (sf0.1 -> sf1)")
+    if SCALE_SET == "dup":
+        data_line = (
+            f"Data: `{SMALL}` vs 10x VERBATIM copies — `{DUP_DIR}` for the "
+            "text queries (id shift only, NO token suffixing), the main "
+            f"`{BIG}` for the embedding queries (its vectors are already "
+            "verbatim copies). This is the adversarial input for the "
+            "duplicate-skew guards: without them each copy lands in every "
+            "one of its band/chunk/prefix buckets and the blocking "
+            "self-joins pay d² per duplicate group (pre-guard: 45x "
+            "semantic_dedup_clusters, 31x hard_negative_mining_lsh, 9x "
+            "embedding_neardup_lsh on this input). Note the OUTPUT of the "
+            "pair queries is itself quadratic in duplicate-group size "
+            "(100x rows at d=10) — ratios here bound the guard's join "
+            "work plus that inherent output growth. Min-of-%d after "
+            "warmup per scale." % PASSES
+        )
+    else:
+        data_line = (
+            f"Data: `{SMALL}` vs `{BIG}` (built by `scale_build.py`: 10 "
+            "key-shifted copies of every fact table; bounded dims kept; "
+            "document text token-suffixed per copy so near-dup cluster "
+            "sizes stay constant — see its docstring). 10x rows, fixed "
+            "local[32] box, min-of-%d after warmup per scale." % PASSES
+        )
     lines = [
         title,
         "",
-        f"Data: `{SMALL}` vs `{BIG}` (built by `scale_build.py`: 10 "
-        "key-shifted copies of every fact table; bounded dims kept; "
-        "document text token-suffixed per copy so near-dup cluster "
-        "sizes stay constant — see its docstring). 10x rows, fixed "
-        "local[32] box, min-of-%d after warmup per scale." % PASSES,
+        data_line,
         "",
         "A scale-correct plan on a fixed box grows ~linearly in input "
         "size; sf0.1 timings carry ~0.3-0.5s fixed per-query overhead "
