@@ -233,3 +233,97 @@ def fingerprint(col: Column) -> Column:
     """Deterministic 128-bit document fingerprint (md5 of the normalized
     text) — the content-addressable key for exact dedup at scale."""
     return F.md5(normalize_text(col))
+
+
+# -- BPE merge learning --------------------------------------------------
+# Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016 —
+# learn_bpe): iteratively pick the most frequent adjacent symbol pair
+# and fuse it into a new symbol. The classic formulation runs on the
+# word-frequency table, NOT the corpus — so after one corpus-sized
+# groupBy the whole iteration works on a Heaps-law-bounded vocab table
+# (sublinear in corpus size), which is what makes tokenizer training
+# tractable at 100 TB.
+#
+# Symbol sequences are represented as marked strings '<a><b><c>' (every
+# symbol wrapped in '<...>'; tokens are \w+ so the markers cannot occur
+# in symbol text). Applying a merge is then a single literal
+# ``replace(s, '<a><b>', '<ab>')`` — left-to-right non-overlapping
+# replacement IS greedy BPE application, and the marker framing makes
+# adjacent matches share no characters (replace(' a a ', ..) style
+# encodings drop every other match because the shared delimiter is
+# consumed). Identical semantics in Spark's ``replace`` and DuckDB's,
+# so the oracle can unroll the same rounds as CTEs.
+
+
+def bpe_learn_merges(words, rounds: int = 3):
+    """Learn ``rounds`` BPE merges from a (word, cnt) vocab DataFrame.
+
+    Returns one row per round: (merge_round, lhs, rhs, pair_count,
+    n_words) — the fused pair, its corpus-weighted adjacency count, and
+    how many distinct vocab words contained it. Ties break
+    lexicographically (count DESC, lhs, rhs) so the learned sequence is
+    deterministic in any engine.
+
+    100 TB shape: every per-round job (pair explode, pair aggregate,
+    top-1, merge application) runs over the persisted vocab table; the
+    corpus is touched exactly once by the caller's word-count groupBy.
+    The winning pair is ONE broadcast row cross-joined onto the vocab
+    table — no driver round-trip, the whole merge sequence stays one
+    lazy plan."""
+    m = words.withColumn("s", F.regexp_replace("word", "(.)", "<$1>")).persist()
+    best_rows = []
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            m.select(
+                "word",
+                "cnt",
+                F.split(F.expr("substring(s, 2, length(s)-2)"), "><").alias("syms"),
+            )
+            .where(F.size("syms") >= 2)
+            .select(
+                "word",
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms)-1),"
+                        " i -> struct(syms[i-1] AS lhs, syms[i] AS rhs))"
+                    )
+                ).alias("z"),
+            )
+            .groupBy(F.col("z.lhs").alias("lhs"), F.col("z.rhs").alias("rhs"))
+            .agg(
+                F.sum("cnt").cast("long").alias("pair_count"),
+                F.countDistinct("word").cast("long").alias("n_words"),
+            )
+        )
+        best = (
+            pairs.orderBy(F.col("pair_count").desc(), "lhs", "rhs").limit(1).persist()
+        )
+        best_rows.append(
+            best.select(
+                F.lit(rnd).alias("merge_round"), "lhs", "rhs", "pair_count", "n_words"
+            )
+        )
+        if rnd < rounds:
+            m = (
+                m.crossJoin(
+                    F.broadcast(
+                        best.select(
+                            F.col("lhs").alias("_l"), F.col("rhs").alias("_r")
+                        )
+                    )
+                )
+                .withColumn(
+                    "s",
+                    F.expr(
+                        "replace(s, '<' || _l || '><' || _r || '>',"
+                        " '<' || _l || _r || '>')"
+                    ),
+                )
+                .drop("_l", "_r")
+                .persist()
+            )
+    out = best_rows[0]
+    for b in best_rows[1:]:
+        out = out.unionAll(b)
+    return out
