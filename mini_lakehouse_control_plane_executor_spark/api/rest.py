@@ -342,13 +342,18 @@ class LakehouseRestServer:
 
     def trigger_compaction(self, name: str, body: dict):
         """POST /tables/{t}/compaction — optional ``cluster_by`` runs a
-        clustered (OPTIMIZE-ZORDER-style) full rewrite instead of the
+        linearly clustered full rewrite, ``zorder_by`` a z-ordered
+        (multi-dimensional, interleaved-bit) one, instead of the
         small-file bin-pack."""
         self._table(name)
         cluster_by = body.get("cluster_by") or None
+        zorder_by = body.get("zorder_by") or None
         try:
             version = self.lake.compact(
-                name, force=bool(body.get("force")), cluster_by=cluster_by
+                name,
+                force=bool(body.get("force")),
+                cluster_by=cluster_by,
+                zorder_by=zorder_by,
             )
         except (RuntimeError, ValueError) as exc:  # in progress / bad column
             return 200, {"success": False, "error": str(exc)}

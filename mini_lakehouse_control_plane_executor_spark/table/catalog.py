@@ -296,7 +296,11 @@ class LakehouseSession:
         return new_version
 
     def compact(
-        self, name: str, force: bool = False, cluster_by: list[str] | None = None
+        self,
+        name: str,
+        force: bool = False,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int | None:
         """SafeExecuteCompaction semantics (``compaction_service.go:
         659-709``): per-table mutual exclusion, at most
@@ -316,7 +320,7 @@ class LakehouseSession:
         try:
             with self._compact_slots:
                 t = self.table(name)
-                if not force and not cluster_by and not t.should_compact():
+                if not force and not (cluster_by or zorder_by) and not t.should_compact():
                     return None
                 # Tag the rewrite's Spark jobs so cancel_compaction can
                 # kill them mid-flight (real cancellation — the commit
@@ -327,7 +331,9 @@ class LakehouseSession:
                 clog.info("compaction_started")
                 sc.setJobGroup(f"compaction-{name}", txn_id, interruptOnCancel=True)
                 try:
-                    version = t.compact(txn_id=txn_id, cluster_by=cluster_by)
+                    version = t.compact(
+                        txn_id=txn_id, cluster_by=cluster_by, zorder_by=zorder_by
+                    )
                 finally:
                     sc.setLocalProperty("spark.jobGroup.id", None)
                 if version is not None:

@@ -109,6 +109,119 @@ def _fill_partition_from_stats(adds: list, cluster_by: list[str]) -> list:
     ]
 
 
+# Z-order clustering: quantile buckets per column (2^ZORDER_BITS), bit
+# interleaved into one sort key. 8 bits = 256 buckets is the sweet spot:
+# fine enough that each output file covers a narrow hyper-rectangle,
+# coarse enough that the bucket-assignment expression (one HOF over a
+# 255-literal cut array per column) stays cheap at scan speed.
+ZORDER_BITS = 8
+
+# Field types a z-order column may have, with how to project them onto
+# the double line the quantile cuts live on. Strings are refused: there
+# is no distance-preserving numeric embedding, and silently hashing them
+# would destroy the locality z-ordering exists to create.
+_ZORDER_CASTS = {
+    "int32": lambda c: c.cast("double"),
+    "int64": lambda c: c.cast("double"),
+    "float32": lambda c: c.cast("double"),
+    "float64": lambda c: c.cast("double"),
+    "timestamp": lambda c: c.cast("double"),
+    "date": lambda c: c.cast("timestamp").cast("double"),
+}
+
+
+def _zorder_value(df: DataFrame, cols: list[str], types: dict[str, str]):
+    """Interleaved-bit Z-value column over per-column quantile buckets
+    (the Delta OPTIMIZE ZORDER BY technique, built from public parts):
+    each column is bucketed by its own approx-quantile cuts — so skewed
+    columns still spread over all 256 buckets — and the bucket indexes'
+    bits are interleaved LSB-first, giving the space-filling-curve key
+    that range-partitioning then turns into files covering narrow
+    hyper-rectangles in ALL clustered dimensions at once.
+
+    Costs ONE extra aggregate pass over ``df`` (the quantile sketch,
+    collected as a single driver row of ≤255 cuts per column) — the
+    standard price of a z-order write."""
+    n_buckets = 1 << ZORDER_BITS
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    casts = {c: _ZORDER_CASTS[types[c]] for c in cols}
+    cuts_row = df.agg(
+        *[
+            F.percentile_approx(casts[c](df[c]), qs, 10000).alias(c)
+            for c in cols
+        ]
+    ).first()
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        cuts = sorted({x for x in (cuts_row[c] or []) if x is not None})
+        if not cuts:
+            continue  # empty/all-null column: contributes nothing
+        arr = F.array(*[F.lit(float(x)) for x in cuts])
+        v = casts[c](df[c])
+        # Bucket = #cuts <= value; NULLs fall through to bucket 0.
+        bucket = F.size(F.filter(arr, lambda x: x <= v))
+        for i in range(ZORDER_BITS):
+            z = z + F.shiftright(bucket, i).bitwiseAND(F.lit(1)).cast(
+                "long"
+            ) * F.lit(1 << (i * k + ci)).cast("long")
+    return z
+
+
+def _cluster_layout(
+    df: DataFrame,
+    n_part: int,
+    cluster_by: list[str] | None,
+    zorder_by: list[str] | None,
+    types: dict[str, str],
+) -> DataFrame:
+    """Range-partition + sort the write so each output file covers a
+    narrow slice of the cluster-key space. ``cluster_by`` sorts the
+    columns lexicographically (sharpest pruning on the LEADING column);
+    ``zorder_by`` sorts by the interleaved Z-value (balanced pruning on
+    EVERY listed column — the right layout when queries filter the
+    second column without the first)."""
+    if cluster_by:
+        return df.repartitionByRange(n_part, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    zcol = "__zorder"
+    return (
+        df.withColumn(zcol, _zorder_value(df, zorder_by, types))
+        .repartitionByRange(n_part, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+    )
+
+
+def _validate_cluster_args(
+    fields: list[Field],
+    cluster_by: list[str] | None,
+    zorder_by: list[str] | None,
+) -> None:
+    if cluster_by and zorder_by:
+        raise ValueError("pass either cluster_by or zorder_by, not both")
+    names = {f.name for f in fields}
+    unknown = set(cluster_by or []) | set(zorder_by or [])
+    unknown -= names
+    if unknown:
+        raise ValueError(
+            f"cluster_by/zorder_by unknown column(s): {sorted(unknown)}"
+        )
+    if zorder_by:
+        types = {f.name: f.type for f in fields}
+        bad = [c for c in zorder_by if types[c] not in _ZORDER_CASTS]
+        if bad:
+            raise ValueError(
+                f"zorder_by supports {sorted(_ZORDER_CASTS)} columns; "
+                f"unsupported: {bad}"
+            )
+        if len(zorder_by) < 2:
+            raise ValueError(
+                "zorder_by needs >= 2 columns (use cluster_by for one)"
+            )
+
+
 def _stat_value(v, ftype: str):
     import datetime as _dt
 
@@ -493,6 +606,7 @@ class LakehouseTable:
         txn_id: str | None = None,
         mode: str = "append",
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
         merge_schema: bool = False,
     ) -> int:
         """Commit ``df`` as a new version (staged write → move → OCC
@@ -510,7 +624,12 @@ class LakehouseTable:
         min/max stats then prune clustered columns exactly like partition
         pruning, with no schema surgery and no small-file-per-value
         explosion. Single-valued files additionally get their value
-        recorded in ``FileAdd.partition`` (FileInfo parity)."""
+        recorded in ``FileAdd.partition`` (FileInfo parity).
+
+        ``zorder_by``: multi-dimensional clustering — sort by the
+        interleaved-bit Z-value of the columns' quantile buckets instead
+        of lexicographically, so min/max pruning works on EVERY listed
+        column, not just the leading one (see ``_zorder_value``)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown insert mode {mode!r}")
         txn_id = txn_id or str(uuid.uuid4())
@@ -539,10 +658,7 @@ class LakehouseTable:
             self.add_columns(new_fields, txn_id=f"{txn_id}-mergeschema")
             fields = self.fields
         schema = to_spark_schema(fields)
-        if cluster_by:
-            unknown = set(cluster_by) - {f.name for f in fields}
-            if unknown:
-                raise ValueError(f"cluster_by unknown column(s): {sorted(unknown)}")
+        _validate_cluster_args(fields, cluster_by, zorder_by)
         # Align column order/types to the table schema before writing.
         # NOT NULL enforcement rides the same projection (raise_error
         # fires inside the write pass — no extra scan), and also catches
@@ -565,14 +681,15 @@ class LakehouseTable:
             df = df.select(
                 *self._constraint_guard([df[f.name] for f in fields], df)
             )
-        if cluster_by:
+        if cluster_by or zorder_by:
             # Range-partition (not hash): gives each output file a
             # CONTIGUOUS slice of the cluster-key space, the layout that
             # makes min/max pruning sharpest. Explicit numPartitions so
             # AQE cannot coalesce the clustered layout into one file.
             n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-            df = df.repartitionByRange(n_part, *cluster_by).sortWithinPartitions(
-                *cluster_by
+            df = _cluster_layout(
+                df, n_part, cluster_by, zorder_by,
+                {f.name: f.type for f in fields},
             )
 
         self._sweep_stale_stages()
@@ -582,8 +699,8 @@ class LakehouseTable:
             adds = self._promote_staged(stage)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
-        if cluster_by:
-            adds = _fill_partition_from_stats(adds, cluster_by)
+        if cluster_by or zorder_by:
+            adds = _fill_partition_from_stats(adds, cluster_by or zorder_by)
         try:
             if mode == "append":
                 return self._commit_with_retry(
@@ -1288,7 +1405,10 @@ class LakehouseTable:
         return [g for g in groups if len(g) >= 2]
 
     def compact(
-        self, txn_id: str | None = None, cluster_by: list[str] | None = None
+        self,
+        txn_id: str | None = None,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int | None:
         """Rewrite small files into big ones; atomic adds+removes commit;
         on OCC conflict re-plan from the fresh snapshot and retry ≤3
@@ -1303,14 +1423,15 @@ class LakehouseTable:
         output covers a contiguous key slice, so min/max stats prune
         the clustered columns like partitions on every later read. The
         storage-side lever for repeated selective scans at 100 TB: pay
-        one clustered rewrite, then every query prunes."""
-        if cluster_by:
-            unknown = set(cluster_by) - {f.name for f in self.fields}
-            if unknown:
-                raise ValueError(f"cluster_by unknown column(s): {sorted(unknown)}")
+        one clustered rewrite, then every query prunes.
+
+        ``zorder_by`` is the multi-dimensional variant (Delta's actual
+        ZORDER BY): interleaved-bit quantile-bucket key, so pruning
+        works on every listed column — see ``_zorder_value``."""
+        _validate_cluster_args(self.fields, cluster_by, zorder_by)
         for _ in range(COMMIT_MAX_RETRIES + 1):
             snap = self.log.snapshot()
-            if cluster_by:
+            if cluster_by or zorder_by:
                 groups = [list(snap.files)] if snap.files else []
             else:
                 groups = self.compaction_candidates(snap)
@@ -1329,22 +1450,23 @@ class LakehouseTable:
                 paths = [os.path.join(self.dir, f.path) for f in group]
                 out = os.path.join(stage, f"g{gi}")
                 df = self.spark.read.schema(schema).parquet(*paths)
-                if cluster_by:
+                if cluster_by or zorder_by:
                     n_out = max(
                         1,
                         -(-sum(f.size for f in group) // COMPACT_TARGET_FILE_SIZE),
                     )
-                    df = df.repartitionByRange(
-                        n_out, *cluster_by
-                    ).sortWithinPartitions(*cluster_by)
+                    df = _cluster_layout(
+                        df, n_out, cluster_by, zorder_by,
+                        {f.name: f.type for f in snap.schema},
+                    )
                 else:
                     df = df.coalesce(1)
                 df.write.mode("overwrite").parquet(out)
                 adds.extend(self._promote_staged(out))
                 removes.extend(f.path for f in group)
             shutil.rmtree(stage, ignore_errors=True)
-            if cluster_by:
-                adds = _fill_partition_from_stats(adds, cluster_by)
+            if cluster_by or zorder_by:
+                adds = _fill_partition_from_stats(adds, cluster_by or zorder_by)
             try:
                 return self.log.commit(snap.version, txn, snap.schema, adds, removes)
             except CommitConflictError:

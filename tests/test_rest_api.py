@@ -182,7 +182,7 @@ def test_compaction_admin_over_http(server, lake, spark):
     t = lake.table("ca")
     real_compact = t.compact
 
-    def blocking_compact(txn_id=None, cluster_by=None):
+    def blocking_compact(txn_id=None, cluster_by=None, zorder_by=None):
         entered.set()
         release.wait(10)
         return None
@@ -455,3 +455,23 @@ def test_fuzz_malformed_bodies_never_500(lake, server, spark):
                 )
                 checked += 1
     assert checked > 300  # the grid actually ran
+
+
+def test_zorder_compaction_over_http(server):
+    """POST /tables/{t}/compaction with zorder_by: multi-dimensional
+    clustered rewrite; bad columns surface as success=False, not 500."""
+    _call(server, "POST", "/tables", {"name": "tzz", "schema": SCHEMA_API})
+    for i in range(2):
+        rows = [dict(r, id=r["id"] + 100 * i) for r in ROWS]
+        _call(server, "POST", "/tables/tzz/insert", {"rows": rows})
+
+    out = _call(
+        server, "POST", "/tables/tzz/compaction", {"zorder_by": ["id", "quantity"]}
+    )
+    assert out["success"], out
+    out = _call(
+        server, "POST", "/tables/tzz/compaction", {"zorder_by": ["id", "category"]}
+    )
+    assert not out["success"] and "unsupported" in out["error"]
+    out = _call(server, "POST", "/tables/tzz/compaction", {"zorder_by": ["id"]})
+    assert not out["success"] and ">= 2" in out["error"]
