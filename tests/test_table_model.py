@@ -53,7 +53,9 @@ _OP = st.one_of(
     st.tuples(st.just("delete"), st.integers(0, 30), st.integers(1, 15)),
     st.tuples(st.just("update"), st.integers(0, 30), st.integers(1, 15)),
     st.tuples(st.just("merge"), st.integers(0, 25), st.integers(1, 10)),
-    st.tuples(st.just("compact"), st.integers(0, 0), st.integers(1, 1)),
+    # n picks the layout: 0 bin-pack, 1 linear clustered, 2 z-ordered —
+    # all three are pure LAYOUT ops, so the model is unchanged.
+    st.tuples(st.just("compact"), st.integers(0, 2), st.integers(1, 1)),
     st.tuples(st.just("add_col"), st.integers(0, 0), st.integers(1, 1)),
     st.tuples(st.just("drop_col"), st.integers(0, 0), st.integers(1, 1)),
     # bound range straddles the generated k range (0..34) so both
@@ -132,7 +134,12 @@ def test_table_agrees_with_model(spark, tmp_path_factory, ops):
                 keys = {r[0] for r in rows}
                 model = [r for r in model if r[0] not in keys] + rows
         elif op == "compact":
-            lake.compact(name, force=True)
+            if a == 1:
+                lake.compact(name, force=True, cluster_by=["k"])
+            elif a == 2:
+                lake.compact(name, force=True, zorder_by=["k", "x"])
+            else:
+                lake.compact(name, force=True)
         elif op == "add_col":
             col = f"c{i}"
             t.add_column(Field(col, "string", True))
