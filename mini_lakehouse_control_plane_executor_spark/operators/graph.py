@@ -220,3 +220,50 @@ def kcore_peel(edges: DataFrame, k: int = 2, rounds: int = 3) -> DataFrame:
     return adj.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("residual_degree")
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan-style LPA, made
+    deterministic) over canonical undirected edges (p1 < p2): every
+    node starts as its own label; each round it adopts the label most
+    frequent among its neighbors' CURRENT labels, ties broken toward
+    the smallest label. Fixed unrolled rounds (the pagerank/kcore
+    discipline) keep the plan finite and oracle-twinned by an unrolled
+    CTE chain; the synchronous sweep with a total tie-break makes the
+    result bit-identical in any engine (classic async LPA is
+    update-order-dependent, useless against an oracle).
+
+    Returns (node, lbl) after ``rounds``.
+
+    100 TB shape: the symmetric adjacency is persisted once; per round
+    one node-keyed equi-join routes neighbor labels and one
+    (node, lbl) count + struct-max aggregate picks the winner — the
+    struct max (count, -label) is partially aggregatable map-side, so
+    hub nodes never need a per-node window over their full vote list.
+    Labels are node ids (BIGINT); the vote table is edge-bounded."""
+    adj = (
+        edges.select(F.col("p1").alias("s"), F.col("p2").alias("d"))
+        .unionAll(edges.select(F.col("p2").alias("s"), F.col("p1").alias("d")))
+        .persist()
+    )
+    labels = (
+        adj.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(rounds):
+        votes = (
+            adj.join(labels.withColumnRenamed("node", "d"), "d")
+            .groupBy(F.col("s").alias("node"), F.col("lbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c").alias("c"), (-F.col("lbl")).alias("n"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.n")).alias("lbl"))
+        )
+    return labels

@@ -8608,6 +8608,78 @@ def bpe_merge_learn(spark, sf_dir):
     return _text.bpe_learn_merges(words, rounds=3).orderBy("merge_round")
 
 
+def _lpa_oracle(rounds: int = 3) -> str:
+    body = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+adj AS (SELECT p1 AS s, p2 AS d FROM e UNION ALL SELECT p2, p1 FROM e),
+l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM adj)"""
+    for i in range(1, rounds + 1):
+        body += f""",
+v{i} AS (
+  SELECT a.s AS node, l.lbl AS lbl, count(*) AS c
+  FROM adj a JOIN l{i - 1} l ON a.d = l.node
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)"""
+    return body + f"""
+SELECT CAST(lbl AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM l{rounds} GROUP BY lbl
+ORDER BY n_members DESC, community LIMIT 20
+"""
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark, sf_dir):
+    """Community detection on the part co-occurrence graph via
+    deterministic synchronous label propagation (3 unrolled rounds,
+    most-frequent-neighbor-label vote with min-label tie-break) — the
+    community-structure member of the graph family (pagerank / components
+    / triangles / k-core / this). Returns the 20 largest communities.
+
+    100 TB shape: see operators/graph.py::label_propagation — persisted
+    symmetric adjacency, per round one node-keyed label join plus one
+    map-side-combinable (count, -label) struct-max aggregate (no
+    per-node windows, so hub degree never single-threads a partition);
+    the oracle unrolls the same rounds as CTEs with a row_number
+    tie-break that selects the identical winner."""
+    from mini_lakehouse_control_plane_executor_spark.operators import graph as _g
+
+    items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("nord"))
+        .filter(F.col("nord") >= 2)
+        .select("p1", "p2")
+    )
+    return (
+        _g.label_propagation(e, rounds=3)
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .select(F.col("community").cast("long"), "n_members")
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )
+
+
 _TUNING_BAND_ROWS = [2, 3, 4, 6]  # with k=12: 6/4/3/2 bands
 
 
@@ -8769,11 +8841,11 @@ DRIVER_PRIORITY: list[str] = [
     # `events_value_quantile_sketch`, `graph_triangle_count`,
     # `event_attribution_touch`, `robust_trimmed_stats`,
     # `events_kmv_setops`, `association_rules`, `graph_kcore_peel`,
-    # `char_entropy_quality`, `bpe_merge_learn`, and
-    # `minhash_tuning_matrix` (also new in r7, locally oracle-green
-    # every CI run) deliberately wait — r8's rotation must lead with
-    # these ten never-driver-verified queries, then the 50 queries
-    # whose latest verdict is r05.
+    # `char_entropy_quality`, `bpe_merge_learn`,
+    # `minhash_tuning_matrix`, and `graph_label_propagation` (also new
+    # in r7, locally oracle-green every CI run) deliberately wait —
+    # r8's rotation must lead with these eleven never-driver-verified
+    # queries, then the 50 queries whose latest verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
     # -- latest verdict r04 (2 rounds stale) --
