@@ -5765,6 +5765,170 @@ def doc_dedup_suffix_ngram(spark, sf_dir):
     )
 
 
+# Winnowing constants (Schleimer/Wilkerson/Aiken 2003): k-gram size 4,
+# window w = 4 → any shared token run of length ≥ t = w + k - 1 = 7 is
+# GUARANTEED to share a fingerprint; expected density 2/(w+1). The
+# (hash, position) pair is packed into one BIGINT so both engines pick
+# the identical window minimum with the identical rightmost-position
+# tie-break via plain integer MIN: enc = h36 * 2^24 + (2^24 - 1 - pos).
+# h36 = first 9 md5 hex chars (36 bits) keeps the product inside int64;
+# the position field caps docs at 2^24 - 1 = 16.7M tokens (documented —
+# longer docs would need a wider split, not a different algorithm).
+_WINNOW_POS_MOD = 1 << 24
+_WINNOW_MAX_DF = 8
+
+_WINNOW_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         len(ws) - 3 AS ng,
+         unnest(range(1, len(ws) - 2)) AS pos,
+         unnest(list_transform(range(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS g
+  FROM toks WHERE len(ws) >= 4
+),
+encs AS (
+  SELECT doc_id, ng, pos,
+         ('0x' || substr(md5(g), 1, 9))::BIGINT * {_WINNOW_POS_MOD}
+           + ({_WINNOW_POS_MOD - 1} - pos) AS enc
+  FROM grams
+),
+sel AS (
+  SELECT doc_id, ng, pos,
+         min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM encs
+),
+fps AS (
+  SELECT DISTINCT doc_id, m // {_WINNOW_POS_MOD} AS h
+  FROM sel WHERE pos <= greatest(ng - 3, 1)
+),
+gated AS (
+  SELECT h FROM fps GROUP BY h HAVING count(*) BETWEEN 2 AND {_WINNOW_MAX_DF}
+),
+fpg AS (SELECT doc_id, h FROM fps WHERE h IN (SELECT h FROM gated)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM fpg GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS shared_fp
+  FROM fpg a JOIN fpg b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id1, p.id2, p.shared_fp,
+       s1.nf AS fp1, s2.nf AS fp2,
+       round(p.shared_fp / least(s1.nf, s2.nf), 4) AS overlap
+FROM pairs p
+JOIN sizes s1 ON p.id1 = s1.doc_id
+JOIN sizes s2 ON p.id2 = s2.doc_id
+ORDER BY p.shared_fp DESC, p.id1, p.id2 LIMIT 20
+"""
+
+
+@query("winnowing_dup_pairs", oracle=_WINNOW_SQL)
+def winnowing_dup_pairs(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token 4-gram, slide a
+    w=4 window over the hash sequence, and keep each window's minimum —
+    any shared token run of length ≥ w + k - 1 = 7 is then GUARANTEED
+    to share a selected fingerprint (the local-guarantee property
+    MinHash lacks: MinHash bounds only whole-document resemblance,
+    winnowing finds a single copied paragraph inside otherwise
+    unrelated documents). Ties take the rightmost position, per the
+    paper. Output: top-20 document pairs by shared-fingerprint count
+    with per-side fingerprint totals and overlap = shared/min(|A|,|B|).
+
+    Engine-exact selection: (hash, position) packs into one BIGINT
+    (36-bit md5 prefix * 2^24 + reversed position) so both engines pick
+    the identical window minimum with integer MIN — no floats, no
+    struct ordering semantics. Docs are capped at 16.7M tokens by the
+    position field (a policy constant, not an algorithmic limit).
+
+    100 TB shape: grams are materialized per-doc as arrays before the
+    explode (generator-input discipline), the window pass is one
+    doc-keyed exchange, and selection shrinks the stream ~(w+1)/2-fold
+    before anything cross-document. The cross-doc pair join is gated on
+    fingerprint document-frequency ∈ [2, 8] — MOSS's
+    drop-overly-common rule, which simultaneously bounds every join
+    bucket (no boilerplate hash ever fans out, and d verbatim copies
+    beyond the gate produce zero pair work instead of d² — the
+    duplicate-skew guard built into the algorithm's own knob). The
+    top-20 selection runs BEFORE the size joins, so the final joins see
+    20 broadcast rows, not the pair table."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _load(spark, sf_dir, "documents")
+    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+    arr = (
+        d.repartition(n_parts)
+        .select("doc_id", _text.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 4)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 3),"
+                " (t, i) -> concat(t, ' ', element_at(toks, i + 2),"
+                " ' ', element_at(toks, i + 3), ' ', element_at(toks, i + 4)))"
+            ).alias("gs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    encs = arr.select(
+        "doc_id",
+        F.size("gs").alias("ng"),
+        F.posexplode("gs").alias("p0", "g"),
+    ).select(
+        "doc_id",
+        "ng",
+        (F.col("p0") + 1).alias("pos"),
+        (
+            F.conv(F.substring(F.md5("g"), 1, 9), 16, 10).cast("long")
+            * _WINNOW_POS_MOD
+            + (F.lit(_WINNOW_POS_MOD - 1) - (F.col("p0") + 1))
+        ).alias("enc"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fps = (
+        encs.withColumn("m", F.min("enc").over(w))
+        .filter(F.col("pos") <= F.greatest(F.col("ng") - 3, F.lit(1)))
+        .select("doc_id", F.expr(f"m div {_WINNOW_POS_MOD}").alias("h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    gated = (
+        fps.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WINNOW_MAX_DF))
+        .select("h")
+    )
+    fpg = fps.join(gated, "h").persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = fpg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    a = fpg.select(F.col("doc_id").alias("id1"), "h")
+    b = fpg.select(F.col("doc_id").alias("id2"), "h")
+    top = (
+        a.join(b, "h")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .orderBy(F.desc("shared_fp"), "id1", "id2")
+        .limit(20)
+    )
+    return (
+        F.broadcast(top)
+        .join(sizes.select(F.col("doc_id").alias("id1"), F.col("nf").alias("fp1")), "id1")
+        .join(sizes.select(F.col("doc_id").alias("id2"), F.col("nf").alias("fp2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            "shared_fp",
+            "fp1",
+            "fp2",
+            F.round(F.col("shared_fp") / F.least("fp1", "fp2"), 4).alias("overlap"),
+        )
+        .orderBy(F.desc("shared_fp"), "id1", "id2")
+    )
+
+
 _WHITEN_SQL = """
 WITH dims AS (
   SELECT unnest(range(1, 65)) AS pos, unnest(embedding::DOUBLE[]) AS val
@@ -8842,10 +9006,11 @@ DRIVER_PRIORITY: list[str] = [
     # `event_attribution_touch`, `robust_trimmed_stats`,
     # `events_kmv_setops`, `association_rules`, `graph_kcore_peel`,
     # `char_entropy_quality`, `bpe_merge_learn`,
-    # `minhash_tuning_matrix`, and `graph_label_propagation` (also new
-    # in r7, locally oracle-green every CI run) deliberately wait —
-    # r8's rotation must lead with these eleven never-driver-verified
-    # queries, then the 50 queries whose latest verdict is r05.
+    # `minhash_tuning_matrix`, `graph_label_propagation`, and
+    # `winnowing_dup_pairs` (also new in r7, locally oracle-green every
+    # CI run) deliberately wait — r8's rotation must lead with these
+    # twelve never-driver-verified queries, then the 50 queries whose
+    # latest verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
     # -- latest verdict r04 (2 rounds stale) --

@@ -790,3 +790,39 @@ def test_containment_pairs_set_collapse_is_exact(spark):
     assert got == want
     # duplicate groups contribute 60*3*2=360 directed containment-1.0 pairs
     assert sum(1 for _, _, c in want if c == 1.0) >= 360
+
+
+def test_winnowing_local_guarantee(spark, tmp_path):
+    """Winnowing's defining property (Schleimer et al. 2003, thm 1):
+    any shared token run of length >= t = w + k - 1 = 7 MUST share a
+    selected fingerprint — a window-frame off-by-one or a broken
+    min-encode loses short copied passages SILENTLY while long
+    verbatim pairs still surface, which fixture parity can miss.
+    Per-doc disjoint vocabularies make planted runs the ONLY cross-doc
+    4-grams, so the emitted pair set is exactly the planted set."""
+    import random
+
+    rnd = random.Random(23)
+    rows = []
+    for i in range(30):
+        toks = [f"d{i}w{rnd.randrange(200)}" for _ in range(60)]
+        rows.append((i, " ".join(toks)))
+    # Plant three copied runs, one at the minimum guaranteed length 7:
+    # (0 -> 1) 12 tokens, (2 -> 3) exactly 7 tokens, (4 -> 5) 9 tokens.
+    planted = [(0, 1, 12), (2, 3, 7), (4, 5, 9)]
+    for src, dst, run in planted:
+        stoks = rows[src][1].split()
+        dtoks = rows[dst][1].split()
+        mid = len(dtoks) // 2
+        rows[dst] = (dst, " ".join(dtoks[:mid] + stoks[10 : 10 + run] + dtoks[mid:]))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "source", F.lit("s")
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.id1, r.id2): r.shared_fp
+        for r in qlib._REGISTRY["winnowing_dup_pairs"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(s, d) for s, d, _ in planted}
+    for s, d, _run in planted:
+        assert got[(s, d)] >= 1

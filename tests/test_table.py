@@ -453,7 +453,7 @@ def test_cluster_by_enables_file_pruning(lake, spark):
     single = [f for f in snap.files if f.min_values.get("v") == f.max_values.get("v")]
     assert single and all(f.partition.get("v") == f.min_values["v"] for f in single)
 
-    with pytest.raises(ValueError, match="cluster_by unknown"):
+    with pytest.raises(ValueError, match=r"unknown column\(s\)"):
         t.insert(df, cluster_by=["nope"])
 
 
