@@ -64,6 +64,10 @@ HEADLINE = [
     # robust_trimmed_stats ride already-benched join/window/histogram
     # shapes).
     "graph_triangle_count",
+    # late-r7: winnowing is its own operator class (LOCAL-guarantee
+    # fingerprinting — a doc-keyed window-min pass plus a df-gated
+    # fingerprint join; no other headline exercises that shape).
+    "winnowing_dup_pairs",
 ]
 
 
