@@ -1190,3 +1190,73 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def embedding_covariance(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Upper-triangle population covariance of the embedding matrix —
+    the statistic a PCA / whitening transform consumes (eigen-decompose
+    the collected dim x dim result on the driver; the matrix is
+    dim²-sized, corpus-size independent, so collecting it is correct).
+
+    Returns (i, j, cov, var_i, var_j) for 1 <= i <= j <= dim, computed
+    one-pass from integer micro-unit sums: per-row products are
+    quantized to round(v_i * v_j * 1e6) BEFORE any aggregate, so the
+    distributed sums are bit-identical however partitions land, and
+    cov = (Sxy/1e6 - (Sx/1e6)(Sy/1e6)/n) / n is a handful of double ops
+    over exact integers — engine-portable (the s_micro discipline).
+
+    100 TB shape: one posexplode of the stored vector column (64·n
+    rows), ONE id-keyed equi-self-join (unique keys — no skew) whose
+    output feeds the (i, j) partial aggregate in the same stage (the
+    pair stream is never materialized), and a 64-row per-dim moment
+    table broadcast twice onto the 2,144-row pair table. The
+    alternative zero-join shape — one keyless aggregate with dim(dim+1)/2
+    product columns — is the better plan only when Catalyst's codegen
+    handles the width; at dim 64 that is 2,144 aggregate expressions,
+    measured slower to compile than this join executes."""
+    ex = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("p", "v"),
+        )
+        .select("vid", (F.col("p") + 1).cast("int").alias("i"), "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dims = ex.groupBy("i").agg(
+        F.sum(F.round(F.col("v") * 1e6).cast("long")).alias("sx_u"),
+        F.sum(F.round(F.col("v") * F.col("v") * 1e6).cast("long")).alias("sxx_u"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = ex.select(F.col("vid"), F.col("i"), F.col("v").alias("va"))
+    b = ex.select(F.col("vid"), F.col("i").alias("j"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, ["vid"])
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.round(F.col("va") * F.col("vb") * 1e6).cast("long")).alias("sxy_u"))
+    )
+    da = dims.select("i", F.col("sx_u").alias("sxi_u"), F.col("sxx_u").alias("sxxi_u"), "n")
+    db = dims.select(
+        F.col("i").alias("j"), F.col("sx_u").alias("sxj_u"), F.col("sxx_u").alias("sxxj_u")
+    )
+    var_of = lambda sxx, sx: (  # noqa: E731 — mirrored verbatim in the SQL oracle
+        (F.col(sxx) / 1e6 - (F.col(sx) / 1e6) * (F.col(sx) / 1e6) / F.col("n"))
+        / F.col("n")
+    )
+    return (
+        pairs.join(F.broadcast(da), "i")
+        .join(F.broadcast(db), "j")
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("sxy_u") / 1e6
+                    - (F.col("sxi_u") / 1e6) * (F.col("sxj_u") / 1e6) / F.col("n")
+                )
+                / F.col("n")
+            ).alias("cov"),
+            var_of("sxxi_u", "sxi_u").alias("var_i"),
+            var_of("sxxj_u", "sxj_u").alias("var_j"),
+        )
+    )

@@ -5967,6 +5967,67 @@ def embedding_whitening_stats(spark, sf_dir):
     )
 
 
+_PCA_COV_SQL = """
+WITH ex AS (
+  SELECT vec_id, unnest(range(1, 65)) AS i, unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT i,
+         CAST(sum(round(v * 1e6)::BIGINT) AS BIGINT) AS sx_u,
+         CAST(sum(round(v * v * 1e6)::BIGINT) AS BIGINT) AS sxx_u,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ex GROUP BY i
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(round(a.v * b.v * 1e6)::BIGINT) AS BIGINT) AS sxy_u
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY 1, 2
+),
+cv AS (
+  SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+         (p.sxy_u / 1e6 - (da.sx_u / 1e6) * (db.sx_u / 1e6) / da.n) / da.n AS cov_raw,
+         (da.sxx_u / 1e6 - (da.sx_u / 1e6) * (da.sx_u / 1e6) / da.n) / da.n AS var_i,
+         (db.sxx_u / 1e6 - (db.sx_u / 1e6) * (db.sx_u / 1e6) / db.n) / db.n AS var_j
+  FROM pairs p JOIN dims da ON p.i = da.i JOIN dims db ON p.j = db.i
+)
+SELECT i, j, round(cov_raw, 8) AS cov,
+       round(cov_raw / sqrt(var_i * var_j), 6) AS corr
+FROM cv WHERE i < j AND var_i > 0 AND var_j > 0
+ORDER BY abs(round(cov_raw / sqrt(var_i * var_j), 6)) DESC, i, j LIMIT 20
+"""
+
+
+@query("embedding_pca_covariance", oracle=_PCA_COV_SQL)
+def embedding_pca_covariance(spark, sf_dir):
+    """PCA preprocessing: the embedding matrix's population covariance
+    (upper triangle, one distributed pass — see
+    operators/similarity.py::embedding_covariance for the plan) reduced
+    to the top-20 most-correlated off-diagonal dimension pairs — the
+    anisotropy evidence (correlated dims = redundant directions a PCA
+    rotation would fold together) that complements
+    embedding_whitening_stats' per-dim marginals. The full dim x dim
+    matrix this rides on is what a driver-side eigen-decomposition
+    consumes (dim²-sized, corpus-independent — collecting it is the
+    correct distributed PCA, pinned against numpy in
+    tests/test_operator_invariants.py).
+
+    Engine-exact: per-row products quantized to integer micro-units
+    before any sum; cov/corr derived from those integers with the same
+    double-op sequence in both engines; ordering on the ROUNDED corr
+    with (i, j) tie-breaks."""
+    e = _load(spark, sf_dir, "embeddings")
+    cv = _sim.embedding_covariance(e, "vec_id", "embedding")
+    corr = F.round(F.col("cov") / F.sqrt(F.col("var_i") * F.col("var_j")), 6)
+    return (
+        cv.filter((F.col("i") < F.col("j")) & (F.col("var_i") > 0) & (F.col("var_j") > 0))
+        .select("i", "j", F.round("cov", 8).alias("cov"), corr.alias("corr"))
+        .orderBy(F.abs(F.col("corr")).desc(), "i", "j")
+        .limit(20)
+    )
+
+
 _QMIX_SQL = r"""
 WITH scored AS (
   SELECT source,
@@ -9006,11 +9067,11 @@ DRIVER_PRIORITY: list[str] = [
     # `event_attribution_touch`, `robust_trimmed_stats`,
     # `events_kmv_setops`, `association_rules`, `graph_kcore_peel`,
     # `char_entropy_quality`, `bpe_merge_learn`,
-    # `minhash_tuning_matrix`, `graph_label_propagation`, and
-    # `winnowing_dup_pairs` (also new in r7, locally oracle-green every
-    # CI run) deliberately wait — r8's rotation must lead with these
-    # twelve never-driver-verified queries, then the 50 queries whose
-    # latest verdict is r05.
+    # `minhash_tuning_matrix`, `graph_label_propagation`,
+    # `winnowing_dup_pairs`, and `embedding_pca_covariance` (also new
+    # in r7, locally oracle-green every CI run) deliberately wait —
+    # r8's rotation must lead with these thirteen never-driver-verified
+    # queries, then the 50 queries whose latest verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
     # -- latest verdict r04 (2 rounds stale) --

@@ -826,3 +826,34 @@ def test_winnowing_local_guarantee(spark, tmp_path):
     assert set(got) == {(s, d) for s, d, _ in planted}
     for s, d, _run in planted:
         assert got[(s, d)] >= 1
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """The distributed covariance must BE the covariance: rebuild the
+    full dim x dim matrix from the upper-triangle output and compare to
+    numpy's population covariance of the collected matrix (atol bounded
+    by the 1e-6 per-row product quantization), and eigen-decompose it —
+    PSD up to quantization noise, trace = total variance. This is the
+    driver-side-PCA contract embedding_pca_covariance advertises."""
+    import numpy as np
+
+    from mini_lakehouse_control_plane_executor_spark.operators import (
+        similarity as S,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cv = S.embedding_covariance(e, "vec_id", "embedding").collect()
+    X = np.array(
+        [r.embedding for r in e.select("embedding").collect()], dtype=np.float64
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    dim = C.shape[0]
+    M = np.zeros_like(C)
+    for r in cv:
+        M[r.i - 1, r.j - 1] = r.cov
+        M[r.j - 1, r.i - 1] = r.cov
+    assert len(cv) == dim * (dim + 1) // 2
+    assert np.abs(M - C).max() < 1e-4
+    ev = np.linalg.eigvalsh(M)
+    assert ev.min() > -1e-6, "covariance must be PSD up to quantization"
+    assert abs(np.trace(M) - C.trace()) < 1e-4
