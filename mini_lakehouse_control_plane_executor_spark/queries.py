@@ -6028,6 +6028,113 @@ def embedding_pca_covariance(spark, sf_dir):
     )
 
 
+def _power_iter_sql(iters: int = 8) -> str:
+    """Unrolled power-iteration CTE chain over the shared covariance
+    CTEs (the pagerank/kcore/bpe unrolled-oracle discipline). Integer
+    headroom: |cov| <~ 1 and dim 64 keep every wu within ~6.4e7, so
+    sum(wu*wu) stays ~35x under int64 even on the unnormalized first
+    round."""
+    cov_prefix = (
+        _PCA_COV_SQL.split("\nSELECT i, j,")[0].strip().removeprefix("WITH ")
+    )
+    parts = [
+        cov_prefix,
+        """covf AS MATERIALIZED (
+  SELECT i, j, cov_raw AS c FROM cv
+  UNION ALL
+  SELECT j AS i, i AS j, cov_raw AS c FROM cv WHERE i <> j
+)""",
+        "v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS vu FROM covf)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT c.i AS i,"
+            f" CAST(sum(CAST(round(c.c * v.vu) AS BIGINT)) AS BIGINT) AS wu"
+            f" FROM covf c JOIN v{k - 1} v ON c.j = v.i GROUP BY 1)"
+        )
+        parts.append(
+            f"n{k} AS (SELECT CAST(sum(wu * wu) AS BIGINT) AS n2 FROM w{k})"
+        )
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT i,"
+            f" CAST(round(1e6 * wu / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) AS vu"
+            f" FROM w{k}, n{k})"
+        )
+    parts.append(
+        f"wf AS MATERIALIZED (SELECT c.i AS i,"
+        f" CAST(sum(CAST(round(c.c * v.vu) AS BIGINT)) AS BIGINT) AS wu"
+        f" FROM covf c JOIN v{iters} v ON c.j = v.i GROUP BY 1)"
+    )
+    parts.append(
+        "eig AS (SELECT CAST(round(sqrt(CAST(sum(wu * wu) AS DOUBLE)))"
+        " AS BIGINT) AS eig_u FROM wf)"
+    )
+    parts.append(
+        "tr AS (SELECT CAST(sum(CAST(round(c * 1e6) AS BIGINT)) AS BIGINT)"
+        " AS tr_u FROM covf WHERE i = j)"
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT v.i, round(v.vu / 1e6, 6) AS loading,
+       round(e.eig_u / 1e6, 6) AS eigenvalue,
+       round(e.eig_u / CAST(t.tr_u AS DOUBLE), 6) AS explained
+FROM v{iters} v, eig e, tr t ORDER BY v.i
+"""
+
+
+@query("embedding_pca_power_iteration", oracle=_power_iter_sql())
+def embedding_pca_power_iteration(spark, sf_dir):
+    """Dominant principal component of the embedding matrix by
+    distributed power iteration (8 fixed unrolled rounds — the
+    pagerank/kcore/bpe_merge_learn iterative discipline), the statistic
+    the All-but-the-Top embedding postprocess (Mu & Viswanath, ICLR
+    2018) removes: a large explained-variance top direction means
+    cosine similarity is dominated by one common axis and projecting it
+    out improves retrieval. Output: the 64 loadings of the 8-step
+    iterate plus the eigenvalue estimate ||C·v|| and its share of the
+    trace (explained variance ratio).
+
+    Engine-exact iteration: every product term round(c·v_u) quantizes
+    to an integer BEFORE the per-row sum; re-normalization is one
+    identical double-op sequence per round; the start vector is
+    all-ones (sign-deterministic). The 8-step iterate is the DEFINED
+    output — both engines unroll identically whether or not the
+    eigengap has converged it (the numpy invariant test pins actual
+    convergence on a planted-spike matrix).
+
+    100 TB shape: the corpus pass happens once inside
+    embedding_covariance; every iteration is matrix-sized (4,096 rows
+    joined with a broadcast 64-row iterate) — corpus-size
+    independent."""
+    from pyspark.storagelevel import StorageLevel
+
+    e = _load(spark, sf_dir, "embeddings")
+    cv = _sim.embedding_covariance(e, "vec_id", "embedding")
+    covf = (
+        cv.select("i", "j", F.col("cov").alias("c"))
+        .unionByName(
+            cv.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), F.col("cov").alias("c")
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    top = _sim.power_iteration_topdir(covf, iters=8)
+    tr = covf.filter(F.col("i") == F.col("j")).agg(
+        F.sum(F.round(F.col("c") * 1e6).cast("long")).alias("tr_u")
+    )
+    return (
+        top.crossJoin(F.broadcast(tr))
+        .select(
+            "i",
+            F.round(F.col("vu") / 1e6, 6).alias("loading"),
+            F.round(F.col("eig_u") / 1e6, 6).alias("eigenvalue"),
+            F.round(F.col("eig_u") / F.col("tr_u"), 6).alias("explained"),
+        )
+        .orderBy("i")
+    )
+
+
 _QMIX_SQL = r"""
 WITH scored AS (
   SELECT source,
@@ -9068,10 +9175,11 @@ DRIVER_PRIORITY: list[str] = [
     # `events_kmv_setops`, `association_rules`, `graph_kcore_peel`,
     # `char_entropy_quality`, `bpe_merge_learn`,
     # `minhash_tuning_matrix`, `graph_label_propagation`,
-    # `winnowing_dup_pairs`, and `embedding_pca_covariance` (also new
-    # in r7, locally oracle-green every CI run) deliberately wait —
-    # r8's rotation must lead with these thirteen never-driver-verified
-    # queries, then the 50 queries whose latest verdict is r05.
+    # `winnowing_dup_pairs`, `embedding_pca_covariance`, and
+    # `embedding_pca_power_iteration` (also new in r7, locally
+    # oracle-green every CI run) deliberately wait — r8's rotation must
+    # lead with these fourteen never-driver-verified queries, then the
+    # 50 queries whose latest verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
     # -- latest verdict r04 (2 rounds stale) --

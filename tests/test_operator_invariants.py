@@ -857,3 +857,32 @@ def test_embedding_covariance_matches_numpy(spark):
     ev = np.linalg.eigvalsh(M)
     assert ev.min() > -1e-6, "covariance must be PSD up to quantization"
     assert abs(np.trace(M) - C.trace()) < 1e-4
+
+
+def test_power_iteration_recovers_planted_spike(spark):
+    """Power iteration must CONVERGE, not just terminate: on a planted
+    rank-1 spike C = lam*u*u^T + eps*I the 8-round iterate must align
+    with u (up to the deterministic all-ones-start sign) and the
+    eigenvalue estimate must hit lam + eps — the oracle pins the
+    arithmetic, this pins that the arithmetic is power iteration."""
+    import math
+
+    from mini_lakehouse_control_plane_executor_spark.operators import (
+        similarity as S,
+    )
+
+    u = [3 / 13, 4 / 13, 12 / 13, 0.0, 0.0, 0.0]  # unit vector
+    lam, eps = 2.0, 0.01
+    rows = [
+        (i + 1, j + 1, lam * u[i] * u[j] + (eps if i == j else 0.0))
+        for i in range(6)
+        for j in range(6)
+    ]
+    cov = spark.createDataFrame(rows, "i int, j int, c double")
+    got = {r.i: r for r in S.power_iteration_topdir(cov, iters=8).collect()}
+    eig = got[1].eig_u / 1e6
+    assert abs(eig - (lam + eps)) < 1e-3
+    # loadings proportional to u, consistent sign (all-ones start has
+    # positive overlap with u here, so the iterate converges to +u)
+    for i in range(6):
+        assert abs(got[i + 1].vu / 1e6 - u[i]) < 1e-3, (i, got[i + 1].vu)
