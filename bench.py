@@ -68,6 +68,10 @@ HEADLINE = [
     # fingerprinting — a doc-keyed window-min pass plus a df-gated
     # fingerprint join; no other headline exercises that shape).
     "winnowing_dup_pairs",
+    # late-r7: the distributed covariance pass under the PCA family —
+    # an id-keyed posexplode self-join feeding an in-stage (i,j)
+    # partial aggregate; embedding_pca_power_iteration rides it.
+    "embedding_pca_covariance",
 ]
 
 

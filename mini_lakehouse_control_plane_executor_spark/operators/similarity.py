@@ -1262,15 +1262,18 @@ def embedding_covariance(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def power_iteration_topdir(cov: DataFrame, iters: int = 8) -> DataFrame:
-    """Dominant eigenvector of a symmetric matrix given as a FULL
-    (i, j, c) coordinate table — power iteration, fixed rounds,
-    engine-exact integer-micro-unit arithmetic (the oracle unrolls the
-    identical rounds as MATERIALIZED CTEs).
+def power_iteration_topk(
+    cov: DataFrame, n_components: int = 2, iters: int = 8
+) -> DataFrame:
+    """Top-k eigenpairs of a symmetric matrix given as a FULL (i, j, c)
+    coordinate table — power iteration with rank-1 (Hotelling)
+    deflation between components, fixed rounds, engine-exact
+    integer-micro-unit arithmetic (the oracle unrolls the identical
+    rounds as MATERIALIZED CTEs).
 
-    The iteration itself runs ON THE DRIVER over the collected
-    coordinate table — deliberately: the matrix is dim²-sized and
-    corpus-size INDEPENDENT (the corpus pass happened once, inside
+    The iteration runs ON THE DRIVER over the collected coordinate
+    table — deliberately: the matrix is dim²-sized and corpus-size
+    INDEPENDENT (the corpus pass happened once, inside
     embedding_covariance), so the collect is bounded by contract — the
     same class as the one-row aggregates and small-by-contract query
     sets collected elsewhere. A distributed unrolled loop was built and
@@ -1283,13 +1286,18 @@ def power_iteration_topdir(cov: DataFrame, iters: int = 8) -> DataFrame:
     Arithmetic mirrors the SQL oracle bit-for-bit: per-term
     round(c · v_u) quantizes through decimal HALF-AWAY-FROM-ZERO on the
     exact binary double (what both Spark's BigDecimal ROUND and
-    DuckDB's round compute), integer sums, and one identical double-op
-    renormalization round(1e6 · w_u / sqrt(n2)) per round. Start vector
-    all-ones (1e6 per dim) — sign-deterministic.
+    DuckDB's round compute), integer sums, one identical double-op
+    renormalization round(1e6 · w_u / sqrt(n2)) per round, and
+    deflation C' = C − λ u uᵀ written as the identical left-associated
+    sequence c − eig_u/1e6 · (vu_i/1e6) · (vu_j/1e6). Start vector
+    all-ones (1e6 per dim) — sign-deterministic. The k-th iterate is
+    the DEFINED output whether or not the eigengap has converged it;
+    convergence itself is pinned on planted-spike matrices in tests.
 
-    Returns (i, vu, eig_u): the final iterate per dimension plus the
-    eigenvalue estimate ||C v||·1e6 (v is unit-norm after the last
-    round, so the next image's norm IS the Rayleigh-style estimate)."""
+    Returns (k, i, vu, eig_u): per component the final iterate per
+    dimension plus the eigenvalue estimate ||C v||·1e6 (v is unit-norm
+    after the last round, so the next image's norm IS the
+    Rayleigh-style estimate)."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -1298,20 +1306,30 @@ def power_iteration_topdir(cov: DataFrame, iters: int = 8) -> DataFrame:
 
     rows = cov.select("i", "j", "c").collect()  # dim² rows, bounded by contract
     dims = sorted({r.i for r in rows})
-    mat: dict[int, list[tuple[int, float]]] = {i: [] for i in dims}
+    adj: dict[int, list[tuple[int, float]]] = {i: [] for i in dims}
     for r in rows:
-        mat[r.i].append((r.j, float(r.c)))
-    vu = {i: 1000000 for i in dims}
+        adj[r.i].append((r.j, float(r.c)))
+    out: list[tuple[int, int, int, int]] = []
+    for k in range(1, n_components + 1):
+        vu = {i: 1000000 for i in dims}
 
-    def image(v: dict[int, int]) -> dict[int, int]:
-        return {i: sum(rnd(c * v[j]) for j, c in mat[i]) for i in dims}
+        def image(v: dict[int, int]) -> dict[int, int]:
+            return {i: sum(rnd(c * v[j]) for j, c in adj[i]) for i in dims}
 
-    for _ in range(iters):
-        wu = image(vu)
-        nrm = math.sqrt(float(sum(w * w for w in wu.values())))
-        vu = {i: rnd(1e6 * wu[i] / nrm) for i in dims}
-    wf = image(vu)
-    eig_u = rnd(math.sqrt(float(sum(w * w for w in wf.values()))))
+        for _ in range(iters):
+            wu = image(vu)
+            nrm = math.sqrt(float(sum(w * w for w in wu.values())))
+            vu = {i: rnd(1e6 * wu[i] / nrm) for i in dims}
+        wf = image(vu)
+        eig_u = rnd(math.sqrt(float(sum(w * w for w in wf.values()))))
+        out.extend((k, i, vu[i], eig_u) for i in dims)
+        adj = {
+            i: [
+                (j, c - eig_u / 1e6 * (vu[i] / 1e6) * (vu[j] / 1e6))
+                for j, c in lst
+            ]
+            for i, lst in adj.items()
+        }
     return cov.sparkSession.createDataFrame(
-        [(i, vu[i], eig_u) for i in dims], "i int, vu long, eig_u long"
+        out, "k int, i int, vu long, eig_u long"
     )

@@ -6028,12 +6028,15 @@ def embedding_pca_covariance(spark, sf_dir):
     )
 
 
-def _power_iter_sql(iters: int = 8) -> str:
-    """Unrolled power-iteration CTE chain over the shared covariance
-    CTEs (the pagerank/kcore/bpe unrolled-oracle discipline). Integer
-    headroom: |cov| <~ 1 and dim 64 keep every wu within ~6.4e7, so
-    sum(wu*wu) stays ~35x under int64 even on the unnormalized first
-    round."""
+def _power_iter_sql(iters: int = 8, n_components: int = 2) -> str:
+    """Unrolled power-iteration + rank-1-deflation CTE chain over the
+    shared covariance CTEs (the pagerank/kcore/bpe unrolled-oracle
+    discipline). MATERIALIZED is load-bearing: each round references
+    its predecessor twice, so inlined CTEs would double the expression
+    tree per round (2^rounds blowup — measured as a planner hang).
+    Integer headroom: |cov| <~ 1 and dim 64 keep every wu within
+    ~6.4e7, so sum(wu*wu) stays ~35x under int64 even on the
+    unnormalized first round."""
     cov_prefix = (
         _PCA_COV_SQL.split("\nSELECT i, j,")[0].strip().removeprefix("WITH ")
     )
@@ -6044,68 +6047,87 @@ def _power_iter_sql(iters: int = 8) -> str:
   UNION ALL
   SELECT j AS i, i AS j, cov_raw AS c FROM cv WHERE i <> j
 )""",
-        "v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS vu FROM covf)",
-    ]
-    for k in range(1, iters + 1):
-        parts.append(
-            f"w{k} AS MATERIALIZED (SELECT c.i AS i,"
-            f" CAST(sum(CAST(round(c.c * v.vu) AS BIGINT)) AS BIGINT) AS wu"
-            f" FROM covf c JOIN v{k - 1} v ON c.j = v.i GROUP BY 1)"
-        )
-        parts.append(
-            f"n{k} AS (SELECT CAST(sum(wu * wu) AS BIGINT) AS n2 FROM w{k})"
-        )
-        parts.append(
-            f"v{k} AS MATERIALIZED (SELECT i,"
-            f" CAST(round(1e6 * wu / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) AS vu"
-            f" FROM w{k}, n{k})"
-        )
-    parts.append(
-        f"wf AS MATERIALIZED (SELECT c.i AS i,"
-        f" CAST(sum(CAST(round(c.c * v.vu) AS BIGINT)) AS BIGINT) AS wu"
-        f" FROM covf c JOIN v{iters} v ON c.j = v.i GROUP BY 1)"
-    )
-    parts.append(
-        "eig AS (SELECT CAST(round(sqrt(CAST(sum(wu * wu) AS DOUBLE)))"
-        " AS BIGINT) AS eig_u FROM wf)"
-    )
-    parts.append(
         "tr AS (SELECT CAST(sum(CAST(round(c * 1e6) AS BIGINT)) AS BIGINT)"
-        " AS tr_u FROM covf WHERE i = j)"
-    )
+        " AS tr_u FROM covf WHERE i = j)",
+    ]
+    selects = []
+    cur = "covf"
+    for comp in range(1, n_components + 1):
+        parts.append(
+            f"v{comp}_0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS vu"
+            " FROM covf)"
+        )
+        for k in range(1, iters + 1):
+            parts.append(
+                f"w{comp}_{k} AS MATERIALIZED (SELECT c.i AS i,"
+                f" CAST(sum(CAST(round(c.c * v.vu) AS BIGINT)) AS BIGINT) AS wu"
+                f" FROM {cur} c JOIN v{comp}_{k - 1} v ON c.j = v.i GROUP BY 1)"
+            )
+            parts.append(
+                f"n{comp}_{k} AS (SELECT CAST(sum(wu * wu) AS BIGINT) AS n2"
+                f" FROM w{comp}_{k})"
+            )
+            parts.append(
+                f"v{comp}_{k} AS MATERIALIZED (SELECT i,"
+                f" CAST(round(1e6 * wu / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT) AS vu"
+                f" FROM w{comp}_{k}, n{comp}_{k})"
+            )
+        parts.append(
+            f"wf{comp} AS MATERIALIZED (SELECT c.i AS i,"
+            f" CAST(sum(CAST(round(c.c * v.vu) AS BIGINT)) AS BIGINT) AS wu"
+            f" FROM {cur} c JOIN v{comp}_{iters} v ON c.j = v.i GROUP BY 1)"
+        )
+        parts.append(
+            f"eig{comp} AS (SELECT CAST(round(sqrt(CAST(sum(wu * wu) AS DOUBLE)))"
+            f" AS BIGINT) AS eig_u FROM wf{comp})"
+        )
+        selects.append(
+            f"SELECT {comp} AS k, v.i, round(v.vu / 1e6, 6) AS loading,\n"
+            f"       round(e.eig_u / 1e6, 6) AS eigenvalue,\n"
+            f"       round(e.eig_u / CAST(t.tr_u AS DOUBLE), 6) AS explained\n"
+            f"FROM v{comp}_{iters} v, eig{comp} e, tr t"
+        )
+        if comp < n_components:
+            parts.append(
+                f"cov{comp + 1} AS MATERIALIZED (SELECT a.i, a.j,"
+                f" a.c - e.eig_u / 1e6 * (x.vu / 1e6) * (y.vu / 1e6) AS c"
+                f" FROM {cur} a"
+                f" JOIN v{comp}_{iters} x ON a.i = x.i"
+                f" JOIN v{comp}_{iters} y ON a.j = y.i, eig{comp} e)"
+            )
+            cur = f"cov{comp + 1}"
     body = ",\n".join(parts)
-    return f"""WITH {body}
-SELECT v.i, round(v.vu / 1e6, 6) AS loading,
-       round(e.eig_u / 1e6, 6) AS eigenvalue,
-       round(e.eig_u / CAST(t.tr_u AS DOUBLE), 6) AS explained
-FROM v{iters} v, eig e, tr t ORDER BY v.i
-"""
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {body}\n{union}\nORDER BY k, i\n"
 
 
 @query("embedding_pca_power_iteration", oracle=_power_iter_sql())
 def embedding_pca_power_iteration(spark, sf_dir):
-    """Dominant principal component of the embedding matrix by
-    distributed power iteration (8 fixed unrolled rounds — the
-    pagerank/kcore/bpe_merge_learn iterative discipline), the statistic
-    the All-but-the-Top embedding postprocess (Mu & Viswanath, ICLR
-    2018) removes: a large explained-variance top direction means
-    cosine similarity is dominated by one common axis and projecting it
-    out improves retrieval. Output: the 64 loadings of the 8-step
-    iterate plus the eigenvalue estimate ||C·v|| and its share of the
-    trace (explained variance ratio).
+    """Top-2 principal components of the embedding matrix by power
+    iteration with rank-1 deflation (8 fixed unrolled rounds per
+    component — the pagerank/kcore/bpe_merge_learn iterative
+    discipline), the statistic the All-but-the-Top embedding
+    postprocess (Mu & Viswanath, ICLR 2018) removes: large
+    explained-variance top directions mean cosine similarity is
+    dominated by a few common axes and projecting them out improves
+    retrieval. Output: per component the 64 loadings of the 8-step
+    iterate, the eigenvalue estimate ||C·v||, and its share of the
+    ORIGINAL trace (explained variance ratio).
 
     Engine-exact iteration: every product term round(c·v_u) quantizes
     to an integer BEFORE the per-row sum; re-normalization is one
-    identical double-op sequence per round; the start vector is
-    all-ones (sign-deterministic). The 8-step iterate is the DEFINED
-    output — both engines unroll identically whether or not the
-    eigengap has converged it (the numpy invariant test pins actual
-    convergence on a planted-spike matrix).
+    identical double-op sequence per round; deflation
+    C' = C − λ u uᵀ is the identical left-associated expression in
+    both engines; the start vector is all-ones (sign-deterministic).
+    The 8-step iterate is the DEFINED output — both engines unroll
+    identically whether or not the eigengap has converged it (the
+    planted-spike invariant test pins actual convergence and
+    component orthogonality).
 
     100 TB shape: the corpus pass happens once inside
-    embedding_covariance; every iteration is matrix-sized (4,096 rows
-    joined with a broadcast 64-row iterate) — corpus-size
-    independent."""
+    embedding_covariance; the eigen step runs driver-side over the
+    dim²-bounded collected matrix (see power_iteration_topk for the
+    measured case against a distributed unrolled loop)."""
     from pyspark.storagelevel import StorageLevel
 
     e = _load(spark, sf_dir, "embeddings")
@@ -6119,19 +6141,20 @@ def embedding_pca_power_iteration(spark, sf_dir):
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    top = _sim.power_iteration_topdir(covf, iters=8)
+    top = _sim.power_iteration_topk(covf, n_components=2, iters=8)
     tr = covf.filter(F.col("i") == F.col("j")).agg(
         F.sum(F.round(F.col("c") * 1e6).cast("long")).alias("tr_u")
     )
     return (
         top.crossJoin(F.broadcast(tr))
         .select(
+            "k",
             "i",
             F.round(F.col("vu") / 1e6, 6).alias("loading"),
             F.round(F.col("eig_u") / 1e6, 6).alias("eigenvalue"),
             F.round(F.col("eig_u") / F.col("tr_u"), 6).alias("explained"),
         )
-        .orderBy("i")
+        .orderBy("k", "i")
     )
 
 

@@ -859,30 +859,40 @@ def test_embedding_covariance_matches_numpy(spark):
     assert abs(np.trace(M) - C.trace()) < 1e-4
 
 
-def test_power_iteration_recovers_planted_spike(spark):
+def test_power_iteration_recovers_planted_spikes(spark):
     """Power iteration must CONVERGE, not just terminate: on a planted
-    rank-1 spike C = lam*u*u^T + eps*I the 8-round iterate must align
-    with u (up to the deterministic all-ones-start sign) and the
-    eigenvalue estimate must hit lam + eps — the oracle pins the
-    arithmetic, this pins that the arithmetic is power iteration."""
-    import math
-
+    two-spike matrix C = l1*u1*u1^T + l2*u2*u2^T + eps*I with known
+    orthogonal u1, u2 the deflated iterates must recover BOTH
+    directions and eigenvalues, and the two recovered components must
+    be orthogonal — the oracle pins the arithmetic, this pins that the
+    arithmetic is power iteration with correct rank-1 deflation."""
     from mini_lakehouse_control_plane_executor_spark.operators import (
         similarity as S,
     )
 
-    u = [3 / 13, 4 / 13, 12 / 13, 0.0, 0.0, 0.0]  # unit vector
-    lam, eps = 2.0, 0.01
+    u1 = [3 / 13, 4 / 13, 12 / 13, 0.0, 0.0, 0.0]
+    u2 = [0.0, 0.0, 0.0, 4 / 5, 0.0, 3 / 5]  # orthogonal to u1
+    l1, l2, eps = 2.0, 0.5, 0.01
     rows = [
-        (i + 1, j + 1, lam * u[i] * u[j] + (eps if i == j else 0.0))
+        (
+            i + 1,
+            j + 1,
+            l1 * u1[i] * u1[j] + l2 * u2[i] * u2[j] + (eps if i == j else 0.0),
+        )
         for i in range(6)
         for j in range(6)
     ]
     cov = spark.createDataFrame(rows, "i int, j int, c double")
-    got = {r.i: r for r in S.power_iteration_topdir(cov, iters=8).collect()}
-    eig = got[1].eig_u / 1e6
-    assert abs(eig - (lam + eps)) < 1e-3
-    # loadings proportional to u, consistent sign (all-ones start has
-    # positive overlap with u here, so the iterate converges to +u)
+    got = {
+        (r.k, r.i): r
+        for r in S.power_iteration_topk(cov, n_components=2, iters=8).collect()
+    }
+    assert abs(got[(1, 1)].eig_u / 1e6 - (l1 + eps)) < 1e-3
+    assert abs(got[(2, 1)].eig_u / 1e6 - (l2 + eps)) < 1e-3
+    # loadings align with the planted directions (all-ones start has
+    # positive overlap with both, so signs are +u1 / +u2)
     for i in range(6):
-        assert abs(got[i + 1].vu / 1e6 - u[i]) < 1e-3, (i, got[i + 1].vu)
+        assert abs(got[(1, i + 1)].vu / 1e6 - u1[i]) < 1e-3
+        assert abs(got[(2, i + 1)].vu / 1e6 - u2[i]) < 2e-3
+    dot = sum(got[(1, i)].vu * got[(2, i)].vu for i in range(1, 7)) / 1e12
+    assert abs(dot) < 1e-3, "recovered components must be orthogonal"
