@@ -6158,6 +6158,157 @@ def embedding_pca_power_iteration(spark, sf_dir):
     )
 
 
+# Poisson(1) CDF thresholds scaled to the md5-derived 60-bit uniform
+# (h = first 15 md5 hex chars): w = k iff t_{k-1} <= h < t_k, tail
+# capped at 7 (P ~ 8e-5). Exact integer literals shared by both
+# engines, so the replica weights are bit-identical by construction.
+_POIS_T = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+]
+_BOOT_B = 40
+
+_BOOT_CASE = (
+    "CASE "
+    + " ".join(f"WHEN h < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    + " ELSE 7 END"
+)
+
+_BOOT_SQL = rf"""
+WITH n_tok AS (
+  SELECT doc_id, source, len(regexp_extract_all(lower(text), '\w+')) AS n
+  FROM documents
+),
+base AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         round(sum(n) / CAST(count(*) AS DOUBLE), 4) AS mean_tokens
+  FROM n_tok GROUP BY source
+),
+reps AS (
+  SELECT source, n, b,
+         ('0x' || substr(md5(doc_id || '|' || b), 1, 15))::BIGINT AS h
+  FROM n_tok, range(0, {_BOOT_B}) r(b)
+),
+wts AS (SELECT source, n, b, {_BOOT_CASE} AS w FROM reps),
+rep AS (
+  SELECT source, b, CAST(sum(w * n) AS BIGINT) AS swn,
+         CAST(sum(w) AS BIGINT) AS sw
+  FROM wts GROUP BY 1, 2 HAVING sum(w) > 0
+),
+means AS (SELECT source, b, swn / CAST(sw AS DOUBLE) AS m FROM rep),
+ranked AS (
+  SELECT source, m,
+         row_number() OVER (PARTITION BY source ORDER BY m, b) AS rn
+  FROM means
+),
+ci AS (
+  SELECT source, max(CASE WHEN rn = 2 THEN m END) AS lo,
+         max(CASE WHEN rn = {_BOOT_B - 1} THEN m END) AS hi
+  FROM ranked GROUP BY source
+)
+SELECT b.source, b.n_docs, b.mean_tokens,
+       round(c.lo, 4) AS ci_lo, round(c.hi, 4) AS ci_hi
+FROM base b JOIN ci c ON b.source = c.source ORDER BY b.source
+"""
+
+
+@query("bootstrap_ci_mean_tokens", oracle=_BOOT_SQL)
+def bootstrap_ci_mean_tokens(spark, sf_dir):
+    """Per-source mean token count with a 95% Poisson-bootstrap
+    confidence interval — the at-scale bootstrap (Poisson(1) replica
+    weights instead of resampling: one pass, no shuffled copies of the
+    corpus; the standard large-data CI technique, e.g. Chamandy et al.
+    2012, "Estimating Uncertainty for Massive Data Streams"). Every
+    corpus health metric the dataset-card family reports is a point
+    estimate; this is the family's uncertainty member.
+
+    Replica weights are DETERMINISTIC: w(doc, b) inverts the Poisson(1)
+    CDF at a 60-bit md5(doc_id|b) uniform against exact integer
+    thresholds shared by both engines — no RNG, bit-identical
+    everywhere. CI convention: B = 40 replicas, bounds = the 2nd
+    smallest / 2nd largest replica mean (the (1/40, 39/40) order
+    statistics ≈ a 95% percentile interval), ties broken by replica id.
+
+    100 TB shape: one tokenize pass persisted for its two consumers
+    (point estimate + replicas), a 40-way map-side fanout, and ONE
+    corpus-sized shuffle whose map-side combine emits at most
+    40·|sources| partial rows per task; the CI window runs over 40 rows
+    per source."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _load(spark, sf_dir, "documents")
+    n_tok = d.select(
+        "doc_id", "source", F.size(_text.tokens(F.col("text"))).alias("n")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base = n_tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n") / F.count(F.lit(1)).cast("double"), 4).alias(
+            "mean_tokens"
+        ),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    reps = n_tok.select(
+        "doc_id",
+        "source",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).withColumn("h", h)
+    w = F.lit(7)
+    for k in reversed(range(len(_POIS_T))):
+        w = F.when(F.col("h") < _POIS_T[k], F.lit(k)).otherwise(w)
+    rep = (
+        reps.withColumn("w", w)
+        .groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w").cast("long") * F.col("n")).alias("swn"),
+            F.sum(F.col("w").cast("long")).alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    means = rep.select(
+        "source", "b", (F.col("swn") / F.col("sw").cast("double")).alias("m")
+    )
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("m", "b"))
+    ci = (
+        means.withColumn("rn", rn)
+        .groupBy("source")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("lo"),
+            F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("m"))).alias("hi"),
+        )
+    )
+    return (
+        base.join(ci, "source")
+        .select(
+            "source",
+            "n_docs",
+            "mean_tokens",
+            F.round(F.col("lo"), 4).alias("ci_lo"),
+            F.round(F.col("hi"), 4).alias("ci_hi"),
+        )
+        .orderBy("source")
+    )
+
+
 _QMIX_SQL = r"""
 WITH scored AS (
   SELECT source,
@@ -9198,11 +9349,12 @@ DRIVER_PRIORITY: list[str] = [
     # `events_kmv_setops`, `association_rules`, `graph_kcore_peel`,
     # `char_entropy_quality`, `bpe_merge_learn`,
     # `minhash_tuning_matrix`, `graph_label_propagation`,
-    # `winnowing_dup_pairs`, `embedding_pca_covariance`, and
-    # `embedding_pca_power_iteration` (also new in r7, locally
-    # oracle-green every CI run) deliberately wait — r8's rotation must
-    # lead with these fourteen never-driver-verified queries, then the
-    # 50 queries whose latest verdict is r05.
+    # `winnowing_dup_pairs`, `embedding_pca_covariance`,
+    # `embedding_pca_power_iteration`, and `bootstrap_ci_mean_tokens`
+    # (also new in r7, locally oracle-green every CI run) deliberately
+    # wait — r8's rotation must lead with these fifteen
+    # never-driver-verified queries, then the 50 queries whose latest
+    # verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
     # -- latest verdict r04 (2 rounds stale) --

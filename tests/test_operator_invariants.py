@@ -896,3 +896,62 @@ def test_power_iteration_recovers_planted_spikes(spark):
         assert abs(got[(2, i + 1)].vu / 1e6 - u2[i]) < 2e-3
     dot = sum(got[(1, i)].vu * got[(2, i)].vu for i in range(1, 7)) / 1e12
     assert abs(dot) < 1e-3, "recovered components must be orthogonal"
+
+
+def test_bootstrap_weights_are_poisson(spark):
+    """The md5-threshold inversion must actually produce Poisson(1)
+    replica weights: over corpus x 40 deterministic draws the weight
+    histogram must track the Poisson pmf (a wrong threshold constant or
+    a >= vs < slip shifts whole probability mass classes), and the
+    query's CI must be a well-formed interval around its point
+    estimate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(7)
+    for k in reversed(range(len(qlib._POIS_T))):
+        w = F.when(F.col("h") < qlib._POIS_T[k], F.lit(k)).otherwise(w)
+    counts = {
+        r.w: r.c
+        for r in (
+            d.select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(0), F.lit(qlib._BOOT_B - 1))).alias("b"),
+            )
+            .withColumn("h", h)
+            .select(w.alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+    }
+    n = sum(counts.values())
+    mean_w = sum(k * c for k, c in counts.items()) / n
+    assert abs(mean_w - 1.0) < 0.05, mean_w
+    for k in range(3):  # the mass-carrying classes
+        p = math.exp(-1) / math.factorial(k)
+        assert abs(counts.get(k, 0) / n - p) < 0.02, (k, counts.get(k, 0) / n, p)
+
+    out = qlib._REGISTRY["bootstrap_ci_mean_tokens"](spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r.ci_lo < r.ci_hi
+        width = r.ci_hi - r.ci_lo
+        assert r.ci_lo - width <= r.mean_tokens <= r.ci_hi + width
