@@ -6309,6 +6309,182 @@ def bootstrap_ci_mean_tokens(spark, sf_dir):
     )
 
 
+_JL_K = 16  # projected dimensionality (64 -> 16)
+
+_JL_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, unnest(range(1, 65)) AS i,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id, i, CAST(round(v * 1e6) AS BIGINT) AS vq FROM ex),
+r AS (
+  SELECT i.range AS i, j.range AS j,
+         CASE WHEN ('0x' || substr(md5(i.range || '|' || j.range), 1, 1))::INT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM range(1, 65) i, range(1, {_JL_K + 1}) j
+),
+proj AS (
+  SELECT q.vec_id, r.j, CAST(sum(r.sgn * q.vq) AS BIGINT) AS yu
+  FROM q JOIN r ON q.i = r.i
+  GROUP BY 1, 2
+),
+opair AS (
+  SELECT a.vec_id AS id1,
+         CAST(sum((a.vq - b.vq) * (a.vq - b.vq)) AS BIGINT) AS n2o
+  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+  GROUP BY 1
+),
+ppair AS (
+  SELECT a.vec_id AS id1,
+         CAST(sum((a.yu - b.yu) * (a.yu - b.yu)) AS BIGINT) AS n2p
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+  GROUP BY 1
+),
+ratios AS (
+  SELECT o.id1,
+         CAST(round(1e6 * p.n2p / ({_JL_K} * CAST(o.n2o AS DOUBLE))) AS BIGINT)
+           AS ratio_u
+  FROM opair o JOIN ppair p ON o.id1 = p.id1
+  WHERE o.n2o > 0
+)
+SELECT CAST(ratio_u // 100000 AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(round(sum(ratio_u) / CAST(count(*) AS DOUBLE)) AS BIGINT) / 1e6
+         AS avg_ratio
+FROM ratios GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("embedding_jl_projection_distortion", oracle=_JL_SQL)
+def embedding_jl_projection_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 16 with a
+    distortion audit — the DATA-INDEPENDENT dimensionality reduction
+    (Achlioptas 2001 ±1 entries): unlike PCA it needs no training pass,
+    so it is the scale path for shrinking embeddings before ANN
+    indexing; the audit measures what that costs. Each consecutive-id
+    vector pair's squared distance is compared before/after projection;
+    output is the distortion-ratio histogram (0.1-wide bins) with
+    per-bin mean ratio — E[ratio] = 1 by the JL lemma, spread ~sqrt(2/k).
+
+    Engine-exact: coordinates quantize once to integer micro-units;
+    the projection matrix is DETERMINISTIC ±1 from md5(i|j) parity
+    (no RNG — both engines derive the identical matrix); projections,
+    squared distances, and the 1e6-scaled ratios are integer or
+    identical-double arithmetic throughout.
+
+    100 TB shape: the 64x16 sign matrix is a broadcast 1,024-row table;
+    projection is one (vec_id, j) map-side-combinable aggregate; the
+    audit pairs are formed by a consecutive-id equi-join (linear,
+    deterministic — never all-pairs); output is bounded by the bin
+    count."""
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"),
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).cast("int").alias("i"),
+        F.round(F.col("v") * 1e6).cast("long").alias("vq"),
+    ).persist()
+    r = (
+        spark.range(1, 65)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(
+            spark.range(1, _JL_K + 1).select(F.col("id").cast("int").alias("j"))
+        )
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("i").cast("string"),
+                                F.lit("|"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+    )
+    proj = (
+        q.join(F.broadcast(r), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("sgn") * F.col("vq")).alias("yu"))
+    )
+    qa = q.select(F.col("vec_id").alias("id1"), "i", F.col("vq").alias("va"))
+    qb = q.select((F.col("vec_id") - 1).alias("id1"), "i", F.col("vq").alias("vb"))
+    opair = (
+        qa.join(qb, ["id1", "i"])
+        .groupBy("id1")
+        .agg(
+            F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))).alias(
+                "n2o"
+            )
+        )
+    )
+    pa = proj.select(F.col("vec_id").alias("id1"), "j", F.col("yu").alias("ya"))
+    pb = proj.select(
+        (F.col("vec_id") - 1).alias("id1"), "j", F.col("yu").alias("yb")
+    )
+    ppair = (
+        pa.join(pb, ["id1", "j"])
+        .groupBy("id1")
+        .agg(
+            F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))).alias(
+                "n2p"
+            )
+        )
+    )
+    ratios = (
+        opair.join(ppair, "id1")
+        .filter(F.col("n2o") > 0)
+        .select(
+            F.round(
+                F.lit(1e6)
+                * F.col("n2p")
+                / (F.lit(_JL_K) * F.col("n2o").cast("double"))
+            )
+            .cast("long")
+            .alias("ratio_u")
+        )
+    )
+    return (
+        ratios.select(
+            F.expr("ratio_u div 100000").cast("int").alias("bin"), "ratio_u"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            # Round to integer micro-units FIRST (an exact-half double is
+            # binary-representable, so both engines round it identically),
+            # THEN divide — round(x/n/1e6, 6) instead hits non-binary
+            # 6-decimal half boundaries where Spark's BigDecimal.valueOf
+            # (shortest-string) and DuckDB's exact-binary round disagree
+            # by 1 ulp of the last digit (measured at sf0.01, bin 2).
+            (
+                F.round(F.sum("ratio_u") / F.count(F.lit(1)).cast("double"))
+                .cast("long")
+                / F.lit(1e6)
+            ).alias("avg_ratio"),
+        )
+        .orderBy("bin")
+    )
+
+
 _QMIX_SQL = r"""
 WITH scored AS (
   SELECT source,
@@ -9350,11 +9526,11 @@ DRIVER_PRIORITY: list[str] = [
     # `char_entropy_quality`, `bpe_merge_learn`,
     # `minhash_tuning_matrix`, `graph_label_propagation`,
     # `winnowing_dup_pairs`, `embedding_pca_covariance`,
-    # `embedding_pca_power_iteration`, and `bootstrap_ci_mean_tokens`
-    # (also new in r7, locally oracle-green every CI run) deliberately
-    # wait — r8's rotation must lead with these fifteen
-    # never-driver-verified queries, then the 50 queries whose latest
-    # verdict is r05.
+    # `embedding_pca_power_iteration`, `bootstrap_ci_mean_tokens`, and
+    # `embedding_jl_projection_distortion` (also new in r7, locally
+    # oracle-green every CI run) deliberately wait — r8's rotation must
+    # lead with these sixteen never-driver-verified queries, then the
+    # 50 queries whose latest verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
     # -- latest verdict r04 (2 rounds stale) --

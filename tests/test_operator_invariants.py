@@ -955,3 +955,19 @@ def test_bootstrap_weights_are_poisson(spark):
         assert r.ci_lo < r.ci_hi
         width = r.ci_hi - r.ci_lo
         assert r.ci_lo - width <= r.mean_tokens <= r.ci_hi + width
+
+
+def test_jl_projection_preserves_distances_in_expectation(spark):
+    """The JL lemma, measured: across the audited pairs the
+    pair-weighted mean distortion ratio must sit at 1 (a wrong 1/k
+    scale, a biased sign matrix, or a mismatched pair join shifts it
+    multiplicatively), and the mass must concentrate — most pairs
+    within [0.5, 1.5] for k=16 (sd = sqrt(2/k) ~ 0.35)."""
+    rows = qlib._REGISTRY["embedding_jl_projection_distortion"](
+        spark, SF_DIR
+    ).collect()
+    n = sum(r.n_pairs for r in rows)
+    mean = sum(r.n_pairs * r.avg_ratio for r in rows) / n
+    assert 0.9 < mean < 1.1, mean
+    central = sum(r.n_pairs for r in rows if 5 <= r.bin <= 14)
+    assert central / n > 0.75, central / n
