@@ -130,3 +130,76 @@ def kmv_sketch_stream(events: DataFrame, group_col: str, hash_col: str) -> DataF
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Poisson-bootstrap replica sums
+# ---------------------------------------------------------------------------
+
+BOOT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("swn", T.ArrayType(T.LongType())),
+        T.StructField("sw", T.ArrayType(T.LongType())),
+        T.StructField("upd", T.LongType()),
+    ]
+)
+
+BOOT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("swn", T.ArrayType(T.LongType())),
+        T.StructField("sw", T.ArrayType(T.LongType())),
+        T.StructField("upd", T.LongType()),
+    ]
+)
+
+
+def _update_boot(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    import bisect
+    import hashlib
+
+    from mini_lakehouse_control_plane_executor_spark.queries import (
+        _BOOT_B,
+        _POIS_T,
+    )
+
+    (source,) = key
+    if state.exists:
+        swn, sw, upd = state.get
+        swn, sw = list(swn), list(sw)
+    else:
+        swn, sw, upd = [0] * _BOOT_B, [0] * _BOOT_B, 0
+    for pdf in pdfs:
+        for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+            for b in range(_BOOT_B):
+                h = int(
+                    hashlib.md5(f"{int(doc_id)}|{b}".encode()).hexdigest()[:15], 16
+                )
+                w = bisect.bisect_right(_POIS_T, h)
+                if w:
+                    swn[b] += w * int(n)
+                    sw[b] += w
+    upd += 1
+    state.update((swn, sw, upd))
+    yield pd.DataFrame([{"source": source, "swn": swn, "sw": sw, "upd": upd}])
+
+
+def bootstrap_sums_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of ``queries.bootstrap_ci_mean_tokens``'s replica
+    sufficient statistics: per-source Poisson-bootstrap (swn, sw) sums
+    per replica, evolved across micro-batches with O(B) state per
+    source (plain integer sums — exactly mergeable, no watermark
+    needed; the CMS/HLL/KMV/quantile-cell discipline). Replica weights
+    invert the same Poisson(1) CDF at the same md5(doc_id|b) 60-bit
+    uniform as the batch query, so the drained final state equals the
+    batch (source, b) aggregate row-for-row and the derived CI is
+    identical. Input columns: doc_id, source, n (token count)."""
+    return docs.select("doc_id", "source", "n").groupBy("source").applyInPandasWithState(
+        _update_boot,
+        outputStructType=BOOT_OUT_SCHEMA,
+        stateStructType=BOOT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

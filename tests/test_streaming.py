@@ -1031,3 +1031,76 @@ def test_kmv_sketch_stream_equals_batch(spark, event_dir):
     assert got == want and len(want) > 0
     for sk in want.values():
         assert sk == sorted(sk) and len(sk) <= SK.KMV_K
+
+
+def test_bootstrap_sums_stream_equals_batch(spark, tmp_path):
+    """Streaming Poisson-bootstrap replica sums: per-source O(B) state
+    (plain integer sums — exactly mergeable across micro-batches, no
+    watermark). The drained final state must equal the batch
+    (source, replica) aggregate row-for-row — same md5-derived weights,
+    same integer sums, so the derived CI is identical by construction."""
+    from mini_lakehouse_control_plane_executor_spark import queries as qlib
+    from mini_lakehouse_control_plane_executor_spark.operators import text as TX
+    from mini_lakehouse_control_plane_executor_spark.streaming import stateful as ST
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", F.size(TX.tokens(F.col("text"))).alias("n"))
+    )
+    path = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(path)
+
+    stream = ST.bootstrap_sums_stream(
+        spark.readStream.schema("doc_id long, source string, n int").parquet(path)
+    )
+    got_all = _drain(spark, stream, "t_boot", mode="update").collect()
+    got, upd = {}, {}
+    for r in got_all:
+        if r.upd >= upd.get(r.source, 0):
+            upd[r.source] = r.upd
+            got[r.source] = (list(r.swn), list(r.sw))
+
+    # Batch twin: the query's replica aggregation, re-derived.
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(7)
+    for k in reversed(range(len(qlib._POIS_T))):
+        w = F.when(F.col("h") < qlib._POIS_T[k], F.lit(k)).otherwise(w)
+    rep = (
+        docs.select(
+            "doc_id",
+            "source",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(qlib._BOOT_B - 1))).alias("b"),
+        )
+        .withColumn("h", h)
+        .withColumn("w", w)
+        .groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w").cast("long") * F.col("n")).alias("swn"),
+            F.sum(F.col("w").cast("long")).alias("sw"),
+        )
+    )
+    want = {}
+    for r in rep.collect():
+        swn, sw = want.setdefault(
+            r.source, ([0] * qlib._BOOT_B, [0] * qlib._BOOT_B)
+        )
+        swn[r.b] = r.swn
+        sw[r.b] = r.sw
+    assert set(got) == set(want) and len(want) > 0
+    for src in want:
+        assert got[src] == want[src], src
