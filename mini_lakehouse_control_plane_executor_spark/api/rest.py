@@ -344,16 +344,22 @@ class LakehouseRestServer:
         """POST /tables/{t}/compaction — optional ``cluster_by`` runs a
         linearly clustered full rewrite, ``zorder_by`` a z-ordered
         (multi-dimensional, interleaved-bit) one, instead of the
-        small-file bin-pack."""
+        small-file bin-pack; ``where`` scopes which FILES are eligible
+        (OPTIMIZE ... WHERE at file granularity — rows are never
+        filtered)."""
         self._table(name)
         cluster_by = body.get("cluster_by") or None
         zorder_by = body.get("zorder_by") or None
+        where = body.get("where") or None
+        if where is not None and not isinstance(where, str):
+            raise _ApiError(400, "where must be a filter string")
         try:
             version = self.lake.compact(
                 name,
                 force=bool(body.get("force")),
                 cluster_by=cluster_by,
                 zorder_by=zorder_by,
+                where=where,
             )
         except (RuntimeError, ValueError) as exc:  # in progress / bad column
             return 200, {"success": False, "error": str(exc)}

@@ -301,6 +301,7 @@ class LakehouseSession:
         force: bool = False,
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        where: str | None = None,
     ) -> int | None:
         """SafeExecuteCompaction semantics (``compaction_service.go:
         659-709``): per-table mutual exclusion, at most
@@ -332,7 +333,10 @@ class LakehouseSession:
                 sc.setJobGroup(f"compaction-{name}", txn_id, interruptOnCancel=True)
                 try:
                     version = t.compact(
-                        txn_id=txn_id, cluster_by=cluster_by, zorder_by=zorder_by
+                        txn_id=txn_id,
+                        cluster_by=cluster_by,
+                        zorder_by=zorder_by,
+                        where=where,
                     )
                 finally:
                     sc.setLocalProperty("spark.jobGroup.id", None)

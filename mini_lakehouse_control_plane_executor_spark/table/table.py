@@ -1385,10 +1385,15 @@ class LakehouseTable:
             and len(small) / len(snap.files) > COMPACT_SMALL_RATIO
         )
 
-    def compaction_candidates(self, snap: Snapshot) -> list[list[FileAdd]]:
+    def compaction_candidates(
+        self, snap: Snapshot, files: list[FileAdd] | None = None
+    ) -> list[list[FileAdd]]:
         """Greedy bin-packing of small files into ≤target-size groups
-        (``compaction_service.go:79-141,144-200``)."""
-        small = [f for f in snap.files if f.size < COMPACT_MIN_FILE_SIZE]
+        (``compaction_service.go:79-141,144-200``). ``files`` restricts
+        the candidate pool (the ``where``-scoped subset); default = the
+        whole snapshot."""
+        pool = files if files is not None else snap.files
+        small = [f for f in pool if f.size < COMPACT_MIN_FILE_SIZE]
         if len(small) < COMPACT_MIN_CANDIDATES:
             return []
         groups: list[list[FileAdd]] = []
@@ -1409,6 +1414,7 @@ class LakehouseTable:
         txn_id: str | None = None,
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        where: str | None = None,
     ) -> int | None:
         """Rewrite small files into big ones; atomic adds+removes commit;
         on OCC conflict re-plan from the fresh snapshot and retry ≤3
@@ -1427,14 +1433,32 @@ class LakehouseTable:
 
         ``zorder_by`` is the multi-dimensional variant (Delta's actual
         ZORDER BY): interleaved-bit quantile-bucket key, so pruning
-        works on every listed column — see ``_zorder_value``."""
+        works on every listed column — see ``_zorder_value``.
+
+        ``where`` scopes WHICH FILES are eligible (Delta's
+        ``OPTIMIZE ... WHERE`` at file granularity): only files whose
+        min/max stats possibly match the predicate (the same sound
+        ``prune_files`` test reads use) are rewritten; everything else
+        is left byte-identical in place. Rows are never filtered —
+        a rewritten file keeps ALL its rows, matching or not, so the
+        table's data is unchanged (only its layout). The hot-partition
+        lever: re-cluster last week's files without paying a full-table
+        rewrite. Composes with ``cluster_by``/``zorder_by`` (the scoped
+        subset is rewritten in the clustered layout)."""
+        from mini_lakehouse_control_plane_executor_spark.functions.filters import (
+            prune_files,
+        )
+
         _validate_cluster_args(self.fields, cluster_by, zorder_by)
         for _ in range(COMMIT_MAX_RETRIES + 1):
             snap = self.log.snapshot()
+            pool = list(snap.files)
+            if where:
+                pool = prune_files(pool, where, snap.schema)
             if cluster_by or zorder_by:
-                groups = [list(snap.files)] if snap.files else []
+                groups = [pool] if pool else []
             else:
-                groups = self.compaction_candidates(snap)
+                groups = self.compaction_candidates(snap, files=pool)
             if not groups:
                 return None
             # Caller-supplied txn id (the session's compaction run id,

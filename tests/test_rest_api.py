@@ -182,7 +182,7 @@ def test_compaction_admin_over_http(server, lake, spark):
     t = lake.table("ca")
     real_compact = t.compact
 
-    def blocking_compact(txn_id=None, cluster_by=None, zorder_by=None):
+    def blocking_compact(txn_id=None, cluster_by=None, zorder_by=None, where=None):
         entered.set()
         release.wait(10)
         return None

@@ -908,3 +908,42 @@ def test_shallow_clone_version_pin_and_vacuum_isolation(lake, spark):
     assert s.read(version=v_after_first).count() == 50
     assert c.read().count() == 25
     assert stats["deleted_files"] == 0  # nothing clone-owned was dead yet
+
+
+def test_compact_where_scopes_files(lake, spark):
+    """OPTIMIZE ... WHERE at file granularity: only files whose min/max
+    stats possibly match the predicate are rewritten; out-of-scope
+    files stay byte-identical in place (same path, same FileAdd), rows
+    are never filtered, and the pre-compaction version still reads the
+    original layout (property 30)."""
+    lake.create_table("cw", SCHEMA)
+    t = lake.table("cw")
+    for lo in range(0, 9000, 1500):  # six small files, disjoint k ranges
+        t.insert(_df(spark, lo, lo + 1500).coalesce(1))
+    before = t.snapshot()
+    assert len(before.files) == 6
+    out_of_scope = {f.path for f in before.files if int(f.max_values["k"]) < 4500}
+    assert len(out_of_scope) == 3
+
+    v = t.compact(where="k >= 4500")
+    assert v is not None
+    after = t.snapshot()
+    paths = {f.path for f in after.files}
+    # the three low-range files are untouched, the three scoped ones merged
+    assert out_of_scope <= paths
+    assert len(after.files) == 4
+    assert t.read().count() == 9000
+    assert t.read().filter(F.col("k") < 4500).count() == 4500
+    # pre-compaction version still reads the original 6-file layout
+    assert len(t.snapshot(before.version).files) == 6
+    assert t.read(version=before.version).count() == 9000
+
+    # a predicate no file can match compacts nothing
+    assert t.compact(where="k >= 999999") is None
+
+    # where composes with the clustered rewrite: scoped files come back
+    # range-partitioned on k while out-of-scope paths persist
+    v2 = t.compact(where="k >= 4500", cluster_by=["k"])
+    assert v2 is not None
+    assert out_of_scope <= {f.path for f in t.snapshot().files}
+    assert t.read().count() == 9000
