@@ -53,9 +53,10 @@ _OP = st.one_of(
     st.tuples(st.just("delete"), st.integers(0, 30), st.integers(1, 15)),
     st.tuples(st.just("update"), st.integers(0, 30), st.integers(1, 15)),
     st.tuples(st.just("merge"), st.integers(0, 25), st.integers(1, 10)),
-    # n picks the layout: 0 bin-pack, 1 linear clustered, 2 z-ordered —
-    # all three are pure LAYOUT ops, so the model is unchanged.
-    st.tuples(st.just("compact"), st.integers(0, 2), st.integers(1, 1)),
+    # n picks the layout: 0 bin-pack, 1 linear clustered, 2 z-ordered,
+    # 3 predicate-scoped (OPTIMIZE WHERE) — all four are pure LAYOUT
+    # ops, so the model is unchanged.
+    st.tuples(st.just("compact"), st.integers(0, 3), st.integers(1, 1)),
     st.tuples(st.just("add_col"), st.integers(0, 0), st.integers(1, 1)),
     st.tuples(st.just("drop_col"), st.integers(0, 0), st.integers(1, 1)),
     # bound range straddles the generated k range (0..34) so both
@@ -138,6 +139,8 @@ def test_table_agrees_with_model(spark, tmp_path_factory, ops):
                 lake.compact(name, force=True, cluster_by=["k"])
             elif a == 2:
                 lake.compact(name, force=True, zorder_by=["k", "x"])
+            elif a == 3:
+                lake.compact(name, force=True, where=f"k <= {10 + i % 20}")
             else:
                 lake.compact(name, force=True)
         elif op == "add_col":
