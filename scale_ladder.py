@@ -72,6 +72,10 @@ DUP_SET: dict[str, str] = {
     "dedup_simhash_pairs": "dup",
     "containment_dedup_pairs": "dup",
     "dedup_cluster_size_histogram": "dup",
+    # winnowing's df-gate [2,8] IS its duplicate-skew guard: 10 verbatim
+    # copies push every shared fingerprint past max-df, so the pair join
+    # sees zero duplicate-family work (measured 0.9x on this input).
+    "winnowing_dup_pairs": "dup",
     # embedding-side guards -> the main sf1 (vectors already verbatim)
     "embedding_neardup_lsh": "big",
     "semantic_dedup_clusters": "big",
