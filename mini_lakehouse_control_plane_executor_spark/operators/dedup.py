@@ -497,7 +497,10 @@ def lsh_candidates(
     hcols = [f"h{i}" for i in range(k)]
     w = Window.partitionBy(*hcols)
     vm = sigs.select(
-        "doc_id", *hcols, F.min("doc_id").over(w).alias("rep")
+        "doc_id",
+        *hcols,
+        F.min("doc_id").over(w).alias("rep"),
+        F.count(F.lit(1)).over(w).alias("gsize"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     reps = vm.filter(F.col("doc_id") == F.col("rep")).select("doc_id", *hcols)
     bands = band_keys(reps, k, band_rows)
@@ -513,28 +516,30 @@ def lsh_candidates(
         .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
         .distinct()
     )
+    # ONE expansion pass for both pair kinds (the containment_pairs
+    # self-pair trick, saving the separate same-group self-join):
+    # same-signature groups enter as rep-level SELF pairs; after the
+    # member joins the (id1 != id2) | (m1 < m2) filter keeps every
+    # cross-group expansion (members of distinct groups are distinct
+    # docs) and exactly one orientation of each same-group member pair,
+    # and least/greatest canonicalizes both kinds.
+    self_reps = vm.filter(
+        (F.col("doc_id") == F.col("rep")) & (F.col("gsize") >= 2)
+    ).select(F.col("doc_id").alias("id1"), F.col("doc_id").alias("id2"))
     mem = vm.select("rep", "doc_id")
-    cross = (
-        rep_cands.join(
+    return (
+        rep_cands.unionByName(self_reps)
+        .join(
             mem.select(F.col("rep").alias("id1"), F.col("doc_id").alias("m1")), "id1"
         )
         .join(
             mem.select(F.col("rep").alias("id2"), F.col("doc_id").alias("m2")), "id2"
         )
+        .filter((F.col("id1") != F.col("id2")) | (F.col("m1") < F.col("m2")))
         .select(
             F.least("m1", "m2").alias("id1"), F.greatest("m1", "m2").alias("id2")
         )
     )
-    internal = (
-        mem.alias("x")
-        .join(
-            mem.alias("y"),
-            (F.col("x.rep") == F.col("y.rep"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2"))
-    )
-    return cross.unionByName(internal)
 
 
 def minhash_dedup_pairs(
