@@ -512,31 +512,33 @@ def neardup_pairs(
         .select("id1", "id2", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+    # ONE expansion pass for both pair kinds (the lsh_candidates /
+    # containment_pairs self-pair fusion): same-vector groups enter as
+    # rep-level SELF pairs at their self-similarity; after the member
+    # joins the (id1 != id2) | (m1 < m2) filter keeps every cross-group
+    # expansion (members of distinct groups are distinct docs) and
+    # exactly one orientation of each same-group member pair.
+    self_sim = F.round(
+        dot(F.col("vec"), F.col("vec")) / (F.col("nrm") * F.col("nrm")), 6
+    )
+    self_reps = reps.filter((F.col("gsize") >= 2) & (self_sim >= threshold)).select(
+        F.col("doc_id").alias("id1"),
+        F.col("doc_id").alias("id2"),
+        self_sim.alias("sim"),
+    )
     m1 = vm.select(F.col("rep").alias("id1"), F.col("doc_id").alias("m1"))
     m2 = vm.select(F.col("rep").alias("id2"), F.col("doc_id").alias("m2"))
-    cross = (
-        rep_pairs.join(m1, "id1")
+    return (
+        rep_pairs.unionByName(self_reps)
+        .join(m1, "id1")
         .join(m2, "id2")
+        .filter((F.col("id1") != F.col("id2")) | (F.col("m1") < F.col("m2")))
         .select(
             F.least("m1", "m2").alias("id1"),
             F.greatest("m1", "m2").alias("id2"),
             "sim",
         )
     )
-    self_sim = F.round(
-        dot(F.col("vec"), F.col("vec")) / (F.col("nrm") * F.col("nrm")), 6
-    )
-    grp = reps.filter((F.col("gsize") >= 2) & (self_sim >= threshold)).select(
-        F.col("doc_id").alias("rep"), self_sim.alias("sim")
-    )
-    mem = vm.select("rep", "doc_id")
-    internal = (
-        grp.join(mem.select("rep", F.col("doc_id").alias("ma")), "rep")
-        .join(mem.select("rep", F.col("doc_id").alias("mb")), "rep")
-        .filter(F.col("ma") < F.col("mb"))
-        .select(F.col("ma").alias("id1"), F.col("mb").alias("id2"), "sim")
-    )
-    return cross.unionByName(internal)
 
 
 def collapse_identical(
