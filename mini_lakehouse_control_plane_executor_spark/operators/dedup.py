@@ -684,33 +684,35 @@ def simhash_pairs(
     rep_pairs = cands.select(
         "id1", "id2", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+    # ONE expansion pass for both pair kinds (the lsh_candidates /
+    # neardup_pairs self-pair fusion): same-signature groups enter as
+    # rep-level self pairs at hamming 0 (the group key IS the SimHash
+    # value, so members are signature-identical by construction); the
+    # (id1 != id2) | (m1 < m2) filter keeps every cross-group expansion
+    # and exactly one orientation of each same-group member pair. This
+    # deletes the separate mem-by-mem self-join, whose inputs are both
+    # corpus-sized member tables at scale.
+    self_reps = reps.filter(F.col("gsize") >= 2).select(
+        F.col("doc_id").alias("id1"),
+        F.col("doc_id").alias("id2"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
     mem = vm.select("rep", "doc_id")
-    cross = (
-        rep_pairs.join(
+    return (
+        rep_pairs.unionByName(self_reps)
+        .join(
             mem.select(F.col("rep").alias("id1"), F.col("doc_id").alias("m1")), "id1"
         )
         .join(
             mem.select(F.col("rep").alias("id2"), F.col("doc_id").alias("m2")), "id2"
         )
+        .filter((F.col("id1") != F.col("id2")) | (F.col("m1") < F.col("m2")))
         .select(
             F.least("m1", "m2").alias("id1"),
             F.greatest("m1", "m2").alias("id2"),
             "hamming",
         )
     )
-    internal = (
-        reps.filter(F.col("gsize") >= 2)
-        .select(F.col("doc_id").alias("grp"))
-        .join(mem.select(F.col("rep").alias("grp"), F.col("doc_id").alias("ma")), "grp")
-        .join(mem.select(F.col("rep").alias("grp"), F.col("doc_id").alias("mb")), "grp")
-        .filter(F.col("ma") < F.col("mb"))
-        .select(
-            F.col("ma").alias("id1"),
-            F.col("mb").alias("id2"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-    )
-    return cross.unionByName(internal)
 
 
 def connected_components(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
