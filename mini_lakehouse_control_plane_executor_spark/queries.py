@@ -6485,6 +6485,109 @@ def embedding_jl_projection_distortion(spark, sf_dir):
     )
 
 
+_ABTEST_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         COALESCE(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT), 0)
+           AS cents
+  FROM events GROUP BY user_id
+),
+assigned AS (
+  SELECT cents,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 AS variant
+  FROM per_user
+),
+s AS (
+  SELECT CAST(count(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS BIGINT) AS s1_a,
+         CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1_b,
+         CAST(sum(CASE WHEN variant = 0 THEN cents * cents ELSE 0 END) AS BIGINT)
+           AS s2_a,
+         CAST(sum(CASE WHEN variant = 1 THEN cents * cents ELSE 0 END) AS BIGINT)
+           AS s2_b
+  FROM assigned
+)
+SELECT n_a, n_b,
+       round(s1_a / CAST(n_a AS DOUBLE) / 100, 4) AS mean_a,
+       round(s1_b / CAST(n_b AS DOUBLE) / 100, 4) AS mean_b,
+       round(
+         (s1_b / CAST(n_b AS DOUBLE) - s1_a / CAST(n_a AS DOUBLE))
+         / sqrt(
+             (s2_a / CAST(n_a AS DOUBLE)
+              - (s1_a / CAST(n_a AS DOUBLE)) * (s1_a / CAST(n_a AS DOUBLE))) / n_a
+             + (s2_b / CAST(n_b AS DOUBLE)
+                - (s1_b / CAST(n_b AS DOUBLE)) * (s1_b / CAST(n_b AS DOUBLE))) / n_b),
+         4) AS z_score
+FROM s
+"""
+
+
+@query("ab_test_value", oracle=_ABTEST_SQL)
+def ab_test_value(spark, sf_dir):
+    """A/B experiment readout: users split 50/50 by a DETERMINISTIC
+    md5(user_id) assignment (the reproducible-bucketing discipline of
+    hash_sample_orders — re-running the analysis reassigns identically),
+    metric = per-user total event value, compared with a Welch z-test
+    on the arm means — the experimentation-analytics member alongside
+    the bootstrap-CI uncertainty member. The synthetic split is an A/A
+    test by construction, so |z| should be small (pinned by the
+    invariant test); the machinery is what a real variant column would
+    feed. (A conversion-rate version degenerates here: every synthetic
+    user purchases, so the pooled proportion is 1 and the z
+    denominator is 0 — a continuous metric is the well-posed choice.)
+
+    Engine-exact: the per-user metric is an integer (cents — value
+    quantized per EVENT before any sum), each arm reduces to the three
+    integer sufficient statistics (n, Σx, Σx²), and means/variances/z
+    are the identical double-op sequence over those integers in both
+    engines. Σx² headroom: int64 holds per-user spend to ~$30M.
+
+    100 TB shape: one user-keyed partial+final aggregate over the event
+    stream, then a six-column keyless rollup — no joins, no windows,
+    output is one row."""
+    e = _load_events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0)
+        ).alias("cents")
+    )
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 2
+    )
+    s = per_user.withColumn("variant", variant).agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("cents")).otherwise(0)).alias(
+            "s1_a"
+        ),
+        F.sum(F.when(F.col("variant") == 1, F.col("cents")).otherwise(0)).alias(
+            "s1_b"
+        ),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("cents") * F.col("cents")).otherwise(0)
+        ).alias("s2_a"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("cents") * F.col("cents")).otherwise(0)
+        ).alias("s2_b"),
+    )
+    m_a = F.col("s1_a") / F.col("n_a").cast("double")
+    m_b = F.col("s1_b") / F.col("n_b").cast("double")
+    var_a = F.col("s2_a") / F.col("n_a").cast("double") - m_a * m_a
+    var_b = F.col("s2_b") / F.col("n_b").cast("double") - m_b * m_b
+    z = (m_b - m_a) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(m_a / 100, 4).alias("mean_a"),
+        F.round(m_b / 100, 4).alias("mean_b"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
 _QMIX_SQL = r"""
 WITH scored AS (
   SELECT source,
@@ -9526,11 +9629,11 @@ DRIVER_PRIORITY: list[str] = [
     # `char_entropy_quality`, `bpe_merge_learn`,
     # `minhash_tuning_matrix`, `graph_label_propagation`,
     # `winnowing_dup_pairs`, `embedding_pca_covariance`,
-    # `embedding_pca_power_iteration`, `bootstrap_ci_mean_tokens`, and
-    # `embedding_jl_projection_distortion` (also new in r7, locally
-    # oracle-green every CI run) deliberately wait — r8's rotation must
-    # lead with these sixteen never-driver-verified queries, then the
-    # 50 queries whose latest verdict is r05.
+    # `embedding_pca_power_iteration`, `bootstrap_ci_mean_tokens`,
+    # `embedding_jl_projection_distortion`, and `ab_test_value` (also
+    # new in r7, locally oracle-green every CI run) deliberately wait —
+    # r8's rotation must lead with these seventeen never-driver-verified
+    # queries, then the 50 queries whose latest verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
     # -- latest verdict r04 (2 rounds stale) --

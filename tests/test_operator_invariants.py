@@ -971,3 +971,21 @@ def test_jl_projection_preserves_distances_in_expectation(spark):
     assert 0.9 < mean < 1.1, mean
     central = sum(r.n_pairs for r in rows if 5 <= r.bin <= 14)
     assert central / n > 0.75, central / n
+
+
+def test_ab_test_aa_split_is_calibrated(spark):
+    """The md5 split is an A/A test on this data — both arms draw from
+    one population — so the Welch z must stay inside a loose |z| < 4
+    band (a biased assignment or a wrong variance pooling shifts it
+    arbitrarily), arms must partition the user set, and means must be
+    positive spend."""
+    from pyspark.sql import functions as F
+
+    r = qlib._REGISTRY["ab_test_value"](spark, SF_DIR).collect()[0]
+    users = (
+        qlib._load_events(spark, SF_DIR).select("user_id").distinct().count()
+    )
+    assert r.n_a + r.n_b == users
+    assert r.n_a > 0 and r.n_b > 0
+    assert r.mean_a > 0 and r.mean_b > 0
+    assert abs(r.z_score) < 4
