@@ -3,7 +3,7 @@
 # compile/codegen step (api/protowire.py IS the wire codec, spec-gated
 # by tests/test_protowire.py), so `all` is test.
 
-.PHONY: all test test-fast oracle demo serve bench scale docker compose-config compose-up clean
+.PHONY: all test test-fast oracle demo serve bench scale scale-full scale-dup docker compose-config compose-up clean
 
 all: test
 
@@ -50,6 +50,12 @@ scale:
 scale-full:
 	python scale_build.py
 	SPARK_GRAFT_SCALE_SET=full SPARK_GRAFT_SCALE_PASSES=1 python scale_ladder.py
+
+# Duplicate-skew guard ladder: the blocking-family queries on 10x
+# VERBATIM copies (the adversarial input) into SCALE_DUP.md.
+scale-dup:
+	python scale_build.py
+	SPARK_GRAFT_SCALE_SET=dup python scale_ladder.py
 
 docker:
 	docker build -f docker/Dockerfile -t mini-lakehouse-spark .
