@@ -475,3 +475,47 @@ def test_zorder_compaction_over_http(server):
     assert not out["success"] and "unsupported" in out["error"]
     out = _call(server, "POST", "/tables/tzz/compaction", {"zorder_by": ["id"]})
     assert not out["success"] and ">= 2" in out["error"]
+
+
+def test_compaction_where_over_http(server, lake, spark):
+    """POST /tables/{t}/compaction with a ``where`` body scopes the
+    rewrite to stat-matching files (OPTIMIZE ... WHERE); a non-string
+    ``where`` is a 400, and a predicate matching nothing reports
+    nothing-to-compact rather than rewriting the table."""
+    from pyspark.sql import functions as F
+
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+
+    lake.create_table(
+        "cwr",
+        [Field("k", "int64"), Field("v", "string"), Field("x", "float64")],
+    )
+    t = lake.table("cwr")
+    for lo in range(0, 9000, 1500):
+        t.insert(
+            spark.range(lo, lo + 1500)
+            .select(
+                F.col("id").alias("k"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+                (F.col("id") * 1.5).alias("x"),
+            )
+            .coalesce(1)
+        )
+    keep = {f.path for f in t.snapshot().files if int(f.max_values["k"]) < 4500}
+
+    _call(server, "POST", "/tables/cwr/compaction", {"where": 123}, expect=400)
+
+    out = _call(
+        server, "POST", "/tables/cwr/compaction",
+        {"force": True, "where": "k >= 999999"},
+    )
+    assert not out["success"] and "nothing" in out["error"]
+
+    out = _call(
+        server, "POST", "/tables/cwr/compaction",
+        {"force": True, "where": "k >= 4500"},
+    )
+    assert out["success"]
+    after = {f.path for f in t.snapshot().files}
+    assert keep <= after and len(after) == 4
+    assert t.read().count() == 9000
