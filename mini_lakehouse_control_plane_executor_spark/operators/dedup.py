@@ -781,3 +781,57 @@ def connected_components(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (map-only variant)
+# ---------------------------------------------------------------------------
+
+WINNOW_POS_MOD = 1 << 24
+WINNOW_MAX_DF = 8
+
+
+def winnowing_fingerprints_map(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, h) winnowing fingerprints (Schleimer et al. 2003 — the
+    same selection as ``queries.winnowing_dup_pairs``: 4-gram 36-bit
+    md5 hashes, w=4 window minimum, rightmost tie-break via the packed
+    (hash·2²⁴ + reversed-position) integer MIN) computed ENTIRELY
+    map-side: every window of a document's hash sequence lives inside
+    that document's own row, so the per-start minima are array
+    expressions (``array_min`` over ``slice``) — no posexplode, no
+    doc-keyed window exchange. This is the streaming-safe form (stateless
+    per-row transform; Structured Streaming forbids non-time windows)
+    and is pinned row-identical to the window-based batch selection in
+    tests/test_operator_invariants.py.
+
+    The explode's input is a derived HOF array; at batch corpus scale
+    prefer the query's persisted-window path (generator-input
+    discipline) — per emitted row Catalyst re-evaluates the chain, which
+    is acceptable here because the fingerprint array is ~2/(w+1) of the
+    gram count, not a shingle corpus."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)")
+    grams = F.expr(
+        "transform(slice(toks, 1, size(toks) - 3),"
+        " (t, i) -> concat(t, ' ', element_at(toks, i + 2),"
+        " ' ', element_at(toks, i + 3), ' ', element_at(toks, i + 4)))"
+    )
+    encs = F.expr(
+        "transform(gs, (g, i) ->"
+        " conv(substring(md5(g), 1, 9), 16, 10) * 16777216"
+        f" + ({WINNOW_POS_MOD - 1} - (i + 1)))"
+    )
+    fps = F.expr(
+        "array_distinct(transform("
+        " sequence(1, greatest(size(encs) - 3, 1)),"
+        f" s -> array_min(slice(encs, s, 4)) div {WINNOW_POS_MOD}))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= 4)
+        .select("doc_id", grams.alias("gs"))
+        .select("doc_id", encs.alias("encs"))
+        .select("doc_id", fps.alias("fps"))
+        .select("doc_id", F.explode("fps").alias("h"))
+    )

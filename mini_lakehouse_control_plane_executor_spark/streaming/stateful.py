@@ -203,3 +203,72 @@ def bootstrap_sums_stream(docs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming winnowing copy-detection index
+# ---------------------------------------------------------------------------
+
+WINNOW_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("h", T.LongType()),
+        T.StructField("docs", T.ArrayType(T.LongType())),
+        T.StructField("upd", T.LongType()),
+    ]
+)
+
+WINNOW_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("docs", T.ArrayType(T.LongType())),
+        T.StructField("upd", T.LongType()),
+    ]
+)
+
+
+def _update_winnow(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    from mini_lakehouse_control_plane_executor_spark.operators.dedup import (
+        WINNOW_MAX_DF,
+    )
+
+    cap = WINNOW_MAX_DF + 1
+    (h,) = key
+    if state.exists:
+        docs, upd = state.get
+        s = set(docs)
+    else:
+        s, upd = set(), 0
+    for pdf in pdfs:
+        for d in pdf["doc_id"]:
+            if len(s) >= cap:
+                break  # already dead: extra members cannot revive it
+            s.add(int(d))
+    docs = sorted(s)
+    upd += 1
+    state.update((docs, upd))
+    yield pd.DataFrame([{"h": h, "docs": docs, "upd": upd}])
+
+
+def winnowing_index_stream(fps: DataFrame) -> DataFrame:
+    """Streaming twin of the winnowing copy-detection index under
+    ``queries.winnowing_dup_pairs``: per-fingerprint member lists
+    evolved across micro-batches. State is bounded BY THE ALGORITHM'S
+    OWN GATE: a fingerprint is usable only while its document frequency
+    is ≤ max-df (the MOSS drop-common rule), so the state keeps at most
+    max-df + 1 = 9 doc ids per fingerprint — once a 9th distinct doc
+    arrives the fingerprint is dead and extra members are not even
+    recorded (deadness is monotone, so the truncation is
+    arrival-order-independent). Drained live states (2..max-df members)
+    equal the batch df-gated fingerprint index row-for-row, so derived
+    shared-fingerprint pairs are identical. Input: the (doc_id, h)
+    stream from ``operators.dedup.winnowing_fingerprints_map`` (the
+    map-only selection — Structured Streaming forbids the batch path's
+    doc-keyed window, and the map form is pinned identical to it)."""
+    return fps.groupBy("h").applyInPandasWithState(
+        _update_winnow,
+        outputStructType=WINNOW_OUT_SCHEMA,
+        stateStructType=WINNOW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -989,3 +989,51 @@ def test_ab_test_aa_split_is_calibrated(spark):
     assert r.n_a > 0 and r.n_b > 0
     assert r.mean_a > 0 and r.mean_b > 0
     assert abs(r.z_score) < 4
+
+
+def test_winnowing_map_selection_equals_window_selection(spark):
+    """The map-only fingerprint selection (array_min over slices — the
+    streaming-safe form) must pick EXACTLY the fingerprints the batch
+    query's doc-keyed window selects: same packed-integer minima, same
+    truncated tail windows, same short-doc single-window rule."""
+    from pyspark.sql import Window
+
+    from mini_lakehouse_control_plane_executor_spark.operators import dedup as D
+    from mini_lakehouse_control_plane_executor_spark.operators import text as TX
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        (r.doc_id, r.h)
+        for r in D.winnowing_fingerprints_map(d, "doc_id", "text").collect()
+    }
+    mod = qlib._WINNOW_POS_MOD
+    grams = F.expr(
+        "transform(slice(toks, 1, size(toks) - 3),"
+        " (t, i) -> concat(t, ' ', element_at(toks, i + 2),"
+        " ' ', element_at(toks, i + 3), ' ', element_at(toks, i + 4)))"
+    )
+    encs = (
+        d.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 4)
+        .select("doc_id", grams.alias("gs"))
+        .select("doc_id", F.size("gs").alias("ng"), F.posexplode("gs").alias("p0", "g"))
+        .select(
+            "doc_id",
+            "ng",
+            (F.col("p0") + 1).alias("pos"),
+            (
+                F.conv(F.substring(F.md5("g"), 1, 9), 16, 10).cast("long") * mod
+                + (F.lit(mod - 1) - (F.col("p0") + 1))
+            ).alias("enc"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    want = {
+        (r.doc_id, r.h)
+        for r in encs.withColumn("m", F.min("enc").over(w))
+        .filter(F.col("pos") <= F.greatest(F.col("ng") - 3, F.lit(1)))
+        .select("doc_id", F.expr(f"m div {mod}").alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(want) > 0

@@ -1104,3 +1104,56 @@ def test_bootstrap_sums_stream_equals_batch(spark, tmp_path):
     assert set(got) == set(want) and len(want) > 0
     for src in want:
         assert got[src] == want[src], src
+
+
+def test_winnowing_index_stream_equals_batch(spark, tmp_path):
+    """Streaming winnowing copy-detection index: per-fingerprint state
+    is capped at max-df + 1 = 9 members by the MOSS drop-common gate
+    itself (deadness is monotone, so the cap is arrival-order
+    independent). The drained LIVE states (2..8 members) must equal the
+    batch df-gated fingerprint index exactly — which makes every
+    derived shared-fingerprint pair identical to the batch query's."""
+    from mini_lakehouse_control_plane_executor_spark.operators import dedup as D
+    from mini_lakehouse_control_plane_executor_spark.streaming import stateful as ST
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(path)
+
+    stream = ST.winnowing_index_stream(
+        D.winnowing_fingerprints_map(
+            spark.readStream.schema("doc_id long, text string").parquet(path),
+            "doc_id",
+            "text",
+        )
+    )
+    got_all = _drain(spark, stream, "t_winnow", mode="update").collect()
+    final, upd = {}, {}
+    for r in got_all:
+        if r.upd >= upd.get(r.h, 0):
+            upd[r.h] = r.upd
+            final[r.h] = list(r.docs)
+    got_live = {
+        h: tuple(ds) for h, ds in final.items() if 2 <= len(ds) <= D.WINNOW_MAX_DF
+    }
+
+    fpm = D.winnowing_fingerprints_map(docs, "doc_id", "text")
+    want_all = {
+        r.h: sorted(r.ds)
+        for r in fpm.groupBy("h")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .collect()
+    }
+    want_live = {
+        h: tuple(ds)
+        for h, ds in want_all.items()
+        if 2 <= len(ds) <= D.WINNOW_MAX_DF
+    }
+    assert got_live == want_live and len(want_live) > 0
+    # dead fingerprints are truncated at the cap, never grown past it
+    for h, ds in final.items():
+        assert len(ds) <= D.WINNOW_MAX_DF + 1
+        if len(ds) == D.WINNOW_MAX_DF + 1:
+            assert len(want_all[h]) > D.WINNOW_MAX_DF
