@@ -6485,6 +6485,178 @@ def embedding_jl_projection_distortion(spark, sf_dir):
     )
 
 
+def _jl_recall_oracle(k: int = 5) -> str:
+    return f"""
+WITH ex AS (
+  SELECT vec_id, unnest(range(1, 65)) AS i,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+),
+q0 AS (SELECT vec_id, i, CAST(round(v * 1e6) AS BIGINT) AS vq FROM ex),
+rm AS (
+  SELECT i.range AS i, j.range AS j,
+         CASE WHEN ('0x' || substr(md5(i.range || '|' || j.range), 1, 1))::INT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM range(1, 65) i, range(1, {_JL_K + 1}) j
+),
+pr AS (
+  SELECT q0.vec_id, rm.j, CAST(sum(rm.sgn * q0.vq) AS BIGINT) AS yu
+  FROM q0 JOIN rm ON q0.i = rm.i
+  GROUP BY 1, 2
+),
+proj AS (
+  SELECT vec_id, list(yu ORDER BY j) AS y,
+         CAST(sum(yu * yu) AS BIGINT) AS n2
+  FROM pr GROUP BY vec_id
+),
+s AS (
+  SELECT qq.vec_id AS q_id, cc.vec_id AS c_id,
+         round(
+           list_sum(list_transform(range(1, {_JL_K + 1}),
+                                   i -> qq.y[i] * cc.y[i]))
+           / (sqrt(CAST(qq.n2 AS DOUBLE)) * sqrt(CAST(cc.n2 AS DOUBLE))),
+           6) AS sim
+  FROM proj qq JOIN proj cc
+    ON qq.vec_id < 10 AND cc.vec_id != qq.vec_id
+  WHERE qq.n2 > 0 AND cc.n2 > 0
+),
+appr AS (
+  SELECT q_id AS a_qid, c_id AS a_cid FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+    FROM s
+  ) WHERE rn <= {k}
+),
+exact AS (SELECT q_id, c_id FROM ({_ANN_BRUTE_ORACLE}) x)
+SELECT e.q_id,
+       CAST(count(a.a_cid) AS BIGINT) AS n_hits,
+       round(count(a.a_cid) / {k}.0, 2) AS recall_at_{k}
+FROM exact e
+LEFT JOIN appr a ON e.q_id = a.a_qid AND e.c_id = a.a_cid
+GROUP BY e.q_id ORDER BY e.q_id
+"""
+
+
+@query("ann_recall_jl_vs_exact", oracle=_jl_recall_oracle())
+def ann_recall_jl_vs_exact(spark, sf_dir):
+    """Recall@5 of brute-force search in the JL-projected 16-dim space
+    against exact 64-dim top-5 — closing the loop the
+    embedding_jl_projection_distortion histogram opens: the projection
+    is the train-free scale path (4x fewer dims before an ANN index),
+    and this is what that costs in retrieval quality, measured with the
+    same harness as the LSH/PQ recall dials.
+
+    Engine-exact: projections are the integer-micro-unit sums of the
+    deterministic md5-parity sign matrix; projected cosine is an
+    integer dot over the 16 projected coordinates normalized by
+    integer-derived norms — identical double sequences both engines;
+    top-5 cut on the rounded sim with c_id tie-breaks.
+
+    100 TB shape: projection is one (vec, j) map-side-combinable
+    aggregate assembled into per-vector arrays; search is the brute
+    pattern (broadcast 10 projected queries, stream the projected
+    corpus map-only, per-query top-k window); the recall join compares
+    two k-rows-per-query frames."""
+    e = _load(spark, sf_dir, "embeddings")
+    q0 = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v"),
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).cast("int").alias("i"),
+        F.round(F.col("v") * 1e6).cast("long").alias("vq"),
+    )
+    rmat = (
+        spark.range(1, 65)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(
+            spark.range(1, _JL_K + 1).select(F.col("id").cast("int").alias("j"))
+        )
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("i").cast("string"),
+                                F.lit("|"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+    )
+    proj = (
+        q0.join(F.broadcast(rmat), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("sgn") * F.col("vq")).alias("yu"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "yu"))), lambda x: x.yu
+            ).alias("y"),
+            F.sum(F.col("yu") * F.col("yu")).alias("n2"),
+        )
+        .filter(F.col("n2") > 0)
+        .persist()
+    )
+    qp = proj.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("y").alias("qy"), F.col("n2").alias("qn2")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qy"), F.col("y"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = F.round(
+        dot
+        / (
+            F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+        ),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "c_id")
+    appr = (
+        proj.select(F.col("vec_id").alias("c_id"), "y", "n2")
+        .crossJoin(F.broadcast(qp))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(F.col("q_id").alias("a_qid"), F.col("c_id").alias("a_cid"))
+    )
+    queries = e.filter(F.col("vec_id") < 10)
+    exact = _sim.brute_force_topk(e, "vec_id", "embedding", queries, k=5).select(
+        "q_id", "c_id"
+    )
+    j = exact.join(
+        appr,
+        (exact.q_id == appr.a_qid) & (exact.c_id == appr.a_cid),
+        "left",
+    )
+    return (
+        j.groupBy("q_id")
+        .agg(
+            F.count("a_cid").alias("n_hits"),
+            F.round(F.count("a_cid") / F.lit(5.0), 2).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
 _ABTEST_SQL = """
 WITH per_user AS (
   SELECT user_id,
@@ -9630,10 +9802,11 @@ DRIVER_PRIORITY: list[str] = [
     # `minhash_tuning_matrix`, `graph_label_propagation`,
     # `winnowing_dup_pairs`, `embedding_pca_covariance`,
     # `embedding_pca_power_iteration`, `bootstrap_ci_mean_tokens`,
-    # `embedding_jl_projection_distortion`, and `ab_test_value` (also
-    # new in r7, locally oracle-green every CI run) deliberately wait —
-    # r8's rotation must lead with these seventeen never-driver-verified
-    # queries, then the 50 queries whose latest verdict is r05.
+    # `embedding_jl_projection_distortion`, `ab_test_value`, and
+    # `ann_recall_jl_vs_exact` (also new in r7, locally oracle-green
+    # every CI run) deliberately wait — r8's rotation must lead with
+    # these eighteen never-driver-verified queries, then the 50 queries
+    # whose latest verdict is r05.
     "containment_dedup_pairs",
     "incremental_dedup_newbatch",
     # -- latest verdict r04 (2 rounds stale) --
