@@ -212,10 +212,14 @@ class LakehouseRestServer:
 
     def execute_query_async(self, body: dict):
         try:
-            # Parsing happens synchronously in submit_async; execution
-            # errors surface through the job's FAILED status instead.
+            # Parsing happens synchronously in submit_async
+            # (SimpleQuery.from_json); execution errors surface through
+            # the job's FAILED status instead. Only the parse/validation
+            # exception classes map to 400 — anything else is a genuine
+            # server fault and must surface as 500 so it reaches 5xx
+            # monitoring.
             job_id = self.lake.submit_async(body)
-        except Exception as exc:
+        except (ValueError, KeyError, TypeError) as exc:
             raise _ApiError(400, f"Invalid query: {exc}")
         return 200, {
             "success": True,
@@ -350,9 +354,13 @@ class LakehouseRestServer:
         self._table(name)
         cluster_by = body.get("cluster_by") or None
         zorder_by = body.get("zorder_by") or None
-        where = body.get("where") or None
-        if where is not None and not isinstance(where, str):
-            raise _ApiError(400, "where must be a filter string")
+        # Presence first, THEN the type check: `body.get("where") or None`
+        # would collapse falsy non-strings (0, false, "") to None and
+        # silently run an UNSCOPED compaction instead of the documented
+        # 400. Only absent/None means "no scope".
+        where = body.get("where")
+        if where is not None and (not isinstance(where, str) or not where.strip()):
+            raise _ApiError(400, "where must be a non-empty filter string")
         try:
             version = self.lake.compact(
                 name,

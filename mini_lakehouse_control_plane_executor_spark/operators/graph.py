@@ -177,9 +177,15 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         "n_edges",
         "n_wedges",
         F.col("t").alias("n_triangles"),
-        F.round(F.lit(3.0) * F.col("t") / F.col("n_wedges"), 6).alias(
-            "global_clustering"
-        ),
+        # Zero guard: a graph whose components are all single edges has
+        # n_wedges = 0; clustering is defined as 0.0 there (mirrored in
+        # the oracle), never NULL.
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(F.lit(3.0) * F.col("t") / F.col("n_wedges"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("global_clustering"),
     )
 
 

@@ -6186,7 +6186,7 @@ WITH n_tok AS (
 ),
 base AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         round(sum(n) / CAST(count(*) AS DOUBLE), 4) AS mean_tokens
+         CAST(round(sum(n) * 10000.0 / count(*)) AS BIGINT) / 10000.0 AS mean_tokens
   FROM n_tok GROUP BY source
 ),
 reps AS (
@@ -6212,7 +6212,8 @@ ci AS (
   FROM ranked GROUP BY source
 )
 SELECT b.source, b.n_docs, b.mean_tokens,
-       round(c.lo, 4) AS ci_lo, round(c.hi, 4) AS ci_hi
+       CAST(round(c.lo * 10000) AS BIGINT) / 10000.0 AS ci_lo,
+       CAST(round(c.hi * 10000) AS BIGINT) / 10000.0 AS ci_hi
 FROM base b JOIN ci c ON b.source = c.source ORDER BY b.source
 """
 
@@ -6245,11 +6246,14 @@ def bootstrap_ci_mean_tokens(spark, sf_dir):
     n_tok = d.select(
         "doc_id", "source", F.size(_text.tokens(F.col("text"))).alias("n")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # round-to-INTEGER first, then divide (the documented Spark-BigDecimal
+    # vs DuckDB 1-ulp round(quotient, d) divergence class — see the JL
+    # avg_ratio precedent); integer halves round identically everywhere.
     base = n_tok.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.sum("n") / F.count(F.lit(1)).cast("double"), 4).alias(
-            "mean_tokens"
-        ),
+        (
+            F.round(F.sum("n") * 10000.0 / F.count(F.lit(1))).cast("long") / 10000.0
+        ).alias("mean_tokens"),
     )
     h = F.conv(
         F.substring(
@@ -6302,8 +6306,8 @@ def bootstrap_ci_mean_tokens(spark, sf_dir):
             "source",
             "n_docs",
             "mean_tokens",
-            F.round(F.col("lo"), 4).alias("ci_lo"),
-            F.round(F.col("hi"), 4).alias("ci_hi"),
+            (F.round(F.col("lo") * 10000).cast("long") / 10000.0).alias("ci_lo"),
+            (F.round(F.col("hi") * 10000).cast("long") / 10000.0).alias("ci_hi"),
         )
         .orderBy("source")
     )
@@ -8873,7 +8877,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
        (SELECT w FROM wed) AS n_wedges,
        (SELECT t FROM tri) AS n_triangles,
-       (SELECT round(3.0 * tri.t / wed.w, 6) FROM tri, wed) AS global_clustering
+       (SELECT CASE WHEN wed.w > 0 THEN round(3.0 * tri.t / wed.w, 6)
+               ELSE 0.0 END FROM tri, wed) AS global_clustering
 """
 
 
@@ -9052,7 +9057,8 @@ kept AS (
 SELECT event_type,
        CAST(max(n) AS BIGINT) AS n_total,
        CAST(sum(kc) AS BIGINT) AS n_kept,
-       round(CAST(sum(v_u * kc) AS DOUBLE) / sum(kc) / 1000000, 4) AS trimmed_mean,
+       CAST(round(CAST(sum(v_u * kc) AS DOUBLE) / sum(kc) / 100) AS BIGINT)
+         / 10000.0 AS trimmed_mean,
        round(min(v_u) / 1000000.0, 6) AS trimmed_min,
        round(max(v_u) / 1000000.0, 6) AS trimmed_max
 FROM kept GROUP BY event_type ORDER BY event_type
@@ -9097,11 +9103,15 @@ def robust_trimmed_stats(spark, sf_dir):
         .agg(
             F.max("n").cast("long").alias("n_total"),
             F.sum("kc").cast("long").alias("n_kept"),
-            F.round(
-                F.sum(F.col("v_u") * F.col("kc")).cast("double")
-                / F.sum("kc")
-                / 1000000,
-                4,
+            # round-to-INTEGER (here: 1e4-units), then divide — the safe
+            # pattern for the Spark-vs-DuckDB round(quotient, d) class.
+            (
+                F.round(
+                    F.sum(F.col("v_u") * F.col("kc")).cast("double")
+                    / F.sum("kc")
+                    / 100
+                ).cast("long")
+                / 10000.0
             ).alias("trimmed_mean"),
             F.round(F.min("v_u") / 1000000.0, 6).alias("trimmed_min"),
             F.round(F.max("v_u") / 1000000.0, 6).alias("trimmed_max"),
@@ -9787,75 +9797,149 @@ def minhash_tuning_matrix(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # round 7: the r6 verdict's top-next item — re-attest the 48 queries
-    # whose latest driver verdict is r04 (2 rounds stale after r6).
-    # Never-driver-verified r7 additions lead (the header rule) and fill
-    # the remaining 2 slots of the 50-query window; the r05/r06 green
-    # sets follow via _registry_order() definition order.
-    # -- new in r7 (never driver-verified) --
-    # The r6 verdict reserved exactly 2 window slots beyond the 48
-    # stale re-attestations, so the two dedup operators take them;
-    # `events_value_quantile_sketch`, `graph_triangle_count`,
-    # `event_attribution_touch`, `robust_trimmed_stats`,
-    # `events_kmv_setops`, `association_rules`, `graph_kcore_peel`,
-    # `char_entropy_quality`, `bpe_merge_learn`,
-    # `minhash_tuning_matrix`, `graph_label_propagation`,
-    # `winnowing_dup_pairs`, `embedding_pca_covariance`,
-    # `embedding_pca_power_iteration`, `bootstrap_ci_mean_tokens`,
-    # `embedding_jl_projection_distortion`, `ab_test_value`, and
-    # `ann_recall_jl_vs_exact` (also new in r7, locally oracle-green
-    # every CI run) deliberately wait — r8's rotation must lead with
-    # these eighteen never-driver-verified queries, then the 50 queries
-    # whose latest verdict is r05.
-    "containment_dedup_pairs",
-    "incremental_dedup_newbatch",
-    # -- latest verdict r04 (2 rounds stale) --
-    "agg_global",
-    "agg_groupby",
-    "ann_cosine_bruteforce",
-    "ann_cosine_lsh",
-    "anti_join_not_exists",
-    "case_when_buckets",
-    "cube_priority_status",
-    "date_functions",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "distinct_agg",
-    "embedding_neardup_exact",
-    "events_tumbling_window",
-    "filter_agg_fused",
-    "filter_comparison",
-    "hash_sample_orders",
-    "having_filter",
-    "in_like_between",
-    "intersect_except",
-    "join_broadcast_dim",
-    "json_extract_props",
-    "math_functions",
-    "outer_join_coalesce",
-    "pivot_status_by_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q22_idle_customers",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "rfm_segmentation",
-    "rollup_flag_status",
-    "scalar_subquery_premium_parts",
-    "semi_join_exists",
-    "shuffle_partition_histogram",
-    "stats_percentiles",
-    "string_functions",
-    "text_stats",
-    "topk_orders",
-    "union_distinct",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_topn_per_group",
+    # round 8 rotation (the r7 verdict's task 1): the list is ordered by
+    # verdict staleness so the 50-query prefix window is always the right
+    # window and the post-window tail self-documents the NEXT round's
+    # rotation — r9 only needs to move the freshly-attested prefix to the
+    # back and promote the tail.
+    #   slots 1-18: never driver-verified (all r7 additions; every one is
+    #               locally DuckDB-oracle-green each CI run)
+    #   next:       new r8 additions (never driver-verified, same rule)
+    #   then:       the 50 queries whose latest verdict is r05 — the first
+    #               ~32 fill the rest of the window; the remainder lead
+    #               the r9 window automatically
+    #   then:       the 50 r06-verdict queries (r9/r10 re-attestation)
+    #   tail:       the 50 r07-verdict queries follow via definition order
+    # -- never driver-verified (r7 additions) --
+    "winnowing_dup_pairs",
+    "embedding_pca_covariance",
+    "embedding_pca_power_iteration",
+    "bootstrap_ci_mean_tokens",
+    "embedding_jl_projection_distortion",
+    "ann_recall_jl_vs_exact",
+    "ab_test_value",
+    "events_value_quantile_sketch",
+    "graph_triangle_count",
+    "event_attribution_touch",
+    "robust_trimmed_stats",
+    "events_kmv_setops",
+    "association_rules",
+    "graph_kcore_peel",
+    "char_entropy_quality",
+    "bpe_merge_learn",
+    "graph_label_propagation",
+    "minhash_tuning_matrix",
+    # -- new in r8 (never driver-verified; inserted inside the window so
+    #    they get a verdict THIS round instead of repeating the r7 gap;
+    #    names are uncommented as each lands with its oracle + tests) --
+    # "dedup_semdedup_prune",
+    # "dedup_weighted_minhash",
+    # "tokenizer_fertility_stats",
+    # "graph_connected_components",
+    # "quality_ensemble_score",
+    # "events_ttest_conversion",
+    # -- latest verdict r05 (first ~26 fit the 50-slot window) --
+    "ann_cosine_ivf",
+    "ann_cosine_ivf_kmeans",
+    "ann_cosine_ivfpq",
+    "ann_cosine_pq_adc",
+    "ann_recall_lsh_vs_exact",
+    "ann_recall_matrix",
+    "ann_recall_pq_vs_exact",
+    "bigram_pmi_top",
+    "boilerplate_ngrams",
+    "cross_source_dup_matrix",
+    "dataset_card",
+    "decontamination_ngram_overlap",
+    "dedup_cluster_size_histogram",
+    "docs_length_histogram",
+    "embedding_decontamination",
+    "embedding_neardup_lsh",
+    "embedding_quantization_error",
+    "events_correlation",
+    "events_daily_anomaly",
+    "events_session_window",
+    "events_sliding_window",
+    "events_transition_matrix",
+    "events_value_deciles",
+    "grouping_sets_orders",
+    "hard_negative_mining",
+    "hard_negative_mining_lsh",
+    # -- latest verdict r05, expected to overflow the r8 window and lead
+    #    the r9 rotation --
+    "minhash_estimate_error",
+    "multimodal_features",
+    "ngram_novelty_rate",
+    "oov_rate_by_source",
+    "project_columns",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_flag",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "salted_agg_skew",
+    "scan_full",
+    "semantic_dedup_clusters",
+    "sequence_packing_sharded",
+    "supplier_percent_rank",
+    "temperature_mix_weights",
+    "text_bpe_rolling",
+    "token_budget_mix",
+    "unigram_lm_surprisal",
+    "vocab_growth_heaps",
+    "zipf_slope_by_lang",
+    # -- latest verdict r06 (r9/r10 re-attestation cadence) --
+    "ann_cosine_matmul",
+    "ann_cosine_pq_opq",
+    "balanced_sample_per_source",
+    "bigram_cond_entropy",
+    "bigram_lm_surprisal",
+    "bloom_decontaminate",
+    "bm25_topk",
+    "ccnet_perplexity_buckets",
+    "chunk_dedup_rate",
+    "corpus_filter_shard_pipeline",
+    "dedup_aware_split",
+    "dedup_duplicate_clusters",
+    "dedup_survivor_quality",
+    "doc_dedup_suffix_ngram",
+    "dsir_importance_weights",
+    "dup_span_fraction",
+    "embedding_label_centroids",
+    "embedding_norm_quality",
+    "embedding_outlier_centroid",
+    "embedding_silhouette",
+    "embedding_whitening_stats",
+    "events_asof_join",
+    "events_cohort_retention",
+    "events_dedup_distinct",
+    "events_funnel",
+    "events_heavy_hitters_cms",
+    "events_hll_distinct",
+    "events_sessionize",
+    "gopher_quality_gates",
+    "hybrid_retrieval_rrf",
+    "langid_confusion",
+    "length_trim_per_lang",
+    "multimodal_frame_sample",
+    "part_cooccurrence",
+    "pii_pattern_rates",
+    "q15_top_supplier",
+    "q16_supplier_part_cnt",
+    "q17_small_qty_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "quality_weighted_mix",
+    "rag_chunk_stats",
+    "range_join_value_bands",
+    "repetition_gate",
+    "source_similarity_jsd",
+    "split_leakage_neardup",
+    "supplier_part_pagerank",
+    "tfidf_top_terms",
+    "token_length_calibration",
+    "weighted_sample_aes",
 ]

@@ -106,7 +106,8 @@ def _register_spark_shims(con) -> None:
     Spark SQL has and DuckDB lacks, so CHECK expressions using them stay
     enforceable in the session-less commit worker. Each shim is
     cross-validated against the real Spark function in
-    ``tests/test_constraints.py`` (same inputs, equal outputs). NULL in
+    ``tests/test_pydatasource.py::test_sessionless_check_shims_match_spark``
+    (same inputs, equal outputs). NULL in
     -> NULL out is DuckDB's default UDF null handling, matching Spark."""
     import hashlib
     import zlib

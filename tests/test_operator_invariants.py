@@ -251,6 +251,18 @@ def test_triangle_stats_match_bruteforce(spark):
     assert row.n_nodes == len(deg)
 
 
+def test_triangle_stats_zero_wedge_graph_defined(spark):
+    """ADVICE regression: a graph whose components are all single edges
+    has n_wedges = 0 — global_clustering must be a DEFINED 0.0 (the
+    F.when zero guard), never a NULL division row."""
+    row = G.triangle_stats(
+        spark.createDataFrame([(1, 2), (3, 4), (5, 6)], ["p1", "p2"])
+    ).first()
+    assert row.n_wedges == 0 and row.n_triangles == 0
+    assert row.global_clustering == 0.0
+    assert row.n_nodes == 6 and row.n_edges == 3
+
+
 def test_kmv_sketches_merge_exactly(spark):
     """KMV's operational superpower (like HLL's register max-merge):
     bottom-k of the UNION of per-source sketches equals the bottom-k

@@ -519,3 +519,33 @@ def test_compaction_where_over_http(server, lake, spark):
     after = {f.path for f in t.snapshot().files}
     assert keep <= after and len(after) == 4
     assert t.read().count() == 9000
+
+
+def test_compaction_where_falsy_nonstring_is_400(server, lake, spark):
+    """ADVICE regression: ``{"where": 0}`` / ``false`` / ``""`` must be a
+    400, never a silently UNSCOPED compaction (the old ``or None``
+    collapsed falsy non-strings to no-scope). The table must be left
+    untouched by the rejected calls."""
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+
+    lake.create_table("cwf", [Field("k", "int64")])
+    t = lake.table("cwf")
+    for lo in (0, 10):
+        t.insert(spark.range(lo, lo + 10).selectExpr("id as k").coalesce(1))
+    v0 = t.log.latest_version()
+    for bad in (0, False, "", "   ", 1.5, [], {}):
+        _call(server, "POST", "/tables/cwf/compaction",
+              {"force": True, "where": bad}, expect=400)
+    assert t.log.latest_version() == v0  # nothing compacted
+
+
+def test_async_submit_server_fault_is_500(server, lake, monkeypatch):
+    """ADVICE regression: a genuine server-side fault inside submit_async
+    (not a parse error) must surface as 500 for 5xx monitoring — only
+    the synchronous parse/validation classes map to 400."""
+    def boom(body):
+        raise RuntimeError("catalog wedged")
+
+    monkeypatch.setattr(lake, "submit_async", boom)
+    _call(server, "POST", "/queries",
+          {"table_name": "nope", "operation": "scan"}, expect=500)
