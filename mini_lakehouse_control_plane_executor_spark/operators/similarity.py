@@ -1194,7 +1194,21 @@ def ivfpq_topk(
     )
 
 
-def embedding_covariance(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+# embedding_covariance streams n·d² (i, j)-product rows through its
+# in-stage pair aggregate. At d = 64 that is a 2,144-key aggregate fed
+# by a per-row fanout of 2,080 — fine. The fanout grows QUADRATICALLY
+# in dim: at d = 512 every input row becomes ~131k pair rows before the
+# map-side combine, and the exchange/combine width stops being "free".
+# Above this bound the right plan is a block outer product — explode to
+# (block_i, block_j, array_i, array_j) tiles of ~64 dims and aggregate
+# zip_with products per tile — which no current caller needs (embeddings
+# tables here are d = 64). Refuse loudly instead of silently degrading.
+COVARIANCE_MAX_DIM = 128
+
+
+def embedding_covariance(
+    df: DataFrame, id_col: str, vec_col: str, dim: int | None = None
+) -> DataFrame:
     """Upper-triangle population covariance of the embedding matrix —
     the statistic a PCA / whitening transform consumes (eigen-decompose
     the collected dim x dim result on the driver; the matrix is
@@ -1215,7 +1229,21 @@ def embedding_covariance(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     alternative zero-join shape — one keyless aggregate with dim(dim+1)/2
     product columns — is the better plan only when Catalyst's codegen
     handles the width; at dim 64 that is 2,144 aggregate expressions,
-    measured slower to compile than this join executes."""
+    measured slower to compile than this join executes.
+
+    ``dim`` (pass it when known — the queries layer probes it from the
+    parquet footer for free) gates the n·d² pair fanout: dims above
+    ``COVARIANCE_MAX_DIM`` raise ValueError pointing at the block
+    outer-product shape instead of silently running a quadratic-width
+    plan against real embedding widths."""
+    if dim is not None and dim > COVARIANCE_MAX_DIM:
+        raise ValueError(
+            f"embedding_covariance: dim {dim} exceeds COVARIANCE_MAX_DIM "
+            f"({COVARIANCE_MAX_DIM}) — the (i, j) pair fanout is n*d^2 rows "
+            "before the map-side combine. For wide embeddings implement the "
+            "block outer-product shape (tile dims into ~64-wide blocks, "
+            "aggregate zip_with products per (block_i, block_j))."
+        )
     ex = (
         df.select(
             F.col(id_col).alias("vid"),

@@ -6018,7 +6018,7 @@ def embedding_pca_covariance(spark, sf_dir):
     double-op sequence in both engines; ordering on the ROUNDED corr
     with (i, j) tie-breaks."""
     e = _load(spark, sf_dir, "embeddings")
-    cv = _sim.embedding_covariance(e, "vec_id", "embedding")
+    cv = _sim.embedding_covariance(e, "vec_id", "embedding", dim=_embedding_dim(sf_dir))
     corr = F.round(F.col("cov") / F.sqrt(F.col("var_i") * F.col("var_j")), 6)
     return (
         cv.filter((F.col("i") < F.col("j")) & (F.col("var_i") > 0) & (F.col("var_j") > 0))
@@ -6131,7 +6131,7 @@ def embedding_pca_power_iteration(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     e = _load(spark, sf_dir, "embeddings")
-    cv = _sim.embedding_covariance(e, "vec_id", "embedding")
+    cv = _sim.embedding_covariance(e, "vec_id", "embedding", dim=_embedding_dim(sf_dir))
     covf = (
         cv.select("i", "j", F.col("cov").alias("c"))
         .unionByName(

@@ -1049,3 +1049,31 @@ def test_winnowing_map_selection_equals_window_selection(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_embedding_covariance_refuses_wide_dims(spark):
+    """The n·d² pair-fanout guard: dims above COVARIANCE_MAX_DIM must
+    raise (pointing at the block outer-product escape hatch), never
+    silently run the quadratic-width plan. A synthetic d=512 frame —
+    the guard fires on the declared dim before any job runs."""
+    import pytest as _pytest
+
+    from mini_lakehouse_control_plane_executor_spark.operators import similarity as S
+
+    e = spark.range(0, 4).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 512), x -> cast(x as double)) AS embedding",
+    )
+    with _pytest.raises(ValueError, match="COVARIANCE_MAX_DIM"):
+        S.embedding_covariance(e, "vec_id", "embedding", dim=512)
+    # at or below the bound the declared dim changes nothing
+    ok = S.embedding_covariance(
+        spark.range(0, 4).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 8), x -> cast(x as double)) AS embedding",
+        ),
+        "vec_id",
+        "embedding",
+        dim=8,
+    )
+    assert ok.count() == 8 * 9 // 2
