@@ -26,6 +26,56 @@ from pyspark.sql import functions as F
 PAGERANK_SCALE = 10**12  # pico-units
 
 
+def cooccurrence_edges(
+    items: DataFrame,
+    key_col: str,
+    item_col: str,
+    min_support: int = 2,
+    keep_support: bool = False,
+    persist: bool = False,
+    distinct: bool = True,
+) -> DataFrame:
+    """Canonical undirected co-occurrence edges from an (key, item)
+    incidence list: (p1, p2) with p1 < p2 for item pairs sharing
+    >= ``min_support`` keys. The ONE edge builder behind the whole
+    co-occurrence family (part_cooccurrence, association_rules,
+    triangle / k-core / label-propagation / components queries) — the
+    same join shape was previously rebuilt inline at every call site.
+
+    100 TB shape: the self-join is keyed on ``key_col``, so the blow-up
+    is bounded by per-key item counts (<= 7 lines/order in TPC-H) —
+    per-key quadratic with a tiny constant, never all-pairs across the
+    catalog; the support filter runs inside the pair aggregate. With
+    ``keep_support`` the per-pair key count survives as ``nord``.
+
+    ``persist=True`` caches the edge table (MEMORY_AND_DISK) for
+    multi-consumer algorithms — triangle closure reads the edges three
+    times (degree, orientation, closure join); without the persist each
+    consumer would recompute the corpus-sized self-join+aggregate.
+    Callers release it via Catalog.clearCache (the
+    release_cached_intermediates discipline)."""
+    it = items.select(F.col(key_col).alias("k"), F.col(item_col).alias("p"))
+    # distinct=False skips the incidence dedup for callers whose input is
+    # ALREADY (key, item)-distinct (e.g. a persisted shared incidence
+    # table) — re-running it would add a redundant corpus exchange.
+    if distinct:
+        it = it.distinct()
+    a = it.alias("a")
+    b = it.alias("b")
+    e = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nord"))
+        .filter(F.col("nord") >= min_support)
+    )
+    e = e if keep_support else e.select("p1", "p2")
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    return e
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,

@@ -3425,18 +3425,18 @@ def part_cooccurrence(spark, sf_dir):
     bounded by per-order line counts (<= 7 in TPC-H) — per-key quadratic
     with a tiny constant, the standard co-occurrence shape. Top-20 by
     support with total tie-break order."""
-    items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("part1"), F.col("b.l_partkey").alias("part2"))
+    from mini_lakehouse_control_plane_executor_spark.operators import graph as _g
+
+    items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = _g.cooccurrence_edges(
+        items, "l_orderkey", "l_partkey", min_support=2, keep_support=True
+    )
     return (
-        pairs.groupBy("part1", "part2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
+        e.select(
+            F.col("p1").alias("part1"),
+            F.col("p2").alias("part2"),
+            F.col("nord").alias("n_orders"),
+        )
         .orderBy(F.col("n_orders").desc(), "part1", "part2")
         .limit(20)
     )
@@ -8901,21 +8901,13 @@ def graph_triangle_count(spark, sf_dir):
     one-row assembly broadcasts three single-row aggregates."""
     from mini_lakehouse_control_plane_executor_spark.operators import graph as _g
 
-    items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count(F.lit(1)).alias("nord"))
-        .filter(F.col("nord") >= 2)
-        .select("p1", "p2")
+    items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # persist=True: triangle closure reads the edges three times (degree,
+    # orientation, closure join) — without it each consumer recomputes
+    # the corpus-sized self-join+aggregate (measured the heaviest part
+    # of this query's wall-clock).
+    e = _g.cooccurrence_edges(
+        items, "l_orderkey", "l_partkey", min_support=2, persist=True
     )
     return _g.triangle_stats(e)
 
@@ -9310,23 +9302,20 @@ def association_rules(spark, sf_dir):
     part-keyed equi-joins); the order total is ONE broadcast row; the
     top-20 is TakeOrdered. Ratios are single integer-operand double
     divisions, so both engines round identically."""
+    from mini_lakehouse_control_plane_executor_spark.operators import graph as _g
+
+    # NOT persisted: tot / si / pairs are independent stage DAGs that
+    # run concurrently off the parquet scan; a persisted incidence table
+    # serializes them on cache-block locks (measured 2.4 -> 3.3s).
     items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     tot = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
     si = items.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).cast("long").alias("s")
     )
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .filter(F.col("c") >= 2)
-    )
+    pairs = _g.cooccurrence_edges(
+        items, "l_orderkey", "l_partkey", min_support=2, keep_support=True,
+        distinct=False,  # items is already the distinct persisted incidence
+    ).withColumnRenamed("nord", "c")
     rules = pairs.select(
         F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"), "c"
     ).unionAll(
@@ -9397,19 +9386,11 @@ def graph_kcore_peel(spark, sf_dir):
     an unrolled CTE chain in the oracle."""
     from mini_lakehouse_control_plane_executor_spark.operators import graph as _g
 
-    items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("nord"))
-        .filter(F.col("nord") >= 2)
-        .select("p1", "p2")
+    items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # iterative algorithms re-read the adjacency every round — persist
+    # the shared co-occurrence edge table once.
+    e = _g.cooccurrence_edges(
+        items, "l_orderkey", "l_partkey", min_support=2, persist=True
     )
     return (
         _g.kcore_peel(e, k=2, rounds=3)
@@ -9623,19 +9604,11 @@ def graph_label_propagation(spark, sf_dir):
     tie-break that selects the identical winner."""
     from mini_lakehouse_control_plane_executor_spark.operators import graph as _g
 
-    items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
-        .agg(F.count(F.lit(1)).alias("nord"))
-        .filter(F.col("nord") >= 2)
-        .select("p1", "p2")
+    items = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # iterative algorithms re-read the adjacency every round — persist
+    # the shared co-occurrence edge table once.
+    e = _g.cooccurrence_edges(
+        items, "l_orderkey", "l_partkey", min_support=2, persist=True
     )
     return (
         _g.label_propagation(e, rounds=3)

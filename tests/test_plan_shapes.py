@@ -613,7 +613,9 @@ def test_triangle_wedges_ride_equi_joins(spark):
     assert "CartesianProduct" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[src", plan), plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
-    assert keys <= {"l_orderkey", "l_partkey", "p1", "p2", "src", "v"}, keys
+    # k/p are the shared cooccurrence_edges builder's canonical
+    # incidence names (operators/graph.py:cooccurrence_edges).
+    assert keys <= {"k", "p", "p1", "p2", "src", "v"}, keys
 
 
 def test_attribution_join_is_user_keyed(spark):
