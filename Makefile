@@ -3,7 +3,7 @@
 # compile/codegen step (api/protowire.py IS the wire codec, spec-gated
 # by tests/test_protowire.py), so `all` is test.
 
-.PHONY: all test test-fast oracle demo serve bench scale scale-full scale-dup docker compose-config compose-up clean
+.PHONY: all test test-fast oracle demo serve bench scale scale-full scale-dup scale-dup100 docker compose-config compose-up clean
 
 all: test
 
@@ -56,6 +56,13 @@ scale-full:
 scale-dup:
 	python scale_build.py
 	SPARK_GRAFT_SCALE_SET=dup python scale_ladder.py
+
+# Duplicate-skew guard ladder at multiplicity d=100 (SCALE_DUP100.md):
+# 100 verbatim copies of the first-10% slice — the d² guards' strongest
+# adversarial measurement.
+scale-dup100:
+	python scale_build.py
+	SPARK_GRAFT_SCALE_SET=dup100 python scale_ladder.py
 
 docker:
 	docker build -f docker/Dockerfile -t mini-lakehouse-spark .

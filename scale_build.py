@@ -42,7 +42,15 @@ from mini_lakehouse_control_plane_executor_spark.session import get_spark
 SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 OUT = os.environ.get("SPARK_GRAFT_SCALE_OUT", "/root/repo/.scale/sf1")
 OUT_DUP = os.environ.get("SPARK_GRAFT_SCALE_OUT_DUP", "/root/repo/.scale/sf1dup")
+OUT_DUP100 = os.environ.get(
+    "SPARK_GRAFT_SCALE_OUT_DUP100", "/root/repo/.scale/sf1dup100"
+)
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+COPIES_D100 = 100
+# First-10% slices for the d=100 twin (sf0.1 has 5000 docs / 2000 vecs;
+# if SPARK_GRAFT_SCALE_SRC points elsewhere, override these too).
+DOC_SLICE = int(os.environ.get("SPARK_GRAFT_SCALE_DOC_SLICE", "500"))
+EMB_SLICE = int(os.environ.get("SPARK_GRAFT_SCALE_EMB_SLICE", "200"))
 SHIFT = 10**9
 
 # table -> (key columns to shift, output file count)
@@ -110,6 +118,31 @@ def main() -> None:
     )
     n = spark.read.parquet(f"{OUT_DUP}/documents.parquet").count()
     print(f"documents (verbatim dup twin): {n} rows -> {OUT_DUP}", flush=True)
+    # d=100 twin: 100 VERBATIM copies of the FIRST-10% slice, so total
+    # rows stay at 10x sf0.1 (same as sf1dup) while duplicate-group
+    # multiplicity rises 10 -> 100. The guards' claim is d² -> linear;
+    # d=100 is where an unguarded plan pays 100x the guarded one. The
+    # first-10% slice (ids < N/10) keeps the pinned ANN probe ids
+    # (vec_id < 10) alive. Both documents AND embeddings live here so
+    # SCALE_SET=dup100 routes every guard query at one dir.
+    os.makedirs(OUT_DUP100, exist_ok=True)
+    for t, key, cut, n_files in (
+        ("documents", "doc_id", DOC_SLICE, 16),
+        ("embeddings", "vec_id", EMB_SLICE, 8),
+    ):
+        sl = spark.read.parquet(f"{SRC}/{t}.parquet").filter(F.col(key) < cut)
+        copies100 = [
+            sl.withColumn(key, (F.col(key) + F.lit(i * SHIFT)).cast("long"))
+            for i in range(COPIES_D100)
+        ]
+        out = copies100[0]
+        for c in copies100[1:]:
+            out = out.unionAll(c)
+        out.repartition(n_files).write.mode("overwrite").parquet(
+            f"{OUT_DUP100}/{t}.parquet"
+        )
+        n = spark.read.parquet(f"{OUT_DUP100}/{t}.parquet").count()
+        print(f"{t} (d=100 dup twin): {n} rows -> {OUT_DUP100}", flush=True)
     print(f"done in {time.time() - t_start:.0f}s -> {OUT}", flush=True)
 
 

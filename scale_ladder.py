@@ -83,11 +83,26 @@ DUP_SET: dict[str, str] = {
 }
 DUP_DIR = os.environ.get("SPARK_GRAFT_SCALE_OUT_DUP", "/root/repo/.scale/sf1dup")
 
+# SPARK_GRAFT_SCALE_SET=dup100 is the dup ladder at duplicate
+# multiplicity d=100 (scale_build's .scale/sf1dup100: 100 VERBATIM
+# copies of the first-10% slice — total rows stay 10x sf0.1, the d²
+# exposure rises 100x). The guards' claim is d² -> linear join work;
+# at d=100 an unguarded plan pays 100x the guarded one where the d=10
+# ladder only shows 10x. Both documents and embeddings live in the one
+# twin dir, so every DUP_SET query routes there. Note the pair-emitting
+# queries' OUTPUT is inherently quadratic in group size (~C(100,2) =
+# 4950 member pairs per base doc) — ratios bound guard join work plus
+# that contractual output growth, which is why the red line stays at
+# the shared 15x rather than something near 1x.
+DUP100_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_OUT_DUP100", "/root/repo/.scale/sf1dup100"
+)
+
 
 def query_set(registry) -> list[str]:
     if SCALE_SET == "full":
         return [n for n in registry if n not in FULL_EXCLUDED]
-    if SCALE_SET == "dup":
+    if SCALE_SET in ("dup", "dup100"):
         return [n for n in DUP_SET if n in registry]
     return [n for n in HEADLINE if n in registry]
 
@@ -120,6 +135,8 @@ def main() -> None:
         big_names = [n for n in names if DUP_SET[n] == "big"]
         big = run_set(spark, registry, dup_names, DUP_DIR)
         big.update(run_set(spark, registry, big_names, BIG))
+    elif SCALE_SET == "dup100":
+        big = run_set(spark, registry, names, DUP100_DIR)
     else:
         big = run_set(spark, registry, names, BIG)
     rows = []
@@ -130,13 +147,18 @@ def main() -> None:
     rows.sort(key=lambda t: -t[3])
 
     out_file = {
-        "full": "SCALE_FULL.md", "dup": "SCALE_DUP.md"
+        "full": "SCALE_FULL.md", "dup": "SCALE_DUP.md",
+        "dup100": "SCALE_DUP100.md",
     }.get(SCALE_SET, "SCALE.md")
     title = {
         "full": "# SCALE_FULL.md — full-registry scale ladder (sf0.1 -> sf1)",
         "dup": (
             "# SCALE_DUP.md — duplicate-skew guard ladder "
             "(sf0.1 -> 10x VERBATIM copies)"
+        ),
+        "dup100": (
+            "# SCALE_DUP100.md — duplicate-skew guard ladder at d=100 "
+            "(sf0.1 -> 100 VERBATIM copies of the first-10% slice)"
         ),
     }.get(SCALE_SET, "# SCALE.md — scale-ladder self-bench (sf0.1 -> sf1)")
     if SCALE_SET == "dup":
@@ -154,6 +176,19 @@ def main() -> None:
             "(100x rows at d=10) — ratios here bound the guard's join "
             "work plus that inherent output growth. Min-of-%d after "
             "warmup per scale." % PASSES
+        )
+    elif SCALE_SET == "dup100":
+        data_line = (
+            f"Data: `{SMALL}` vs `{DUP100_DIR}` — 100 VERBATIM copies of "
+            "the first-10% document AND embedding slices (total rows stay "
+            "10x sf0.1, duplicate-group multiplicity rises 10 -> 100; "
+            "built by scale_build.py). The guards' claim is d² -> linear "
+            "join work: at d=100 an unguarded blocking join pays 100x the "
+            "guarded one where the d=10 ladder only exposes 10x. The "
+            "pair-emitting queries' OUTPUT is contractually quadratic in "
+            "group size (C(100,2)=4950 member pairs per base doc), so "
+            "ratios here bound guard join work PLUS that output growth. "
+            "Min-of-%d after warmup per scale." % PASSES
         )
     else:
         data_line = (
