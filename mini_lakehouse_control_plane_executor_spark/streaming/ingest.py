@@ -134,41 +134,78 @@ def dedup_gated_ingest(
     query_name: str | None = None,
     threshold: float = 0.8,
     available_now: bool = True,
+    augment_index: bool = False,
+    index_compact_every: int = 8,
 ) -> StreamingQuery:
     """Dedup-gated exactly-once ingest — the production "append only
     novel documents" pipeline in one operator: every micro-batch of
-    (doc_id, text, ...) rows is probed against the STATIC corpus band
-    index (``streaming.neardup.corpus_band_index``; maintained from the
+    (doc_id, text, ...) rows is probed against the corpus band index
+    (``streaming.neardup.corpus_band_index``; maintained from the
     already-committed corpus), rows with a verified near-duplicate
     already in the corpus are dropped (left-anti join on the flagged
     ids), and the survivors commit through the idempotent
-    ``(query-name, batch_id)`` txn — so a replayed batch neither
-    duplicates rows nor re-flags differently (the corpus index is pinned
-    for the query's lifetime).
+    ``(query-name, batch_id)`` txn — so a replayed batch never
+    duplicates rows.
+
+    ``augment_index=True`` closes the cross-micro-batch gap: after each
+    batch commits, the SURVIVORS' band rows are unioned into the probe
+    index, so a near-duplicate of a doc that arrived two batches ago is
+    gated exactly like a near-duplicate of the original corpus. The
+    increment is eagerly localCheckpoint'ed inside the batch (band rows
+    are batch-sized — tiny relative to the corpus — and the checkpoint
+    severs any lineage back to the consumed micro-batch source), and
+    the accumulated union chain is re-checkpointed every
+    ``index_compact_every`` batches so the plan stays constant-size on
+    long streams. Replay safety: a crash-replayed batch's commit is
+    refused by the txn ledger regardless of what the (possibly already
+    augmented) gate now flags, and re-augmenting the same band rows is
+    harmless — duplicate index rows only produce duplicate candidates,
+    which the flagged-id ``distinct`` collapses. Restart recovery:
+    the in-memory augmentation dies with the query; rebuild the probe
+    index from the committed table itself via ``band_index_from_table``
+    (the table is exactly corpus + all committed survivors) and pass it
+    as ``corpus_index``.
+
+    With ``augment_index=False`` the index is pinned for the query's
+    lifetime: near-dup NOVEL docs arriving in different micro-batches
+    both land, and the symmetric batch dedup on the table's compaction
+    cadence is the backstop.
 
     Composition note: the probe is the stateless band join of
     ``incremental_neardup_stream`` applied per micro-batch, so the gate
-    adds no streaming state of its own; at 100 TB the corpus index is
-    the scaling object and the per-batch work is O(|batch| · bands).
+    adds no Spark streaming state; at 100 TB the corpus index is the
+    scaling object and the per-batch work is O(|batch| · bands).
     In-batch duplicates are NOT gated here (two novel near-identical
-    docs in one batch both land) — run the symmetric batch dedup on the
-    corpus table on its compaction cadence for that."""
+    docs in ONE batch both land) — that's the same compaction-cadence
+    backstop."""
     from mini_lakehouse_control_plane_executor_spark.streaming.neardup import (
+        corpus_band_index,
         incremental_neardup_stream,
     )
 
     name = query_name or f"dedup-ingest-{table_name}"
+    state = {"idx": corpus_index, "batches": 0}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         flagged = (
             incremental_neardup_stream(
-                batch_df, corpus_index, threshold=threshold
+                batch_df, state["idx"], threshold=threshold
             )
             .select(F.col("new_id").alias("doc_id"))
             .distinct()
         )
         keep = batch_df.join(flagged, "doc_id", "left_anti")
         write_batch(lake, table_name, keep, name, batch_id)
+        if augment_index:
+            # Eager: materializes now (while the micro-batch source is
+            # live) and breaks lineage to it; returns a plan leaf.
+            surv = corpus_band_index(keep.select("doc_id", "text")).localCheckpoint()
+            state["idx"] = state["idx"].unionByName(
+                surv.select(*state["idx"].columns)
+            )
+            state["batches"] += 1
+            if state["batches"] % index_compact_every == 0:
+                state["idx"] = state["idx"].localCheckpoint()
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)
@@ -178,3 +215,19 @@ def dedup_gated_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def band_index_from_table(lake, table_name: str, **index_kwargs) -> DataFrame:
+    """Probe-index recovery for ``dedup_gated_ingest(augment_index=
+    True)`` after a restart: the committed table IS corpus + every
+    previously committed survivor, so its latest snapshot rebuilds the
+    exact gate the augmented in-memory index had reached (modulo any
+    batch that crashed between sink-commit and checkpoint advance —
+    whose replay is idempotent either way)."""
+    from mini_lakehouse_control_plane_executor_spark.streaming.neardup import (
+        corpus_band_index,
+    )
+
+    return corpus_band_index(
+        lake.table(table_name).read().select("doc_id", "text"), **index_kwargs
+    )

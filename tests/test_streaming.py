@@ -1157,3 +1157,104 @@ def test_winnowing_index_stream_equals_batch(spark, tmp_path):
         assert len(ds) <= D.WINNOW_MAX_DF + 1
         if len(ds) == D.WINNOW_MAX_DF + 1:
             assert len(want_all[h]) > D.WINNOW_MAX_DF
+
+
+def test_dedup_gated_ingest_cross_batch_augmented(spark, lake, tmp_path):
+    """augment_index=True closes the cross-micro-batch gap: two novel
+    near-duplicate docs arriving in DIFFERENT micro-batches commit
+    exactly one survivor (the pinned-index mode would land both); a
+    novel control doc in the later batch still lands; a re-drain over
+    the same checkpoint commits nothing; and after a restart the gate
+    rebuilt from the committed table (band_index_from_table) keeps
+    gating near-dups of previously committed survivors."""
+    import os
+
+    from mini_lakehouse_control_plane_executor_spark.streaming import ingest as ING
+    from mini_lakehouse_control_plane_executor_spark.streaming import neardup as ND
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field as Fld
+
+    corpus = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 < 8)
+    )
+    index = ND.corpus_band_index(corpus)
+
+    # Synthetic vocab disjoint from the corpus so only A/B/A' pair up.
+    words = [f"zv{i}qx" for i in range(40)]
+    doc_a = (9001, " ".join(words))
+    doc_b = (9002, " ".join(words[:-1] + ["zvENDqx"]))  # ~0.88 jaccard vs A
+    doc_c = (9003, " ".join(f"um{i}ra" for i in range(40)))  # novel control
+    schema = "doc_id long, text string"
+
+    arriving = tmp_path / "arriving"
+    arriving.mkdir()
+
+    def _drop_file(rows, fname, mtime):
+        # The file stream source does not recurse into subdirectories:
+        # stage the parquet write, then move its single part file to the
+        # watched dir's TOP level with a deterministic mod time (the
+        # source processes files in mod-time order).
+        stage = str(tmp_path / f"stage_{fname}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = str(arriving / f"{fname}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = 1_700_000_000
+    _drop_file([doc_a], "b1", now)
+    _drop_file([doc_b, doc_c], "b2", now + 100)
+
+    lake.create_table(
+        "docs_gated", [Fld("doc_id", "int64", False), Fld("text", "string", True)]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(arriving))
+    )
+    q = ING.dedup_gated_ingest(
+        stream, lake, "docs_gated", index, str(tmp_path / "ckpt"), augment_index=True
+    )
+    q.awaitTermination(240)
+
+    landed = {r.doc_id for r in lake.table("docs_gated").read().collect()}
+    assert doc_c[0] in landed  # the gate does not over-block novel docs
+    assert len(landed & {doc_a[0], doc_b[0]}) == 1  # exactly one survivor
+    v = lake.table("docs_gated").log.latest_version()
+
+    # Re-drain over the same checkpoint: no new batches, nothing commits.
+    q2 = ING.dedup_gated_ingest(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(arriving)),
+        lake,
+        "docs_gated",
+        index,
+        str(tmp_path / "ckpt"),
+        augment_index=True,
+    )
+    q2.awaitTermination(240)
+    assert lake.table("docs_gated").log.latest_version() == v
+
+    # Restart recovery: a near-dup of the A/B survivor arrives after the
+    # query (and its in-memory augmentation) died; the index rebuilt
+    # from the committed table still gates it.
+    doc_a2 = (9004, " ".join(words[:-1] + ["zvTAILqx"]))
+    _drop_file([doc_a2], "b3", now + 200)
+    idx2 = ING.band_index_from_table(lake, "docs_gated")
+    q3 = ING.dedup_gated_ingest(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(arriving)),
+        lake,
+        "docs_gated",
+        idx2,
+        str(tmp_path / "ckpt"),
+        augment_index=True,
+    )
+    q3.awaitTermination(240)
+    final = {r.doc_id for r in lake.table("docs_gated").read().collect()}
+    assert doc_a2[0] not in final  # gated by the rebuilt index
+    assert final == landed
