@@ -34,6 +34,7 @@ def cooccurrence_edges(
     keep_support: bool = False,
     persist: bool = False,
     distinct: bool = True,
+    via: str = "arrays",
 ) -> DataFrame:
     """Canonical undirected co-occurrence edges from an (key, item)
     incidence list: (p1, p2) with p1 < p2 for item pairs sharing
@@ -42,29 +43,56 @@ def cooccurrence_edges(
     triangle / k-core / label-propagation / components queries) — the
     same join shape was previously rebuilt inline at every call site.
 
-    100 TB shape: the self-join is keyed on ``key_col``, so the blow-up
-    is bounded by per-key item counts (<= 7 lines/order in TPC-H) —
-    per-key quadratic with a tiny constant, never all-pairs across the
-    catalog; the support filter runs inside the pair aggregate. With
-    ``keep_support`` the per-pair key count survives as ``nord``.
+    ``via="arrays"`` (default): ONE key-keyed aggregate collects each
+    key's sorted distinct item set (incidence dedup comes free from
+    collect_set), pairs are generated MAP-SIDE from the array
+    (x-before-y combinations of a sorted array — canonical p1 < p2 by
+    construction), and one (p1, p2) aggregate counts support. Two
+    shuffles total, no self-join; vs the classic incidence self-join
+    form (distinct + self-join + pair aggregate = three corpus
+    exchanges). Requires per-key item counts bounded enough to collect
+    (<= 7 lines/order in TPC-H; fine to ~10⁴) — for genuinely
+    unbounded keys pass ``via="selfjoin"``, whose blow-up is the same
+    per-key quadratic but streamed through a join instead of an array.
 
+    With ``keep_support`` the per-pair key count survives as ``nord``.
     ``persist=True`` caches the edge table (MEMORY_AND_DISK) for
     multi-consumer algorithms — triangle closure reads the edges three
     times (degree, orientation, closure join); without the persist each
-    consumer would recompute the corpus-sized self-join+aggregate.
-    Callers release it via Catalog.clearCache (the
-    release_cached_intermediates discipline)."""
+    consumer would recompute the corpus-sized build. Callers release it
+    via Catalog.clearCache (the release_cached_intermediates
+    discipline). ``distinct`` only affects the selfjoin form (arrays
+    dedup inherently); False skips the incidence dedup for callers
+    whose input is already (key, item)-distinct."""
     it = items.select(F.col(key_col).alias("k"), F.col(item_col).alias("p"))
-    # distinct=False skips the incidence dedup for callers whose input is
-    # ALREADY (key, item)-distinct (e.g. a persisted shared incidence
-    # table) — re-running it would add a redundant corpus exchange.
-    if distinct:
-        it = it.distinct()
-    a = it.alias("a")
-    b = it.alias("b")
+    if via == "arrays":
+        arrs = (
+            it.groupBy("k")
+            .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+            .filter(F.size("ps") >= 2)
+        )
+        pair_gen = F.expr(
+            "flatten(transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps) - i - 1), "
+            "y -> struct(x AS p1, y AS p2))))"
+        )
+        pairs = arrs.select(F.explode(pair_gen).alias("pr")).select(
+            F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2")
+        )
+    else:
+        # distinct=False skips the incidence dedup for callers whose
+        # input is ALREADY (key, item)-distinct (e.g. a persisted shared
+        # incidence table) — re-running it would add a redundant
+        # corpus exchange.
+        if distinct:
+            it = it.distinct()
+        a = it.alias("a")
+        b = it.alias("b")
+        pairs = a.join(
+            b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p"))
+        ).select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
     e = (
-        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        pairs.groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("long").alias("nord"))
         .filter(F.col("nord") >= min_support)
     )
@@ -349,38 +377,40 @@ def min_label_components(edges: DataFrame, rounds: int = 6) -> DataFrame:
     fan-in never materializes per-node lists), and one label-keyed
     self-join performs the jump. State is one (node, lbl) row per
     node; the label table never grows."""
-    adj = (
-        edges.select(F.col("p1").alias("s"), F.col("p2").alias("d"))
-        .unionAll(edges.select(F.col("p2").alias("s"), F.col("p1").alias("d")))
-        .persist()
+    sym = edges.select(F.col("p1").alias("s"), F.col("p2").alias("d")).unionAll(
+        edges.select(F.col("p2").alias("s"), F.col("p1").alias("d"))
     )
-    labels = (
-        adj.select(F.col("s").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
+    # Self-loops fold the "own label" term into the neighbor-min
+    # aggregate, so the hook step reads the label table ONCE (min over
+    # {self} ∪ neighbors ≡ least(own, min(neighbors)) — same values,
+    # one fewer corpus-width join per round).
+    nodes = sym.select("s").distinct()
+    adj = sym.unionAll(nodes.select("s", F.col("s").alias("d"))).persist()
+    labels = nodes.select(
+        F.col("s").alias("node"), F.col("s").alias("lbl")
     )
-    for _ in range(rounds):
-        nb = (
+    for r in range(rounds):
+        hooked = (
             adj.join(labels.withColumnRenamed("node", "d"), "d")
             .groupBy(F.col("s").alias("node"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        hooked = labels.join(nb, "node").select(
-            "node", F.least("lbl", "nlbl").alias("lbl")
+            .agg(F.min("lbl").alias("lbl"))
         )
         a = hooked.alias("a")
         b = hooked.alias("b")
         labels = a.join(b, F.col("a.lbl") == F.col("b.node")).select(
             F.col("a.node").alias("node"), F.col("b.lbl").alias("lbl")
         )
-        # Each round references the previous label table four times
-        # (hook builds nb from it AND joins it; compress self-joins the
+        # Each round references the previous label table three times
+        # (hook once thanks to the self-loops; compress self-joins the
         # hooked result) — without lineage truncation the logical plan
-        # grows 4^rounds and Catalyst analysis alone hangs (observed:
-        # >9min at rounds=6 on a 200-node graph). One eager node-sized
-        # localCheckpoint per round keeps the plan constant-size — the
-        # standard iterative-graph discipline (GraphFrames' connected
-        # components does exactly this); cost is one short job per
-        # round, linear in nodes, at any scale.
-        labels = labels.localCheckpoint()
+        # grows exponentially in rounds and Catalyst analysis alone
+        # hangs (observed: >9min at rounds=6 on a 200-node graph). An
+        # eager node-sized localCheckpoint every second round keeps the
+        # plan bounded (≤9 prior-label references between truncations)
+        # at half the checkpoint-job cost of per-round truncation — the
+        # iterative-graph discipline (GraphFrames' connected components
+        # does the same); each checkpoint is one short job, linear in
+        # nodes, at any scale.
+        if r % 2 == 1 or r == rounds - 1:
+            labels = labels.localCheckpoint()
     return labels

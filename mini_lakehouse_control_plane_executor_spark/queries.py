@@ -9780,16 +9780,29 @@ _WMH_CAP = 4
 
 def _weighted_elements_sql(cap: int = _WMH_CAP) -> str:
     """DuckDB CTE base for the weighted-MinHash oracle: the unary
-    integer-weight expansion of per-doc token counts (capped at
-    ``cap``) — element universe {tok#i : 1 <= i <= min(count, cap)}.
-    Defines ``ex`` and ``sizes`` as ``_minhash_pairs_sql`` requires."""
+    integer-weight expansion of per-doc word-BIGRAM counts (capped at
+    ``cap``) — element universe {bg#i : 1 <= i <= min(count, cap)}.
+    Defines ``ex`` and ``sizes`` as ``_minhash_pairs_sql`` requires.
+
+    Bigrams, not unigrams: unigram multisets of same-domain documents
+    overlap heavily (shared vocabulary), which makes the banded LSH
+    collide almost everything — measured 2.65M candidates over 5000
+    sf0.1 docs at unigram granularity vs 2.8k at bigram granularity for
+    the same (k, bands) — while true near-duplicates keep bigram
+    weighted Jaccard high. Same universe choice in both engines, so
+    the blocking decision stays oracle-checkable."""
     return f"""
     toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws FROM documents
     ),
     wc AS (
-      SELECT doc_id, w AS tok, count(*) AS cnt
-      FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY 1, 2
+      SELECT doc_id, bg AS tok, count(*) AS cnt
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(len(ws) - 1),
+                                     i -> ws[i + 1] || ' ' || ws[i + 2])) AS bg
+        FROM toks
+      ) GROUP BY 1, 2
     ),
     ex AS (
       SELECT doc_id, tok || '#' || CAST(t.i AS VARCHAR) AS s
@@ -9805,27 +9818,45 @@ def _weighted_elements_sql(cap: int = _WMH_CAP) -> str:
     + " ORDER BY id1, id2",
 )
 def dedup_weighted_minhash(spark, sf_dir):
-    """Weighted-Jaccard dedup via weighted MinHash: repeated tokens
+    """Weighted-Jaccard dedup via weighted MinHash: repeated n-grams
     count as repeated evidence (the classic integer-weight unary
-    expansion — token t with count c contributes elements t#1..t#min(c,
-    cap)), so plain set-MinHash over the expanded universe IS an
-    unbiased sketch of the capped weighted Jaccard Σmin(ca,cb)/
+    expansion — bigram g with count c contributes elements g#1..
+    g#min(c, cap)), so plain set-MinHash over the expanded universe IS
+    an unbiased sketch of the capped weighted Jaccard Σmin(ca,cb)/
     Σmax(ca,cb). Set-level shingle Jaccard treats a doc and its
     triple-repetition as near-identical; the weighted form does not —
-    the repetition-sensitive member of the dedup family.
+    the repetition-sensitive member of the dedup family. Elements are
+    word BIGRAMS: unigram multisets of same-domain docs overlap
+    heavily enough to collide the banding on almost everything
+    (measured 2.65M vs 2.8k candidates at sf0.1 — see
+    ``_weighted_elements_sql``).
 
     Pipeline shape is exactly dedup_minhash_lsh's (same signature,
     banding, duplicate-skew-guarded candidate machinery — operators/
     dedup.py), fed the expanded element stream instead of shingles;
     verification is candidate-restricted array_intersect over the
     persisted per-doc element arrays. The cap bounds the expansion at
-    ``cap``x tokens, so the 100 TB cost model of the unweighted path
-    carries over unchanged."""
+    ``cap``x bigrams, so the 100 TB cost model of the unweighted path
+    carries over unchanged. The bigram ARRAY table is materialized
+    before the count explode (the exploded_shingles generator-input
+    discipline — Generate otherwise re-evaluates the regex+HOF chain
+    per emitted row)."""
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
+    bg_arr = (
+        d.select("doc_id", _text.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                "(x, i) -> concat(x, ' ', toks[i + 1]))"
+            ).alias("bgs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     wc = (
-        d.select("doc_id", F.explode(_text.tokens(F.col("text"))).alias("tok"))
+        bg_arr.select("doc_id", F.explode("bgs").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -180,15 +180,15 @@ def main() -> None:
     elif SCALE_SET == "dup100":
         data_line = (
             f"Data: `{SMALL}` vs `{DUP100_DIR}` — 100 VERBATIM copies of "
-            "the first-10% document AND embedding slices (total rows stay "
-            "10x sf0.1, duplicate-group multiplicity rises 10 -> 100; "
-            "built by scale_build.py). The guards' claim is d² -> linear "
-            "join work: at d=100 an unguarded blocking join pays 100x the "
-            "guarded one where the d=10 ladder only exposes 10x. The "
-            "pair-emitting queries' OUTPUT is contractually quadratic in "
-            "group size (C(100,2)=4950 member pairs per base doc), so "
-            "ratios here bound guard join work PLUS that output growth. "
-            "Min-of-%d after warmup per scale." % PASSES
+            "the first-10%% document AND embedding slices (total rows "
+            "stay 10x sf0.1, duplicate-group multiplicity rises 10 -> "
+            "100; built by scale_build.py). The guards' claim is d² -> "
+            "linear join work: at d=100 an unguarded blocking join pays "
+            "100x the guarded one where the d=10 ladder only exposes "
+            "10x. The pair-emitting queries' OUTPUT is contractually "
+            "quadratic in group size (C(100,2)=4950 member pairs per "
+            "base doc), so ratios here bound guard join work PLUS that "
+            "output growth. Min-of-%d after warmup per scale." % PASSES
         )
     else:
         data_line = (

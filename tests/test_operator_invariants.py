@@ -1077,3 +1077,39 @@ def test_embedding_covariance_refuses_wide_dims(spark):
         dim=8,
     )
     assert ok.count() == 8 * 9 // 2
+
+
+def test_cooccurrence_edges_arrays_equals_selfjoin(spark):
+    """The array-form edge builder (ONE key aggregate + map-side pair
+    generation — two shuffles) must produce exactly the incidence
+    self-join form's edges, support counts included, on input WITH
+    duplicate (key, item) rows (collect_set dedups where the selfjoin
+    form needs an explicit distinct)."""
+    rows = [
+        (1, 10), (1, 20), (1, 30), (1, 20),  # dup incidence
+        (2, 10), (2, 20),
+        (3, 10), (3, 20), (3, 40),
+        (4, 40),  # singleton key -> no pairs
+    ]
+    it = spark.createDataFrame(rows, "k long, p long")
+    kw = dict(min_support=1, keep_support=True)
+    got = sorted(
+        (r.p1, r.p2, r.nord)
+        for r in G.cooccurrence_edges(it, "k", "p", via="arrays", **kw).collect()
+    )
+    want = sorted(
+        (r.p1, r.p2, r.nord)
+        for r in G.cooccurrence_edges(it, "k", "p", via="selfjoin", **kw).collect()
+    )
+    assert got == want
+    assert (10, 20, 3) in got  # support counted across keys
+    # canonical orientation: p1 < p2 everywhere
+    assert all(a < b for a, b, _ in got)
+    # min_support filters
+    ms = {
+        (r.p1, r.p2)
+        for r in G.cooccurrence_edges(
+            it, "k", "p", via="arrays", min_support=2
+        ).collect()
+    }
+    assert ms == {(a, b) for a, b, n in got if n >= 2}
