@@ -72,6 +72,14 @@ HEADLINE = [
     # an id-keyed posexplode self-join feeding an in-stage (i,j)
     # partial aggregate; embedding_pca_power_iteration rides it.
     "embedding_pca_covariance",
+    # r8: weighted MinHash — the heaviest new machinery this round (a
+    # second count-aggregation layer + the unary weight expansion under
+    # the banded-LSH pipeline; the plain path never exercises that).
+    # The other r8 queries stay out: semdedup/components are
+    # stage-latency-bound (the pagerank exclusion argument),
+    # fertility/ensemble/t-test ride already-benched map+tiny-agg
+    # shapes.
+    "dedup_weighted_minhash",
 ]
 
 

@@ -9889,6 +9889,71 @@ def dedup_weighted_minhash(spark, sf_dir):
     ).orderBy("id1", "id2")
 
 
+_WEIGHTED_JACCARD_EXACT_SQL = f"""
+WITH {{base}},
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, jaccard FROM (
+  SELECT i.id1, i.id2,
+         round(i.c * 1.0 / (s1.n_sh + s2.n_sh - i.c), 4) AS jaccard
+  FROM inter i
+  JOIN sizes s1 ON i.id1 = s1.doc_id
+  JOIN sizes s2 ON i.id2 = s2.doc_id
+) WHERE jaccard >= 0.8 ORDER BY id1, id2
+"""
+
+
+@query(
+    "dedup_weighted_jaccard_exact",
+    oracle=_WEIGHTED_JACCARD_EXACT_SQL.format(base=_weighted_elements_sql()),
+)
+def dedup_weighted_jaccard_exact(spark, sf_dir):
+    """EXACT capped weighted Jaccard over all pairs — the quadratic
+    ground-truth twin of ``dedup_weighted_minhash`` (the same role
+    dedup_jaccard_pairs plays for the unweighted LSH path, and the
+    recall denominator if anyone tunes the weighted banding). Same
+    expanded bigram-count element universe; the pair intersection is
+    the element-stream self-join, so cost is Σ per-element df² — run
+    it at audit scales only; the banded query is the 100 TB path
+    (excluded from the full scale ladder with the other exact
+    baselines, explicitly, never silently)."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _load(spark, sf_dir, "documents")
+    bg_arr = (
+        d.select("doc_id", _text.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                "(x, i) -> concat(x, ' ', toks[i + 1]))"
+            ).alias("bgs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = (
+        bg_arr.select("doc_id", F.explode("bgs").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.least(F.col("cnt"), F.lit(_WMH_CAP))),
+                    lambda i: F.concat(F.col("tok"), F.lit("#"), i.cast("string")),
+                )
+            ).alias("s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _dedup.jaccard_pairs(
+        d, "doc_id", "text", threshold=0.8, shingles=ex
+    ).orderBy("id1", "id2")
+
+
 _SEMDEDUP_THRESHOLDS = (0.4, 0.5, 0.6)
 
 
@@ -10312,7 +10377,8 @@ DRIVER_PRIORITY: list[str] = [
     "graph_connected_components",
     "quality_ensemble_score",
     "events_ttest_conversion",
-    # -- latest verdict r05 (first ~26 fit the 50-slot window) --
+    "dedup_weighted_jaccard_exact",
+    # -- latest verdict r05 (the remainder of the 50-slot window) --
     "ann_cosine_ivf",
     "ann_cosine_ivf_kmeans",
     "ann_cosine_ivfpq",

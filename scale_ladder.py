@@ -53,6 +53,11 @@ FULL_EXCLUDED = {
         "exact pairwise cosine baseline; scale path = "
         "embedding_neardup_lsh (hyperplane banding)"
     ),
+    "dedup_weighted_jaccard_exact": (
+        "exact quadratic weighted-element self-join baseline; scale "
+        "path = dedup_weighted_minhash (banded LSH over the same "
+        "expanded universe)"
+    ),
 }
 
 
