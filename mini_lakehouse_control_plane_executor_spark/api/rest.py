@@ -44,6 +44,8 @@ REST route table (``pkg/coordinator/rest_api.go:44-76``):
                                                      197-199``)
     GET    /metrics                                  Prometheus exposition
     POST   /sql                                      real SQL over pinned views
+                                                     (+ {"explain": true} for
+                                                     the plan, no execution)
     POST   /tables/{t}/columns                       additive schema evolution
     POST   /tables/{t}/merge                         transactional upsert
     GET    /health                                   liveness
@@ -333,6 +335,23 @@ class LakehouseRestServer:
         stmt = body.get("sql")
         if not stmt:
             raise _ApiError(400, "Missing sql")
+        explain = body.get("explain")
+        if explain is not None and not isinstance(explain, bool):
+            raise _ApiError(400, "explain must be a boolean")
+        if explain:
+            # Plan-only: how a user checks pushdown/broadcast/shuffle
+            # shape over HTTP before paying for execution. EXPLAIN
+            # FORMATTED runs through the same snapshot-pinned views as
+            # the statement itself would, and executes nothing.
+            try:
+                df = self.lake.sql(
+                    f"EXPLAIN FORMATTED {stmt}",
+                    versions=body.get("versions") or None,
+                )
+                plan = df.collect()[0][0]
+            except Exception as exc:
+                raise _ApiError(400, f"SQL failed: {exc}")
+            return 200, {"plan": plan}
         try:
             df = self.lake.sql(stmt, versions=body.get("versions") or None)
             rows = [r.asDict(recursive=True) for r in df.collect()]

@@ -1083,6 +1083,8 @@ class LakehouseTable:
             df = reader.options(header=True, inferSchema=True, **options).csv(path)
         elif fmt == "json":
             df = reader.options(**options).json(path)
+        elif fmt == "orc":
+            df = reader.options(**options).orc(path)
         else:
             df = reader.options(**options).parquet(path)
         return self.insert(df, txn_id=txn_id)

@@ -549,3 +549,23 @@ def test_async_submit_server_fault_is_500(server, lake, monkeypatch):
     monkeypatch.setattr(lake, "submit_async", boom)
     _call(server, "POST", "/queries",
           {"table_name": "nope", "operation": "scan"}, expect=500)
+
+
+def test_sql_explain_over_http(server, spark):
+    """POST /sql {"explain": true} returns the formatted physical plan
+    (no execution, no rows): the over-HTTP way to check pushdown /
+    broadcast / shuffle shape before paying for a query."""
+    _call(server, "POST", "/tables", {"name": "exp_t", "schema": SCHEMA_API})
+    _call(server, "POST", "/tables/exp_t/insert", {"rows": ROWS})
+    res = _call(server, "POST", "/sql", {
+        "sql": "SELECT category, COUNT(*) AS n FROM exp_t "
+               "WHERE price > 100 GROUP BY category",
+        "explain": True,
+    })
+    assert set(res) == {"plan"}
+    assert "HashAggregate" in res["plan"]
+    # non-boolean explain is a 400, not a silent falsy collapse
+    _call(server, "POST", "/sql", {"sql": "SELECT 1", "explain": 1}, expect=400)
+    # broken SQL still fails cleanly through the explain path
+    _call(server, "POST", "/sql", {"sql": "SELECT FROM (", "explain": True},
+          expect=400)

@@ -947,3 +947,11 @@ def test_compact_where_scopes_files(lake, spark):
     assert v2 is not None
     assert out_of_scope <= {f.path for f in t.snapshot().files}
     assert t.read().count() == 9000
+
+
+def test_insert_path_orc(lake, spark, tmp_path):
+    orc = str(tmp_path / "in_orc")
+    _df(spark, 0, 3).coalesce(1).write.orc(orc)
+    lake.create_table("t_orc", SCHEMA)
+    lake.table("t_orc").insert_path(orc, fmt="orc")
+    assert lake.table("t_orc").read().count() == 3
