@@ -81,6 +81,10 @@ DUP_SET: dict[str, str] = {
     # copies push every shared fingerprint past max-df, so the pair join
     # sees zero duplicate-family work (measured 0.9x on this input).
     "winnowing_dup_pairs": "dup",
+    # r8: the weighted pipeline rides the same signature-collapse guard
+    # (identical expanded-element multisets -> identical signatures ->
+    # one rep per group in the band join).
+    "dedup_weighted_minhash": "dup",
     # embedding-side guards -> the main sf1 (vectors already verbatim)
     "embedding_neardup_lsh": "big",
     "semantic_dedup_clusters": "big",
