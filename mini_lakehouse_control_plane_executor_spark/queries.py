@@ -9889,6 +9889,95 @@ def dedup_weighted_minhash(spark, sf_dir):
     ).orderBy("id1", "id2")
 
 
+_TOKEN_SAVINGS_THRESHOLDS = (0.8, 0.9, 1.0)
+
+
+def _token_savings_oracle() -> str:
+    vals = ", ".join(f"({t})" for t in _TOKEN_SAVINGS_THRESHOLDS)
+    return f"""
+WITH pairs AS ({_minhash_pairs_sql()}),
+mx AS (SELECT id2 AS doc_id, max(jaccard) AS max_j FROM pairs GROUP BY id2),
+tc AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '\\w+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS all_tok FROM tc),
+pr AS (SELECT mx.doc_id, mx.max_j, tc.n_tok FROM mx JOIN tc ON mx.doc_id = tc.doc_id)
+SELECT th.t AS threshold,
+       CAST(count(CASE WHEN pr.max_j >= th.t THEN 1 END) AS BIGINT) AS docs_pruned,
+       CAST(COALESCE(sum(CASE WHEN pr.max_j >= th.t THEN pr.n_tok END), 0) AS BIGINT)
+         AS tokens_pruned,
+       CAST(tot.all_tok
+            - COALESCE(sum(CASE WHEN pr.max_j >= th.t THEN pr.n_tok END), 0) AS BIGINT)
+         AS tokens_kept,
+       CAST(round(10000.0
+              * COALESCE(sum(CASE WHEN pr.max_j >= th.t THEN pr.n_tok END), 0)
+              / tot.all_tok) AS BIGINT) AS tokens_pruned_bp
+FROM (VALUES {vals}) th(t), pr, tot
+GROUP BY th.t, tot.all_tok ORDER BY threshold
+"""
+
+
+@query("dedup_token_savings", oracle=_token_savings_oracle())
+def dedup_token_savings(spark, sf_dir):
+    """Token-level ROI of a near-dup dedup pass — the number dedup
+    papers actually report (training FLOPs scale with tokens, not
+    documents): at each candidate Jaccard threshold, how many TOKENS
+    the keep-lowest-id rule removes vs keeps. Reuses ONE verified
+    MinHash-LSH pair pass at the loosest threshold (the benched
+    dedup_minhash_lsh machinery) reduced to a per-doc max-similarity
+    column, joined once against per-doc token counts, then a 3-row
+    broadcast threshold sweep — the dedup_semdedup_prune shape with a
+    token-weighted objective.
+
+    100 TB shape: banded pair generation (duplicate-skew-guarded), one
+    id-keyed max aggregate, one id-keyed equi-join against the token
+    counts (map work on the scan), a broadcast sweep; output is
+    |thresholds| rows; ratio in integer basis points."""
+    d = _load(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    mx = pairs.groupBy(F.col("id2").alias("doc_id")).agg(
+        F.max("jaccard").alias("max_j")
+    )
+    tc = d.select(
+        "doc_id", F.size(_text.tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    tot = tc.agg(F.sum("n_tok").cast("long").alias("all_tok"))
+    pr = mx.join(tc, "doc_id")
+    th = spark.createDataFrame(
+        [(float(t),) for t in _TOKEN_SAVINGS_THRESHOLDS], "t double"
+    )
+    swept = (
+        pr.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.count(F.when(F.col("max_j") >= F.col("t"), 1))
+            .cast("long")
+            .alias("docs_pruned"),
+            F.coalesce(
+                F.sum(F.when(F.col("max_j") >= F.col("t"), F.col("n_tok"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tokens_pruned"),
+        )
+    )
+    return (
+        swept.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("threshold"),
+            "docs_pruned",
+            "tokens_pruned",
+            (F.col("all_tok") - F.col("tokens_pruned")).alias("tokens_kept"),
+            F.round(F.lit(10000.0) * F.col("tokens_pruned") / F.col("all_tok"))
+            .cast("long")
+            .alias("tokens_pruned_bp"),
+        )
+        .orderBy("threshold")
+    )
+
+
 _WEIGHTED_JACCARD_EXACT_SQL = f"""
 WITH {{base}},
 inter AS (
@@ -10378,6 +10467,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_ensemble_score",
     "events_ttest_conversion",
     "dedup_weighted_jaccard_exact",
+    "dedup_token_savings",
     # -- latest verdict r05 (the remainder of the 50-slot window) --
     "ann_cosine_ivf",
     "ann_cosine_ivf_kmeans",
