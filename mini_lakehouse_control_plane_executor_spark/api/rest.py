@@ -348,9 +348,16 @@ class LakehouseRestServer:
                     f"EXPLAIN FORMATTED {stmt}",
                     versions=body.get("versions") or None,
                 )
-                plan = df.collect()[0][0]
+                plan = "\n".join(r[0] for r in df.collect())
             except Exception as exc:
                 raise _ApiError(400, f"SQL failed: {exc}")
+            # Spark's ExplainCommand catches ANALYSIS errors (unknown
+            # column/table) and returns them as result rows instead of
+            # raising — only parse errors raise. Surface those as the
+            # same 400 the non-explain path gives, with the full
+            # multi-row message, never a 200 whose "plan" is an error.
+            if plan.startswith("Error occurred during query planning"):
+                raise _ApiError(400, f"SQL failed: {plan}")
             return 200, {"plan": plan}
         try:
             df = self.lake.sql(stmt, versions=body.get("versions") or None)

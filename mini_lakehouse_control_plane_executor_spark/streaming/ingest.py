@@ -195,11 +195,25 @@ def dedup_gated_ingest(
             .distinct()
         )
         keep = batch_df.join(flagged, "doc_id", "left_anti")
+        if augment_index:
+            # keep is consumed twice (the commit AND the survivor-index
+            # build) — cache it so the stream-static probe join runs
+            # once per batch, not twice.
+            keep = keep.persist()
         write_batch(lake, table_name, keep, name, batch_id)
         if augment_index:
             # Eager: materializes now (while the micro-batch source is
-            # live) and breaks lineage to it; returns a plan leaf.
-            surv = corpus_band_index(keep.select("doc_id", "text")).localCheckpoint()
+            # live) and breaks lineage to it; returns a plan leaf. The
+            # fragment's own internal persist (corpus_band_index always
+            # caches) is released immediately after the checkpoint
+            # copies the rows out — streams have no
+            # release_cached_intermediates point, so an unreleased
+            # per-batch persist would accumulate one cache entry per
+            # micro-batch forever.
+            frag = corpus_band_index(keep.select("doc_id", "text"))
+            surv = frag.localCheckpoint()
+            frag.unpersist()
+            keep.unpersist()
             state["idx"] = state["idx"].unionByName(
                 surv.select(*state["idx"].columns)
             )

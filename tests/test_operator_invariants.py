@@ -1113,3 +1113,33 @@ def test_cooccurrence_edges_arrays_equals_selfjoin(spark):
         ).collect()
     }
     assert ms == {(a, b) for a, b, n in got if n >= 2}
+
+
+def test_threshold_sweeps_survive_dedup_clean_corpus(spark, tmp_path):
+    """dedup_token_savings / dedup_semdedup_prune: a corpus with ZERO
+    near-duplicate pairs must still report one all-zero row PER
+    threshold (the sweep is a single-row conditional aggregate
+    unpivoted, never a group-by over an empty pair relation)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "red orange yellow green blue indigo violet maroon"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    # orthogonal one-hot embeddings -> every pairwise cosine is 0
+    emb = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(64)], 0) for i in range(3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+    reg = qlib.all_queries()
+    ts = reg["dedup_token_savings"](spark, str(tmp_path)).collect()
+    assert len(ts) == 3
+    assert all(r.docs_pruned == 0 and r.tokens_pruned == 0 for r in ts)
+    assert all(r.tokens_kept > 0 and r.tokens_pruned_bp == 0 for r in ts)
+    sd = reg["dedup_semdedup_prune"](spark, str(tmp_path)).collect()
+    assert len(sd) == 3
+    assert all(r.n_pruned == 0 and r.n_kept == 3 and r.pruned_bp == 0 for r in sd)

@@ -569,3 +569,10 @@ def test_sql_explain_over_http(server, spark):
     # broken SQL still fails cleanly through the explain path
     _call(server, "POST", "/sql", {"sql": "SELECT FROM (", "explain": True},
           expect=400)
+    # ANALYSIS errors (unknown column) don't raise inside Spark's
+    # ExplainCommand — they come back as plan rows; the endpoint must
+    # map them to the same 400 the non-explain path gives, never a 200
+    # whose "plan" is an error message.
+    _call(server, "POST", "/sql",
+          {"sql": "SELECT no_such_col FROM exp_t", "explain": True},
+          expect=400)
