@@ -7652,7 +7652,7 @@ cum AS (
   FROM cells
 ),
 est AS (
-  SELECT g, max(n) AS n,
+  SELECT g, CAST(max(n) AS BIGINT) AS n,
          round(min(CASE WHEN cum*100 >= 50*n THEN bucket END) * 1.0, 6) AS est_p50,
          round(min(CASE WHEN cum*100 >= 90*n THEN bucket END) * 1.0, 6) AS est_p90,
          round(min(CASE WHEN cum*100 >= 99*n THEN bucket END) * 1.0, 6) AS est_p99
@@ -10442,76 +10442,25 @@ def events_ttest_conversion(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # round 8 rotation (the r7 verdict's task 1): the list is ordered by
-    # verdict staleness so the 50-query prefix window is always the right
-    # window and the post-window tail self-documents the NEXT round's
-    # rotation — r9 only needs to move the freshly-attested prefix to the
-    # back and promote the tail.
-    #   slots 1-18: never driver-verified (all r7 additions; every one is
-    #               locally DuckDB-oracle-green each CI run)
-    #   next:       new r8 additions (never driver-verified, same rule)
-    #   then:       the 50 queries whose latest verdict is r05 — the first
-    #               ~32 fill the rest of the window; the remainder lead
-    #               the r9 window automatically
-    #   then:       the 50 r06-verdict queries (r9/r10 re-attestation)
-    #   tail:       the 50 r07-verdict queries follow via definition order
-    # -- never driver-verified (r7 additions) --
-    "winnowing_dup_pairs",
-    "embedding_pca_covariance",
-    "embedding_pca_power_iteration",
-    "bootstrap_ci_mean_tokens",
-    "embedding_jl_projection_distortion",
-    "ann_recall_jl_vs_exact",
-    "ab_test_value",
+    # round 9 rotation (the r8 verdict's tasks 1+3): the list is ordered
+    # by verdict staleness so the 50-query prefix window is always the
+    # right window and the post-window tail self-documents the NEXT
+    # round's rotation.
+    #   slot 1:     events_value_quantile_sketch — the registry's only
+    #               driver-red row (r08 hash-only; oracle typing bug,
+    #               CAST(max(n) AS BIGINT) fixed) — re-attest FIRST
+    #   next:       new r9 additions (never driver-verified; inserted
+    #               inside the window so they get a verdict this round)
+    #   then:       the 26 queries whose latest verdict is r05 (3 rounds
+    #               stale — the r8 verdict's task-3 list, verbatim)
+    #   then:       the 50 r06-verdict queries — the first ~fill the rest
+    #               of the window; the remainder lead the r10 rotation
+    #   tail:       r07/r08-verified queries follow via definition order
+    # -- slot 1: driver-red re-attestation --
     "events_value_quantile_sketch",
-    "graph_triangle_count",
-    "event_attribution_touch",
-    "robust_trimmed_stats",
-    "events_kmv_setops",
-    "association_rules",
-    "graph_kcore_peel",
-    "char_entropy_quality",
-    "bpe_merge_learn",
-    "graph_label_propagation",
-    "minhash_tuning_matrix",
-    # -- new in r8 (never driver-verified; inserted inside the window so
-    #    they get a verdict THIS round instead of repeating the r7 gap) --
-    "dedup_semdedup_prune",
-    "dedup_weighted_minhash",
-    "tokenizer_fertility_stats",
-    "graph_connected_components",
-    "quality_ensemble_score",
-    "events_ttest_conversion",
-    "dedup_weighted_jaccard_exact",
-    "dedup_token_savings",
-    # -- latest verdict r05 (the remainder of the 50-slot window) --
-    "ann_cosine_ivf",
-    "ann_cosine_ivf_kmeans",
-    "ann_cosine_ivfpq",
-    "ann_cosine_pq_adc",
-    "ann_recall_lsh_vs_exact",
-    "ann_recall_matrix",
-    "ann_recall_pq_vs_exact",
-    "bigram_pmi_top",
-    "boilerplate_ngrams",
-    "cross_source_dup_matrix",
-    "dataset_card",
-    "decontamination_ngram_overlap",
-    "dedup_cluster_size_histogram",
-    "docs_length_histogram",
-    "embedding_decontamination",
-    "embedding_neardup_lsh",
-    "embedding_quantization_error",
-    "events_correlation",
-    "events_daily_anomaly",
-    "events_session_window",
-    "events_sliding_window",
-    "events_transition_matrix",
-    "events_value_deciles",
-    "grouping_sets_orders",
-    # -- latest verdict r05, expected to overflow the r8 window (the 26
-    #    never-verified names above push the boundary here) and lead
-    #    the r9 rotation --
+    # -- new in r9 (never driver-verified; names appended here as each
+    #    lands locally oracle-green) --
+    # -- latest verdict r05 (3 rounds stale; lead the window) --
     "hard_negative_mining",
     "hard_negative_mining_lsh",
     "minhash_estimate_error",

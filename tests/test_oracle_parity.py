@@ -35,6 +35,63 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _family(series: pd.Series) -> str:
+    """Coarse dtype family for representation-drift detection. The
+    driver's value hash stringifies cells, so bigint 2006 vs float64
+    2006.0 is a hash mismatch even when every value is numerically
+    identical — the r8 `events_value_quantile_sketch` red (an un-cast
+    DuckDB window-sum came back HUGEINT→float64). `check_dtype=False`
+    below makes that drift invisible locally; this family check makes
+    it loud."""
+    k = series.dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    if k == "O":
+        non_null = series.dropna()
+        if len(non_null) == 0:
+            return "empty"
+        v = non_null.iloc[0]
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        return "other"
+    return "other"
+
+
+def _assert_dtype_families(left: pd.DataFrame, right: pd.DataFrame, name: str):
+    """Per-column family assertion (int vs float vs bool vs str).
+    The ONLY tolerated cross-family pair is int↔float when the float
+    side carries NaN — pandas has no choice but to promote a nullable
+    int column to float64, and the driver compares such cells as null
+    anyway. An un-NaN'd int↔float pair is exactly the class of oracle
+    typing bug that ships driver-red, so it fails here."""
+    bad = []
+    for col in left.columns:
+        lf, rf = _family(left[col]), _family(right[col])
+        if lf == rf or "empty" in (lf, rf):
+            continue
+        if {lf, rf} == {"int", "float"}:
+            floaty = left[col] if lf == "float" else right[col]
+            if floaty.isna().any():
+                continue
+        bad.append(f"{col}: spark={lf} vs oracle={rf}")
+    assert not bad, (
+        f"{name}: dtype-family drift (driver value-hash would mismatch even "
+        f"with identical values): {'; '.join(bad)}"
+    )
+
+
 ORACLES = qlib.all_oracles()
 CASES = sorted(qlib.all_queries())
 
@@ -63,6 +120,7 @@ def test_query_matches_oracle(name, spark, duck):
 
     left = _normalize(spark_pdf)
     right = _normalize(duck_pdf)
+    _assert_dtype_families(left, right, name)
     pd.testing.assert_frame_equal(left, right, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
 
 
@@ -78,8 +136,10 @@ def test_sequence_packing_global_baseline(spark, duck):
     duck_pdf = duck.execute(qlib._PACKING_SQL).fetchdf()
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
     assert len(spark_pdf) == len(duck_pdf)
+    left, right = _normalize(spark_pdf), _normalize(duck_pdf)
+    _assert_dtype_families(left, right, "sequence_packing")
     pd.testing.assert_frame_equal(
-        _normalize(spark_pdf), _normalize(duck_pdf),
+        left, right,
         check_dtype=False, check_exact=False, rtol=0, atol=1e-9,
     )
 
