@@ -356,7 +356,14 @@ class LakehouseRestServer:
             # raising — only parse errors raise. Surface those as the
             # same 400 the non-explain path gives, with the full
             # multi-row message, never a 200 whose "plan" is an error.
-            if plan.startswith("Error occurred during query planning"):
+            # Belt and braces: the wording above is Spark-internal and
+            # could change between versions, but every successful
+            # EXPLAIN FORMATTED output contains the physical-plan
+            # section header — a "plan" without one is an error text
+            # whatever its prefix says.
+            if plan.startswith("Error occurred during query planning") or (
+                "== Physical Plan ==" not in plan
+            ):
                 raise _ApiError(400, f"SQL failed: {plan}")
             return 200, {"plan": plan}
         try:

@@ -1235,7 +1235,13 @@ def embedding_covariance(
     parquet footer for free) gates the n·d² pair fanout: dims above
     ``COVARIANCE_MAX_DIM`` raise ValueError pointing at the block
     outer-product shape instead of silently running a quadratic-width
-    plan against real embedding widths."""
+    plan against real embedding widths. When ``dim`` is omitted it is
+    probed with a one-row LIMIT-1 job so the guard ALWAYS applies —
+    an opt-in guard that only fires for callers who already thought
+    about dim protects nobody."""
+    if dim is None:
+        probe = df.select(F.size(_as_double(F.col(vec_col))).alias("d")).limit(1).collect()
+        dim = probe[0]["d"] if probe else None
     if dim is not None and dim > COVARIANCE_MAX_DIM:
         raise ValueError(
             f"embedding_covariance: dim {dim} exceeds COVARIANCE_MAX_DIM "

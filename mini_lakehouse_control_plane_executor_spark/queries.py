@@ -9321,9 +9321,10 @@ def association_rules(spark, sf_dir):
     si = items.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).cast("long").alias("s")
     )
+    # items is already distinct; with the default via='arrays' the
+    # collect_set dedups inherently, so no distinct flag is needed.
     pairs = _g.cooccurrence_edges(
         items, "l_orderkey", "l_partkey", min_support=2, keep_support=True,
-        distinct=False,  # items is already the distinct persisted incidence
     ).withColumnRenamed("nord", "c")
     rules = pairs.select(
         F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"), "c"

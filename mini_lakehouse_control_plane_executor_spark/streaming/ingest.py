@@ -136,16 +136,24 @@ def dedup_gated_ingest(
     available_now: bool = True,
     augment_index: bool = False,
     index_compact_every: int = 8,
+    index_rebuild_every: int | None = None,
 ) -> StreamingQuery:
     """Dedup-gated exactly-once ingest — the production "append only
     novel documents" pipeline in one operator: every micro-batch of
-    (doc_id, text, ...) rows is probed against the corpus band index
-    (``streaming.neardup.corpus_band_index``; maintained from the
-    already-committed corpus), rows with a verified near-duplicate
-    already in the corpus are dropped (left-anti join on the flagged
-    ids), and the survivors commit through the idempotent
-    ``(query-name, batch_id)`` txn — so a replayed batch never
-    duplicates rows.
+    (doc_id, text, ...) rows is banded ONCE, probed against the corpus
+    band index (``streaming.neardup.corpus_band_index``; maintained
+    from the already-committed corpus) AND self-joined within the batch
+    (``intra_batch_neardup_losers``), rows with a verified
+    near-duplicate already in the corpus OR with a lower-id verified
+    near-duplicate in the same batch are dropped, and the survivors
+    commit through the idempotent ``(query-name, batch_id)`` txn — so a
+    replayed batch never duplicates rows.
+
+    In-batch gate semantics: of a group of mutual near-dups arriving in
+    ONE micro-batch, exactly the min doc_id lands, and no two landed
+    docs of a batch are verified near-duplicates of each other. On
+    chains the rule over-deletes (recall-conservative), never
+    under-deletes — see ``intra_batch_neardup_losers``.
 
     ``augment_index=True`` closes the cross-micro-batch gap: after each
     batch commits, the SURVIVORS' band rows are unioned into the probe
@@ -166,60 +174,81 @@ def dedup_gated_ingest(
     (the table is exactly corpus + all committed survivors) and pass it
     as ``corpus_index``.
 
+    Durability caveat (augment mode): the augmented increments live in
+    ``localCheckpoint`` blocks, which are NOT fault-tolerant — losing
+    an executor loses index blocks and fails the stream mid-run (the
+    restart then recovers via ``band_index_from_table`` as above), and
+    per-batch checkpointed RDDs are only reclaimed as the driver GCs
+    the superseded DataFrame references, a slow accumulation on very
+    long continuous (non-availableNow) streams. For those, set
+    ``index_rebuild_every=N`` to periodically swap the in-memory chain
+    for a fresh reliable index derived from the committed table itself
+    (requires the original corpus to BE in the table — the intended
+    deployment, where the table starts as the corpus); availableNow
+    drains don't need it.
+
     With ``augment_index=False`` the index is pinned for the query's
     lifetime: near-dup NOVEL docs arriving in different micro-batches
-    both land, and the symmetric batch dedup on the table's compaction
+    both land (the in-batch gate above still applies WITHIN each
+    batch), and the symmetric batch dedup on the table's compaction
     cadence is the backstop.
 
-    Composition note: the probe is the stateless band join of
-    ``incremental_neardup_stream`` applied per micro-batch, so the gate
-    adds no Spark streaming state; at 100 TB the corpus index is the
-    scaling object and the per-batch work is O(|batch| · bands).
-    In-batch duplicates are NOT gated here (two novel near-identical
-    docs in ONE batch both land) — that's the same compaction-cadence
-    backstop."""
+    Composition note: both gates are stateless band joins applied per
+    micro-batch, so the operator adds no Spark streaming state; at
+    100 TB the corpus index is the scaling object, the per-batch probe
+    is O(|batch| · bands), and the in-batch self-join is bounded by
+    true in-batch near-dup cluster size."""
     from mini_lakehouse_control_plane_executor_spark.streaming.neardup import (
-        corpus_band_index,
+        banded_rows,
         incremental_neardup_stream,
+        intra_batch_neardup_losers,
     )
 
     name = query_name or f"dedup-ingest-{table_name}"
     state = {"idx": corpus_index, "batches": 0}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        flagged = (
+        # ONE banding pass (tokenize+shingle+md5 — the expensive part)
+        # shared by the corpus probe, the in-batch self-join (both
+        # sides), and the augment increment; released before return.
+        banded = banded_rows(batch_df.select("doc_id", "text")).persist()
+        corpus_hit = (
             incremental_neardup_stream(
-                batch_df, state["idx"], threshold=threshold
+                batch_df, state["idx"], threshold=threshold, probe_banded=banded
             )
             .select(F.col("new_id").alias("doc_id"))
-            .distinct()
         )
+        intra_hit = intra_batch_neardup_losers(banded=banded, threshold=threshold)
+        flagged = corpus_hit.unionByName(intra_hit).distinct()
         keep = batch_df.join(flagged, "doc_id", "left_anti")
         if augment_index:
             # keep is consumed twice (the commit AND the survivor-index
-            # build) — cache it so the stream-static probe join runs
-            # once per batch, not twice.
+            # filter) — cache it so the gate joins run once per batch.
             keep = keep.persist()
         write_batch(lake, table_name, keep, name, batch_id)
         if augment_index:
             # Eager: materializes now (while the micro-batch source is
             # live) and breaks lineage to it; returns a plan leaf. The
-            # fragment's own internal persist (corpus_band_index always
-            # caches) is released immediately after the checkpoint
-            # copies the rows out — streams have no
-            # release_cached_intermediates point, so an unreleased
-            # per-batch persist would accumulate one cache entry per
-            # micro-batch forever.
-            frag = corpus_band_index(keep.select("doc_id", "text"))
-            surv = frag.localCheckpoint()
-            frag.unpersist()
+            # survivors' band rows are a semi-join filter of the
+            # already-persisted banded frame — no second banding pass.
+            surv = (
+                banded.join(keep.select("doc_id"), "doc_id", "semi")
+                .localCheckpoint()
+            )
             keep.unpersist()
             state["idx"] = state["idx"].unionByName(
                 surv.select(*state["idx"].columns)
             )
             state["batches"] += 1
-            if state["batches"] % index_compact_every == 0:
+            if index_rebuild_every and state["batches"] % index_rebuild_every == 0:
+                # Reliable periodic rebuild for long-running continuous
+                # streams: the committed table is corpus + survivors, so
+                # the rebuilt index equals the in-memory chain while
+                # dropping every accumulated localCheckpoint block.
+                state["idx"] = band_index_from_table(lake, table_name)
+            elif state["batches"] % index_compact_every == 0:
                 state["idx"] = state["idx"].localCheckpoint()
+        banded.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)

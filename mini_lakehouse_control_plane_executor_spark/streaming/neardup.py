@@ -77,6 +77,33 @@ def _band_key(ab: Column, band: Column, band_rows: int) -> Column:
     return F.concat_ws("|", *[h(j) for j in range(band_rows)])
 
 
+def banded_rows(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+) -> DataFrame:
+    """(doc_id, sh, ab, band, bk) band rows of a (doc_id, text)
+    relation — the one banding pass shared by the corpus index, the
+    stream probe, and the intra-batch self-join, so a caller that needs
+    two of those can compute (and persist) the expensive
+    tokenize+shingle+md5 work ONCE."""
+    n_bands = k // band_rows
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("ab", _ab_structs(F.col("sh")))
+        .select(
+            "doc_id",
+            "sh",
+            "ab",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        )
+        .withColumn("bk", _band_key(F.col("ab"), F.col("band"), band_rows))
+    )
+
+
 def corpus_band_index(
     docs: DataFrame,
     n: int = 3,
@@ -88,25 +115,9 @@ def corpus_band_index(
     production this is maintained incrementally as batches commit (each
     committed batch appends its own band rows); here it is derived in
     one map-side pass + explode and persisted."""
-    n_bands = k // band_rows
     from pyspark.storagelevel import StorageLevel
 
-    base = (
-        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-        .select("doc_id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("ab", _ab_structs(F.col("sh")))
-    )
-    return (
-        base.select(
-            "doc_id",
-            "sh",
-            "ab",
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-        )
-        .withColumn("bk", _band_key(F.col("ab"), F.col("band"), band_rows))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    return banded_rows(docs, n, k, band_rows).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def incremental_neardup_stream(
@@ -116,6 +127,7 @@ def incremental_neardup_stream(
     k: int = MINHASH_K,
     band_rows: int = MINHASH_BAND_ROWS,
     threshold: float = 0.8,
+    probe_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming ingest dedup — the stream twin of the batch
     ``incremental_dedup_newbatch`` query: each ARRIVING doc is checked
@@ -133,22 +145,17 @@ def incremental_neardup_stream(
     by band key exactly like the batch path's self-join side.
 
     ``new_docs`` needs (doc_id, text) and may be streaming or batch (the
-    batch form is what the stream≡batch test pins)."""
+    batch form is what the stream≡batch test pins). ``probe_banded``
+    short-circuits the banding pass when the caller already computed
+    (and persisted) the batch's band rows — ``dedup_gated_ingest``
+    shares one banded frame between this corpus probe and its
+    intra-batch self-join."""
     n_bands = k // band_rows
     probe = (
-        new_docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-        .select("doc_id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("ab", _ab_structs(F.col("sh")))
-        .select(
-            "doc_id",
-            "sh",
-            "ab",
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-        )
-        .withColumn("bk", _band_key(F.col("ab"), F.col("band"), band_rows))
-        .alias("l")
-    )
+        probe_banded
+        if probe_banded is not None
+        else banded_rows(new_docs, n, k, band_rows)
+    ).alias("l")
     r = corpus_index.alias("r")
     joined = probe.join(
         r,
@@ -176,6 +183,63 @@ def incremental_neardup_stream(
             F.col("r.doc_id").alias("old_id"),
             F.round(inter / union, 6).alias("jaccard"),
         )
+    )
+
+
+def intra_batch_neardup_losers(
+    docs: DataFrame | None = None,
+    n: int = 3,
+    k: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+    threshold: float = 0.8,
+    banded: DataFrame | None = None,
+) -> DataFrame:
+    """doc_ids that have a verified near-duplicate (Jaccard >=
+    ``threshold``) with a LOWER doc_id in the SAME relation — the
+    in-batch gate of ``dedup_gated_ingest``: dropping exactly these ids
+    leaves a set in which NO two surviving docs are near-duplicates
+    (any verified pair has a higher side, and the higher side is
+    dropped), and a group of mutual near-dups keeps exactly its min id.
+    On chains (A~B~C, A!~C) the rule is recall-conservative: C is
+    dropped because of B even though B itself is dropped because of A —
+    over-deletion, never under-deletion, the right bias for an ingest
+    gate whose residuals have no second chance until compaction.
+
+    Batch-only (a band SELF-join — per micro-batch inside foreachBatch,
+    where the batch is a plain DataFrame). Pass ``banded``
+    (``banded_rows`` output, ideally persisted) to share the banding
+    pass with the corpus probe; otherwise ``docs`` (doc_id, text) is
+    banded here. The first-collision-band filter keeps the pre-distinct
+    volume at one row per colliding pair, and the join volume is
+    bounded by true in-batch near-dup cluster size — the batch banded
+    self-join argument at micro-batch scale."""
+    n_bands = k // band_rows
+    if banded is None:
+        banded = banded_rows(docs, n, k, band_rows)
+    l, r = banded.alias("l"), banded.alias("r")
+    joined = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bk") == F.col("r.bk"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    )
+    first_band = F.array_position(
+        F.array(
+            *[
+                _band_key(F.col("l.ab"), F.lit(b), band_rows)
+                == _band_key(F.col("r.ab"), F.lit(b), band_rows)
+                for b in range(n_bands)
+            ]
+        ),
+        True,
+    ) - 1
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    return (
+        joined.filter(F.col("l.band") == first_band)
+        .filter(inter * 1000000 >= F.lit(int(round(threshold * 1000000))) * union)
+        .select(F.col("r.doc_id").alias("doc_id"))
+        .distinct()
     )
 
 

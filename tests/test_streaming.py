@@ -971,16 +971,21 @@ def test_dedup_gated_ingest_exactly_once(spark, lake, tmp_path):
     )
     q.awaitTermination(240)
 
+    arrived_df = spark.read.schema(schema).parquet(new_dir)
     flagged = {
         r.new_id
-        for r in ND.incremental_neardup_stream(
-            spark.read.schema(schema).parquet(new_dir), index
-        ).collect()
+        for r in ND.incremental_neardup_stream(arrived_df, index).collect()
+    }
+    # the whole directory drains as ONE micro-batch (no
+    # maxFilesPerTrigger), so the in-batch gate's expected drops are the
+    # lower-id-neighbor losers over the full arriving set.
+    intra = {
+        r.doc_id for r in ND.intra_batch_neardup_losers(arrived_df).collect()
     }
     landed = {r.doc_id for r in lake.table("docs_clean").read().collect()}
     arriving = {r.doc_id for r in new_docs.collect()}
     assert len(flagged) > 0  # the gate did real work
-    assert landed == arriving - flagged
+    assert landed == arriving - flagged - intra
     v = lake.table("docs_clean").log.latest_version()
 
     # Re-drain over the same checkpoint: no new batches, nothing commits.
@@ -1258,3 +1263,66 @@ def test_dedup_gated_ingest_cross_batch_augmented(spark, lake, tmp_path):
     final = {r.doc_id for r in lake.table("docs_gated").read().collect()}
     assert doc_a2[0] not in final  # gated by the rebuilt index
     assert final == landed
+
+
+def test_dedup_gated_ingest_in_batch_gate(spark, lake, tmp_path):
+    """The in-batch gate: two near-duplicate NOVEL docs arriving in the
+    SAME micro-batch commit exactly one survivor — the min doc_id — a
+    control doc in the same batch still lands, no two landed docs are
+    near-duplicates, and a re-drain over the same checkpoint commits
+    nothing (replay-stable)."""
+    import os
+
+    from mini_lakehouse_control_plane_executor_spark.streaming import ingest as ING
+    from mini_lakehouse_control_plane_executor_spark.streaming import neardup as ND
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field as Fld
+
+    corpus = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 < 8)
+    )
+    index = ND.corpus_band_index(corpus)
+
+    # Synthetic vocab disjoint from the corpus so only A/B pair up.
+    words = [f"wj{i}pk" for i in range(40)]
+    doc_a = (9101, " ".join(words))
+    doc_b = (9102, " ".join(words[:-1] + ["wjENDpk"]))  # ~0.88 jaccard vs A
+    doc_c = (9103, " ".join(f"on{i}le" for i in range(40)))  # novel control
+    schema = "doc_id long, text string"
+
+    arriving = tmp_path / "arriving"
+    arriving.mkdir()
+    stage = str(tmp_path / "stage_b1")
+    spark.createDataFrame([doc_a, doc_b, doc_c], schema).coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), str(arriving / "b1.parquet"))
+
+    lake.create_table(
+        "docs_inbatch", [Fld("doc_id", "int64", False), Fld("text", "string", True)]
+    )
+    q = ING.dedup_gated_ingest(
+        spark.readStream.schema(schema).parquet(str(arriving)),
+        lake,
+        "docs_inbatch",
+        index,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(240)
+
+    landed = {r.doc_id for r in lake.table("docs_inbatch").read().collect()}
+    assert doc_c[0] in landed  # the gate does not over-block novel docs
+    assert landed & {doc_a[0], doc_b[0]} == {doc_a[0]}  # min id survives
+    v = lake.table("docs_inbatch").log.latest_version()
+
+    # Re-drain over the same checkpoint: no new batches, nothing commits.
+    q2 = ING.dedup_gated_ingest(
+        spark.readStream.schema(schema).parquet(str(arriving)),
+        lake,
+        "docs_inbatch",
+        index,
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(240)
+    assert lake.table("docs_inbatch").log.latest_version() == v
+    assert {r.doc_id for r in lake.table("docs_inbatch").read().collect()} == landed
