@@ -449,6 +449,54 @@ def minhash_signatures(
     )
 
 
+def ab_structs(sh: Column) -> Column:
+    """Per-element (a, b) Carter-Wegman coefficients from ONE md5 —
+    the same arithmetic as ``minhash_signatures`` (and the streaming
+    twin ``streaming.neardup._ab_structs``), exposed as an array
+    expression so signatures can be computed MAP-SIDE from a stored
+    per-doc element array: one digest per element however many hash
+    functions read it."""
+    return F.transform(
+        sh,
+        lambda s: F.struct(
+            (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P).alias("a"),
+            (F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long") % MINHASH_P).alias("b"),
+        ),
+    )
+
+
+def minhash_signatures_from_arrays(
+    arrays: DataFrame, k: int = MINHASH_K, ab_col: str = "ab"
+) -> DataFrame:
+    """k min-hashes per doc computed MAP-SIDE from a stored
+    array<struct<a,b>> column (``ab_structs`` over the per-doc element
+    array) — bit-identical to ``minhash_signatures``'s
+    groupBy-min over the exploded stream (same Carter-Wegman family,
+    same min), with ZERO shuffle: h_i = array_min over the stored
+    coefficients. The caller persists the arrays table (it also feeds
+    candidate verification), which is the phase boundary that keeps the
+    k transforms reading the stored attribute instead of inlining k
+    md5 passes.
+
+    Rows whose element array is empty MUST be filtered out upstream
+    (array_min of an empty array is NULL, and k NULL signature columns
+    would collapse every empty doc into one 'identical signature'
+    group in the lsh_candidates duplicate guard — the exploded groupBy
+    form simply has no row for them)."""
+    return arrays.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col(ab_col),
+                    lambda x: (x["a"] + F.lit(i) * x["b"]) % MINHASH_P,
+                )
+            ).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+
+
 def band_keys(
     sigs: DataFrame, k: int = MINHASH_K, band_rows: int = MINHASH_BAND_ROWS
 ) -> DataFrame:

@@ -35,6 +35,37 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def bigram_arrays(df, key_cols: list[str], text_col: str = "text"):
+    """(key_cols..., bgs) persisted per-row word-BIGRAM arrays (with
+    multiplicity) — the ONE tokenize+bigram pass shared by the bigram
+    family (dedup_weighted_minhash / dedup_weighted_jaccard_exact /
+    bigram_lm_surprisal / bigram_cond_entropy), the
+    ``cooccurrence_edges`` extraction discipline applied to text: the
+    same transform was previously rebuilt inline at every call site.
+
+    Carries the shingle_arrays disciplines: size-aware repartition UP
+    to cluster parallelism before the CPU-heavy tokenize (parquet text
+    compresses ~10x, so a small-file table otherwise tokenizes
+    single-core; never down — a 100 TB scan keeps its splits), and the
+    arrays are persisted so any downstream explode's Generate input is
+    a stored attribute, never a re-evaluated HOF chain."""
+    from pyspark.storagelevel import StorageLevel
+
+    from mini_lakehouse_control_plane_executor_spark.operators.dedup import (
+        ngrams_from_tokens,
+    )
+
+    n_parts = max(
+        df.rdd.getNumPartitions(), df.sparkSession.sparkContext.defaultParallelism
+    )
+    return (
+        df.repartition(n_parts)
+        .select(*key_cols, tokens(F.col(text_col)).alias("toks"))
+        .select(*key_cols, ngrams_from_tokens(F.col("toks"), 2).alias("bgs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def _stopword_hits(toks: Column, words: list[str]) -> Column:
     """How many tokens are in the given stopword list."""
     arr = F.array(*[F.lit(w) for w in words])

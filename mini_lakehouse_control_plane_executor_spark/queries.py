@@ -7489,20 +7489,11 @@ def bigram_lm_surprisal(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
-    arr = (
-        d.repartition(n_parts)
-        .select("doc_id", _text.tokens(F.col("text")).alias("toks"))
-        .filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.expr(
-                "transform(slice(toks, 1, size(toks) - 1),"
-                " (t, i) -> concat(t, ' ', element_at(toks, i + 2)))"
-            ).alias("bgs"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # Shared tokenize+bigram pass (operators.text.bigram_arrays — the
+    # same persisted projection _weighted_arrays consumes); docs under
+    # 2 tokens carry an empty array, which the explode drops exactly
+    # like the previous pre-filter did.
+    arr = _text.bigram_arrays(d, ["doc_id"])
     big = arr.select("doc_id", F.explode("bgs").alias("bg"))
     bc = (
         big.groupBy("bg")
@@ -8069,24 +8060,10 @@ def bigram_cond_entropy(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
-    # Size-aware spread + persist before the explode (the
-    # shingle_arrays discipline): the persist is the Generate-input
-    # boundary and the repartition parallelizes the CPU-heavy tokenize
-    # when the scan has fewer splits than cores (never down at scale).
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
-    arr = (
-        d.repartition(n_parts)
-        .select("lang", _text.tokens(F.col("text")).alias("toks"))
-        .filter(F.size("toks") >= 2)
-        .select(
-            "lang",
-            F.expr(
-                "transform(slice(toks, 1, size(toks) - 1),"
-                " (t, i) -> concat(t, ' ', element_at(toks, i + 2)))"
-            ).alias("bgs"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # Shared tokenize+bigram pass (operators.text.bigram_arrays) — the
+    # size-aware spread + Generate-input persist disciplines live
+    # there; short docs carry an empty array the explode drops.
+    arr = _text.bigram_arrays(d, ["lang"])
     big = arr.select("lang", F.explode("bgs").alias("bg"))
     bc = (
         big.groupBy("lang", "bg")
@@ -9813,42 +9790,57 @@ def _weighted_elements_sql(cap: int = _WMH_CAP) -> str:
     """
 
 
-def _weighted_elements(d):
-    """Per-doc expanded weighted-element stream (doc_id, s): word
+def _weighted_expand_expr(cap: int = _WMH_CAP) -> str:
+    """Map-side unary expansion of a per-doc bigram array ``bgs``: sort,
+    then ONE aggregate pass emits bg#occurrence for each element up to
+    ``cap`` occurrences — the per-(doc, bigram) COUNT is a within-row
+    statistic, so the (doc_id, tok) count shuffle the exploded form
+    pays is pure waste. O(B log B) compares per doc plus O(|out|²/2)
+    pointer copies from the accumulator appends — fine to ~10⁴ bigrams
+    per doc (pipeline docs are length-capped far below that); the
+    exploded+groupBy form remains the fallback shape beyond."""
+    return f"""
+aggregate(
+  array_sort(bgs),
+  named_struct('prev', cast(null as string), 'c', 0, 'acc', cast(array() as array<string>)),
+  (st, x) -> named_struct(
+    'prev', x,
+    'c', CASE WHEN x <=> st.prev THEN st.c + 1 ELSE 1 END,
+    'acc', CASE WHEN x <=> st.prev AND st.c >= {cap} THEN st.acc
+      ELSE array_append(st.acc, concat(x, '#',
+        cast(CASE WHEN x <=> st.prev THEN st.c + 1 ELSE 1 END as string))) END
+  ),
+  st -> st.acc
+)
+"""
+
+
+def _weighted_arrays(d):
+    """Per-doc expanded weighted-element ARRAYS (doc_id, sh, ab): word
     bigrams with counts capped at ``_WMH_CAP``, unary-expanded to
     bg#1..bg#min(c, cap) — the Python twin of ``_weighted_elements_sql``
     (change BOTH together; dedup_weighted_jaccard_exact exists to catch
-    drift). Returned persisted (signatures + verify both read it); the
-    bigram ARRAY table is materialized before the count explode (the
-    exploded_shingles generator-input discipline — Generate otherwise
-    re-evaluates the regex+HOF chain per emitted row)."""
+    drift) — plus the per-element Carter-Wegman (a, b) coefficients so
+    MinHash signatures are a map-side array_min over the stored table.
+
+    The whole element universe is built MAP-SIDE (the count of a bigram
+    within a doc is a within-row statistic — the previous exploded form
+    paid a corpus-wide (doc_id, tok) count shuffle, a collect_list
+    re-aggregation for the verify arrays, AND a groupBy-min signature
+    shuffle for information this one persisted projection already
+    holds). Empty docs are dropped to match the exploded form's
+    semantics (and the NULL-signature hazard —
+    ``minhash_signatures_from_arrays``). Shares the corpus-wide
+    tokenize+bigram pass via ``operators.text.bigram_arrays``."""
     from pyspark.storagelevel import StorageLevel
 
-    bg_arr = (
-        d.select("doc_id", _text.tokens(F.col("text")).alias("toks"))
-        .select(
-            "doc_id",
-            F.expr(
-                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
-                "(x, i) -> concat(x, ' ', toks[i + 1]))"
-            ).alias("bgs"),
-        )
+    return (
+        _text.bigram_arrays(d, ["doc_id"])
+        .select("doc_id", F.expr(_weighted_expand_expr()).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("ab", _dedup.ab_structs(F.col("sh")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    wc = (
-        bg_arr.select("doc_id", F.explode("bgs").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return wc.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.least(F.col("cnt"), F.lit(_WMH_CAP))),
-                lambda i: F.concat(F.col("tok"), F.lit("#"), i.cast("string")),
-            )
-        ).alias("s"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 @query(
@@ -9870,26 +9862,20 @@ def dedup_weighted_minhash(spark, sf_dir):
     (measured 2.65M vs 2.8k candidates at sf0.1 — see
     ``_weighted_elements_sql``).
 
-    Pipeline shape is exactly dedup_minhash_lsh's (same signature,
-    banding, duplicate-skew-guarded candidate machinery — operators/
-    dedup.py), fed the expanded element stream instead of shingles;
-    verification is candidate-restricted array_intersect over the
-    persisted per-doc element arrays. The cap bounds the expansion at
-    ``cap``x bigrams, so the 100 TB cost model of the unweighted path
-    carries over unchanged. The bigram ARRAY table is materialized
-    before the count explode (the exploded_shingles generator-input
-    discipline — Generate otherwise re-evaluates the regex+HOF chain
-    per emitted row)."""
-    from pyspark.storagelevel import StorageLevel
-
+    Pipeline shape is dedup_minhash_lsh's from the banding on (same
+    duplicate-skew-guarded candidate machinery — operators/dedup.py),
+    but everything BEFORE the banding is map-side: the per-doc element
+    arrays, their Carter-Wegman coefficients, and the k signature
+    columns are all computed from ONE persisted projection
+    (``_weighted_arrays`` — a bigram's within-doc count needs no
+    shuffle), so the first exchange the query pays is the signature
+    dup-guard window itself. Verification is candidate-restricted
+    array_intersect over the same persisted arrays. The cap bounds the
+    expansion at ``cap``x bigrams, so the 100 TB cost model of the
+    unweighted path carries over unchanged."""
     d = _load(spark, sf_dir, "documents")
-    ex = _weighted_elements(d)
-    arrays = (
-        ex.groupBy("doc_id")
-        .agg(F.collect_list("s").alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sigs = _dedup.minhash_signatures(d, "doc_id", "text", shingles=ex)
+    arrays = _weighted_arrays(d)
+    sigs = _dedup.minhash_signatures_from_arrays(arrays)
     cands = _dedup.lsh_candidates(sigs)
     return _dedup.jaccard_pairs(
         d,
@@ -9897,7 +9883,7 @@ def dedup_weighted_minhash(spark, sf_dir):
         "text",
         threshold=0.8,
         candidates=cands,
-        shingles=ex,
+        shingles=arrays.select("doc_id", F.explode("sh").alias("s")),
         arrays=arrays,
     ).orderBy("id1", "id2")
 
@@ -10040,7 +10026,7 @@ def dedup_weighted_jaccard_exact(spark, sf_dir):
     (excluded from the full scale ladder with the other exact
     baselines, explicitly, never silently)."""
     d = _load(spark, sf_dir, "documents")
-    ex = _weighted_elements(d)
+    ex = _weighted_arrays(d).select("doc_id", F.explode("sh").alias("s"))
     return _dedup.jaccard_pairs(
         d, "doc_id", "text", threshold=0.8, shingles=ex
     ).orderBy("id1", "id2")
