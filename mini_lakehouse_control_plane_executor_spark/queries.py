@@ -10421,6 +10421,857 @@ def events_ttest_conversion(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-9 additions: sketch tuning (CMS width sweep), deterministic
+# bottom-k reservoir sampling, SimHash distance diagnostics, revenue
+# concentration (Lorenz deciles), IDF-rarity quality, per-band LSH
+# marginal recall, IVF residual diagnostics, Neyman stratified sampling.
+# ---------------------------------------------------------------------------
+
+
+_CMS_SWEEP_WIDTHS = (64, 256, 1024)
+
+
+def _cms_sweep_oracle() -> str:
+    arms = []
+    for w in _CMS_SWEEP_WIDTHS:
+        arms.append(f"""
+SELECT {w} AS width,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(est - exact_count) AS BIGINT) AS sum_overest,
+       CAST(max(est - exact_count) AS BIGINT) AS max_overest,
+       CAST(count(CASE WHEN est = exact_count THEN 1 END) AS BIGINT) AS n_exact
+FROM (
+  SELECT x.user_id, min(c.c) AS est, max(x.exact_count) AS exact_count
+  FROM exact x CROSS JOIN range({_CMS_D}) t(d)
+  JOIN cells{w} c
+    ON c.d = t.d
+   AND c.bucket = {_CMS_HASH_SQL.format(d='t.d', key='x.user_id', w=w)}
+  GROUP BY 1
+)""")
+    cells = ",\n".join(
+        f"""cells{w} AS (
+  SELECT t.d, {_CMS_HASH_SQL.format(d='t.d', key='e.user_id', w=w)} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events e CROSS JOIN range({_CMS_D}) t(d)
+  GROUP BY 1, 2
+)"""
+        for w in _CMS_SWEEP_WIDTHS
+    )
+    return f"""
+WITH exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count FROM events GROUP BY 1
+),
+{cells}
+SELECT * FROM ({" UNION ALL ".join(arms)}) ORDER BY width
+"""
+
+
+@query("events_count_min_width_sweep", oracle=_cms_sweep_oracle())
+def events_count_min_width_sweep(spark, sf_dir):
+    """Count-Min-Sketch WIDTH tuning sweep: the same d=4 sketch built at
+    w in {64, 256, 1024} over user_id, each audited against the exact
+    counts — total/max overestimate and the exactly-estimated fraction
+    per width. The sketch-family twin of minhash_tuning_matrix /
+    ann_recall_matrix: the artifact that picks w for a production
+    heavy-hitters run (error ~ N/w; the sweep shows where the curve
+    flattens for THIS key distribution).
+
+    100 TB shape: each width's cell table is d*w rows TOTAL (map-side
+    combinable, broadcast to the estimate join — the
+    events_heavy_hitters_cms plan per width); the exact-count aggregate
+    is computed ONCE and shared by the three estimate pipelines; output
+    is |widths| rows via tiny aggregates. A real tuning run probes
+    widths on a sample — the sweep cost is |widths| passes by
+    construction, stated, not hidden."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as _sketch
+
+    ev = _load(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .persist()
+    )
+    out = None
+    for w in _CMS_SWEEP_WIDTHS:
+        cells = _sketch.cms_cells(ev, "user_id", _CMS_D, w)
+        est = (
+            exact.select(
+                "user_id",
+                "exact_count",
+                F.posexplode(_sketch.cms_bucket_array(F.col("user_id"), _CMS_D, w)).alias(
+                    "d", "bucket"
+                ),
+            )
+            .join(F.broadcast(cells), ["d", "bucket"])
+            .groupBy("user_id")
+            .agg(
+                F.min("c").alias("est"),
+                F.max("exact_count").alias("exact_count"),
+            )
+        )
+        row = est.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.col("est") - F.col("exact_count")).cast("long").alias("sum_overest"),
+            F.max(F.col("est") - F.col("exact_count")).cast("long").alias("max_overest"),
+            F.count(F.when(F.col("est") == F.col("exact_count"), 1))
+            .cast("long")
+            .alias("n_exact"),
+        ).select(F.lit(w).cast("int").alias("width"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("width")
+
+
+_RESERVOIR_K = 50
+
+_RESERVOIR_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vmicro,
+         ('0x'||substr(md5('rs:'||CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE value IS NOT NULL
+),
+pop AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pop,
+         CAST(sum(vmicro) AS BIGINT) AS sv
+  FROM ev GROUP BY 1
+),
+rk AS (
+  SELECT event_type, vmicro,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+  FROM ev
+),
+smp AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+         CAST(sum(vmicro) AS BIGINT) AS ss
+  FROM rk WHERE rn <= {_RESERVOIR_K} GROUP BY 1
+)
+SELECT p.event_type, p.n_pop, s.n_sample,
+       CAST(round(p.sv / CAST(p.n_pop AS DOUBLE)) AS BIGINT) AS pop_mean_micro,
+       CAST(round(s.ss / CAST(s.n_sample AS DOUBLE)) AS BIGINT) AS samp_mean_micro,
+       abs(CAST(round(p.sv / CAST(p.n_pop AS DOUBLE)) AS BIGINT)
+         - CAST(round(s.ss / CAST(s.n_sample AS DOUBLE)) AS BIGINT)) AS abs_err_micro
+FROM pop p JOIN smp s ON p.event_type = s.event_type
+ORDER BY p.event_type
+"""
+
+
+@query("events_reservoir_sample_stats", oracle=_RESERVOIR_SQL)
+def events_reservoir_sample_stats(spark, sf_dir):
+    """Deterministic uniform bottom-k sample per event type (the
+    distributed reservoir: keep the k rows with the smallest
+    md5-derived priority — hash-order is uniform and reproducible, so
+    the 'reservoir' is a pure expression, no RNG state) audited against
+    the population: sample mean vs true mean of ``value`` in integer
+    micro-units. The unweighted twin of weighted_sample_aes, and the
+    audit artifact for 'how wrong is a k-row sample' per group.
+
+    100 TB shape: bottom-k is exactly mergeable (bottom-k(A∪B) =
+    bottom-k(bottom-k(A)∪B)), so the sample aggregation is the salted
+    two-phase window of the KMV discipline — a per-(group, salt) prune
+    to k survivors parallelizes each stratum, then the exact window
+    ranks only 32·k survivors; never a per-group corpus sort on one
+    task. Values quantize to integer micro-units BEFORE any sum."""
+    e = _load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("rs:"), F.col("event_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    base = e.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1000000).cast("long").alias("vmicro"),
+        h.alias("h"),
+    ).persist()
+    pop = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum("vmicro").cast("long").alias("sv"),
+    )
+    ws = Window.partitionBy("event_type", "salt").orderBy("h", "event_id")
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    smp = (
+        base.withColumn("salt", F.pmod(F.col("h"), F.lit(32)))
+        .withColumn("prn", F.row_number().over(ws))
+        .filter(F.col("prn") <= _RESERVOIR_K)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RESERVOIR_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sample"),
+            F.sum("vmicro").cast("long").alias("ss"),
+        )
+    )
+    pop_mean = F.round(F.col("sv") / F.col("n_pop").cast("double")).cast("long")
+    samp_mean = F.round(F.col("ss") / F.col("n_sample").cast("double")).cast("long")
+    return (
+        pop.join(smp, "event_type")
+        .select(
+            "event_type",
+            "n_pop",
+            "n_sample",
+            pop_mean.alias("pop_mean_micro"),
+            samp_mean.alias("samp_mean_micro"),
+            F.abs(pop_mean - samp_mean).alias("abs_err_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _simhash_hamming_hist_oracle(bits: int = 32, bands: int = 4) -> str:
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    terms = "\n      + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> ((h >> {j}) & 1))) > len(hs)"
+        f" THEN ({1 << j}::BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    share = " OR ".join(
+        f"((a.sig >> {b * band_bits}) & {mask}) = ((b.sig >> {b * band_bits}) & {mask})"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_sql_shingles(3)},
+hashes AS (
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x'||substr(md5(s), 1, 15))::BIGINT) AS hs
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id, {terms} AS sig FROM hashes
+)
+SELECT CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE {share}
+GROUP BY 1 ORDER BY hamming
+"""
+
+
+@query("docs_simhash_hamming_histogram", oracle=_simhash_hamming_hist_oracle())
+def docs_simhash_hamming_histogram(spark, sf_dir):
+    """Hamming-distance HISTOGRAM over the SimHash chunk-blocked
+    candidate pairs — the threshold-tuning diagnostic for
+    dedup_simhash_pairs: where the candidate mass sits tells you
+    whether hamming<=3 is cutting a real valley or the middle of a
+    mode, before anyone commits a dedup threshold.
+
+    100 TB shape: exactly the benched simhash_pairs machinery
+    (signature collapse guard, 4x8-bit pigeonhole chunk join) with the
+    hamming filter lifted to 'any shared chunk' — still a bounded
+    banded join, never all-pairs; the histogram is a |distances|-row
+    aggregate over the pair stream."""
+    d = _load(spark, sf_dir, "documents")
+    pairs = _dedup.simhash_pairs(d, "doc_id", "text", max_hamming=32)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+_DECILE_CONC_SQL = """
+WITH spend AS (
+  SELECT o.o_custkey, c.c_mktsegment,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+dec AS (
+  SELECT c_mktsegment, spend_c,
+         ntile(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY spend_c DESC, o_custkey) AS decile
+  FROM spend
+),
+agg AS (
+  SELECT c_mktsegment, decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(spend_c) AS BIGINT) AS decile_spend_c
+  FROM dec GROUP BY 1, 2
+)
+SELECT c_mktsegment, decile, n_customers, decile_spend_c,
+       CAST(round(10000.0 * decile_spend_c
+            / CAST(sum(decile_spend_c) OVER (PARTITION BY c_mktsegment) AS DOUBLE))
+         AS BIGINT) AS share_bp,
+       CAST(round(10000.0 * CAST(sum(decile_spend_c) OVER (
+              PARTITION BY c_mktsegment ORDER BY decile) AS DOUBLE)
+            / CAST(sum(decile_spend_c) OVER (PARTITION BY c_mktsegment) AS DOUBLE))
+         AS BIGINT) AS cum_share_bp
+FROM agg ORDER BY c_mktsegment, decile
+"""
+
+
+@query("orders_decile_value_concentration", oracle=_DECILE_CONC_SQL)
+def orders_decile_value_concentration(spark, sf_dir):
+    """Revenue-concentration (Lorenz/Pareto) report: customers ranked
+    by total spend within their market segment, ntile(10) deciles, and
+    each decile's share + cumulative share of segment revenue in basis
+    points — the 'top decile drives X% of revenue' artifact. Spend in
+    integer cents so every aggregate is exact.
+
+    100 TB shape: one (custkey, segment) spend aggregate (map-side
+    combinable), then the decile window partitioned by SEGMENT — the
+    events_value_deciles precedent: never a global ntile (a
+    SinglePartition sort); tie-break (spend desc, custkey) pins tile
+    placement across engines. The share windows run over the 10-row-
+    per-segment aggregate, not the customer stream."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    spend = (
+        o.join(c.select(F.col("c_custkey"), "c_mktsegment"),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_c")
+        )
+    )
+    wd = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("spend_c"), F.col("o_custkey")
+    )
+    agg = (
+        spend.withColumn("decile", F.ntile(10).over(wd))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("spend_c").cast("long").alias("decile_spend_c"),
+        )
+    )
+    wt = Window.partitionBy("c_mktsegment")
+    wc = Window.partitionBy("c_mktsegment").orderBy("decile")
+    tot = F.sum("decile_spend_c").over(wt).cast("double")
+    cum = F.sum("decile_spend_c").over(wc).cast("double")
+    return agg.select(
+        "c_mktsegment",
+        "decile",
+        "n_customers",
+        "decile_spend_c",
+        F.round(F.lit(10000.0) * F.col("decile_spend_c") / tot)
+        .cast("long")
+        .alias("share_bp"),
+        F.round(F.lit(10000.0) * cum / tot).cast("long").alias("cum_share_bp"),
+    ).orderBy("c_mktsegment", "decile")
+
+
+_IDF_BUCKET_MICRO = 500000  # 0.5-nat mean-IDF bands
+
+_IDF_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_distinct(regexp_extract_all(lower(text), '\\w+')) AS ts
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+ex AS (SELECT doc_id, source, unnest(ts) AS t FROM toks),
+dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY 1),
+idf AS (
+  SELECT t, CAST(round(ln(n.n_docs / CAST(df AS DOUBLE)) * 1000000) AS BIGINT)
+            AS idf_micro
+  FROM dfq, n
+),
+per_doc AS (
+  SELECT e.doc_id, e.source,
+         CAST(round(sum(i.idf_micro) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+           AS mean_idf_micro
+  FROM ex e JOIN idf i ON e.t = i.t
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(mean_idf_micro // {_IDF_BUCKET_MICRO} AS BIGINT) AS idf_band,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY 1, 2 ORDER BY source, idf_band
+"""
+
+
+@query("docs_idf_rarity_quality", oracle=_IDF_QUALITY_SQL)
+def docs_idf_rarity_quality(spark, sf_dir):
+    """Mean-IDF rarity score per document, reported as a per-source
+    histogram of 0.5-nat bands — the cheap lexical twin of the
+    perplexity quality filters (ccnet_perplexity_buckets): boilerplate
+    scores LOW mean IDF (every token is common), lorem/garbage scores
+    HIGH (every token is rare), and the per-source band profile is the
+    quality-drift report a pipeline gates on. IDF over DISTINCT tokens
+    per doc so df semantics are exact.
+
+    100 TB shape: ONE (token) document-frequency shuffle bounded by
+    vocabulary, an AQE-sized join of the exploded distinct-token stream
+    against the vocab IDF table, one per-doc aggregate, one
+    (source, band) rollup. IDF quantizes to integer micro-nats per
+    TOKEN before the per-doc mean (the s_micro discipline); the 1-row
+    corpus count broadcasts onto the vocab table, never the corpus."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _load(spark, sf_dir, "documents")
+    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
+    arr = (
+        d.repartition(n_parts)
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(_text.tokens(F.col("text"))).alias("ts"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = arr.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ex = arr.select("doc_id", "source", F.explode("ts").alias("t"))
+    dfq = ex.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = dfq.crossJoin(F.broadcast(n)).select(
+        "t",
+        F.round(F.log(F.col("n_docs") / F.col("df").cast("double")) * 1000000)
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    per_doc = (
+        ex.join(idf, "t")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(F.sum("idf_micro") / F.count(F.lit(1)).cast("double"))
+            .cast("long")
+            .alias("mean_idf_micro")
+        )
+    )
+    return (
+        per_doc.select(
+            "source",
+            # exact integer floor-division (mean IDF is non-negative,
+            # so Spark `div` and DuckDB `//` agree)
+            F.expr(f"mean_idf_micro div {_IDF_BUCKET_MICRO}")
+            .cast("long")
+            .alias("idf_band"),
+        )
+        .groupBy("source", "idf_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "idf_band")
+    )
+
+
+def _band_marginal_oracle(k: int = 12, band_rows: int = 3) -> str:
+    p = _dedup.MINHASH_P
+    n_bands = k // band_rows
+    sig_cols = ", ".join(f"min((a + {i} * b) % {p}) AS h{i}" for i in range(k))
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {key} AS bk FROM sigs".format(
+            b=b,
+            key="||'|'||".join(
+                f"h{i}::VARCHAR" for i in range(b * band_rows, (b + 1) * band_rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_sql_shingles(3)},
+ab AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(s), 1, 15))::BIGINT % {p} AS a,
+         ('0x'||substr(md5(s), 16, 15))::BIGINT % {p} AS b
+  FROM ex
+),
+sigs AS (SELECT doc_id, {sig_cols} FROM ab GROUP BY doc_id),
+bands AS (
+{bands}
+),
+pairs_b AS (
+  SELECT a.band, a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+fb AS (SELECT id1, id2, min(band) AS band FROM pairs_b GROUP BY 1, 2),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jud AS (
+  SELECT f.band,
+         CASE WHEN COALESCE(i.c, 0) * 10
+              >= 8 * (s1.n_sh + s2.n_sh - COALESCE(i.c, 0))
+         THEN 1 ELSE 0 END AS istrue
+  FROM fb f
+  LEFT JOIN inter i ON f.id1 = i.id1 AND f.id2 = i.id2
+  JOIN sizes s1 ON f.id1 = s1.doc_id
+  JOIN sizes s2 ON f.id2 = s2.doc_id
+),
+per_band AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n_cand FROM pairs_b GROUP BY band
+),
+firsts AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n_first,
+         CAST(sum(istrue) AS BIGINT) AS n_true_first
+  FROM jud GROUP BY band
+),
+tot AS (SELECT CAST(COALESCE(sum(istrue), 0) AS BIGINT) AS t FROM jud),
+rows_b AS (
+  SELECT r.range AS band,
+         COALESCE(p.n_cand, 0) AS n_cand,
+         COALESCE(f.n_first, 0) AS n_first,
+         COALESCE(f.n_true_first, 0) AS n_true_first
+  FROM range({n_bands}) r
+  LEFT JOIN per_band p ON p.band = r.range
+  LEFT JOIN firsts f ON f.band = r.range
+)
+SELECT CAST(band AS INT) AS band, CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_first AS BIGINT) AS n_first,
+       CAST(sum(n_first) OVER (ORDER BY band) AS BIGINT) AS cum_pairs,
+       CAST(sum(n_true_first) OVER (ORDER BY band) AS BIGINT) AS cum_true,
+       CASE WHEN tot.t = 0 THEN 0
+            ELSE CAST(round(10000.0 * CAST(sum(n_true_first)
+                   OVER (ORDER BY band) AS DOUBLE) / tot.t) AS BIGINT)
+       END AS recall_bp
+FROM rows_b, tot ORDER BY band
+"""
+
+
+@query("dedup_band_marginal_recall", oracle=_band_marginal_oracle())
+def dedup_band_marginal_recall(spark, sf_dir):
+    """Per-BAND marginal contribution of the MinHash-LSH banding: for
+    each of the 4 bands — candidate pairs colliding in that band, pairs
+    FIRST found there (first-collision attribution), cumulative
+    distinct pairs, and cumulative recall of verified Jaccard>=0.8
+    pairs among all LSH-captured true pairs. The 'how many bands do I
+    actually need' artifact, complementing minhash_tuning_matrix (which
+    sweeps band GEOMETRY; this measures marginal value at the
+    production setting — if band 3 adds 2% recall for 25% of the join
+    volume, drop it).
+
+    100 TB shape: ONE signature table, ONE (band, key) self-join for
+    all bands (grouping by band is free — band is a join output
+    column); first-band attribution is a pair-keyed min; verification
+    is exact integer arithmetic (c*10 >= 8*union) against the persisted
+    shingle arrays. The cumulative window runs over a constant 4-row
+    relation. Tuning artifact: runs UNGUARDED on the raw signature
+    table by design (the production pair path with the duplicate-skew
+    guard is dedup_minhash_lsh)."""
+    n_bands = _dedup.MINHASH_K // _dedup.MINHASH_BAND_ROWS
+    d = _load(spark, sf_dir, "documents")
+    arrays = _dedup.shingle_arrays(d, "doc_id", "text", 3)
+    ex = arrays.select("doc_id", F.explode("sh").alias("s"))
+    sigs = _dedup.minhash_signatures(d, "doc_id", "text", shingles=ex)
+    bands = _dedup.band_keys(sigs)
+    l, r = bands.alias("l"), bands.alias("r")
+    pairs_b = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bk") == F.col("r.bk"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select("l.band", F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
+    pairs_b = pairs_b.persist()
+    fb = pairs_b.groupBy("id1", "id2").agg(F.min("band").alias("band"))
+    a1 = arrays.select(
+        F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"),
+        F.size("sh").cast("long").alias("n1"),
+    )
+    a2 = arrays.select(
+        F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"),
+        F.size("sh").cast("long").alias("n2"),
+    )
+    c = F.size(F.array_intersect("sh1", "sh2")).cast("long")
+    jud = (
+        fb.join(a1, "id1")
+        .join(a2, "id2")
+        .select(
+            "band",
+            F.when(c * 10 >= (F.col("n1") + F.col("n2") - c) * 8, 1)
+            .otherwise(0)
+            .alias("istrue"),
+        )
+        .persist()
+    )
+    per_band = pairs_b.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand")
+    )
+    firsts = jud.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_first"),
+        F.sum("istrue").cast("long").alias("n_true_first"),
+    )
+    tot = jud.agg(F.coalesce(F.sum("istrue"), F.lit(0)).cast("long").alias("t"))
+    base = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
+    rows_b = (
+        base.join(per_band, "band", "left")
+        .join(firsts, "band", "left")
+        .select(
+            "band",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+            F.coalesce("n_true_first", F.lit(0)).cast("long").alias("n_true_first"),
+        )
+    )
+    # Cumulative sums over the constant 4-row relation via a broadcast
+    # triangular self-join (band' <= band) — a global cumulative WINDOW
+    # would be an Exchange SinglePartition under a Sort, the one shape
+    # the registry-wide plan audit bans with an empty allow-list.
+    prior = rows_b.select(
+        F.col("band").alias("b2"),
+        F.col("n_first").alias("nf2"),
+        F.col("n_true_first").alias("nt2"),
+    )
+    cum_true = F.sum("nt2").cast("long")
+    return (
+        rows_b.join(F.broadcast(prior), F.col("b2") <= F.col("band"))
+        .groupBy("band", "n_cand", "n_first")
+        .agg(
+            F.sum("nf2").cast("long").alias("cum_pairs"),
+            cum_true.alias("cum_true"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_cand",
+            "n_first",
+            "cum_pairs",
+            "cum_true",
+            F.when(F.col("t") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.round(
+                    F.lit(10000.0) * F.col("cum_true").cast("double") / F.col("t")
+                ).cast("long")
+            )
+            .alias("recall_bp"),
+        )
+        .orderBy("band")
+    )
+
+
+_IVF_RESIDUAL_CENTROIDS = 16
+
+_IVF_RESIDUAL_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seed AS (
+  SELECT vec_id AS cent_id, v AS cv, list_dot_product(v, v) AS cc
+  FROM base WHERE vec_id < {_IVF_RESIDUAL_CENTROIDS}
+),
+assigned AS (
+  SELECT cent_id,
+         CAST(round((vv - 2 * vc + cc) * 1000000) AS BIGINT) AS rmicro,
+         CAST(round(vv * 1000000) AS BIGINT) AS vmicro
+  FROM (
+    SELECT b.vec_id, s.cent_id,
+           list_dot_product(b.v, b.v) AS vv,
+           list_dot_product(b.v, s.cv) AS vc, s.cc,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round(list_cosine_similarity(b.v, s.cv), 6) DESC, s.cent_id
+           ) AS rn
+    FROM base b CROSS JOIN seed s
+  ) WHERE rn = 1
+)
+SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(round(sum(rmicro) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+         AS mean_residual_sq_micro,
+       CAST(round(10000 * (1 - sum(rmicro) / CAST(sum(vmicro) AS DOUBLE)))
+         AS BIGINT) AS var_explained_bp
+FROM assigned GROUP BY 1 ORDER BY cent_id
+"""
+
+
+@query("embedding_ann_ivf_residual", oracle=_IVF_RESIDUAL_SQL)
+def embedding_ann_ivf_residual(spark, sf_dir):
+    """IVF residual diagnostics: every vector assigned to its nearest
+    seed centroid (the ann_cosine_ivf coarse quantizer), then per
+    centroid the mean squared residual |v - c|² and the
+    variance-explained ratio — the artifact that decides whether an
+    IVF index needs residual (PQ-on-residual) encoding: low
+    var_explained says the coarse cells are wide and ADC on raw
+    vectors will be sloppy.
+
+    100 TB shape: the centroid set broadcasts (16 rows); assignment AND
+    the residual arithmetic are pure map-side expressions on the scan
+    (|v-c|² = v·v - 2 v·c + c·c — dot products against broadcast rows,
+    no exploded-dim shuffle); the only shuffle is the |centroids|-row
+    final aggregate. Per-row residuals quantize to integer micro-units
+    before the sums (the s_micro discipline)."""
+    e = _load(spark, sf_dir, "embeddings")
+    base = e.select(
+        F.col("vec_id"), _sim._as_double(F.col("embedding")).alias("v")
+    )
+    cents = base.filter(F.col("vec_id") < _IVF_RESIDUAL_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        _sim.dot(F.col("v"), F.col("v")).alias("cc"),
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        _sim.dot(F.col("v"), F.col("v")).alias("vv"),
+        _sim.dot(F.col("v"), F.col("cv")).alias("vc"),
+        "cc",
+        F.round(_sim.cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cent_id",
+            F.round((F.col("vv") - 2 * F.col("vc") + F.col("cc")) * 1000000)
+            .cast("long")
+            .alias("rmicro"),
+            F.round(F.col("vv") * 1000000).cast("long").alias("vmicro"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return (
+        assigned.groupBy("cent_id")
+        .agg(
+            n.cast("long").alias("n_vecs"),
+            F.round(F.sum("rmicro") / n.cast("double"))
+            .cast("long")
+            .alias("mean_residual_sq_micro"),
+            F.round(
+                10000 * (1 - F.sum("rmicro") / F.sum("vmicro").cast("double"))
+            )
+            .cast("long")
+            .alias("var_explained_bp"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+_NEYMAN_TOTAL = 200
+
+_NEYMAN_SQL = f"""
+WITH stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sx,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY 1
+),
+sig AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / CAST(n_docs AS DOUBLE) * 1000000) AS BIGINT) AS sigma_micro
+  FROM stats
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+         CAST(sum(n_docs * sigma_micro) AS BIGINT) AS w_all
+  FROM sig
+),
+alloc AS (
+  SELECT s.source, s.n_docs, s.sigma_micro,
+         CAST(round({_NEYMAN_TOTAL} * (s.n_docs * s.sigma_micro)
+              / CAST(t.w_all AS DOUBLE)) AS BIGINT) AS alloc_neyman,
+         CAST(round({_NEYMAN_TOTAL} * s.n_docs / CAST(t.n_all AS DOUBLE))
+           AS BIGINT) AS alloc_prop
+  FROM sig s, tot t
+),
+rk AS (
+  SELECT source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x'||substr(md5('ns:'||CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM documents
+),
+smp AS (
+  SELECT r.source, CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(r.n_chars) AS BIGINT) AS s_chars
+  FROM rk r JOIN alloc a ON r.source = a.source
+  WHERE r.rn <= a.alloc_neyman
+  GROUP BY 1
+)
+SELECT a.source, a.n_docs, a.sigma_micro, a.alloc_neyman, a.alloc_prop,
+       COALESCE(s.n_sampled, 0) AS n_sampled,
+       CASE WHEN COALESCE(s.n_sampled, 0) = 0 THEN 0
+            ELSE CAST(round(s.s_chars / CAST(s.n_sampled AS DOUBLE)) AS BIGINT)
+       END AS samp_mean_chars
+FROM alloc a LEFT JOIN smp s ON a.source = s.source
+ORDER BY a.source
+"""
+
+
+@query("docs_neyman_stratified_sample", oracle=_NEYMAN_SQL)
+def docs_neyman_stratified_sample(spark, sf_dir):
+    """Neyman-allocated stratified sampling: a fixed budget of 200
+    docs split across sources proportionally to N_h·σ_h (the
+    variance-optimal allocation for estimating corpus means — strata
+    with more spread get more samples), compared against proportional
+    allocation, with the sample drawn deterministically (bottom-rank
+    by md5(doc_id)) and its achieved mean reported. The statistically
+    principled member of the sampling family (balanced_sample_per_
+    source = equal, weighted_sample_aes = weight-proportional).
+
+    100 TB shape: stratum σ from integer sufficient statistics
+    (n, Σx, Σx²) in ONE map-side-combinable aggregate; the allocation
+    is a |sources|-row broadcast; the draw is a per-source rank window
+    (hash order) against the broadcast allocation — the KMV bottom-k
+    shape with a per-stratum k. All emitted stats are exact integers
+    or round-to-integer of engine-identical doubles."""
+    d = _load(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sxx"),
+    )
+    sigma = F.round(
+        F.sqrt(
+            F.col("n_docs").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        / F.col("n_docs").cast("double")
+        * 1000000
+    ).cast("long")
+    sig = stats.select("source", "n_docs", sigma.alias("sigma_micro"))
+    tot = sig.agg(
+        F.sum("n_docs").cast("long").alias("n_all"),
+        F.sum(F.col("n_docs") * F.col("sigma_micro")).cast("long").alias("w_all"),
+    )
+    alloc = sig.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sigma_micro",
+        F.round(
+            F.lit(_NEYMAN_TOTAL)
+            * (F.col("n_docs") * F.col("sigma_micro"))
+            / F.col("w_all").cast("double")
+        )
+        .cast("long")
+        .alias("alloc_neyman"),
+        F.round(F.lit(_NEYMAN_TOTAL) * F.col("n_docs") / F.col("n_all").cast("double"))
+        .cast("long")
+        .alias("alloc_prop"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ns:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    wr = Window.partitionBy("source").orderBy("h", "doc_id")
+    rk = (
+        d.select("source", "n_chars", "doc_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(wr))
+    )
+    smp = (
+        rk.join(F.broadcast(alloc.select("source", "alloc_neyman")), "source")
+        .filter(F.col("rn") <= F.col("alloc_neyman"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("s_chars"),
+        )
+    )
+    n_sampled = F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long")
+    return (
+        alloc.join(smp, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "sigma_micro",
+            "alloc_neyman",
+            "alloc_prop",
+            n_sampled.alias("n_sampled"),
+            F.when(n_sampled == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.round(F.col("s_chars") / F.col("n_sampled").cast("double")).cast("long")
+            )
+            .alias("samp_mean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
 # received a driver verdict are listed here so they enter the window
@@ -10445,8 +11296,15 @@ DRIVER_PRIORITY: list[str] = [
     #   tail:       r07/r08-verified queries follow via definition order
     # -- slot 1: driver-red re-attestation --
     "events_value_quantile_sketch",
-    # -- new in r9 (never driver-verified; names appended here as each
-    #    lands locally oracle-green) --
+    # -- new in r9 (never driver-verified; locally oracle-green) --
+    "events_count_min_width_sweep",
+    "events_reservoir_sample_stats",
+    "docs_simhash_hamming_histogram",
+    "orders_decile_value_concentration",
+    "docs_idf_rarity_quality",
+    "dedup_band_marginal_recall",
+    "embedding_ann_ivf_residual",
+    "docs_neyman_stratified_sample",
     # -- latest verdict r05 (3 rounds stale; lead the window) --
     "hard_negative_mining",
     "hard_negative_mining_lsh",

@@ -85,10 +85,18 @@ DUP_SET: dict[str, str] = {
     # (identical expanded-element multisets -> identical signatures ->
     # one rep per group in the band join).
     "dedup_weighted_minhash": "dup",
+    # r9 (the r8 verdict's task 6): the pair-pass CONSUMERS — one
+    # guarded pair pass reduced to per-doc max-sim + a broadcast sweep.
+    # Their exposure is the pair pass's, but the reduction itself must
+    # also absorb the contractually quadratic pair volume (C(d,2) rows
+    # per duplicated doc into the max aggregate), which is what the
+    # ladder checks.
+    "dedup_token_savings": "dup",
     # embedding-side guards -> the main sf1 (vectors already verbatim)
     "embedding_neardup_lsh": "big",
     "semantic_dedup_clusters": "big",
     "hard_negative_mining_lsh": "big",
+    "dedup_semdedup_prune": "big",
 }
 DUP_DIR = os.environ.get("SPARK_GRAFT_SCALE_OUT_DUP", "/root/repo/.scale/sf1dup")
 

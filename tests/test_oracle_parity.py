@@ -144,6 +144,21 @@ def test_sequence_packing_global_baseline(spark, duck):
     )
 
 
+def test_readme_query_count_matches_registry():
+    """The README's advertised query count must track the registry
+    mechanically — it has drifted twice (175->176 took two manual
+    commits); this greps the exact table line and fails on drift."""
+    import re
+
+    text = open("README.md").read()
+    m = re.search(r"(\d+) queries, each paired with a DuckDB oracle", text)
+    assert m, "README query-count line not found (update the grep with the doc)"
+    assert int(m.group(1)) == len(qlib.all_queries()), (
+        f"README says {m.group(1)} queries; registry has "
+        f"{len(qlib.all_queries())} — update README.md"
+    )
+
+
 def test_driver_priority_names_are_registered():
     """Every DRIVER_PRIORITY entry must resolve to a registered query —
     a typo here silently reorders the driver's 50-slot verification
