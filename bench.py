@@ -80,6 +80,13 @@ HEADLINE = [
     # fertility/ensemble/t-test ride already-benched map+tiny-agg
     # shapes.
     "dedup_weighted_minhash",
+    # r9: per-band LSH attribution — the one new shape this round with
+    # its own join geometry (UNGUARDED banding + pair-keyed min-band
+    # attribution + candidate verify; dedup_minhash_lsh benches only
+    # the guarded path). The other r9 queries ride benched machinery
+    # (simhash histogram = simhash_pairs; CMS sweep = heavy-hitters x3;
+    # sampling/deciles/IDF/residual are map+window+tiny-agg shapes).
+    "dedup_band_marginal_recall",
 ]
 
 
