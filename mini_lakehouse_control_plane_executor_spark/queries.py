@@ -11271,6 +11271,93 @@ def docs_neyman_stratified_sample(spark, sf_dir):
     )
 
 
+_FUZZY_MAX_DIST = 2
+
+_FUZZY_NAME_SQL = f"""
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1
+),
+tri AS (
+  SELECT p_name,
+         unnest(list_distinct(list_transform(range(len(p_name) - 2),
+                                             i -> substr(p_name, i + 1, 3)))) AS g
+  FROM names WHERE len(p_name) >= 3
+),
+cand AS (
+  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+  FROM tri a JOIN tri b ON a.g = b.g AND a.p_name < b.p_name
+)
+SELECT c.name_a, c.name_b,
+       CAST(levenshtein(c.name_a, c.name_b) AS INT) AS dist,
+       na.n_parts AS n_a, nb.n_parts AS n_b
+FROM cand c
+JOIN names na ON c.name_a = na.p_name
+JOIN names nb ON c.name_b = nb.p_name
+WHERE levenshtein(c.name_a, c.name_b) <= {_FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""
+
+
+@query("part_name_fuzzy_matches", oracle=_FUZZY_NAME_SQL)
+def part_name_fuzzy_matches(spark, sf_dir):
+    """Record linkage / fuzzy string matching: part-name pairs within
+    edit distance 2, found by character-TRIGRAM blocking (pairs must
+    share a trigram) and verified with exact Levenshtein — the
+    entity-resolution operator class (Gravano et al. q-gram joins),
+    distinct from the token-set dedup family (Jaccard treats
+    'widgit'/'widget' as unrelated tokens; edit distance catches the
+    typo). Emitted per NAME pair with part multiplicities, never per
+    part pair.
+
+    100 TB shape: names COLLAPSE to distinct values first (the
+    duplicate-skew guard — d parts sharing one name are 1 blocking row,
+    and same-name part pairs are never near-matches, they're exact
+    ones); the blocking join is equi on trigram with volume bounded by
+    trigram bucket sizes (at production scale the df-ascending PPJoin
+    prefix filter of containment_dedup_pairs applies verbatim);
+    Levenshtein runs only on candidates. Blocking recall caveat,
+    stated: a pair of names shorter than ~9 chars at distance 2 can
+    share zero trigrams (the q-gram lemma bound) — the oracle
+    replicates the blocking, and the recall trade-off is the operator's
+    documented contract, not a silent cap."""
+    p = _load(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .persist()
+    )
+    tri = names.filter(F.length("p_name") >= 3).select(
+        "p_name",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("p_name") - 2),
+                    lambda i: F.col("p_name").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("g"),
+    )
+    a = tri.select(F.col("p_name").alias("name_a"), "g")
+    b = tri.select(F.col("p_name").alias("name_b"), "g")
+    cand = (
+        a.join(b, ["g"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    na = names.select(F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_a"))
+    nb = names.select(F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_b"))
+    return (
+        cand.filter(dist <= _FUZZY_MAX_DIST)
+        .join(na, "name_a")
+        .join(nb, "name_b")
+        .select("name_a", "name_b", dist.cast("int").alias("dist"), "n_a", "n_b")
+        .orderBy("name_a", "name_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -11305,6 +11392,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_band_marginal_recall",
     "embedding_ann_ivf_residual",
     "docs_neyman_stratified_sample",
+    "part_name_fuzzy_matches",
     # -- latest verdict r05 (3 rounds stale; lead the window) --
     "hard_negative_mining",
     "hard_negative_mining_lsh",
