@@ -351,6 +351,12 @@ def test_cms_is_two_shuffles_and_broadcast(spark):
     estimate groupBy reuses), the cell table BROADCAST to the estimate
     join, and top-k via TakeOrdered — no second events aggregation, no
     join shuffle."""
+    # Deterministic exchange counts need an empty CacheManager (the
+    # calibration-test rationale): events_count_min_width_sweep
+    # registers a persist of the SAME per-user exact aggregate when the
+    # registry-wide hygiene test plans it, and cache substitution would
+    # collapse this plan's exact-aggregate exchange.
+    spark.catalog.clearCache()
     plan = _plan(spark, "events_heavy_hitters_cms")
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "BroadcastHashJoin" in plan
