@@ -47,9 +47,14 @@ scale:
 
 # Full-registry ladder: every registered query (explicit exclusions for
 # the documented quadratic exact baselines) into SCALE_FULL.md. ~30 min.
+# PASSES=2 (not 1): a single timed pass is exposed to one-off full-GC
+# pauses in the long-lived ladder JVM — observed twice in r9 as a
+# migrating 40-100s outlier (dedup_weighted_minhash 42x in one solo
+# run, dedup_token_savings 18x in the next, both ~1-7x steady-state
+# when measured in isolation). Min-of-2 absorbs a single stall.
 scale-full:
 	python scale_build.py
-	SPARK_GRAFT_SCALE_SET=full SPARK_GRAFT_SCALE_PASSES=1 python scale_ladder.py
+	SPARK_GRAFT_SCALE_SET=full SPARK_GRAFT_SCALE_PASSES=2 python scale_ladder.py
 
 # Duplicate-skew guard ladder: the blocking-family queries on 10x
 # VERBATIM copies (the adversarial input) into SCALE_DUP.md.

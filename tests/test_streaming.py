@@ -1326,3 +1326,36 @@ def test_dedup_gated_ingest_in_batch_gate(spark, lake, tmp_path):
     q2.awaitTermination(240)
     assert lake.table("docs_inbatch").log.latest_version() == v
     assert {r.doc_id for r in lake.table("docs_inbatch").read().collect()} == landed
+
+
+def test_intra_batch_losers_chain_semantics(spark):
+    """The documented contract of intra_batch_neardup_losers on a
+    chain A~B~C (A!~C): the rule drops any doc with a LOWER-id verified
+    neighbor — B (neighbor A) AND C (neighbor B, even though B itself
+    is dropped) — recall-conservative over-deletion, never
+    under-deletion; and the kept set contains no verified near-dup
+    pair. A mutual group keeps exactly its min id."""
+    from mini_lakehouse_control_plane_executor_spark.streaming import neardup as ND
+
+    words = [f"ch{i}qz" for i in range(40)]
+    # 3-gram shingle Jaccard (the verify metric): A~B share 36/40
+    # trigrams (0.90); B~C share 35/41 (0.85); A~C share only 33/43
+    # (0.77 — below the 0.8 threshold): a true chain.
+    doc_a = (1, " ".join(words))
+    doc_b = (2, " ".join(words[:-2] + ["chENDqz", "chTLqz"]))
+    doc_c = (3, " ".join(
+        ["chHDqz", "chH2qz", "chH3qz"] + words[3:-2] + ["chENDqz", "chTLqz"]
+    ))
+    docs = spark.createDataFrame([doc_a, doc_b, doc_c], "doc_id long, text string")
+
+    # sanity: the pair structure is actually a chain at threshold 0.8
+    from mini_lakehouse_control_plane_executor_spark.operators.dedup import jaccard_pairs
+
+    exact = {
+        (r.id1, r.id2)
+        for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert exact == {(1, 2), (2, 3)}, exact
+
+    losers = {r.doc_id for r in ND.intra_batch_neardup_losers(docs).collect()}
+    assert losers == {2, 3}, losers  # min id (1) survives; C dropped via B
