@@ -160,3 +160,81 @@ def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+PCM_MOD = 2001
+PCM_AMP = 1000  # samples in [-1000, 1000] — int16-safe by construction
+
+
+def synth_pcm(doc_id: int, n: int) -> bytes:
+    """Deterministic fake 16-bit little-endian mono PCM for doc
+    ``doc_id``: sample_i = (h * (i+1)) % 2001 - 1000 with h the first
+    8 md5 hex chars of the id — integer arithmetic reproducible
+    bit-for-bit in a SQL oracle, which is what lets the audio pipeline
+    below be VALUE-checked rather than rows-only. In a real deployment
+    this synthesizer is replaced by the stored audio bytes; everything
+    downstream (decode, framing, RMS) is unchanged."""
+    import numpy as np
+
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    v = (h * i) % PCM_MOD - PCM_AMP
+    return v.astype("<i2").tobytes()
+
+
+def audio_frame_rms(
+    docs_df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    frame: int = 1024,
+    max_samples: int = 4096,
+) -> DataFrame:
+    """Audio frame-RMS extraction: per doc, synthesize (or in a real
+    deployment, read) a 16-bit PCM binary column, DECODE it
+    (np.frombuffer — the real int16 wire-format decode), window into
+    ``frame``-sample frames, and emit per-doc frame stats with the
+    peak frame RMS in integer micro-units — the loudness-profile /
+    silence-detection primitive of an audio-curation pipeline.
+
+    Determinism contract: the sum of squares per frame is an EXACT
+    int64 (samples are small ints), so rms = floor(sqrt(ssq/n)*1e6) is
+    identical in numpy and in a SQL engine (same int->double
+    conversion, same IEEE sqrt; floor, not round — round's half-case
+    differs between numpy's half-even and SQL's half-away).
+
+    100 TB shape: one Arrow-batched ``mapInPandas`` narrow map (bytes
+    never leave the executor, no shuffle before the final top-k); the
+    per-doc sample count is capped by contract."""
+    import numpy as np
+
+    base = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.least(F.col(len_col), F.lit(max_samples)).cast("int").alias("n"),
+    ).filter(F.col("n") > 0)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("peak_rms_micro", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "n_frames": [], "peak_rms_micro": []}
+            for doc_id, n in zip(pdf["doc_id"], pdf["n"]):
+                blob = synth_pcm(int(doc_id), int(n))  # the binary audio column
+                dec = np.frombuffer(blob, dtype="<i2").astype(np.int64)
+                starts = np.arange(0, len(dec), frame)
+                ssq = np.add.reduceat(dec * dec, starts)
+                cnt = (np.minimum(starts + frame, len(dec)) - starts).astype(np.float64)
+                rms = np.floor(np.sqrt(ssq / cnt) * 1e6).astype(np.int64)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(len(dec))
+                out["n_frames"].append(len(starts))
+                out["peak_rms_micro"].append(int(rms.max()))
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(run, schema=schema)
