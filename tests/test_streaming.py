@@ -1359,3 +1359,41 @@ def test_intra_batch_losers_chain_semantics(spark):
 
     losers = {r.doc_id for r in ND.intra_batch_neardup_losers(docs).collect()}
     assert losers == {2, 3}, losers  # min id (1) survives; C dropped via B
+
+
+def test_audio_frame_rms_stream_equals_batch(spark, tmp_path):
+    """The multimodal audio pipeline is a stateless Arrow map, so it
+    runs unchanged on a streaming DataFrame — the first multimodal
+    member of the stream≡batch matrix: per-doc frame stats from the
+    file-source stream must equal the batch run on the same rows."""
+    from mini_lakehouse_control_plane_executor_spark.operators import multimodal as MM
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .limit(200)
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(2).write.parquet(src)
+    schema = "doc_id long, n_chars long"
+
+    stream = MM.audio_frame_rms(spark.readStream.schema(schema).parquet(src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_audio_rms")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = sorted(
+        spark.table("t_audio_rms").collect(), key=lambda r: r.doc_id
+    )
+    want = sorted(
+        MM.audio_frame_rms(spark.read.schema(schema).parquet(src)).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert got == want
+    assert len(want) > 0
