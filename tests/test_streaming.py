@@ -1397,3 +1397,66 @@ def test_audio_frame_rms_stream_equals_batch(spark, tmp_path):
     )
     assert got == want
     assert len(want) > 0
+
+
+def test_dedup_gated_ingest_periodic_index_rebuild(spark, lake, tmp_path):
+    """index_rebuild_every=1 swaps the in-memory augmented chain for a
+    reliable index rebuilt from the committed table after every batch —
+    the long-running-stream durability option. Gating semantics must be
+    unchanged: a batch-2 near-dup of the batch-1 survivor is dropped
+    (the rebuilt index carries the survivor), a novel batch-2 doc
+    lands."""
+    import os
+
+    from mini_lakehouse_control_plane_executor_spark.streaming import ingest as ING
+    from mini_lakehouse_control_plane_executor_spark.streaming import neardup as ND
+    from mini_lakehouse_control_plane_executor_spark.table.schema import Field as Fld
+
+    corpus = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 < 8)
+    )
+    index = ND.corpus_band_index(corpus)
+
+    words = [f"rb{i}vu" for i in range(40)]
+    doc_a = (9201, " ".join(words))                               # batch 1
+    doc_a2 = (9202, " ".join(words[:-1] + ["rbENDvu"]))           # ~0.88 vs A
+    doc_c = (9203, " ".join(f"iq{i}om" for i in range(40)))       # novel
+    schema = "doc_id long, text string"
+
+    arriving = tmp_path / "arriving"
+    arriving.mkdir()
+
+    def _drop_file(rows, fname, mtime):
+        stage = str(tmp_path / f"stage_{fname}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = str(arriving / f"{fname}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = 1_700_000_000
+    _drop_file([doc_a], "b1", now)
+    _drop_file([doc_a2, doc_c], "b2", now + 100)
+
+    lake.create_table(
+        "docs_rebuild", [Fld("doc_id", "int64", False), Fld("text", "string", True)]
+    )
+    q = ING.dedup_gated_ingest(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(arriving)),
+        lake,
+        "docs_rebuild",
+        index,
+        str(tmp_path / "ckpt"),
+        augment_index=True,
+        index_rebuild_every=1,
+    )
+    q.awaitTermination(240)
+
+    landed = {r.doc_id for r in lake.table("docs_rebuild").read().collect()}
+    assert doc_a[0] in landed      # batch-1 survivor committed
+    assert doc_a2[0] not in landed # gated by the REBUILT index
+    assert doc_c[0] in landed      # novel control still lands
