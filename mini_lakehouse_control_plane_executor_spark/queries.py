@@ -11423,74 +11423,16 @@ def multimodal_audio_frame_rms(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # round 9 rotation (the r8 verdict's tasks 1+3): the list is ordered
-    # by verdict staleness so the 50-query prefix window is always the
-    # right window and the post-window tail self-documents the NEXT
-    # round's rotation.
-    #   slot 1:     events_value_quantile_sketch — the registry's only
-    #               driver-red row (r08 hash-only; oracle typing bug,
-    #               CAST(max(n) AS BIGINT) fixed) — re-attest FIRST
-    #   next:       new r9 additions (never driver-verified; inserted
-    #               inside the window so they get a verdict this round)
-    #   then:       the 26 queries whose latest verdict is r05 (3 rounds
-    #               stale — the r8 verdict's task-3 list, verbatim)
-    #   then:       the 50 r06-verdict queries — the first ~fill the rest
-    #               of the window; the remainder lead the r10 rotation
-    #   tail:       r07/r08-verified queries follow via definition order
-    # -- slot 1: driver-red re-attestation --
-    "events_value_quantile_sketch",
-    # -- new in r9 (never driver-verified; locally oracle-green) --
-    "events_count_min_width_sweep",
-    "events_reservoir_sample_stats",
-    "docs_simhash_hamming_histogram",
-    "orders_decile_value_concentration",
-    "docs_idf_rarity_quality",
-    "dedup_band_marginal_recall",
-    "embedding_ann_ivf_residual",
-    "docs_neyman_stratified_sample",
-    "part_name_fuzzy_matches",
-    "multimodal_audio_frame_rms",
-    # -- latest verdict r05 (3 rounds stale; lead the window) --
-    "hard_negative_mining",
-    "hard_negative_mining_lsh",
-    "minhash_estimate_error",
-    "multimodal_features",
-    "ngram_novelty_rate",
-    "oov_rate_by_source",
-    "project_columns",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_flag",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "salted_agg_skew",
-    "scan_full",
-    "semantic_dedup_clusters",
-    "sequence_packing_sharded",
-    "supplier_percent_rank",
-    "temperature_mix_weights",
-    "text_bpe_rolling",
-    "token_budget_mix",
-    "unigram_lm_surprisal",
-    "vocab_growth_heaps",
-    "zipf_slope_by_lang",
-    # -- latest verdict r06 (r9/r10 re-attestation cadence) --
-    "ann_cosine_matmul",
-    "ann_cosine_pq_opq",
-    "balanced_sample_per_source",
-    "bigram_cond_entropy",
-    "bigram_lm_surprisal",
-    "bloom_decontaminate",
-    "bm25_topk",
-    "ccnet_perplexity_buckets",
-    "chunk_dedup_rate",
-    "corpus_filter_shard_pipeline",
-    "dedup_aware_split",
-    "dedup_duplicate_clusters",
-    "dedup_survivor_quality",
+    # round 10 rotation (the r9 verdict's task 1): lead with the 37
+    # queries whose latest verdict is r06 (3 rounds stale), then the two
+    # queries whose PLAN changed in r9 (map-side weighted-MinHash
+    # signatures) but which were not in the r9 window — their r08
+    # verdicts attest the OLD plan. The remaining slots go to r10's new
+    # queries (inserted above the r07 fill as they land) so every new
+    # operator gets a driver verdict in its landing round; any leftover
+    # slots re-attest the oldest r07 names. Tail follows in definition
+    # order (all locally oracle-checked every CI run).
+    # -- latest verdict r06 (3 rounds stale; lead the window) --
     "doc_dedup_suffix_ngram",
     "dsir_importance_weights",
     "dup_span_fraction",
@@ -11528,4 +11470,21 @@ DRIVER_PRIORITY: list[str] = [
     "tfidf_top_terms",
     "token_length_calibration",
     "weighted_sample_aes",
+    # -- plan changed in r9 (r08 verdicts attest the pre-rewrite plan) --
+    "dedup_weighted_minhash",
+    "dedup_weighted_jaccard_exact",
+    # -- new in r10 (never driver-verified; locally oracle-green) --
+    # (inserted here as they land)
+    # -- r07 fill (oldest remaining verdicts; displaced by r10 queries) --
+    "filter_comparison",
+    "agg_groupby",
+    "agg_global",
+    "filter_agg_fused",
+    "topk_orders",
+    "q1_pricing_summary",
+    "join_broadcast_dim",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "semi_join_exists",
+    "anti_join_not_exists",
 ]
