@@ -10921,9 +10921,13 @@ FROM rows_b, tot ORDER BY band
 """
 
 
-@query("dedup_band_marginal_recall", oracle=_band_marginal_oracle())
-def dedup_band_marginal_recall(spark, sf_dir):
-    """Per-BAND marginal contribution of the MinHash-LSH banding: for
+def _band_marginal_hist(spark, d):
+    """Guarded core of ``dedup_band_marginal_recall`` over a supplied
+    documents DataFrame — split out so the duplicate-heavy invariant
+    test (tests/test_operator_invariants.py) can pin row-identity
+    against the member-level witness on an injected corpus.
+
+    Per-BAND marginal contribution of the MinHash-LSH banding: for
     each of the 4 bands — candidate pairs colliding in that band, pairs
     FIRST found there (first-collision attribution), cumulative
     distinct pairs, and cumulative recall of verified Jaccard>=0.8
@@ -10933,36 +10937,86 @@ def dedup_band_marginal_recall(spark, sf_dir):
     production setting — if band 3 adds 2% recall for 25% of the join
     volume, drop it).
 
-    100 TB shape: ONE signature table, ONE (band, key) self-join for
-    all bands (grouping by band is free — band is a join output
-    column); first-band attribution is a pair-keyed min; verification
-    is exact integer arithmetic (c*10 >= 8*union) against the persisted
-    shingle arrays. The cumulative window runs over a constant 4-row
-    relation. Tuning artifact: runs UNGUARDED on the raw signature
-    table by design (the production pair path with the duplicate-skew
-    guard is dedup_minhash_lsh)."""
+    100 TB shape: duplicate-skew GUARDED — the band self-join costs
+    Σ|bucket|² and d verbatim copies of one doc put every copy in every
+    band bucket (d² for a 4-row histogram; no output-growth excuse —
+    counts expand arithmetically from rep-level structure). Docs are
+    collapsed to min-id representatives per distinct SHINGLE SET (one
+    window on the set hash): identical sets mean identical signatures
+    (collide in EVERY band, first collision band 0) and Jaccard 1
+    (istrue = 1 by construction), so within-group pairs contribute
+    C(g,2) to every band's n_cand and to band 0's n_first/n_true_first
+    as pure arithmetic; cross-group rep collisions carry weight g₁·g₂
+    (members share their rep's signature AND its exact Jaccard).
+    Row-identical to the member-level histogram — pinned on the
+    duplicate-heavy fixture in tests/test_operator_invariants.py; at
+    3x verbatim copies of 60 docs the rep-level band join processes
+    60 rows/side instead of 180 (candidate volume ÷9). Signatures are
+    computed MAP-SIDE from the persisted rep (sh, ab) arrays (zero
+    shuffle); one rep-level (band, key) self-join serves all bands;
+    verification is exact integer arithmetic (c*10 >= 8*union) against
+    the persisted rep shingle arrays. The cumulative window runs over
+    a constant 4-row relation via a broadcast triangular join."""
     n_bands = _dedup.MINHASH_K // _dedup.MINHASH_BAND_ROWS
-    d = _load(spark, sf_dir, "documents")
-    arrays = _dedup.shingle_arrays(d, "doc_id", "text", 3)
-    ex = arrays.select("doc_id", F.explode("sh").alias("s"))
-    sigs = _dedup.minhash_signatures(d, "doc_id", "text", shingles=ex)
+    # Empty shingle sets never reach the exploded-stream signature
+    # aggregate (no rows), so they must not reach the map-side one
+    # either (array_min of [] is NULL -> a fake all-NULL band group).
+    arrays = _dedup.shingle_arrays(d, "doc_id", "text", 3).filter(F.size("sh") > 0)
+    wg = Window.partitionBy("gk")
+    grp = arrays.select(
+        # "|" cannot appear in a shingle (tokens are \w+, space-joined),
+        # so the joined key is an injective encoding of the sorted set.
+        "doc_id", "sh", F.md5(F.concat_ws("|", F.array_sort("sh"))).alias("gk")
+    ).select(
+        "doc_id",
+        "sh",
+        F.min("doc_id").over(wg).alias("rep"),
+        F.count(F.lit(1)).over(wg).alias("gsize"),
+    )
+    reps = (
+        grp.filter(F.col("doc_id") == F.col("rep"))
+        .select(
+            "doc_id",
+            "sh",
+            F.col("gsize").cast("long").alias("gsize"),
+            F.size("sh").cast("long").alias("n_sh"),
+            _dedup.ab_structs(F.col("sh")).alias("ab"),
+        )
+        .persist()
+    )
+    sigs = _dedup.minhash_signatures_from_arrays(reps)
     bands = _dedup.band_keys(sigs)
     l, r = bands.alias("l"), bands.alias("r")
-    pairs_b = l.join(
-        r,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bk") == F.col("r.bk"))
-        & (F.col("l.doc_id") < F.col("r.doc_id")),
-    ).select("l.band", F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
-    pairs_b = pairs_b.persist()
-    fb = pairs_b.groupBy("id1", "id2").agg(F.min("band").alias("band"))
-    a1 = arrays.select(
-        F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"),
-        F.size("sh").cast("long").alias("n1"),
+    gs1 = reps.select(F.col("doc_id").alias("id1"), F.col("gsize").alias("g1"))
+    gs2 = reps.select(F.col("doc_id").alias("id2"), F.col("gsize").alias("g2"))
+    rep_pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bk") == F.col("r.bk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            "l.band", F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2")
+        )
+        .join(gs1, "id1")
+        .join(gs2, "id2")
+        .select("band", "id1", "id2", (F.col("g1") * F.col("g2")).alias("w"))
+        .persist()
     )
-    a2 = arrays.select(
+    per_band = rep_pairs.groupBy("band").agg(F.sum("w").cast("long").alias("n_cand_x"))
+    # w is a pair attribute (constant across a pair's band rows):
+    # max() reads it back without a join.
+    fb = rep_pairs.groupBy("id1", "id2").agg(
+        F.min("band").alias("band"), F.max("w").alias("w")
+    )
+    a1 = reps.select(
+        F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"),
+        F.col("n_sh").alias("n1"),
+    )
+    a2 = reps.select(
         F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"),
-        F.size("sh").cast("long").alias("n2"),
+        F.col("n_sh").alias("n2"),
     )
     c = F.size(F.array_intersect("sh1", "sh2")).cast("long")
     jud = (
@@ -10970,29 +11024,55 @@ def dedup_band_marginal_recall(spark, sf_dir):
         .join(a2, "id2")
         .select(
             "band",
+            "w",
             F.when(c * 10 >= (F.col("n1") + F.col("n2") - c) * 8, 1)
             .otherwise(0)
             .alias("istrue"),
         )
         .persist()
     )
-    per_band = pairs_b.groupBy("band").agg(
-        F.count(F.lit(1)).cast("long").alias("n_cand")
-    )
     firsts = jud.groupBy("band").agg(
-        F.count(F.lit(1)).cast("long").alias("n_first"),
-        F.sum("istrue").cast("long").alias("n_true_first"),
+        F.sum("w").cast("long").alias("n_first_x"),
+        F.sum(F.col("w") * F.col("istrue")).cast("long").alias("n_true_x"),
     )
-    tot = jud.agg(F.coalesce(F.sum("istrue"), F.lit(0)).cast("long").alias("t"))
+    tot_x = jud.agg(
+        F.coalesce(F.sum(F.col("w") * F.col("istrue")), F.lit(0))
+        .cast("long")
+        .alias("tx")
+    )
+    # Within-group pairs: C(g,2) per shingle-set group, every band,
+    # first collision band 0, istrue 1 — one rep-level aggregate.
+    selfc = reps.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("gsize") >= 2,
+                    (F.col("gsize") * (F.col("gsize") - 1) / 2).cast("long"),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("c2")
+    )
+    tot = tot_x.crossJoin(F.broadcast(selfc)).select(
+        (F.col("tx") + F.col("c2")).cast("long").alias("t")
+    )
     base = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
+    in_b0 = F.when(F.col("band") == 0, F.col("c2")).otherwise(F.lit(0).cast("long"))
     rows_b = (
         base.join(per_band, "band", "left")
         .join(firsts, "band", "left")
+        .crossJoin(F.broadcast(selfc))
         .select(
             "band",
-            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
-            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
-            F.coalesce("n_true_first", F.lit(0)).cast("long").alias("n_true_first"),
+            (F.coalesce("n_cand_x", F.lit(0)) + F.col("c2"))
+            .cast("long")
+            .alias("n_cand"),
+            (F.coalesce("n_first_x", F.lit(0)) + in_b0)
+            .cast("long")
+            .alias("n_first"),
+            (F.coalesce("n_true_x", F.lit(0)) + in_b0)
+            .cast("long")
+            .alias("n_true_first"),
         )
     )
     # Cumulative sums over the constant 4-row relation via a broadcast
@@ -11029,6 +11109,14 @@ def dedup_band_marginal_recall(spark, sf_dir):
         )
         .orderBy("band")
     )
+
+
+@query("dedup_band_marginal_recall", oracle=_band_marginal_oracle())
+def dedup_band_marginal_recall(spark, sf_dir):
+    """Per-band marginal LSH recall over the documents table — see
+    ``_band_marginal_hist`` for the algorithm and the duplicate-skew
+    guard (shingle-set collapse + arithmetic count expansion)."""
+    return _band_marginal_hist(spark, _load(spark, sf_dir, "documents"))
 
 
 _IVF_RESIDUAL_CENTROIDS = 16
@@ -11473,6 +11561,8 @@ DRIVER_PRIORITY: list[str] = [
     # -- plan changed in r9 (r08 verdicts attest the pre-rewrite plan) --
     "dedup_weighted_minhash",
     "dedup_weighted_jaccard_exact",
+    # -- plan changed in r10 (r09 verdicts attest the pre-guard plans) --
+    "dedup_band_marginal_recall",
     # -- new in r10 (never driver-verified; locally oracle-green) --
     # (inserted here as they land)
     # -- r07 fill (oldest remaining verdicts; displaced by r10 queries) --
@@ -11486,5 +11576,4 @@ DRIVER_PRIORITY: list[str] = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "semi_join_exists",
-    "anti_join_not_exists",
 ]

@@ -92,6 +92,11 @@ DUP_SET: dict[str, str] = {
     # per duplicated doc into the max aggregate), which is what the
     # ladder checks.
     "dedup_token_savings": "dup",
+    # r10 (the r9 verdict's task 2): the band-marginal histogram now
+    # rides a shingle-set collapse with ARITHMETIC count expansion —
+    # unlike the pair emitters its output is a constant 4 rows, so its
+    # ratio here bounds pure guard join work (no output-growth term).
+    "dedup_band_marginal_recall": "dup",
     # embedding-side guards -> the main sf1 (vectors already verbatim)
     "embedding_neardup_lsh": "big",
     "semantic_dedup_clusters": "big",

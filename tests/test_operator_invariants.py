@@ -1143,3 +1143,92 @@ def test_threshold_sweeps_survive_dedup_clean_corpus(spark, tmp_path):
     sd = reg["dedup_semdedup_prune"](spark, str(tmp_path)).collect()
     assert len(sd) == 3
     assert all(r.n_pruned == 0 and r.n_kept == 3 and r.pruned_bp == 0 for r in sd)
+
+
+def test_band_marginal_recall_collapse_is_exact(spark):
+    """The band-marginal histogram's duplicate-skew guard (shingle-set
+    collapse + arithmetic C(g,2)/g1*g2 count expansion) must be
+    invisible in the answer: on a corpus where every document has
+    verbatim copies, the guarded histogram equals the member-level
+    witness — raw per-doc band self-join, pair-keyed min-band
+    attribution, exact Jaccard verification — row for row."""
+    from mini_lakehouse_control_plane_executor_spark.operators import dedup as D
+
+    base = (
+        qlib._load(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    dup = base
+    for i in (1, 2):
+        dup = dup.unionByName(
+            base.select(
+                (F.col("doc_id") + F.lit(i * 10000)).cast("long").alias("doc_id"),
+                "text",
+            )
+        )
+    got = [tuple(r) for r in qlib._band_marginal_hist(spark, dup).collect()]
+
+    # Member-level witness: the pre-guard algorithm, no shared code
+    # through the collapse (every doc's signature rows join directly).
+    n_bands = D.MINHASH_K // D.MINHASH_BAND_ROWS
+    arrays = D.shingle_arrays(dup, "doc_id", "text", 3).filter(F.size("sh") > 0)
+    ex = arrays.select("doc_id", F.explode("sh").alias("s"))
+    sigs = D.minhash_signatures(dup, "doc_id", "text", shingles=ex)
+    bands = D.band_keys(sigs)
+    pairs_b = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bk") == F.col("r.bk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            "l.band", F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2")
+        )
+        .persist()
+    )
+    fb = pairs_b.groupBy("id1", "id2").agg(F.min("band").alias("band"))
+    a1 = arrays.select(
+        F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"),
+        F.size("sh").cast("long").alias("n1"),
+    )
+    a2 = arrays.select(
+        F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"),
+        F.size("sh").cast("long").alias("n2"),
+    )
+    c = F.size(F.array_intersect("sh1", "sh2")).cast("long")
+    jud = (
+        fb.join(a1, "id1")
+        .join(a2, "id2")
+        .select(
+            "band",
+            F.when(c * 10 >= (F.col("n1") + F.col("n2") - c) * 8, 1)
+            .otherwise(0)
+            .alias("istrue"),
+        )
+        .collect()
+    )
+    cand = {
+        r["band"]: r["n"]
+        for r in pairs_b.groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    n_first = {b: 0 for b in range(n_bands)}
+    n_true = {b: 0 for b in range(n_bands)}
+    for r in jud:
+        n_first[r["band"]] += 1
+        n_true[r["band"]] += r["istrue"]
+    tot = sum(n_true.values())
+    want, cp, ct = [], 0, 0
+    for b in range(n_bands):
+        cp += n_first[b]
+        ct += n_true[b]
+        rb = 0 if tot == 0 else int(round(10000.0 * ct / tot))
+        want.append((b, cand.get(b, 0), n_first[b], cp, ct, rb))
+    assert got == want
+    # the fixture's duplicate groups alone contribute 60*C(3,2)=180
+    # first-collision pairs at band 0, all verified true
+    assert want[0][2] >= 180 and want[0][4] >= 180
