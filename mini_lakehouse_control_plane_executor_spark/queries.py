@@ -1321,35 +1321,53 @@ def minhash_estimate_error(spark, sf_dir):
     )
 
 
-def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
-    terms = "\n      + ".join(
-        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> ((h >> {j}) & 1))) > len(hs)"
+def _sql_simhash_sigs(half_bits: int = 32) -> str:
+    """Shared oracle CTE text: per-doc 64-bit SimHash fingerprints as
+    two non-negative 32-bit halves (siga, sigb) from the two 60-bit
+    halves of ONE md5 per shingle — mirrors dedup.simhash_pairs."""
+    terms_a = "\n      + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hsa, h -> ((h >> {j}) & 1))) > len(hsa)"
         f" THEN ({1 << j}::BIGINT) ELSE 0 END)"
-        for j in range(bits)
+        for j in range(half_bits)
     )
-    return f"""
-WITH {_sql_shingles(3)},
-hashes AS (
+    terms_b = "\n      + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hsb, h -> ((h >> {j}) & 1))) > len(hsb)"
+        f" THEN ({1 << j}::BIGINT) ELSE 0 END)"
+        for j in range(half_bits)
+    )
+    return f"""hashes AS (
   SELECT doc_id,
-         list_transform(sh, s -> ('0x'||substr(md5(s), 1, 15))::BIGINT) AS hs
+         list_transform(sh, s -> ('0x'||substr(md5(s), 1, 15))::BIGINT) AS hsa,
+         list_transform(sh, s -> ('0x'||substr(md5(s), 16, 15))::BIGINT) AS hsb
   FROM shingles
 ),
 sigs AS (
-  SELECT doc_id, {terms} AS sig FROM hashes
-)
+  SELECT doc_id, {terms_a} AS siga, {terms_b} AS sigb FROM hashes
+)"""
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    return f"""
+WITH {_sql_shingles(3)},
+{_sql_simhash_sigs()}
 SELECT a.doc_id AS id1, b.doc_id AS id2,
-       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       CAST(bit_count(xor(a.siga, b.siga))
+            + bit_count(xor(a.sigb, b.sigb)) AS INT) AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+WHERE bit_count(xor(a.siga, b.siga)) + bit_count(xor(a.sigb, b.sigb))
+      <= {max_hamming}
 ORDER BY id1, id2
 """
 
 
 @query("dedup_simhash_pairs", oracle=_simhash_oracle())
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash(32-bit over word-3-gram shingles) near-dup pairs with
-    hamming ≤ 3, found via 4-band pigeonhole blocking (exact for ≤3) —
-    linear shuffle instead of a cross join."""
+    """SimHash(64-bit over word-3-gram shingles, stored as two 32-bit
+    halves) near-dup pairs with hamming ≤ 3, found via 4x16-bit-chunk
+    pigeonhole blocking (exact for ≤3) — linear shuffle instead of a
+    cross join, with ~4·2⁻¹⁶ random-pair chunk-collision probability
+    (the Manku et al. geometry; 256x less candidate volume than 8-bit
+    chunks on non-duplicate corpora)."""
     d = _load(spark, sf_dir, "documents")
     return _dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3).orderBy(
         "id1", "id2"
@@ -10617,29 +10635,19 @@ def events_reservoir_sample_stats(spark, sf_dir):
     )
 
 
-def _simhash_hamming_hist_oracle(bits: int = 32, bands: int = 4) -> str:
-    band_bits = bits // bands
+def _simhash_hamming_hist_oracle(bands: int = 4, band_bits: int = 16) -> str:
     mask = (1 << band_bits) - 1
-    terms = "\n      + ".join(
-        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> ((h >> {j}) & 1))) > len(hs)"
-        f" THEN ({1 << j}::BIGINT) ELSE 0 END)"
-        for j in range(bits)
-    )
+    chunks_per_half = 32 // band_bits
     share = " OR ".join(
-        f"((a.sig >> {b * band_bits}) & {mask}) = ((b.sig >> {b * band_bits}) & {mask})"
-        for b in range(bands)
+        f"((a.{h} >> {b * band_bits}) & {mask}) = ((b.{h} >> {b * band_bits}) & {mask})"
+        for h in ("siga", "sigb")
+        for b in range(chunks_per_half)
     )
     return f"""
 WITH {_sql_shingles(3)},
-hashes AS (
-  SELECT doc_id,
-         list_transform(sh, s -> ('0x'||substr(md5(s), 1, 15))::BIGINT) AS hs
-  FROM shingles
-),
-sigs AS (
-  SELECT doc_id, {terms} AS sig FROM hashes
-)
-SELECT CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming,
+{_sql_simhash_sigs()}
+SELECT CAST(bit_count(xor(a.siga, b.siga))
+            + bit_count(xor(a.sigb, b.sigb)) AS INT) AS hamming,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE {share}
@@ -10656,12 +10664,12 @@ def docs_simhash_hamming_histogram(spark, sf_dir):
     mode, before anyone commits a dedup threshold.
 
     100 TB shape: exactly the benched simhash_pairs machinery
-    (signature collapse guard, 4x8-bit pigeonhole chunk join) with the
-    hamming filter lifted to 'any shared chunk' — still a bounded
+    (signature collapse guard, 4x16-bit pigeonhole chunk join) with
+    the hamming filter lifted to 'any shared chunk' — still a bounded
     banded join, never all-pairs; the histogram is a |distances|-row
     aggregate over the pair stream."""
     d = _load(spark, sf_dir, "documents")
-    pairs = _dedup.simhash_pairs(d, "doc_id", "text", max_hamming=32)
+    pairs = _dedup.simhash_pairs(d, "doc_id", "text", max_hamming=64)
     return (
         pairs.groupBy("hamming")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
@@ -11602,6 +11610,8 @@ DRIVER_PRIORITY: list[str] = [
     # -- plan changed in r10 (r09 verdicts attest the pre-guard plans) --
     "dedup_band_marginal_recall",
     "part_name_fuzzy_matches",
+    "dedup_simhash_pairs",
+    "docs_simhash_hamming_histogram",
     # -- new in r10 (never driver-verified; locally oracle-green) --
     # (inserted here as they land)
     # -- r07 fill (oldest remaining verdicts; displaced by r10 queries) --
@@ -11612,6 +11622,4 @@ DRIVER_PRIORITY: list[str] = [
     "topk_orders",
     "q1_pricing_summary",
     "join_broadcast_dim",
-    "q3_shipping_priority",
-    "q5_local_supplier",
 ]

@@ -679,23 +679,37 @@ def test_simhash_pairs_signature_collapse_is_exact(spark):
         (r["id1"], r["id2"], r["hamming"])
         for r in D.simhash_pairs(dup, "doc_id", "text").collect()
     }
-    # Member-level witness: chunk join over EVERY doc's signature.
+    # Member-level witness: chunk join over EVERY doc's fingerprint
+    # (two 32-bit halves, 4x16-bit chunks).
     bits, bands, max_hamming = D.SIMHASH_BITS, D.SIMHASH_BANDS, 3
+    half_bits = bits // 2
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
+    chunks_per_half = half_bits // band_bits
     sigs = (
         dup.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
         .select("doc_id", D.shingles_from_tokens(F.col("toks"), 3).alias("shl"))
-        .select("doc_id", F.transform(F.col("shl"), D._feature_hash60).alias("hs"))
-        .select("doc_id", D.simhash_from_hashes(F.col("hs"), bits).alias("sh"))
+        .select(
+            "doc_id",
+            F.transform(F.col("shl"), D._feature_hash60).alias("hsa"),
+            F.transform(F.col("shl"), D._feature_hash60b).alias("hsb"),
+        )
+        .select(
+            "doc_id",
+            D.simhash_from_hashes(F.col("hsa"), half_bits).alias("sha"),
+            D.simhash_from_hashes(F.col("hsb"), half_bits).alias("shb"),
+        )
     )
     chunk_arr = F.array(
         *[
-            F.shiftright(F.col("sh"), b * band_bits).bitwiseAND(F.lit(mask))
-            for b in range(bands)
+            F.shiftright(F.col(h), b * band_bits).bitwiseAND(F.lit(mask))
+            for h in ("sha", "shb")
+            for b in range(chunks_per_half)
         ]
     )
-    chunks = sigs.select("doc_id", "sh", F.posexplode(chunk_arr).alias("band", "ck"))
+    chunks = sigs.select(
+        "doc_id", "sha", "shb", F.posexplode(chunk_arr).alias("band", "ck")
+    )
     cands = (
         chunks.alias("l")
         .join(
@@ -707,12 +721,16 @@ def test_simhash_pairs_signature_collapse_is_exact(spark):
         .select(
             F.col("l.doc_id").alias("id1"),
             F.col("r.doc_id").alias("id2"),
-            F.col("l.sh").alias("sh1"),
-            F.col("r.sh").alias("sh2"),
+            F.col("l.sha").alias("sha1"),
+            F.col("l.shb").alias("shb1"),
+            F.col("r.sha").alias("sha2"),
+            F.col("r.shb").alias("shb2"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    hamming = F.bit_count(F.col("sha1").bitwiseXOR(F.col("sha2"))) + F.bit_count(
+        F.col("shb1").bitwiseXOR(F.col("shb2"))
+    )
     want = {
         (r["id1"], r["id2"], r["hamming"])
         for r in cands.select(
