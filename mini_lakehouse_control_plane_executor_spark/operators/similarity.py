@@ -1235,13 +1235,19 @@ def embedding_covariance(
     parquet footer for free) gates the n·d² pair fanout: dims above
     ``COVARIANCE_MAX_DIM`` raise ValueError pointing at the block
     outer-product shape instead of silently running a quadratic-width
-    plan against real embedding widths. When ``dim`` is omitted it is
-    probed with a one-row LIMIT-1 job so the guard ALWAYS applies —
+    plan against real embedding widths. When ``dim`` is omitted, the
+    guard probes ``max(size(vec))`` — an EAGER one-aggregate Spark job
+    at call time (the one deliberate break from this module's
+    lazy-construction contract: the guard must see the WIDEST row, a
+    LIMIT-1 sample would let ragged widths smuggle a 4096-dim row past
+    it), so call with an explicit ``dim`` where an extra job matters —
     an opt-in guard that only fires for callers who already thought
     about dim protects nobody."""
     if dim is None:
-        probe = df.select(F.size(_as_double(F.col(vec_col))).alias("d")).limit(1).collect()
-        dim = probe[0]["d"] if probe else None
+        probe = df.agg(
+            F.max(F.size(_as_double(F.col(vec_col)))).alias("d")
+        ).collect()
+        dim = probe[0]["d"]
     if dim is not None and dim > COVARIANCE_MAX_DIM:
         raise ValueError(
             f"embedding_covariance: dim {dim} exceeds COVARIANCE_MAX_DIM "

@@ -137,6 +137,7 @@ def dedup_gated_ingest(
     augment_index: bool = False,
     index_compact_every: int = 8,
     index_rebuild_every: int | None = None,
+    corpus_in_table: bool = False,
 ) -> StreamingQuery:
     """Dedup-gated exactly-once ingest — the production "append only
     novel documents" pipeline in one operator: every micro-batch of
@@ -182,10 +183,18 @@ def dedup_gated_ingest(
     the superseded DataFrame references, a slow accumulation on very
     long continuous (non-availableNow) streams. For those, set
     ``index_rebuild_every=N`` to periodically swap the in-memory chain
-    for a fresh reliable index derived from the committed table itself
-    (requires the original corpus to BE in the table — the intended
-    deployment, where the table starts as the corpus); availableNow
-    drains don't need it.
+    for a fresh reliable index derived from the committed table
+    itself; availableNow drains don't need it. Unless
+    ``corpus_in_table=True`` (the table-starts-as-the-corpus
+    deployment, where the committed table already contains every
+    corpus doc), the rebuild UNIONS the caller's original
+    ``corpus_index`` back in, so external-corpus gating survives the
+    swap — duplicate index rows for docs present in both are harmless
+    (duplicate candidates collapse in the flagged-id ``distinct``).
+    Each rebuild materializes the fresh index, then unpersists the
+    index cached by the PREVIOUS rebuild (never the caller-owned
+    ``corpus_index``) — without that, a continuous stream would pin
+    one full-corpus cache per rebuild in the CacheManager forever.
 
     With ``augment_index=False`` the index is pinned for the query's
     lifetime: near-dup NOVEL docs arriving in different micro-batches
@@ -205,50 +214,76 @@ def dedup_gated_ingest(
     )
 
     name = query_name or f"dedup-ingest-{table_name}"
-    state = {"idx": corpus_index, "batches": 0}
+    state = {"idx": corpus_index, "batches": 0, "rebuilt": None}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         # ONE banding pass (tokenize+shingle+md5 — the expensive part)
         # shared by the corpus probe, the in-batch self-join (both
-        # sides), and the augment increment; released before return.
+        # sides), and the augment increment; released before return
+        # (try/finally: a failed commit must not leak the caches into
+        # a restart-and-retry loop).
         banded = banded_rows(batch_df.select("doc_id", "text")).persist()
-        corpus_hit = (
-            incremental_neardup_stream(
-                batch_df, state["idx"], threshold=threshold, probe_banded=banded
+        keep = None
+        try:
+            corpus_hit = (
+                incremental_neardup_stream(
+                    batch_df, state["idx"], threshold=threshold, probe_banded=banded
+                )
+                .select(F.col("new_id").alias("doc_id"))
             )
-            .select(F.col("new_id").alias("doc_id"))
-        )
-        intra_hit = intra_batch_neardup_losers(banded=banded, threshold=threshold)
-        flagged = corpus_hit.unionByName(intra_hit).distinct()
-        keep = batch_df.join(flagged, "doc_id", "left_anti")
-        if augment_index:
-            # keep is consumed twice (the commit AND the survivor-index
-            # filter) — cache it so the gate joins run once per batch.
-            keep = keep.persist()
-        write_batch(lake, table_name, keep, name, batch_id)
-        if augment_index:
-            # Eager: materializes now (while the micro-batch source is
-            # live) and breaks lineage to it; returns a plan leaf. The
-            # survivors' band rows are a semi-join filter of the
-            # already-persisted banded frame — no second banding pass.
-            surv = (
-                banded.join(keep.select("doc_id"), "doc_id", "semi")
-                .localCheckpoint()
-            )
-            keep.unpersist()
-            state["idx"] = state["idx"].unionByName(
-                surv.select(*state["idx"].columns)
-            )
-            state["batches"] += 1
-            if index_rebuild_every and state["batches"] % index_rebuild_every == 0:
-                # Reliable periodic rebuild for long-running continuous
-                # streams: the committed table is corpus + survivors, so
-                # the rebuilt index equals the in-memory chain while
-                # dropping every accumulated localCheckpoint block.
-                state["idx"] = band_index_from_table(lake, table_name)
-            elif state["batches"] % index_compact_every == 0:
-                state["idx"] = state["idx"].localCheckpoint()
-        banded.unpersist()
+            intra_hit = intra_batch_neardup_losers(banded=banded, threshold=threshold)
+            flagged = corpus_hit.unionByName(intra_hit).distinct()
+            keep = batch_df.join(flagged, "doc_id", "left_anti")
+            if augment_index:
+                # keep is consumed twice (the commit AND the
+                # survivor-index filter) — cache it so the gate joins
+                # run once per batch.
+                keep = keep.persist()
+            write_batch(lake, table_name, keep, name, batch_id)
+            if augment_index:
+                # Eager: materializes now (while the micro-batch source
+                # is live) and breaks lineage to it; returns a plan
+                # leaf. The survivors' band rows are a semi-join filter
+                # of the already-persisted banded frame — no second
+                # banding pass.
+                surv = (
+                    banded.join(keep.select("doc_id"), "doc_id", "semi")
+                    .localCheckpoint()
+                )
+                state["idx"] = state["idx"].unionByName(
+                    surv.select(*state["idx"].columns)
+                )
+                state["batches"] += 1
+                if index_rebuild_every and state["batches"] % index_rebuild_every == 0:
+                    # Reliable periodic rebuild for long-running
+                    # continuous streams: swaps the accumulated
+                    # localCheckpoint chain for an index derived from
+                    # the committed table (+ the original corpus index
+                    # when the corpus is not itself committed).
+                    tbl_idx = band_index_from_table(lake, table_name)
+                    new_idx = (
+                        tbl_idx
+                        if corpus_in_table
+                        else tbl_idx.unionByName(
+                            corpus_index.select(*tbl_idx.columns)
+                        )
+                    )
+                    # Materialize the fresh cache BEFORE dropping the
+                    # superseded one, then release the previous
+                    # rebuild's cache (never the caller-owned
+                    # corpus_index) — each rebuild otherwise pins one
+                    # more full-corpus CacheManager entry forever.
+                    tbl_idx.count()
+                    if state["rebuilt"] is not None:
+                        state["rebuilt"].unpersist()
+                    state["rebuilt"] = tbl_idx
+                    state["idx"] = new_idx
+                elif state["batches"] % index_compact_every == 0:
+                    state["idx"] = state["idx"].localCheckpoint()
+        finally:
+            banded.unpersist()
+            if keep is not None:
+                keep.unpersist()
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)

@@ -1084,6 +1084,16 @@ def test_embedding_covariance_refuses_wide_dims(spark):
     )
     with _pytest.raises(ValueError, match="COVARIANCE_MAX_DIM"):
         S.embedding_covariance(e, "vec_id", "embedding", dim=512)
+    # dim omitted: the probe is max(size(vec)), so a RAGGED frame whose
+    # widest row exceeds the bound is refused even when the first row
+    # is narrow (a limit-1 sample would wave it through)
+    ragged = spark.range(0, 4).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, CASE WHEN id = 3 THEN 512 ELSE 8 END),"
+        " x -> cast(x as double)) AS embedding",
+    )
+    with _pytest.raises(ValueError, match="COVARIANCE_MAX_DIM"):
+        S.embedding_covariance(ragged, "vec_id", "embedding")
     # at or below the bound the declared dim changes nothing
     ok = S.embedding_covariance(
         spark.range(0, 4).selectExpr(

@@ -1405,7 +1405,12 @@ def test_dedup_gated_ingest_periodic_index_rebuild(spark, lake, tmp_path):
     the long-running-stream durability option. Gating semantics must be
     unchanged: a batch-2 near-dup of the batch-1 survivor is dropped
     (the rebuilt index carries the survivor), a novel batch-2 doc
-    lands."""
+    lands, and — the external-corpus deployment (corpus NOT in the
+    table, the default corpus_in_table=False) — a batch-3 VERBATIM
+    copy of an original corpus doc is still dropped after two rebuilds
+    have replaced the in-memory chain (the rebuild unions the caller's
+    corpus index back in; without that union the corpus gating would
+    silently vanish at the first rebuild)."""
     import os
 
     from mini_lakehouse_control_plane_executor_spark.streaming import ingest as ING
@@ -1419,10 +1424,14 @@ def test_dedup_gated_ingest_periodic_index_rebuild(spark, lake, tmp_path):
     )
     index = ND.corpus_band_index(corpus)
 
+    corpus_text = corpus.orderBy("doc_id").first().text
+
     words = [f"rb{i}vu" for i in range(40)]
     doc_a = (9201, " ".join(words))                               # batch 1
     doc_a2 = (9202, " ".join(words[:-1] + ["rbENDvu"]))           # ~0.88 vs A
     doc_c = (9203, " ".join(f"iq{i}om" for i in range(40)))       # novel
+    doc_d = (9204, corpus_text)                                   # corpus copy
+    doc_e = (9205, " ".join(f"zw{i}ak" for i in range(40)))       # novel
     schema = "doc_id long, text string"
 
     arriving = tmp_path / "arriving"
@@ -1439,6 +1448,7 @@ def test_dedup_gated_ingest_periodic_index_rebuild(spark, lake, tmp_path):
     now = 1_700_000_000
     _drop_file([doc_a], "b1", now)
     _drop_file([doc_a2, doc_c], "b2", now + 100)
+    _drop_file([doc_d, doc_e], "b3", now + 200)
 
     lake.create_table(
         "docs_rebuild", [Fld("doc_id", "int64", False), Fld("text", "string", True)]
@@ -1460,3 +1470,7 @@ def test_dedup_gated_ingest_periodic_index_rebuild(spark, lake, tmp_path):
     assert doc_a[0] in landed      # batch-1 survivor committed
     assert doc_a2[0] not in landed # gated by the REBUILT index
     assert doc_c[0] in landed      # novel control still lands
+    # batch 3 runs against an index that has been REBUILT twice: the
+    # union of the caller's corpus index must keep gating corpus dups
+    assert doc_d[0] not in landed  # verbatim corpus copy still gated
+    assert doc_e[0] in landed      # novel control still lands
