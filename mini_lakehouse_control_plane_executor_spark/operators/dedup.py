@@ -474,7 +474,10 @@ def ab_structs(sh: Column) -> Column:
 
 
 def minhash_signatures_from_arrays(
-    arrays: DataFrame, k: int = MINHASH_K, ab_col: str = "ab"
+    arrays: DataFrame,
+    k: int = MINHASH_K,
+    ab_col: str = "ab",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """k min-hashes per doc computed MAP-SIDE from a stored
     array<struct<a,b>> column (``ab_structs`` over the per-doc element
@@ -490,9 +493,12 @@ def minhash_signatures_from_arrays(
     (array_min of an empty array is NULL, and k NULL signature columns
     would collapse every empty doc into one 'identical signature'
     group in the lsh_candidates duplicate guard — the exploded groupBy
-    form simply has no row for them)."""
+    form simply has no row for them). ``extra_cols`` are carried
+    through unchanged (e.g. a group-size weight a guarded consumer
+    needs next to the signature)."""
     return arrays.select(
         "doc_id",
+        *extra_cols,
         *[
             F.array_min(
                 F.transform(
@@ -506,13 +512,17 @@ def minhash_signatures_from_arrays(
 
 
 def band_keys(
-    sigs: DataFrame, k: int = MINHASH_K, band_rows: int = MINHASH_BAND_ROWS
+    sigs: DataFrame,
+    k: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Persisted (doc_id, band, bk) banded-signature table — posexplode
-    of a precomputed key array, materialized ONCE so every consumer
-    (symmetric self-join, asymmetric new-vs-old join) reads the same
-    cached rows instead of re-deriving the signature pipeline per
-    side."""
+    """Persisted (doc_id, [extra_cols...,] band, bk) banded-signature
+    table — posexplode of a precomputed key array, materialized ONCE so
+    every consumer (symmetric self-join, asymmetric new-vs-old join)
+    reads the same cached rows instead of re-deriving the signature
+    pipeline per side. ``extra_cols`` ride along so weighted consumers
+    avoid a re-join against the signature source."""
     n_bands = k // band_rows
     keys = F.array(
         *[
@@ -522,9 +532,9 @@ def band_keys(
             for b in range(n_bands)
         ]
     )
-    return sigs.select("doc_id", F.posexplode(keys).alias("band", "bk")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    return sigs.select(
+        "doc_id", *extra_cols, F.posexplode(keys).alias("band", "bk")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def lsh_candidates(

@@ -10949,54 +10949,69 @@ def _band_marginal_hist(spark, d):
     Σ|bucket|² and d verbatim copies of one doc put every copy in every
     band bucket (d² for a 4-row histogram; no output-growth excuse —
     counts expand arithmetically from rep-level structure). Docs are
-    collapsed to min-id representatives per distinct SHINGLE SET (one
-    window on the set hash): identical sets mean identical signatures
-    (collide in EVERY band, first collision band 0) and Jaccard 1
-    (istrue = 1 by construction), so within-group pairs contribute
-    C(g,2) to every band's n_cand and to band 0's n_first/n_true_first
-    as pure arithmetic; cross-group rep collisions carry weight g₁·g₂
-    (members share their rep's signature AND its exact Jaccard).
+    collapsed to min-id representatives per distinct SHINGLE SET:
+    cross-group rep collisions carry weight g₁·g₂ (members share their
+    rep's signature AND its exact Jaccard), and within-group member
+    pairs enter as rep-level SELF pairs weighted C(g,2), one per band
+    (identical sets mean identical signatures — collide in EVERY band,
+    first collision band 0 — and Jaccard 1, so the shared min-band /
+    verify machinery prices them correctly with zero special-casing).
     Row-identical to the member-level histogram — pinned on the
     duplicate-heavy fixture in tests/test_operator_invariants.py; at
     3x verbatim copies of 60 docs the rep-level band join processes
-    60 rows/side instead of 180 (candidate volume ÷9). Signatures are
-    computed MAP-SIDE from the persisted rep (sh, ab) arrays (zero
-    shuffle); one rep-level (band, key) self-join serves all bands;
+    60 rows/side instead of 180 (candidate volume ÷9). Signatures come
+    from the exploded-stream groupBy — co-partitioned with the arrays
+    table, so it is shuffle-FREE here, and codegen beats the
+    interpreted-HOF map-side form when there is no shuffle to delete
+    (measured; contrast dedup_weighted_minhash, whose map-side rewrite
+    deleted two real shuffles). Group election shuffles only
+    (set-hash, doc_id) pairs — never the shingle arrays; reps then
+    filter the signature table through a join on the small group
+    table. One rep-level (band, key) self-join serves all bands;
     verification is exact integer arithmetic (c*10 >= 8*union) against
-    the persisted rep shingle arrays. The cumulative window runs over
-    a constant 4-row relation via a broadcast triangular join."""
+    the persisted shingle arrays. The cumulative window runs over a
+    constant 4-row relation via a broadcast triangular join."""
     n_bands = _dedup.MINHASH_K // _dedup.MINHASH_BAND_ROWS
-    # Empty shingle sets never reach the exploded-stream signature
-    # aggregate (no rows), so they must not reach the map-side one
-    # either (array_min of [] is NULL -> a fake all-NULL band group).
     arrays = _dedup.shingle_arrays(d, "doc_id", "text", 3).filter(F.size("sh") > 0)
-    wg = Window.partitionBy("gk")
-    grp = arrays.select(
-        # "|" cannot appear in a shingle (tokens are \w+, space-joined),
-        # so the joined key is an injective encoding of the sorted set.
-        "doc_id", "sh", F.md5(F.concat_ws("|", F.array_sort("sh"))).alias("gk")
-    ).select(
-        "doc_id",
-        "sh",
-        F.min("doc_id").over(wg).alias("rep"),
-        F.count(F.lit(1)).over(wg).alias("gsize"),
-    )
-    reps = (
-        grp.filter(F.col("doc_id") == F.col("rep"))
-        .select(
-            "doc_id",
-            "sh",
-            F.col("gsize").cast("long").alias("gsize"),
-            F.size("sh").cast("long").alias("n_sh"),
-            _dedup.ab_structs(F.col("sh")).alias("ab"),
+    ex = arrays.select("doc_id", F.explode("sh").alias("s"))
+    sigs = _dedup.minhash_signatures(d, "doc_id", "text", shingles=ex)
+    # "|" cannot appear in a shingle (tokens are \w+, space-joined),
+    # so the joined key is an injective encoding of the sorted set.
+    gk = F.md5(F.concat_ws("|", F.array_sort("sh")))
+    groups = (
+        arrays.select("doc_id", gk.alias("gk"))
+        .groupBy("gk")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("gsize"),
         )
+        .drop("gk")
         .persist()
     )
-    sigs = _dedup.minhash_signatures_from_arrays(reps)
-    bands = _dedup.band_keys(sigs)
+    # Inner join = the rep filter (non-min-id members have no group
+    # row); gsize rides the banded table, so rep-pair weights come out
+    # of the self-join directly — no per-side re-join.
+    rep_sigs = sigs.join(groups, "doc_id")
+    bands = _dedup.band_keys(rep_sigs, extra_cols=("gsize",))
+    base = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
+    # Within-group member pairs enter the candidate stream as rep-level
+    # SELF pairs (the lsh_candidates fusion), weighted C(g,2), one row
+    # per band — identical signatures collide in EVERY band, their
+    # first collision is band 0 via the same min(band), and the
+    # verification join sees jaccard 1 by construction (both sides
+    # resolve to the rep's own shingle array). No separate arithmetic
+    # assembly, no extra aggregate/broadcast jobs.
+    self_pairs = (
+        groups.filter(F.col("gsize") >= 2)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "band",
+            F.col("doc_id").alias("id1"),
+            F.col("doc_id").alias("id2"),
+            (F.col("gsize") * (F.col("gsize") - 1) / 2).cast("long").alias("w"),
+        )
+    )
     l, r = bands.alias("l"), bands.alias("r")
-    gs1 = reps.select(F.col("doc_id").alias("id1"), F.col("gsize").alias("g1"))
-    gs2 = reps.select(F.col("doc_id").alias("id2"), F.col("gsize").alias("g2"))
     rep_pairs = (
         l.join(
             r,
@@ -11005,28 +11020,33 @@ def _band_marginal_hist(spark, d):
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
-            "l.band", F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2")
+            "l.band",
+            F.col("l.doc_id").alias("id1"),
+            F.col("r.doc_id").alias("id2"),
+            (F.col("l.gsize") * F.col("r.gsize")).alias("w"),
         )
-        .join(gs1, "id1")
-        .join(gs2, "id2")
-        .select("band", "id1", "id2", (F.col("g1") * F.col("g2")).alias("w"))
+        .unionByName(self_pairs)
         .persist()
     )
-    per_band = rep_pairs.groupBy("band").agg(F.sum("w").cast("long").alias("n_cand_x"))
+    per_band = rep_pairs.groupBy("band").agg(F.sum("w").cast("long").alias("n_cand"))
     # w is a pair attribute (constant across a pair's band rows):
     # max() reads it back without a join.
     fb = rep_pairs.groupBy("id1", "id2").agg(
         F.min("band").alias("band"), F.max("w").alias("w")
     )
-    a1 = reps.select(
+    a1 = arrays.select(
         F.col("doc_id").alias("id1"), F.col("sh").alias("sh1"),
-        F.col("n_sh").alias("n1"),
+        F.size("sh").cast("long").alias("n1"),
     )
-    a2 = reps.select(
+    a2 = arrays.select(
         F.col("doc_id").alias("id2"), F.col("sh").alias("sh2"),
-        F.col("n_sh").alias("n2"),
+        F.size("sh").cast("long").alias("n2"),
     )
     c = F.size(F.array_intersect("sh1", "sh2")).cast("long")
+    # jud has ONE consumer (firsts) — no persist barrier needed; the
+    # all-pair truth total is recovered from the 4-row firsts relation
+    # in the final cross-band aggregate instead of a separate jud.agg
+    # job (cum_true at the last band IS the total).
     jud = (
         fb.join(a1, "id1")
         .join(a2, "id2")
@@ -11037,70 +11057,42 @@ def _band_marginal_hist(spark, d):
             .otherwise(0)
             .alias("istrue"),
         )
-        .persist()
     )
     firsts = jud.groupBy("band").agg(
-        F.sum("w").cast("long").alias("n_first_x"),
-        F.sum(F.col("w") * F.col("istrue")).cast("long").alias("n_true_x"),
+        F.sum("w").cast("long").alias("n_first"),
+        F.sum(F.col("w") * F.col("istrue")).cast("long").alias("n_true_first"),
     )
-    tot_x = jud.agg(
-        F.coalesce(F.sum(F.col("w") * F.col("istrue")), F.lit(0))
-        .cast("long")
-        .alias("tx")
-    )
-    # Within-group pairs: C(g,2) per shingle-set group, every band,
-    # first collision band 0, istrue 1 — one rep-level aggregate.
-    selfc = reps.agg(
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("gsize") >= 2,
-                    (F.col("gsize") * (F.col("gsize") - 1) / 2).cast("long"),
-                )
-            ),
-            F.lit(0).cast("long"),
-        ).alias("c2")
-    )
-    tot = tot_x.crossJoin(F.broadcast(selfc)).select(
-        (F.col("tx") + F.col("c2")).cast("long").alias("t")
-    )
-    base = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
-    in_b0 = F.when(F.col("band") == 0, F.col("c2")).otherwise(F.lit(0).cast("long"))
     rows_b = (
         base.join(per_band, "band", "left")
         .join(firsts, "band", "left")
-        .crossJoin(F.broadcast(selfc))
         .select(
             "band",
-            (F.coalesce("n_cand_x", F.lit(0)) + F.col("c2"))
-            .cast("long")
-            .alias("n_cand"),
-            (F.coalesce("n_first_x", F.lit(0)) + in_b0)
-            .cast("long")
-            .alias("n_first"),
-            (F.coalesce("n_true_x", F.lit(0)) + in_b0)
-            .cast("long")
-            .alias("n_true_first"),
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+            F.coalesce("n_true_first", F.lit(0)).cast("long").alias("n_true_first"),
         )
     )
     # Cumulative sums over the constant 4-row relation via a broadcast
-    # triangular self-join (band' <= band) — a global cumulative WINDOW
+    # FULL self-join with conditional sums — a global cumulative WINDOW
     # would be an Exchange SinglePartition under a Sort, the one shape
-    # the registry-wide plan audit bans with an empty allow-list.
+    # the registry-wide plan audit bans with an empty allow-list. The
+    # unconditional sum(nt2) recovers the all-pair truth total in the
+    # same aggregate (no separate tot job + broadcast).
     prior = rows_b.select(
         F.col("band").alias("b2"),
         F.col("n_first").alias("nf2"),
         F.col("n_true_first").alias("nt2"),
     )
-    cum_true = F.sum("nt2").cast("long")
+    le = F.col("b2") <= F.col("band")
+    zl = F.lit(0).cast("long")
     return (
-        rows_b.join(F.broadcast(prior), F.col("b2") <= F.col("band"))
+        rows_b.crossJoin(F.broadcast(prior))
         .groupBy("band", "n_cand", "n_first")
         .agg(
-            F.sum("nf2").cast("long").alias("cum_pairs"),
-            cum_true.alias("cum_true"),
+            F.sum(F.when(le, F.col("nf2")).otherwise(zl)).cast("long").alias("cum_pairs"),
+            F.sum(F.when(le, F.col("nt2")).otherwise(zl)).cast("long").alias("cum_true"),
+            F.sum("nt2").cast("long").alias("t"),
         )
-        .crossJoin(F.broadcast(tot))
         .select(
             "band",
             "n_cand",
