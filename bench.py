@@ -87,6 +87,13 @@ HEADLINE = [
     # (simhash histogram = simhash_pairs; CMS sweep = heavy-hitters x3;
     # sampling/deciles/IDF/residual are map+window+tiny-agg shapes).
     "dedup_band_marginal_recall",
+    # r10: the deliberately-pessimal six-table chain — the one headline
+    # exercising Catalyst/AQE join reordering end-to-end (every other
+    # multi-join headline is written in a sensible order). The other
+    # r10 queries ride benched machinery (HLL rollup = hll_distinct's
+    # register passes; incremental IVF assign = the residual query's
+    # broadcast-assignment shape).
+    "join_order_stress",
 ]
 
 

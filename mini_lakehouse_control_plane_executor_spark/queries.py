@@ -11541,6 +11541,315 @@ def multimodal_audio_frame_rms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 10: ANN index update, sketch rollup, join-order stress
+# ---------------------------------------------------------------------------
+
+_IVF_INCR_CENTROIDS = 16
+
+_IVF_INCR_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         (vec_id >= {_IVF_INCR_CENTROIDS} AND vec_id % 7 = 3) AS is_new
+  FROM embeddings
+),
+seed AS (
+  SELECT vec_id AS cent_id, v AS cv, list_dot_product(v, v) AS cc
+  FROM base WHERE vec_id < {_IVF_INCR_CENTROIDS}
+),
+assigned AS (
+  SELECT cent_id, is_new,
+         CAST(round((vv - 2 * vc + cc) * 1000000) AS BIGINT) AS rmicro
+  FROM (
+    SELECT b.vec_id, b.is_new, s.cent_id,
+           list_dot_product(b.v, b.v) AS vv,
+           list_dot_product(b.v, s.cv) AS vc, s.cc,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round(list_cosine_similarity(b.v, s.cv), 6) DESC, s.cent_id
+           ) AS rn
+    FROM base b CROSS JOIN seed s
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT cent_id,
+         CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_old,
+         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(COALESCE(sum(CASE WHEN is_new THEN rmicro END), 0) AS BIGINT)
+           AS r_new
+  FROM assigned GROUP BY 1
+)
+SELECT cent_id, n_old, n_new, CAST(n_old + n_new AS BIGINT) AS n_total,
+       CAST(round(10000.0 * n_new / n_old) AS BIGINT) AS growth_bp,
+       CASE WHEN n_new = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(r_new / CAST(n_new AS DOUBLE)) AS BIGINT)
+       END AS mean_new_residual_sq_micro
+FROM agg ORDER BY cent_id
+"""
+
+
+@query("ann_ivf_incremental_assign", oracle=_IVF_INCR_SQL)
+def ann_ivf_incremental_assign(spark, sf_dir):
+    """IVF index UPDATE path — the ANN twin of
+    incremental_dedup_newbatch: an appended vector batch (modeled as
+    the vec_id % 7 == 3 slice above the seed range) is assigned to the
+    EXISTING coarse centroids, and the per-cell report shows how the
+    index grows (n_old / n_new / growth_bp) plus the new vectors' mean
+    squared residual per cell — the drift signal that tells an
+    operator when appended data has outgrown the trained quantizer and
+    the index needs re-training rather than more appends.
+
+    100 TB shape: the update is O(|batch| x |centroids|) PURE MAP WORK
+    — the 16-row centroid set broadcasts, assignment and residuals are
+    dot-product expressions on the batch scan, and the only shuffle is
+    the |centroids|-row aggregate. The committed corpus is NEVER
+    rescanned for the update itself; this query recomputes the n_old
+    baseline only because the parquet fixture stores no index table —
+    in the lakehouse deployment those counts come from the IVF index
+    table's per-cell metadata (ann_cosine_ivf), exactly like the
+    dedup gate reads its band index from the committed table."""
+    e = _load(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        _sim._as_double(F.col("embedding")).alias("v"),
+        (
+            (F.col("vec_id") >= _IVF_INCR_CENTROIDS)
+            & (F.col("vec_id") % 7 == 3)
+        ).alias("is_new"),
+    )
+    cents = base.filter(F.col("vec_id") < _IVF_INCR_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        _sim.dot(F.col("v"), F.col("v")).alias("cc"),
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "is_new",
+        "cent_id",
+        _sim.dot(F.col("v"), F.col("v")).alias("vv"),
+        _sim.dot(F.col("v"), F.col("cv")).alias("vc"),
+        "cc",
+        F.round(_sim.cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cent_id",
+            "is_new",
+            F.round((F.col("vv") - 2 * F.col("vc") + F.col("cc")) * 1000000)
+            .cast("long")
+            .alias("rmicro"),
+        )
+    )
+    n_old = F.sum(F.when(F.col("is_new"), 0).otherwise(1)).cast("long")
+    n_new = F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("long")
+    r_new = F.coalesce(
+        F.sum(F.when(F.col("is_new"), F.col("rmicro"))), F.lit(0)
+    ).cast("long")
+    return (
+        assigned.groupBy("cent_id")
+        .agg(n_old.alias("n_old"), n_new.alias("n_new"), r_new.alias("r_new"))
+        .select(
+            "cent_id",
+            "n_old",
+            "n_new",
+            (F.col("n_old") + F.col("n_new")).cast("long").alias("n_total"),
+            F.round(F.lit(10000.0) * F.col("n_new") / F.col("n_old"))
+            .cast("long")
+            .alias("growth_bp"),
+            F.when(F.col("n_new") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.round(F.col("r_new") / F.col("n_new").cast("double")).cast("long")
+            )
+            .alias("mean_new_residual_sq_micro"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+_HLL_ROLLUP_SQL = r"""
+WITH ev AS (
+  SELECT event_type, CAST(month(ts) AS INT) AS mth, user_id FROM events
+),
+h AS (
+  SELECT event_type, mth,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM ev
+),
+rho AS (
+  SELECT event_type, mth, hv % 64 AS bucket,
+         CASE WHEN hv // 64 > 0
+              THEN 55 - length(bin(hv // 64))
+              ELSE 55 END AS r
+  FROM h
+),
+regs AS (
+  SELECT event_type, mth, bucket, max(r) AS mj FROM rho GROUP BY 1, 2, 3
+),
+regs_t AS (
+  SELECT event_type, bucket, max(mj) AS mj FROM regs GROUP BY 1, 2
+),
+regs_a AS (
+  SELECT bucket, max(mj) AS mj FROM regs_t GROUP BY 1
+),
+lv AS (
+  SELECT event_type, mth, bucket, mj FROM regs
+  UNION ALL
+  SELECT event_type, 0 AS mth, bucket, mj FROM regs_t
+  UNION ALL
+  SELECT 'ALL' AS event_type, 0 AS mth, bucket, mj FROM regs_a
+),
+agg AS (
+  SELECT event_type, mth,
+         CAST(count(*) AS BIGINT) AS n_regs,
+         CAST(sum(1::BIGINT << (55 - mj)) AS BIGINT) AS z_num_present
+  FROM lv GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type, mth, 64 - n_regs AS v_zero,
+         0.709 * 64 * 64 * (1::BIGINT << 55)
+           / CAST(z_num_present + (64 - n_regs) * (1::BIGINT << 55) AS DOUBLE)
+           AS e_raw
+  FROM agg
+),
+fin AS (
+  SELECT event_type, mth,
+         CASE WHEN v_zero > 0 AND e_raw <= 160.0
+              THEN 64 * ln(64 / CAST(v_zero AS DOUBLE))
+              ELSE e_raw END AS hll
+  FROM est
+),
+exact AS (
+  SELECT COALESCE(event_type, 'ALL') AS event_type,
+         CAST(COALESCE(mth, 0) AS INT) AS mth,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM ev GROUP BY ROLLUP(event_type, mth)
+)
+SELECT f.event_type, f.mth, x.n_exact, round(f.hll, 4) AS hll_est
+FROM fin f JOIN exact x ON f.event_type = x.event_type AND f.mth = x.mth
+ORDER BY f.event_type, f.mth
+"""
+
+
+@query("events_hll_distinct_rollup", oracle=_HLL_ROLLUP_SQL)
+def events_hll_distinct_rollup(spark, sf_dir):
+    """HyperLogLog distinct-user estimates at THREE rollup levels —
+    (event_type, month), (event_type, ALL), (ALL, ALL) — where the
+    coarser levels are derived by MERGING the finest level's register
+    cells (per-bucket max), never by rescanning the corpus: the
+    property that makes HLL the cube-able cardinality sketch (exact
+    COUNT(DISTINCT) cannot roll up — users appear under many types and
+    months — which is exactly what the n_exact column shows the reader
+    at each level). Sentinels ('ALL', 0) stand in for the rolled-up
+    keys so the output carries no NULL group labels.
+
+    100 TB shape: ONE corpus pass builds the finest-level register
+    table (bounded at |types| x |months| x 64 rows); every coarser
+    level is an aggregate OVER THAT TABLE (dozens of rows), so the
+    rollup's marginal cost is nil. The exact-count rollup column is
+    the fixture-scale diagnostic twin — a production pipeline at
+    100 TB drops it and keeps the sketch side, which is the point."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as _sk
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .select("event_type", F.month("ts").cast("int").alias("mth"), "user_id")
+    )
+    regs = _sk.hll_registers(ev, "user_id", ["event_type", "mth"]).persist()
+    regs_t = regs.groupBy("event_type", "bucket").agg(F.max("mj").alias("mj"))
+    regs_a = regs_t.groupBy("bucket").agg(F.max("mj").alias("mj"))
+    est_f = _sk.hll_estimate(regs, ["event_type", "mth"])
+    est_t = _sk.hll_estimate(regs_t, ["event_type"]).select(
+        "event_type", F.lit(0).cast("int").alias("mth"), "hll"
+    )
+    est_a = _sk.hll_estimate(regs_a, []).select(
+        F.lit("ALL").alias("event_type"), F.lit(0).cast("int").alias("mth"), "hll"
+    )
+    ests = est_f.select("event_type", "mth", "hll").unionByName(est_t).unionByName(
+        est_a
+    )
+    exact = (
+        ev.rollup("event_type", "mth")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("mth", F.lit(0)).cast("int").alias("mth"),
+            "n_exact",
+        )
+    )
+    return (
+        ests.join(exact, ["event_type", "mth"])
+        .select(
+            "event_type", "mth", "n_exact", F.round("hll", 4).alias("hll_est")
+        )
+        .orderBy("event_type", "mth")
+    )
+
+
+_JOIN_ORDER_SQL = """
+SELECT n.n_name, o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND p.p_size < 15
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY 1, 2 ORDER BY n_name, o_orderpriority
+"""
+
+
+@query("join_order_stress", oracle=_JOIN_ORDER_SQL)
+def join_order_stress(spark, sf_dir):
+    """Cost-based join-order stress: a six-table chain written in the
+    PESSIMAL textual order — fact x fact first (lineitem x orders),
+    selective dimensions (region-filtered nation chain, size-filtered
+    part) LAST — so the answer-shaping work belongs entirely to the
+    optimizer: Catalyst pushes the r_name/p_size/date filters below
+    the joins, sizes the filtered dims under the broadcast threshold,
+    and AQE re-plans the remaining exchanges at runtime. The query a
+    user writes naively and the engine must still run well.
+
+    100 TB shape: every dimension side (part filtered, customer x
+    nation x region filtered) broadcasts; the only data-sized work is
+    the lineitem scan joined against orders on the shared key, and the
+    final (nation, priority) aggregate is dozens of rows. Revenue
+    accumulates as exact integer cents (the s_micro discipline)."""
+    li = _load(spark, sf_dir, "lineitem")
+    p = _load(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    o = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("n_name", "o_orderpriority", rev.alias("rev_c"))
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("rev_c").cast("long").alias("revenue_c"),
+        )
+        .orderBy("n_name", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
 # received a driver verdict are listed here so they enter the window
@@ -11605,13 +11914,12 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_simhash_pairs",
     "docs_simhash_hamming_histogram",
     # -- new in r10 (never driver-verified; locally oracle-green) --
-    # (inserted here as they land)
+    "ann_ivf_incremental_assign",
+    "events_hll_distinct_rollup",
+    "join_order_stress",
     # -- r07 fill (oldest remaining verdicts; displaced by r10 queries) --
     "filter_comparison",
     "agg_groupby",
     "agg_global",
     "filter_agg_fused",
-    "topk_orders",
-    "q1_pricing_summary",
-    "join_broadcast_dim",
 ]
