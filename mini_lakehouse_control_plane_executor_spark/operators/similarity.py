@@ -1375,3 +1375,45 @@ def power_iteration_topk(
     return cov.sparkSession.createDataFrame(
         out, "k int, i int, vu long, eig_u long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-safe IVF assignment
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Assign each row's vector to its nearest centroid as a PURE ROW
+    EXPRESSION — the streaming-safe form of the IVF coarse quantizer
+    (the batch queries use an equivalent broadcast-join + per-vector
+    window; a stream can use neither a non-time window nor an
+    aggregation in append mode, and a 16-row centroid set is
+    contract-bounded, so it inlines as a literal array). Tie-breaking
+    matches the batch form exactly: max round(cosine, 6), then min
+    cent_id — encoded as array_min over (-sim, cent_id) structs, whose
+    lexicographic order IS that argmax. Works identically on a batch
+    or streaming DataFrame (stream≡batch pinned in
+    tests/test_streaming.py); this is the per-batch assignment step of
+    an incremental index update (queries.ann_ivf_incremental_assign),
+    where appended vectors are quantized without touching the
+    committed corpus."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    v = _as_double(F.col(vec_col))
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            (-F.round(cosine(v, c["cv"]), 6)).alias("nsim"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return df.withColumn("cent_id", F.array_min(scored)["cid"])

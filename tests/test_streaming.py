@@ -1474,3 +1474,69 @@ def test_dedup_gated_ingest_periodic_index_rebuild(spark, lake, tmp_path):
     # union of the caller's corpus index must keep gating corpus dups
     assert doc_d[0] not in landed  # verbatim corpus copy still gated
     assert doc_e[0] in landed      # novel control still lands
+
+
+def test_ivf_assign_stream_equals_batch_window(spark, tmp_path):
+    """The streaming-safe IVF assignment (literal-centroid argmax as a
+    pure row expression — operators/similarity.py::ivf_assign) drained
+    over a file stream must equal the BATCH quantizer semantics (the
+    broadcast + per-vector window argmax of
+    ann_ivf_incremental_assign) vector for vector, tie-breaking
+    included: max round(cosine, 6) then min cent_id. This is the
+    incremental index-update path — appended vectors quantized
+    per micro-batch without touching the committed corpus."""
+    from mini_lakehouse_control_plane_executor_spark.operators import similarity as S
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    ]
+    new = emb.filter(F.col("vec_id") >= 16)
+    src = str(tmp_path / "vec_stream")
+    new.repartition(3).write.parquet(src)
+
+    # batch witness: the window-argmax form the registered query uses
+    base = new.select("vec_id", S._as_double(F.col("embedding")).alias("v"))
+    ctab = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cent_id long, cv array<double>"
+    )
+    scored = base.crossJoin(F.broadcast(ctab)).select(
+        "vec_id",
+        "cent_id",
+        F.round(S.cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    from pyspark.sql import Window as Wnd
+
+    wv = Wnd.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("cent_id"))
+    want = {
+        (r["vec_id"], r["cent_id"])
+        for r in scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+        .collect()
+    }
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    assigned = S.ivf_assign(stream, "embedding", cents).select("vec_id", "cent_id")
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName("ivf_assign_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["vec_id"], r["cent_id"])
+        for r in spark.table("ivf_assign_stream").collect()
+    }
+    assert got == want
+    assert len(got) == new.count()
+    # the fixture must actually exercise >1 cell
+    assert len({c for _, c in got}) > 1
