@@ -474,10 +474,7 @@ def ab_structs(sh: Column) -> Column:
 
 
 def minhash_signatures_from_arrays(
-    arrays: DataFrame,
-    k: int = MINHASH_K,
-    ab_col: str = "ab",
-    extra_cols: tuple[str, ...] = (),
+    arrays: DataFrame, k: int = MINHASH_K, ab_col: str = "ab"
 ) -> DataFrame:
     """k min-hashes per doc computed MAP-SIDE from a stored
     array<struct<a,b>> column (``ab_structs`` over the per-doc element
@@ -493,12 +490,9 @@ def minhash_signatures_from_arrays(
     (array_min of an empty array is NULL, and k NULL signature columns
     would collapse every empty doc into one 'identical signature'
     group in the lsh_candidates duplicate guard — the exploded groupBy
-    form simply has no row for them). ``extra_cols`` are carried
-    through unchanged (e.g. a group-size weight a guarded consumer
-    needs next to the signature)."""
+    form simply has no row for them)."""
     return arrays.select(
         "doc_id",
-        *extra_cols,
         *[
             F.array_min(
                 F.transform(
@@ -660,6 +654,12 @@ def simhash_from_hashes(hashes: Column, bits: int = SIMHASH_HALF_BITS) -> Column
     materialize the hash array in its own projection first (one md5
     pass) — the 'bits' bit-count terms all
     reference that attribute instead of re-deriving md5 per bit."""
+    if bits > 32:
+        raise ValueError(
+            f"simhash_from_hashes: bits={bits} > 32 — one half must stay a "
+            "non-negative long (2^63 overflows); the 64-bit fingerprint is "
+            "TWO 32-bit halves (see simhash_pairs)"
+        )
     n_feat = F.size(hashes)
     out = F.lit(0).cast("long")
     for j in range(bits):

@@ -1409,10 +1409,15 @@ def ivf_assign(
         ]
     )
     v = _as_double(F.col(vec_col))
+    # NULL cosine (a zero-norm vector or centroid divides by zero) must
+    # sort LAST like the batch window's desc-nulls-last — struct
+    # ordering is nulls-FIRST, so coalesce to +inf on the negated axis.
     scored = F.transform(
         carr,
         lambda c: F.struct(
-            (-F.round(cosine(v, c["cv"]), 6)).alias("nsim"),
+            F.coalesce(
+                -F.round(cosine(v, c["cv"]), 6), F.lit(float("inf"))
+            ).alias("nsim"),
             c["cid"].alias("cid"),
         ),
     )

@@ -143,23 +143,32 @@ QH_W = 1.0  # bucket width (value units)
 
 def quantile_hist_cells(
     df: DataFrame,
-    group_col: str,
+    group_cols: str | list[str],
     value_col: str,
     nb: int = QH_NB,
     width: float = QH_W,
 ) -> DataFrame:
-    """(g, bucket) -> count fixed-width histogram — the QUANTILE member
-    of the mergeable-sketch family (CMS for heavy hitters, HLL for
-    cardinality, Bloom for membership, this for percentiles; the
+    """(group..., bucket) -> count fixed-width histogram — the QUANTILE
+    member of the mergeable-sketch family (CMS for heavy hitters, HLL
+    for cardinality, Bloom for membership, this for percentiles; the
     HDR-histogram shape used by every latency pipeline). Works
     identically on a batch or streaming DataFrame: on a stream it is an
     unwindowed stateful aggregation whose state is at most
     |groups| * nb cells — bounded by construction however long the
     stream, no watermark needed. Merging two sketches is adding cell
     counts, which is exactly what Spark's partial aggregation does, so
-    the sketch is map-side combinable for free. Values are clamped into
-    [0, nb*width); the last bucket absorbs the overflow tail (estimates
-    there degrade to the clamp edge — size nb to the domain)."""
+    the sketch is map-side combinable for free (and what makes it
+    rollup-able — see quantile rollup in queries.py). Values are
+    clamped into [0, nb*width); the last bucket absorbs the overflow
+    tail (estimates there degrade to the clamp edge — size nb to the
+    domain). A single string ``group_cols`` keeps the legacy
+    single-group shape with the column aliased to ``g``."""
+    if isinstance(group_cols, str):
+        sel: list = [F.col(group_cols).alias("g")]
+        grp = ["g"]
+    else:
+        sel = list(group_cols)
+        grp = list(group_cols)
     b = (
         F.least(
             F.greatest(F.floor(F.col(value_col) / width), F.lit(0)),
@@ -167,33 +176,38 @@ def quantile_hist_cells(
         )
     ).cast("long")
     return (
-        df.select(F.col(group_col).alias("g"), b.alias("bucket"))
-        .groupBy("g", "bucket")
+        df.select(*sel, b.alias("bucket"))
+        .groupBy(*grp, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
 
 def quantiles_from_cells(
-    cells: DataFrame, q_pcts: list[int], width: float = QH_W
+    cells: DataFrame,
+    q_pcts: list[int],
+    width: float = QH_W,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Estimated quantiles from the cell table: for each q (integer
     percent — integer arithmetic keeps bucket selection engine-exact),
     the LOWER EDGE of the first bucket whose cumulative count reaches
     q% of n (cum*100 >= q*n). Error is bounded by one bucket width.
     Everything here runs on the |groups|*nb cell table — the raw data
-    is never touched again."""
+    is never touched again. ``group_cols`` defaults to the legacy
+    single ``g`` column."""
     from pyspark.sql import Window
 
+    grp = group_cols if group_cols is not None else ["g"]
     wc = (
-        Window.partitionBy("g")
+        Window.partitionBy(*grp)
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wt = Window.partitionBy("g")
+    wt = Window.partitionBy(*grp)
     cum = cells.withColumn("cum", F.sum("c").over(wc)).withColumn(
         "n", F.sum("c").over(wt)
     )
-    return cum.groupBy("g").agg(
+    return cum.groupBy(*grp).agg(
         F.max("n").alias("n"),
         *[
             F.round(

@@ -10635,7 +10635,7 @@ def events_reservoir_sample_stats(spark, sf_dir):
     )
 
 
-def _simhash_hamming_hist_oracle(bands: int = 4, band_bits: int = 16) -> str:
+def _simhash_hamming_hist_oracle(band_bits: int = 16) -> str:
     mask = (1 << band_bits) - 1
     chunks_per_half = 32 // band_bits
     share = " OR ".join(
@@ -11579,7 +11579,9 @@ agg AS (
   FROM assigned GROUP BY 1
 )
 SELECT cent_id, n_old, n_new, CAST(n_old + n_new AS BIGINT) AS n_total,
-       CAST(round(10000.0 * n_new / n_old) AS BIGINT) AS growth_bp,
+       CASE WHEN n_old = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(10000.0 * n_new / n_old) AS BIGINT)
+       END AS growth_bp,
        CASE WHEN n_new = 0 THEN CAST(0 AS BIGINT)
             ELSE CAST(round(r_new / CAST(n_new AS DOUBLE)) AS BIGINT)
        END AS mean_new_residual_sq_micro
@@ -11615,20 +11617,28 @@ def ann_ivf_incremental_assign(spark, sf_dir):
             (F.col("vec_id") >= _IVF_INCR_CENTROIDS)
             & (F.col("vec_id") % 7 == 3)
         ).alias("is_new"),
-    )
+    ).withColumn("vv", _sim.dot(F.col("v"), F.col("v")))
     cents = base.filter(F.col("vec_id") < _IVF_INCR_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
-        _sim.dot(F.col("v"), F.col("v")).alias("cc"),
+        F.col("vv").alias("cc"),
     )
+    # ONE O(d) pass per (vector, centroid): vc. vv/cc are per-side
+    # attributes computed before the join, and the cosine reuses them —
+    # vc / (sqrt(vv) * sqrt(cc)) is cosine()'s exact expression tree,
+    # so the values (and the 6dp tie-break) are bit-identical.
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "is_new",
         "cent_id",
-        _sim.dot(F.col("v"), F.col("v")).alias("vv"),
+        "vv",
         _sim.dot(F.col("v"), F.col("cv")).alias("vc"),
         "cc",
-        F.round(_sim.cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    ).withColumn(
+        "sim",
+        F.round(
+            F.col("vc") / (F.sqrt(F.col("vv")) * F.sqrt(F.col("cc"))), 6
+        ),
     )
     wv = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("cent_id"))
     assigned = (
@@ -11655,8 +11665,16 @@ def ann_ivf_incremental_assign(spark, sf_dir):
             "n_old",
             "n_new",
             (F.col("n_old") + F.col("n_new")).cast("long").alias("n_total"),
-            F.round(F.lit(10000.0) * F.col("n_new") / F.col("n_old"))
-            .cast("long")
+            # n_old == 0 is possible (near-parallel seeds can tie-break
+            # a seed's own vector into another cell): define growth as
+            # 0 rather than divide by zero (NULL here, inf-cast crash
+            # in the oracle).
+            F.when(F.col("n_old") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.round(F.lit(10000.0) * F.col("n_new") / F.col("n_old")).cast(
+                    "long"
+                )
+            )
             .alias("growth_bp"),
             F.when(F.col("n_new") == 0, F.lit(0).cast("long"))
             .otherwise(
@@ -11909,23 +11927,16 @@ def events_value_quantile_rollup(spark, sf_dir):
     sort. Estimates are bucket lower edges (error <= one bucket
     width); the sketch query events_value_quantile_sketch carries the
     exact-percentile audit, so this rollup stays sketch-only."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as _sk
+
     ev = _load(spark, sf_dir, "events").select(
         "event_type", F.month("ts").cast("int").alias("mth"), "value"
     )
-    b = F.least(
-        F.greatest(F.floor(F.col("value") / _QH_ROLL_W), F.lit(0)),
-        F.lit(1023),
-    ).cast("long")
-    cells = (
-        ev.select("event_type", "mth", b.alias("bucket"))
-        .groupBy("event_type", "mth", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()
-    )
-    cells_t = cells.groupBy("event_type", "bucket").agg(
-        F.sum("c").cast("long").alias("c")
-    )
-    cells_a = cells_t.groupBy("bucket").agg(F.sum("c").cast("long").alias("c"))
+    cells = _sk.quantile_hist_cells(
+        ev, ["event_type", "mth"], "value", width=_QH_ROLL_W
+    ).persist()
+    cells_t = cells.groupBy("event_type", "bucket").agg(F.sum("c").alias("c"))
+    cells_a = cells_t.groupBy("bucket").agg(F.sum("c").alias("c"))
     lv = (
         cells.select("event_type", "mth", "bucket", "c")
         .unionByName(
@@ -11942,32 +11953,17 @@ def events_value_quantile_rollup(spark, sf_dir):
             )
         )
     )
-    wc = (
-        Window.partitionBy("event_type", "mth")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    est = _sk.quantiles_from_cells(
+        lv, [50, 90, 99], width=_QH_ROLL_W, group_cols=["event_type", "mth"]
     )
-    wt = Window.partitionBy("event_type", "mth")
-    cum = lv.withColumn("cum", F.sum("c").over(wc)).withColumn(
-        "n", F.sum("c").over(wt)
-    )
-    est = lambda q: F.round(  # noqa: E731 — mirrored verbatim in the SQL
-        F.min(
-            F.when(F.col("cum") * 100 >= F.lit(q) * F.col("n"), F.col("bucket"))
-        )
-        * _QH_ROLL_W,
-        6,
-    ).alias(f"est_p{q}")
-    return (
-        cum.groupBy("event_type", "mth")
-        .agg(
-            F.max("n").cast("long").alias("n"),
-            est(50),
-            est(90),
-            est(99),
-        )
-        .orderBy("event_type", "mth")
-    )
+    return est.select(
+        "event_type",
+        "mth",
+        F.col("n").cast("long").alias("n"),
+        "est_p50",
+        "est_p90",
+        "est_p99",
+    ).orderBy("event_type", "mth")
 
 
 # ---------------------------------------------------------------------------
