@@ -238,3 +238,96 @@ def audio_frame_rms(
             yield pd.DataFrame(out)
 
     return base.mapInPandas(run, schema=schema)
+
+
+IMG_PIX_MOD = 256
+
+
+def synth_rgb(doc_id: int, w: int, h: int) -> bytes:
+    """Deterministic fake RGB image bytes (HWC uint8) for doc
+    ``doc_id``: pixel value at flat index i is (h0 * (i+1)) % 256 with
+    h0 the first 8 md5 hex chars of the id — integer arithmetic
+    reproducible bit-for-bit in a SQL oracle, the image sibling of
+    ``synth_pcm``. In a real deployment the stored/decoded image bytes
+    replace this synthesizer; the pooling/statistics pipeline below is
+    unchanged."""
+    import numpy as np
+
+    h0 = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+    i = np.arange(1, w * h * 3 + 1, dtype=np.int64)
+    return ((h0 * i) % IMG_PIX_MOD).astype(np.uint8).tobytes()
+
+
+def image_block_stats(
+    docs_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Image feature extraction through the real multimodal plumbing:
+    per doc a deterministic RGB image is synthesized (stand-in for a
+    stored binary image column), DECODED (np.frombuffer + HWC reshape —
+    the real uint8 wire-format decode), 2x2 average-pooled with integer
+    floor division (the downsample every vision-curation pipeline runs
+    before featurizing), and reduced to per-channel pooled sums plus an
+    integer-milli mean brightness — the dedup/quality signals of an
+    image-curation pass. Image dims vary per doc (8-16 px per side,
+    even by construction) so the variable-shape decode path is
+    exercised, not just one fixed buffer size.
+
+    Determinism contract (the audio_frame_rms discipline): pixels are
+    exact small ints, the 2x2 pool is (p00+p01+p10+p11) // 4 (floor),
+    channel sums are exact int64, and brightness_milli =
+    total*1000 // (3*pooled_pixels) — every step integer, so a SQL
+    engine reproduces the values bit-for-bit and the pipeline is
+    VALUE-checked end-to-end, not rows-only.
+
+    100 TB shape: one Arrow-batched ``mapInPandas`` narrow map — image
+    bytes never leave the executor and never shuffle; per-doc output is
+    one 7-column row."""
+    import numpy as np
+
+    base = docs_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (8 + (F.col(id_col) % 3) * 4).cast("int").alias("w"),
+        (8 + (F.col(id_col) % 5) * 2).cast("int").alias("h"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("brightness_milli", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                "brightness_milli",
+            )}
+            for doc_id, w, h in zip(pdf["doc_id"], pdf["w"], pdf["h"]):
+                doc_id, w, h = int(doc_id), int(w), int(h)
+                blob = synth_rgb(doc_id, w, h)  # the binary image column
+                arr = (
+                    np.frombuffer(blob, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                )
+                pooled = arr.reshape(h // 2, 2, w // 2, 2, 3).sum(axis=(1, 3)) // 4
+                s = pooled.sum(axis=(0, 1))
+                np_cells = (h // 2) * (w // 2)
+                cols["doc_id"].append(doc_id)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["sum_r"].append(int(s[0]))
+                cols["sum_g"].append(int(s[1]))
+                cols["sum_b"].append(int(s[2]))
+                cols["brightness_milli"].append(
+                    int(s.sum()) * 1000 // (3 * np_cells)
+                )
+            yield pd.DataFrame(cols)
+
+    return base.mapInPandas(run, schema=schema)

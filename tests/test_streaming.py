@@ -1540,3 +1540,41 @@ def test_ivf_assign_stream_equals_batch_window(spark, tmp_path):
     assert len(got) == new.count()
     # the fixture must actually exercise >1 cell
     assert len({c for _, c in got}) > 1
+
+
+def test_image_block_stats_stream_equals_batch(spark, tmp_path):
+    """The multimodal image pipeline (decode + 2x2 integer pool +
+    channel sums) is a stateless Arrow map, so it runs unchanged on a
+    streaming DataFrame — the image member of the stream≡batch matrix,
+    variable per-doc image shapes included."""
+    from mini_lakehouse_control_plane_executor_spark.operators import multimodal as MM
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .limit(200)
+    )
+    src = str(tmp_path / "img_stream")
+    docs.repartition(2).write.parquet(src)
+    schema = "doc_id long"
+
+    stream = MM.image_block_stats(spark.readStream.schema(schema).parquet(src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_img_block")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = sorted(spark.table("t_img_block").collect(), key=lambda r: r.doc_id)
+    want = sorted(
+        MM.image_block_stats(spark.read.schema(schema).parquet(src)).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert got == want
+    assert len(want) > 0
+    # the fixture really exercises variable shapes
+    assert len({(r.width, r.height) for r in want}) > 1
