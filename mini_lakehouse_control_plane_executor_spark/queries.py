@@ -12036,6 +12036,91 @@ def multimodal_image_block_stats(spark, sf_dir):
     )
 
 
+_CMS_ROLL_SQL = f"""
+WITH tcells AS (
+  SELECT e.event_type, t.d,
+         {_CMS_HASH_SQL.format(d='t.d', key='e.user_id', w=_CMS_W)} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events e CROSS JOIN range({_CMS_D}) t(d)
+  GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT d, bucket, CAST(sum(c) AS BIGINT) AS c FROM tcells GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count FROM events GROUP BY 1
+),
+est AS (
+  SELECT x.user_id, x.exact_count, min(c.c) AS est_count
+  FROM exact x CROSS JOIN range({_CMS_D}) t(d)
+  JOIN cells c
+    ON c.d = t.d
+   AND c.bucket = {_CMS_HASH_SQL.format(d='t.d', key='x.user_id', w=_CMS_W)}
+  GROUP BY 1, 2
+)
+SELECT user_id, CAST(est_count AS BIGINT) AS est_count, exact_count,
+       CAST(est_count - exact_count AS BIGINT) AS overestimate
+FROM est ORDER BY est_count DESC, user_id LIMIT {_CMS_K}
+"""
+
+
+@query("events_cms_rollup", oracle=_CMS_ROLL_SQL)
+def events_cms_rollup(spark, sf_dir):
+    """Count-Min-Sketch ROLLUP: per-event-type CMS cell tables are
+    built in one pass, then the GLOBAL sketch is derived by summing
+    the per-type cells — counts are additive, so merge(sketches) is
+    exactly the directly-built global sketch, bit for bit. With the
+    HLL rollup (registers merge by max) and the quantile rollup
+    (cells merge by sum) this completes the cube-able-sketch trio:
+    every per-segment sketch a pipeline maintains can answer the
+    all-segments question without rescanning the corpus. Top-10
+    global heavy hitters from the MERGED cells, with exact counts and
+    the CMS overestimate (>= 0 by the sketch's one-sided guarantee).
+
+    100 TB shape: the per-type cell build is one map-side-combinable
+    pass into |types| x d x w bounded rows; the merge and the
+    estimate run on that fixed frame (broadcast to the candidate
+    join, min-over-rows reusing the exact aggregate's partitioning).
+    No all-pairs, no driver collect; top-k rides TakeOrdered."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as _sketch
+
+    ev = _load(spark, sf_dir, "events")
+    buckets = lambda key_col: _sketch.cms_bucket_array(key_col, _CMS_D, _CMS_W)  # noqa: E731
+    tcells = (
+        ev.select(
+            "event_type",
+            F.posexplode(buckets(F.col("user_id"))).alias("d", "bucket"),
+        )
+        .groupBy("event_type", "d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cells = tcells.groupBy("d", "bucket").agg(F.sum("c").cast("long").alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        exact.select(
+            "user_id",
+            "exact_count",
+            F.posexplode(buckets(F.col("user_id"))).alias("d", "bucket"),
+        )
+        .join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.min("c").cast("long").alias("est_count"),
+            F.max("exact_count").cast("long").alias("exact_count"),
+        )
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(_CMS_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -12106,7 +12191,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_order_stress",
     "events_value_quantile_rollup",
     "multimodal_image_block_stats",
+    "events_cms_rollup",
     # -- r07 fill (oldest remaining verdicts; displaced by r10 queries) --
     "filter_comparison",
-    "agg_groupby",
 ]

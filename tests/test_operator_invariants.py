@@ -1260,3 +1260,32 @@ def test_band_marginal_recall_collapse_is_exact(spark):
     # the fixture's duplicate groups alone contribute 60*C(3,2)=180
     # first-collision pairs at band 0, all verified true
     assert want[0][2] >= 180 and want[0][4] >= 180
+
+
+def test_cms_cells_merge_equals_direct_build(spark):
+    """The CMS rollup identity: summing per-segment cell tables must
+    equal the directly-built global cell table bit for bit (counts are
+    additive) — the property events_cms_rollup's merge relies on."""
+    ev = qlib._load(spark, SF_DIR, "events").select("event_type", "user_id")
+    direct = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in SK.cms_cells(ev, "user_id").collect()
+    }
+    tcells = (
+        ev.select(
+            "event_type",
+            F.posexplode(SK.cms_bucket_array(F.col("user_id"))).alias(
+                "d", "bucket"
+            ),
+        )
+        .groupBy("event_type", "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in tcells.groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    assert merged == direct
+    assert len(direct) > 0
