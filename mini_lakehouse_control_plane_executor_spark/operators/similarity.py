@@ -1422,3 +1422,56 @@ def ivf_assign(
         ),
     )
     return df.withColumn("cent_id", F.array_min(scored)["cid"])
+
+
+def _sq8(vec_col: Column) -> Column:
+    """Symmetric int8 scalar quantization of a vector: each component
+    maps to floor(x * 127.0 / maxabs + 0.5) — round-half-up, which
+    Spark's and DuckDB's floor compute identically (banker's-rounding
+    `round` would not). A zero vector quantizes to zeros. Values stay
+    exact small ints, so downstream dot products are EXACT int64 and
+    the whole SQ8 path is oracle-checkable bit-for-bit."""
+    v = _as_double(vec_col)
+    maxabs = F.array_max(F.transform(v, F.abs))
+    return F.when(
+        maxabs == 0, F.transform(v, lambda x: F.lit(0.0))
+    ).otherwise(
+        F.transform(
+            v, lambda x: F.floor(x * 127.0 / maxabs + 0.5).cast("double")
+        )
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate cosine top-k over int8 scalar-quantized vectors
+    (SQ8) — the cheap 4x-compression quantization every vector store
+    ships alongside PQ: per-vector symmetric scale to [-127, 127],
+    integer dot products, cosine on the quantized values. Same
+    broadcast/window shape as ``brute_force_topk`` (the corpus scans
+    once, queries broadcast), with the quantization as a pure map
+    expression — at 100 TB the corpus side would be stored
+    pre-quantized and scanned at a quarter the bytes, which is the
+    operator's point."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _sq8(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
+    c = df.select(
+        F.col(id_col).alias("c_id"), _sq8(F.col(vec_col)).alias("c_vec")
+    ).withColumn("c_nrm", norm(F.col("c_vec")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", _paired_sim().alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
