@@ -217,3 +217,68 @@ def test_filter_grammar_string_parity(spark, op, lit, data):
     got = sorted(r.s for r in sdf.filter(parse_filter(f"s {op} '{lit}'")).collect())
     want = sorted(v for v in data if _FILTER_OPS[op](v, lit))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# P-r10: q-gram prefix-filter losslessness (pure lemma, no Spark)
+# ---------------------------------------------------------------------------
+
+_EDIT = st.tuples(
+    st.sampled_from(["sub", "ins", "del"]),
+    st.integers(min_value=0, max_value=30),
+    st.sampled_from("abcd"),
+)
+
+
+def _apply_edits(s: str, edits) -> str:
+    for op, pos, ch in edits:
+        if not s:
+            s = ch
+            continue
+        p = pos % len(s)
+        if op == "sub":
+            s = s[:p] + ch + s[p + 1 :]
+        elif op == "ins":
+            s = s[:p] + ch + s[p:]
+        else:
+            s = s[:p] + s[p + 1 :]
+    return s
+
+
+def _tri(s: str) -> set:
+    return {s[i : i + 3] for i in range(len(s) - 2)}
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(
+    base=st.text(alphabet="abcd", min_size=3, max_size=24),
+    edits=st.lists(_EDIT, min_size=0, max_size=2),
+    corpus=st.lists(
+        st.text(alphabet="abcd", min_size=3, max_size=24), max_size=12
+    ),
+)
+def test_prefix_filter_lemma_holds_at_ed2(base, edits, corpus):
+    """The mathematical guarantee part_name_fuzzy_matches' blocking
+    rests on, tested against random strings and a RANDOM global
+    frequency order (the lemma must hold for ANY total order): two
+    strings within edit distance 2 that share at least one distinct
+    trigram must collide within their 7 rarest trigrams under a
+    df-ascending order — one edit destroys at most 3 DISTINCT
+    trigrams (if a gram leaves the set, every occurrence was
+    touched), so the globally smallest shared trigram has at most 6
+    rarer grams on either side. A tiny alphabet maximizes shared
+    grams and df ties, the adversarial regime for the tie-break."""
+    from collections import Counter
+
+    other = _apply_edits(base, edits)
+    ga, gb = _tri(base), _tri(other)
+    if len(base) < 3 or len(other) < 3 or not (ga & gb):
+        return  # outside the operator's contract on both paths
+    df = Counter()
+    for s in corpus + [base, other]:
+        for g in _tri(s):
+            df[g] += 1
+    key = lambda g: (df[g], g)  # noqa: E731 — the query's exact order
+    pa = set(sorted(ga, key=key)[:7])
+    pb = set(sorted(gb, key=key)[:7])
+    assert pa & pb, (base, other, sorted(ga, key=key), sorted(gb, key=key))
