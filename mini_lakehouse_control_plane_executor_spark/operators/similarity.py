@@ -1409,14 +1409,19 @@ def ivf_assign(
         ]
     )
     v = _as_double(F.col(vec_col))
-    # NULL cosine (a zero-norm vector or centroid divides by zero) must
-    # sort LAST like the batch window's desc-nulls-last — struct
-    # ordering is nulls-FIRST, so coalesce to +inf on the negated axis.
+    # A zero-norm vector or centroid makes the cosine denominator 0 —
+    # an ERROR under ANSI mode, so try_divide (NULL instead), and the
+    # NULL must sort LAST like the batch window's desc-nulls-last:
+    # struct ordering is nulls-FIRST, so coalesce to +inf on the
+    # negated axis.
     scored = F.transform(
         carr,
         lambda c: F.struct(
             F.coalesce(
-                -F.round(cosine(v, c["cv"]), 6), F.lit(float("inf"))
+                -F.round(
+                    F.try_divide(dot(v, c["cv"]), norm(v) * norm(c["cv"])), 6
+                ),
+                F.lit(float("inf")),
             ).alias("nsim"),
             c["cid"].alias("cid"),
         ),

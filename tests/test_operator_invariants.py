@@ -1289,3 +1289,37 @@ def test_cms_cells_merge_equals_direct_build(spark):
     }
     assert merged == direct
     assert len(direct) > 0
+
+
+def test_ivf_assign_zero_norm_centroid_never_wins(spark):
+    """The ivf_assign argmax must treat a NULL cosine (zero-norm
+    centroid divides by zero) as WORST, matching the batch window's
+    desc-nulls-last — struct ordering is nulls-first, so without the
+    coalesce-to-inf guard every row would be assigned to the zero
+    centroid."""
+    from mini_lakehouse_control_plane_executor_spark.operators import similarity as S
+
+    cents = [
+        (0, [0.0, 0.0, 0.0, 0.0]),   # degenerate: zero norm
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1, 0.0, 0.0]),   # nearest: centroid 1
+            (11, [0.1, 0.9, 0.0, 0.0]),   # nearest: centroid 2
+            (12, [1.0, 1.0, 0.0, 0.0]),   # tie at round 6dp -> min cent_id 1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cent_id"]
+        for r in S.ivf_assign(vecs, "embedding", cents).collect()
+    }
+    assert got == {10: 1, 11: 2, 12: 1}
+    # a zero-norm INPUT vector (every cosine NULL) falls back to the
+    # lowest centroid id, the same row the batch window's tiebreak picks
+    z = spark.createDataFrame(
+        [(13, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert S.ivf_assign(z, "embedding", cents).first()["cent_id"] == 0
