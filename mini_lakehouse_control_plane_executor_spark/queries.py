@@ -12214,6 +12214,526 @@ def ann_cosine_sq8(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-10b additions: a bucketed interval-overlap join (the join
+# geometry missing from the as-of/range/equi family), DoReMi-style
+# domain reweighting and Kneser-Ney smoothed bigram scoring (the two
+# published data-mixing/LM-filter shapes the pipeline family lacked),
+# gaps-and-islands streaks, and an SCD2 dimension build.
+# ---------------------------------------------------------------------------
+
+_IVAL_W_US = 6 * 3600 * 1_000_000  # 6-hour tumbling analysis windows
+_IVAL_GAP_US = 30 * 60 * 1_000_000  # sessionize inactivity gap
+
+_INTERVAL_OVERLAP_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events
+),
+g AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > {_IVAL_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+sess AS (
+  SELECT user_id, sid, min(us) AS s_start, max(us) AS s_end
+  FROM s GROUP BY 1, 2
+),
+win AS (
+  SELECT us // {_IVAL_W_US} AS wb, CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY 1
+),
+busy AS (
+  SELECT wb, n_events FROM win
+  WHERE n_events > (SELECT avg(n_events) FROM win)
+),
+ov AS (
+  SELECT b.wb, b.n_events, s.user_id
+  FROM busy b JOIN sess s
+    ON s.s_start < (b.wb + 1) * {_IVAL_W_US} AND s.s_end >= b.wb * {_IVAL_W_US}
+)
+SELECT make_timestamp(wb * {_IVAL_W_US}) AS window_start,
+       any_value(n_events) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM ov GROUP BY wb ORDER BY wb
+"""
+
+
+@query("events_interval_overlap_join", oracle=_INTERVAL_OVERLAP_SQL)
+def events_interval_overlap_join(spark, sf_dir):
+    """Interval-overlap join — user sessions (30-min-gap islands, the
+    events_sessionize intervals) against busier-than-average 6-hour
+    tumbling windows: per busy window, how many sessions and distinct
+    users were live. The classic "concurrent intervals" analytics join
+    the as-of/range/equi family didn't cover.
+
+    100 TB shape: a naive overlap predicate (s.start < w.end AND
+    s.end >= w.start) is a theta-join — BroadcastNestedLoop over
+    |sessions| x |windows|, quadratic in time span. This plan instead
+    EXPANDS each session to the 6-hour buckets it covers
+    (explode(sequence(start div W, end div W)) — an exact rewrite,
+    bucket membership <=> overlap with that bucket's window, because a
+    window IS one bucket) and equi-joins on the bucket id: candidate
+    volume is sum of ceil(len/W)+1 over sessions — linear in the data
+    (a session bounded by 30-min gaps covers ~1 bucket), shuffled on a
+    time key with no skew. The published "partitioned interval join"
+    (Chawda et al., interval joins on MapReduce; DuckDB/Trino range-
+    bucketing). The oracle runs the naive inequality join — same rows.
+    Busy threshold (> corpus-mean window load) is one broadcast scalar,
+    so the query stays scale-free in output: one row per busy window."""
+    e = _load(spark, sf_dir, "events")
+    ew = e.select("user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    is_new = F.when(
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) > _IVAL_GAP_US),
+        1,
+    ).otherwise(0)
+    sess = (
+        ew.withColumn("is_new", is_new)
+        .withColumn("sid", F.sum("is_new").over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end"))
+    )
+    win = ew.groupBy(F.expr(f"us div {_IVAL_W_US}").alias("wb")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    thr = win.agg(F.avg("n_events").alias("thr"))
+    busy = win.crossJoin(F.broadcast(thr)).filter(F.col("n_events") > F.col("thr"))
+    expanded = sess.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start div {_IVAL_W_US}"),
+                F.expr(f"s_end div {_IVAL_W_US}"),
+            )
+        ).alias("wb"),
+    )
+    return (
+        busy.join(expanded, "wb")
+        .groupBy("wb")
+        .agg(
+            F.any_value("n_events").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.timestamp_micros(F.col("wb") * _IVAL_W_US).alias("window_start"),
+            "n_events",
+            "n_sessions",
+            "n_users",
+            "wb",
+        )
+        .orderBy("wb")
+        .drop("wb")
+    )
+
+
+_DOREMI_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+  FROM documents
+),
+st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+counts AS (SELECT t, CAST(sum(n) AS BIGINT) AS c FROM st GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM counts),
+vocab AS (SELECT t, c FROM counts WHERE c >= 5),
+dom AS (
+  SELECT st.source,
+         CAST(sum(st.n) AS BIGINT) AS n_tokens,
+         CAST(sum(st.n * CAST(round(ln(tot.tot / coalesce(v.c, 1)) * 1000000)
+                              AS BIGINT)) AS BIGINT) AS s_micro
+  FROM st LEFT JOIN vocab v ON st.t = v.t, tot
+  GROUP BY st.source
+),
+alltot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS nt, CAST(sum(s_micro) AS BIGINT) AS sm
+  FROM dom
+),
+ex AS (
+  SELECT d.source, d.n_tokens,
+         CAST(d.s_micro AS DOUBLE) / d.n_tokens / 1000000
+           - CAST(a.sm AS DOUBLE) / a.nt / 1000000 AS excess
+  FROM dom d, alltot a
+),
+z AS (SELECT sum(exp(excess)) AS z FROM ex)
+SELECT ex.source, ex.n_tokens,
+       CAST(round(ex.excess * 1000) AS BIGINT) AS excess_milli,
+       CAST(round(10000 * exp(ex.excess) / z.z) AS BIGINT) AS weight_bp
+FROM ex, z ORDER BY ex.source
+"""
+
+
+@query("doremi_domain_weights", oracle=_DOREMI_SQL)
+def doremi_domain_weights(spark, sf_dir):
+    """DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429): one multiplicative-weights step over the
+    training mix — each domain's weight is exp(eta * excess loss)
+    renormalized, where excess loss is the domain's mean token
+    surprisal minus the corpus mean, under the corpus-trained unigram
+    LM (the unigram_lm_surprisal model: min-count-5 vocab, OOV backs
+    off to count 1; eta = 1, uniform prior cancels in the softmax).
+    High-excess (hard/OOD) domains get upweighted — the published
+    data-mixing signal for LLM pretraining.
+
+    100 TB shape: one (source, token) count shuffle; the global vocab
+    is a rollup OF that table (the token stream is aggregated exactly
+    once); domain sums join the vocab-sized count table, and the
+    softmax normalizer is an aggregate over the |domains|-row frame
+    (broadcast scalar). Surprisal terms quantize to integer micro-nats
+    weighted by exact counts before any sum, so every aggregate is
+    order-independent; the only trans-micro floats (exp / softmax) are
+    rounded to basis points, far coarser than a 1-ulp libm divergence."""
+    d = _load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(_text.tokens(F.col("text"))).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n")).persist()
+    counts = st.groupBy("t").agg(F.sum("n").alias("c"))
+    tot = counts.agg(F.sum("c").alias("tot"))
+    vocab = counts.filter(F.col("c") >= 5)
+    s_micro = F.round(
+        F.log(F.col("tot").cast("double") / F.coalesce(F.col("c"), F.lit(1)))
+        * 1000000
+    ).cast("long")
+    dom = (
+        st.join(vocab, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * s_micro).cast("long").alias("s_micro"),
+        )
+    )
+    alltot = dom.agg(
+        F.sum("n_tokens").cast("long").alias("nt"),
+        F.sum("s_micro").cast("long").alias("sm"),
+    )
+    ex = dom.crossJoin(F.broadcast(alltot)).select(
+        "source",
+        "n_tokens",
+        (
+            F.col("s_micro").cast("double") / F.col("n_tokens") / 1000000
+            - F.col("sm").cast("double") / F.col("nt") / 1000000
+        ).alias("excess"),
+    )
+    z = ex.agg(F.sum(F.exp("excess")).alias("z"))
+    return (
+        ex.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("excess") * 1000).cast("long").alias("excess_milli"),
+            F.round(10000 * F.exp("excess") / F.col("z"))
+            .cast("long")
+            .alias("weight_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts::TIMESTAMP AS DATE) AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+),
+isl AS (
+  SELECT user_id, day - CAST(rn AS INT) AS grp,
+         CAST(count(*) AS BIGINT) AS len
+  FROM r GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id, max(len) AS max_streak,
+         CAST(count(*) AS BIGINT) AS n_streaks,
+         CAST(sum(len) AS BIGINT) AS n_days
+  FROM isl GROUP BY user_id
+)
+SELECT max_streak AS streak_len,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(n_streaks), 4) AS avg_streaks,
+       round(avg(n_days), 4) AS avg_active_days
+FROM u GROUP BY 1 ORDER BY streak_len
+"""
+
+
+@query("events_user_streaks", oracle=_STREAKS_SQL)
+def events_user_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user, reported as a
+    streak-length histogram — the gaps-and-islands shape on the DATE
+    axis (day - row_number() is constant within a run of consecutive
+    days), complementing events_sessionize's timestamp-gap islands.
+    The engagement-analytics staple (DAU streaks, retention ladders).
+
+    100 TB shape: the day-level distinct is a map-side-combinable
+    groupBy (events collapse ~events-per-user-day-fold before the
+    shuffle); one window shuffle on user_id; everything after runs on
+    the |users|-row frame. Output is a histogram over streak length —
+    bounded by the calendar, not the data."""
+    e = _load(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = (
+        d.withColumn("rn", F.row_number().over(w))
+        .groupBy(
+            "user_id", F.date_sub("day", F.col("rn").cast("int")).alias("grp")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+    )
+    u = isl.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("n_days"),
+    )
+    return (
+        u.groupBy(F.col("max_streak").alias("streak_len"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("n_streaks"), 4).alias("avg_streaks"),
+            F.round(F.avg("n_days"), 4).alias("avg_active_days"),
+        )
+        .orderBy("streak_len")
+    )
+
+
+_SCD2_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus FROM orders
+),
+g AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                OR lag(o_orderstatus) OVER w != o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+v AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus,
+         sum(chg) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS ver
+  FROM g
+),
+scd AS (
+  SELECT o_custkey, ver, any_value(o_orderstatus) AS status,
+         min(o_orderdate) AS eff_from,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM v GROUP BY 1, 2
+),
+ranged AS (
+  SELECT *, lead(eff_from) OVER (PARTITION BY o_custkey ORDER BY ver) AS eff_to
+  FROM scd
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(sum(CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+       CAST(sum(CASE WHEN eff_to IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_closed,
+       round(avg(CASE WHEN eff_to IS NULL THEN NULL
+                 ELSE date_diff('day', eff_from, eff_to) END), 2)
+         AS avg_closed_span_days,
+       round(avg(n_orders), 4) AS avg_orders_per_version
+FROM ranged GROUP BY status ORDER BY status
+"""
+
+
+@query("orders_scd2_status_history", oracle=_SCD2_SQL)
+def orders_scd2_status_history(spark, sf_dir):
+    """SCD Type-2 dimension build (Kimball slowly-changing dimensions):
+    per customer, collapse the (o_orderdate, o_orderkey)-ordered status
+    sequence into versioned validity ranges — change detection via
+    lag() != current, version via running sum, eff_to via lead() of the
+    next version's eff_from (NULL = current row). Reported as per-status
+    version statistics so the output is 3 rows at any scale; the
+    intermediate IS the SCD2 table a MERGE-based pipeline would write.
+
+    100 TB shape: both windows and the version groupBy share ONE
+    hash-partitioning on o_custkey — a single shuffle feeds change
+    detection, the version rollup, and the lead() range-stitch (Spark
+    reuses the exchange across same-key windows); the final status
+    rollup is a 3-group aggregate. No join, no skew key (customer
+    cardinality is uniform)."""
+    o = _load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chg = F.when(
+        F.lag("o_orderstatus").over(w).isNull()
+        | (F.lag("o_orderstatus").over(w) != F.col("o_orderstatus")),
+        1,
+    ).otherwise(0)
+    scd = (
+        o.withColumn("chg", chg)
+        .withColumn("ver", F.sum("chg").over(run))
+        .groupBy("o_custkey", "ver")
+        .agg(
+            F.any_value("o_orderstatus").alias("status"),
+            F.min("o_orderdate").alias("eff_from"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    vw = Window.partitionBy("o_custkey").orderBy("ver")
+    ranged = scd.withColumn("eff_to", F.lead("eff_from").over(vw))
+    return (
+        ranged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_versions"),
+            F.sum(F.when(F.col("eff_to").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_current"),
+            F.sum(F.when(F.col("eff_to").isNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("n_closed"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("eff_to").isNotNull(),
+                        F.datediff("eff_to", "eff_from"),
+                    )
+                ),
+                2,
+            ).alias("avg_closed_span_days"),
+            F.round(F.avg("n_orders"), 4).alias("avg_orders_per_version"),
+        )
+        .orderBy("status")
+    )
+
+
+_KN_D = 0.75
+
+_KN_SQL = rf"""
+WITH arr AS (
+  SELECT source, regexp_extract_all(lower(text), '\w+') AS toks FROM documents
+),
+big AS (
+  SELECT source,
+         unnest([toks[i] || ' ' || toks[i+1]
+                 for i in generate_series(1, len(toks) - 1)]) AS bg
+  FROM arr WHERE len(toks) >= 2
+),
+bs AS (SELECT source, bg, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY 1, 2),
+bc AS (SELECT bg, CAST(sum(n) AS BIGINT) AS c12 FROM bs GROUP BY bg),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1,
+         CAST(sum(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS nf
+  FROM bc GROUP BY 1
+),
+cont AS (
+  SELECT split_part(bg, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS nb
+  FROM bc GROUP BY 1
+),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS T FROM bc),
+model AS (
+  SELECT bc.bg,
+         CAST(round(-ln((bc.c12 - {_KN_D}) / ctx.c1
+                        + {_KN_D} * ctx.nf / ctx.c1
+                          * (CAST(cont.nb AS DOUBLE) / tt.T)) * 1000000)
+              AS BIGINT) AS nats_micro
+  FROM bc
+  JOIN ctx ON split_part(bc.bg, ' ', 1) = ctx.w1
+  JOIN cont ON split_part(bc.bg, ' ', 2) = cont.w2, tt
+)
+SELECT bs.source,
+       CAST(sum(bs.n) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(bs.n * m.nats_micro) AS DOUBLE) / sum(bs.n) / 1000000, 6)
+         AS kn_cross_entropy_nats,
+       round(exp(CAST(sum(bs.n * m.nats_micro) AS DOUBLE) / sum(bs.n) / 1000000), 4)
+         AS kn_perplexity
+FROM bs JOIN model m ON bs.bg = m.bg
+GROUP BY bs.source ORDER BY bs.source
+"""
+
+
+@query("bigram_kneser_ney_ppl", oracle=_KN_SQL)
+def bigram_kneser_ney_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram cross-entropy per source — the
+    smoothing KenLM implements and CCNet's quality filter actually
+    runs (Kneser & Ney 1995; Chen & Goodman 1999): P(w2|w1) =
+    (c12 - D)/c1 + D * N1+(w1,.)/c1 * Pcont(w2) with Pcont(w2) =
+    N1+(.,w2)/|bigram types| and D = 0.75. Upgrades the MLE-based
+    bigram_lm_surprisal/bigram_cond_entropy pair with the published
+    continuation-count smoothing (every evaluated bigram is in
+    training, so the discounted term stays positive — self-scoring,
+    the perplexity-filter shape). Sums P over the vocab to exactly 1
+    per context (property-tested in tests/test_properties.py).
+
+    100 TB shape: bigrams ride the shared operators.text.bigram_arrays
+    builder (one tokenize pass); ONE (source, bigram) count shuffle;
+    the global model (c12 / context totals / continuation counts /
+    type count T) is a cascade of rollups OVER that count table — all
+    vocab-bounded, never re-touching the token stream; per-source
+    scoring joins the vocab-sized model back to the vocab-sized
+    per-source counts. Per-bigram nats quantize to micro-ints weighted
+    by exact counts, so sums are order-independent."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _load(spark, sf_dir, "documents")
+    arr = _text.bigram_arrays(d, ["source"])
+    bs = (
+        arr.select("source", F.explode("bgs").alias("bg"))
+        .groupBy("source", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bc = (
+        bs.groupBy("bg")
+        .agg(F.sum("n").cast("long").alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w1 = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
+    ctx = (
+        bc.select(w1.alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(
+            F.sum("c12").cast("long").alias("c1"),
+            F.count(F.lit(1)).cast("long").alias("nf"),
+        )
+    )
+    cont = (
+        bc.select(w2.alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    )
+    tt = bc.agg(F.count(F.lit(1)).cast("long").alias("T"))
+    p = (F.col("c12") - F.lit(_KN_D)) / F.col("c1") + F.lit(_KN_D) * F.col(
+        "nf"
+    ) / F.col("c1") * (F.col("nb").cast("double") / F.col("T"))
+    model = (
+        bc.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("bg", F.round(-F.log(p) * 1000000).cast("long").alias("nats_micro"))
+    )
+    h = F.sum(F.col("n") * F.col("nats_micro")).cast("double") / F.sum("n") / 1000000
+    return (
+        bs.join(model, "bg")
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(h, 6).alias("kn_cross_entropy_nats"),
+            F.round(F.exp(h), 4).alias("kn_perplexity"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
 # received a driver verdict are listed here so they enter the window
@@ -12285,4 +12805,13 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_image_block_stats",
     "events_cms_rollup",
     "ann_cosine_sq8",
+    # -- past the 50-slot r10 window (the 50 above are all mandated by
+    # the r9 verdict's Done criteria): r10b additions, locally
+    # oracle-green at sf0.001/0.01/0.1, positioned to LEAD the r11
+    # window --
+    "events_interval_overlap_join",
+    "doremi_domain_weights",
+    "events_user_streaks",
+    "orders_scd2_status_history",
+    "bigram_kneser_ney_ppl",
 ]

@@ -1323,3 +1323,112 @@ def test_ivf_assign_zero_norm_centroid_never_wins(spark):
         [(13, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
     )
     assert S.ivf_assign(z, "embedding", cents).first()["cent_id"] == 0
+
+
+def test_interval_overlap_bucketing_equals_theta_join(spark):
+    """events_interval_overlap_join's scale plan expands sessions to the
+    6-hour buckets they cover and equi-joins on bucket id. The rewrite
+    claims EXACTNESS: bucket-membership <=> interval overlap with that
+    bucket's window (a window IS one bucket). Pin it by running the
+    naive theta-join (broadcast nested loop over sessions x busy
+    windows — fine at sf0.001, unrunnable at scale) and demanding the
+    identical (window, n_sessions, n_users) rows."""
+    from mini_lakehouse_control_plane_executor_spark.queries import (
+        _IVAL_GAP_US,
+        _IVAL_W_US,
+        events_interval_overlap_join,
+    )
+    from pyspark.sql import Window
+
+    got = {
+        (r["window_start"], r["n_events"], r["n_sessions"], r["n_users"])
+        for r in events_interval_overlap_join(spark, SF_DIR).collect()
+    }
+
+    e = qlib._load(spark, SF_DIR, "events")
+    ew = e.select("user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    is_new = F.when(
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) > _IVAL_GAP_US),
+        1,
+    ).otherwise(0)
+    sess = (
+        ew.withColumn("is_new", is_new)
+        .withColumn("sid", F.sum("is_new").over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end"))
+    )
+    win = ew.groupBy(F.expr(f"us div {_IVAL_W_US}").alias("wb")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    thr = win.agg(F.avg("n_events").alias("thr"))
+    busy = win.crossJoin(F.broadcast(thr)).filter(F.col("n_events") > F.col("thr"))
+    naive = (
+        F.broadcast(busy)
+        .join(
+            sess,
+            (F.col("s_start") < (F.col("wb") + 1) * _IVAL_W_US)
+            & (F.col("s_end") >= F.col("wb") * _IVAL_W_US),
+        )
+        .groupBy("wb")
+        .agg(
+            F.any_value("n_events").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.timestamp_micros(F.col("wb") * _IVAL_W_US).alias("window_start"),
+            "n_events",
+            "n_sessions",
+            "n_users",
+        )
+    )
+    want = {
+        (r["window_start"], r["n_events"], r["n_sessions"], r["n_users"])
+        for r in naive.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_scd2_status_history_hand_computed(spark, tmp_path):
+    """orders_scd2_status_history on a hand-built orders table with a
+    known status trajectory: cust 1 goes A,A,B,A (3 versions — the
+    consecutive-A collapse and the A-reopen split both exercised),
+    cust 2 stays B,B (1 version, never closed). Validates the SCD2
+    range stitching (eff_to = next version's eff_from) numerically:
+    closed spans are 20d (A: d0->d20) and 10d (B: d20->d30)."""
+    import datetime as dt
+
+    rows = [
+        # (custkey, orderdate, orderkey, status)
+        (1, dt.date(2020, 1, 1), 100, "A"),
+        (1, dt.date(2020, 1, 11), 101, "A"),
+        (1, dt.date(2020, 1, 21), 102, "B"),
+        (1, dt.date(2020, 1, 31), 103, "A"),
+        (2, dt.date(2020, 2, 1), 200, "B"),
+        (2, dt.date(2020, 2, 5), 201, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_orderkey long, o_orderstatus string"
+    )
+    df.write.parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r["status"]: (
+            r["n_versions"],
+            r["n_current"],
+            r["n_closed"],
+            r["avg_closed_span_days"],
+            r["avg_orders_per_version"],
+        )
+        for r in qlib.orders_scd2_status_history(spark, str(tmp_path)).collect()
+    }
+    # cust 1: A[d0,d20) 2 orders, B[d20,d30) 1 order, A[d30,null) 1 order
+    # cust 2: B[feb1,null) 2 orders
+    assert got == {
+        "A": (2, 1, 1, 20.0, 1.5),
+        "B": (2, 1, 1, 10.0, 1.5),
+    }

@@ -282,3 +282,50 @@ def test_prefix_filter_lemma_holds_at_ed2(base, edits, corpus):
     pa = set(sorted(ga, key=key)[:7])
     pb = set(sorted(gb, key=key)[:7])
     assert pa & pb, (base, other, sorted(ga, key=key), sorted(gb, key=key))
+
+
+@PROP
+@given(
+    seqs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=2, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_kneser_ney_distribution_normalizes(seqs):
+    """The interpolated-KN formula bigram_kneser_ney_ppl scores with —
+    P(w2|w1) = (c12-D)/c1 + D*N1+(w1,.)/c1 * N1+(.,w2)/T — is a proper
+    probability distribution: summed over the continuation vocabulary
+    (observed bigrams discounted, unseen ones receiving only the
+    continuation-smoothed mass) every context's total is exactly 1.
+    Algebra: sum of (c12-D) over w1's nf observed continuations is
+    c1 - D*nf, and sum of N1+(.,w2) over the vocab is T — so the two
+    terms close to c1/c1. Pure-pandas mirror of the query's math on
+    random corpora (token ids 0..6 force collisions so nf/nb/T take
+    nontrivial values)."""
+    from collections import Counter
+
+    from mini_lakehouse_control_plane_executor_spark.queries import _KN_D
+
+    c12 = Counter()
+    for s in seqs:
+        for a, b in zip(s, s[1:]):
+            c12[(a, b)] += 1
+    c1 = Counter()
+    nf = Counter()
+    nb = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        nf[a] += 1
+        nb[b] += 1
+    T = len(c12)
+    vocab = sorted(nb)  # continuation vocabulary
+    for w1 in sorted(c1):
+        total = 0.0
+        for w2 in vocab:
+            disc = max(c12.get((w1, w2), 0) - _KN_D, 0.0) / c1[w1]
+            cont = _KN_D * nf[w1] / c1[w1] * (nb[w2] / T)
+            p = disc + cont
+            assert 0.0 < p <= 1.0
+            total += p
+        assert abs(total - 1.0) < 1e-9
