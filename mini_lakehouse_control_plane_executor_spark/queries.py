@@ -12734,6 +12734,447 @@ def bigram_kneser_ney_ppl(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-10c additions: Markov removal-effect attribution (absorbing-
+# chain conversion analysis), an exact higher-moment sketch
+# (skewness/kurtosis from mergeable integer moment sums), and
+# query-likelihood Dirichlet retrieval (the LM-based ranking twin of
+# bm25_topk).
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITERS = 25
+_MARKOV_GAP_US = 30 * 60 * 1_000_000
+
+
+def _markov_sql(iters: int = _MARKOV_ITERS) -> str:
+    """Unrolled fixed-point oracle for events_markov_attribution: each
+    value-iteration step references the previous ONCE (linear CTE
+    chain, every step AS MATERIALIZED per the iterative-CTE rule), and
+    every probability lives in integer micro space with floor division
+    — bit-identical to the driver-side Python ints."""
+    head = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
+),
+g AS (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > {_MARKOV_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, event_id, event_type, us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+q AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+  FROM s
+),
+fp AS (
+  SELECT user_id, sid,
+         min(CASE WHEN event_type = 'purchase' THEN rn END) AS prn
+  FROM q GROUP BY 1, 2
+),
+kept AS (
+  SELECT q.user_id, q.sid, q.rn, fp.prn,
+         CASE WHEN q.event_type = 'purchase' THEN 'CONV'
+              ELSE q.event_type END AS st
+  FROM q JOIN fp ON q.user_id = fp.user_id AND q.sid = fp.sid
+  WHERE fp.prn IS NULL OR q.rn <= fp.prn
+),
+tr AS (
+  SELECT coalesce(lag(st) OVER (PARTITION BY user_id, sid ORDER BY rn),
+                  'START') AS src,
+         st AS dst
+  FROM kept
+  UNION ALL
+  SELECT st AS src, 'NULL' AS dst
+  FROM (SELECT st, rn, prn,
+               max(rn) OVER (PARTITION BY user_id, sid) AS mx
+        FROM kept) k
+  WHERE rn = mx AND prn IS NULL
+),
+cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY src),
+pm AS (
+  SELECT c.src, c.dst, CAST(c.n * 1000000 // t.t AS BIGINT) AS pm
+  FROM cnt c JOIN tot t ON c.src = t.src
+),
+ch AS (SELECT DISTINCT src AS s FROM cnt WHERE src != 'START'),
+rem AS (SELECT 'NONE' AS r UNION ALL SELECT s FROM ch),
+states AS (SELECT 'START' AS s UNION ALL SELECT s FROM ch),
+base AS MATERIALIZED (
+  SELECT rem.r, st.s, coalesce(cv.pm, 0) AS cpm
+  FROM rem CROSS JOIN states st
+  LEFT JOIN (SELECT src, pm FROM pm WHERE dst = 'CONV') cv ON cv.src = st.s
+  WHERE st.s != rem.r
+),
+tpm AS MATERIALIZED (
+  SELECT src, dst, pm FROM pm WHERE dst NOT IN ('CONV', 'NULL')
+),
+p0 AS MATERIALIZED (SELECT r, s, CAST(0 AS BIGINT) AS p FROM base)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT b.r, b.s,
+         CAST((b.cpm * 1000000 + coalesce(sum(t.pm * pk.p), 0)) // 1000000
+              AS BIGINT) AS p
+  FROM base b
+  LEFT JOIN tpm t ON t.src = b.s
+  LEFT JOIN p{k-1} pk ON pk.r = b.r AND pk.s = t.dst
+  GROUP BY b.r, b.s, b.cpm
+)"""
+        )
+    tail = f""",
+eff AS (
+  SELECT c.s AS channel, pf.p AS p_full_micro, pr.p AS p_removed_micro
+  FROM ch c
+  JOIN p{iters} pf ON pf.r = 'NONE' AND pf.s = 'START'
+  JOIN p{iters} pr ON pr.r = c.s AND pr.s = 'START'
+),
+tote AS (
+  SELECT CAST(sum(p_full_micro - p_removed_micro) AS BIGINT) AS te FROM eff
+)
+SELECT channel, p_full_micro, p_removed_micro,
+       CAST((p_full_micro - p_removed_micro) * 10000
+            // greatest(p_full_micro, 1) AS BIGINT) AS removal_effect_bp,
+       CAST((p_full_micro - p_removed_micro) * 10000
+            // greatest(te, 1) AS BIGINT) AS attribution_bp
+FROM eff, tote ORDER BY channel
+"""
+    return head + ",\n" + ",\n".join(steps) + tail
+
+
+@query("events_markov_attribution", oracle=_markov_sql())
+def events_markov_attribution(spark, sf_dir):
+    """Markov-chain removal-effect attribution (Anderl et al. 2014,
+    the data-driven alternative to last-touch): user journeys =
+    sessions truncated at the first purchase (purchase -> absorbing
+    CONV, session end without purchase -> absorbing NULL, channels =
+    the non-purchase event types); a channel's credit is the drop in
+    START->CONV absorption probability when journeys through it are
+    turned off (its incoming transition mass becomes non-converting).
+
+    100 TB shape: all corpus-sized work is the sessionize window + one
+    (src, dst) transition count shuffle — the same cost as
+    events_transition_matrix. The transition matrix itself is bounded
+    by the event-type VOCABULARY ((|types|+1)^2 rows, data-size
+    independent), so it is collected and value-iterated on the driver
+    (the covariance/power-iteration discipline for contract-bounded
+    state). Every probability is an integer micro-unit with floor
+    division and every iterate stays integer, so the 25
+    fixed value-iteration steps are bit-identical to the oracle's
+    unrolled CTE chain — no float ever enters the pipeline.
+    Removal effects are nonneg by construction (removal only deletes
+    conversion paths); hand-computed journeys are pinned in
+    tests/test_operator_invariants.py."""
+    e = _load(spark, sf_dir, "events")
+    ew = e.select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    is_new = F.when(
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) > _MARKOV_GAP_US),
+        1,
+    ).otherwise(0)
+    sw = Window.partitionBy("user_id", "sid").orderBy("us", "event_id")
+    q = (
+        ew.withColumn("is_new", is_new)
+        .withColumn("sid", F.sum("is_new").over(run))
+        .withColumn("rn", F.row_number().over(sw))
+    )
+    fp = q.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).alias("prn")
+    )
+    kept = (
+        q.join(fp, ["user_id", "sid"])
+        .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .select(
+            "user_id",
+            "sid",
+            "rn",
+            "prn",
+            F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+            .otherwise(F.col("event_type"))
+            .alias("st"),
+        )
+    )
+    kw = Window.partitionBy("user_id", "sid").orderBy("rn")
+    steps = kept.select(
+        F.coalesce(F.lag("st").over(kw), F.lit("START")).alias("src"),
+        F.col("st").alias("dst"),
+    )
+    lastw = Window.partitionBy("user_id", "sid")
+    nulls = (
+        kept.withColumn("mx", F.max("rn").over(lastw))
+        .filter((F.col("rn") == F.col("mx")) & F.col("prn").isNull())
+        .select(F.col("st").alias("src"), F.lit("NULL").alias("dst"))
+    )
+    cnt = steps.unionByName(nulls).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # Contract-bounded collect: (|event types|+1)^2 rows max.
+    rows = cnt.collect()
+    tot: dict[str, int] = {}
+    for r in rows:
+        tot[r["src"]] = tot.get(r["src"], 0) + r["n"]
+    pm = {(r["src"], r["dst"]): r["n"] * 1000000 // tot[r["src"]] for r in rows}
+    channels = sorted({s for (s, _) in pm if s != "START"})
+
+    def absorb(removed: str | None) -> int:
+        states = ["START"] + [c for c in channels if c != removed]
+        p = {s: 0 for s in states}
+        for _ in range(_MARKOV_ITERS):
+            p = {
+                s: (
+                    pm.get((s, "CONV"), 0) * 1000000
+                    + sum(pm.get((s, d), 0) * p[d] for d in states)
+                )
+                // 1000000
+                for s in states
+            }
+        return p["START"]
+
+    p_full = absorb(None)
+    eff = {c: p_full - absorb(c) for c in channels}
+    te = sum(eff.values())
+    out = [
+        (
+            c,
+            p_full,
+            p_full - eff[c],
+            eff[c] * 10000 // max(p_full, 1),
+            eff[c] * 10000 // max(te, 1),
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, p_full_micro long, p_removed_micro long, "
+        "removal_effect_bp long, attribution_bp long",
+    ).orderBy("channel")
+
+
+_MOMENTS_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xc FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xc) AS DOUBLE) AS m1,
+         CAST(sum(xc * xc) AS DOUBLE) AS m2,
+         CAST(sum(xc * xc * xc) AS DOUBLE) AS m3,
+         CAST(sum(CAST(xc * xc AS HUGEINT) * (xc * xc)) AS DOUBLE) AS m4
+  FROM x GROUP BY event_type
+)
+SELECT event_type, n,
+       round(m1 / n / 100, 4) AS mean_value,
+       round(sqrt(m2 / n - (m1 / n) * (m1 / n)) / 100, 4) AS sd_value,
+       round((m3 / n - 3 * (m1 / n) * (m2 / n)
+              + 2 * (m1 / n) * (m1 / n) * (m1 / n))
+             / pow(sqrt(m2 / n - (m1 / n) * (m1 / n)), 3), 6) AS skewness,
+       round((m4 / n - 4 * (m1 / n) * (m3 / n)
+              + 6 * (m1 / n) * (m1 / n) * (m2 / n)
+              - 3 * (m1 / n) * (m1 / n) * (m1 / n) * (m1 / n))
+             / pow(m2 / n - (m1 / n) * (m1 / n), 2) - 3, 6) AS kurtosis_excess
+FROM m ORDER BY event_type
+"""
+
+
+@query("events_moments_skew_kurtosis", oracle=_MOMENTS_SQL)
+def events_moments_skew_kurtosis(spark, sf_dir):
+    """Higher-moment profile per event type — skewness and excess
+    kurtosis from raw moment sums, the moments-sketch shape (Gan et
+    al., VLDB 2018): the distributed state is FOUR integer power sums
+    (x, x2, x3, x4 over centi-quantized values) + a count, exactly
+    mergeable across partitions/streams by addition, with the shape
+    statistics derived at read time.
+
+    100 TB shape: one map-side-combinable groupBy over 5 keys — the
+    cheapest possible aggregate plan; no window, no join. Exactness
+    discipline: value has 2dp granularity so centi-quantization is
+    lossless; x4 of a max centi value overflows int64, so the power
+    sums accumulate in decimal(38,0) (Spark) / HUGEINT (DuckDB) —
+    EXACT integers, order-independent — and convert to double once,
+    after which both engines evaluate the identical moment-formula
+    expression tree. Symmetric/two-point hand values pinned in
+    tests/test_operator_invariants.py (skew 0, kurtosis -2)."""
+    e = _load(spark, sf_dir, "events")
+    xc = F.round(F.col("value") * 100).cast("long")
+    d = e.select("event_type", xc.alias("xc"), (xc * xc).alias("x2"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).cast("double").alias("m1"),
+        F.sum(F.col("x2").cast("decimal(38,0)")).cast("double").alias("m2"),
+        F.sum((F.col("xc") * F.col("x2")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("m3"),
+        F.sum(F.col("x2").cast("decimal(19,0)") * F.col("x2").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("m4"),
+    )
+    mu = F.col("m1") / F.col("n")
+    m2n = F.col("m2") / F.col("n")
+    m3n = F.col("m3") / F.col("n")
+    m4n = F.col("m4") / F.col("n")
+    var = m2n - mu * mu
+    sd = F.sqrt(var)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mu / 100, 4).alias("mean_value"),
+        F.round(sd / 100, 4).alias("sd_value"),
+        F.round((m3n - 3 * mu * m2n + 2 * mu * mu * mu) / F.pow(sd, 3), 6).alias(
+            "skewness"
+        ),
+        F.round(
+            (m4n - 4 * mu * m3n + 6 * mu * mu * m2n - 3 * mu * mu * mu * mu)
+            / F.pow(var, 2)
+            - 3,
+            6,
+        ).alias("kurtosis_excess"),
+    ).orderBy("event_type")
+
+
+_QL_MU = 2000.0
+
+_QL_SQL = rf"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM arr),
+coll AS (SELECT CAST(sum(dl) AS BIGINT) AS ctot FROM dl),
+qterm AS (
+  SELECT query_id, unnest(regexp_extract_all(lower(qtext), '\w+')) AS term
+  FROM (VALUES (0, 'hash join merge'), (1, 'stream batch window'),
+               (2, 'table scan sort order')) AS q(query_id, qtext)
+),
+nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq FROM qterm GROUP BY 1),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM arr),
+tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok t JOIN (SELECT DISTINCT term FROM qterm) qt ON t.term = qt.term
+  GROUP BY 1, 2
+),
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+match_part AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(sum(CAST(round(ln(1 + tf.tf * (c.ctot / ({_QL_MU} * f.cf)))
+                             * 1000000) AS BIGINT)) AS BIGINT) AS s_micro
+  FROM tf
+  JOIN qterm q ON tf.term = q.term
+  JOIN cf f ON tf.term = f.term
+  CROSS JOIN coll c
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         m.s_micro
+           + n.nq * CAST(round(ln({_QL_MU} / (l.dl + {_QL_MU})) * 1000000)
+                         AS BIGINT) AS t_micro
+  FROM match_part m
+  JOIN dl l ON m.doc_id = l.doc_id
+  JOIN nq n ON m.query_id = n.query_id
+)
+SELECT query_id, doc_id,
+       round(CAST(t_micro AS DOUBLE) / 1000000, 4) AS ql, rnk
+FROM (
+  SELECT query_id, doc_id, t_micro,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY t_micro DESC, doc_id) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= 10 ORDER BY query_id, rnk
+"""
+
+_QL_QUERIES = [
+    (0, "hash join merge"),
+    (1, "stream batch window"),
+    (2, "table scan sort order"),
+]
+
+
+@query("ql_dirichlet_topk", oracle=_QL_SQL)
+def ql_dirichlet_topk(spark, sf_dir):
+    """Query-likelihood retrieval with Dirichlet-prior smoothing (Ponte
+    & Croft 1998; Zhai & Lafferty 2001, mu=2000) over the bm25_topk
+    workload — the language-modeling ranking family's canonical member,
+    scored via the matching-terms decomposition: score(q,d) =
+    sum_{t in q AND d} ln(1 + c(t,d)*|C|/(mu*cf(t))) +
+    |q|*ln(mu/(|d|+mu)), which needs the posting join ONLY for matching
+    terms (absent terms fold into the per-doc length norm — the reason
+    this form, not the naive per-(q,t,d) sum, is how LM retrieval is
+    implemented at scale).
+
+    100 TB shape: identical skeleton to bm25_topk — query terms
+    broadcast into the token stream first, so the tf/cf tables and the
+    score join are |q|-bounded; corpus work is one tokenize pass + one
+    (doc_id, term) shuffle of matching tokens; collection stats are a
+    1-row broadcast. Per-term scores and the length norm quantize to
+    integer micro-nats before the per-doc sum; ranking runs on the
+    integer totals so ties and order are engine-identical."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _load(spark, sf_dir, "documents")
+    arr = d.select("doc_id", _text.tokens(F.col("text")).alias("toks")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dl = arr.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    coll = dl.agg(F.sum("dl").cast("long").alias("ctot"))
+    qterm = spark.createDataFrame(
+        [(qid, t) for qid, q in _QL_QUERIES for t in q.split()],
+        "query_id int, term string",
+    )
+    nq = qterm.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("nq"))
+    tok = arr.select("doc_id", F.explode("toks").alias("term"))
+    tf = (
+        tok.join(F.broadcast(qterm.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    s_micro = F.round(
+        F.log(1 + F.col("tf") * (F.col("ctot") / (_QL_MU * F.col("cf")))) * 1000000
+    ).cast("long")
+    match_part = (
+        tf.join(F.broadcast(qterm), "term")
+        .join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(coll))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(s_micro).cast("long").alias("s_micro"))
+    )
+    lennorm = F.round(F.log(_QL_MU / (F.col("dl") + _QL_MU)) * 1000000).cast("long")
+    scored = (
+        match_part.join(dl, "doc_id")
+        .join(F.broadcast(nq), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("s_micro") + F.col("nq") * lennorm).alias("t_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("t_micro").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("t_micro").cast("double") / 1000000, 4).alias("ql"),
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
 # received a driver verdict are listed here so they enter the window
@@ -12814,4 +13255,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_user_streaks",
     "orders_scd2_status_history",
     "bigram_kneser_ney_ppl",
+    "events_markov_attribution",
+    "events_moments_skew_kurtosis",
+    "ql_dirichlet_topk",
 ]

@@ -1432,3 +1432,93 @@ def test_scd2_status_history_hand_computed(spark, tmp_path):
         "A": (2, 1, 1, 20.0, 1.5),
         "B": (2, 1, 1, 10.0, 1.5),
     }
+
+
+def test_markov_attribution_hand_computed(spark, tmp_path):
+    """events_markov_attribution on hand-built journeys with exactly
+    computable integer value-iteration results. Journeys (one session
+    each): u1 view->purchase, u2 view->(no purchase), u3
+    click->purchase->error (the post-purchase error MUST be truncated
+    away — 'error' never becomes a channel), u4 click->view->purchase,
+    u5 signup->(no purchase). Exact absorption: p(view)=2/3,
+    p(click)=5/6, p(START)=3/5; in floor-micro space 666666/833333/
+    599999, removal(view) leaves p=200000, removal(click) 266666,
+    removal(signup) no-op."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+
+    def sess(uid, types, day):
+        nonlocal eid
+        for i, t in enumerate(types):
+            rows.append(
+                (eid, dt.datetime(2020, 1, day, 10, i), uid, t, 1.0)
+            )
+            eid += 1
+
+    sess(1, ["view", "purchase"], 1)
+    sess(2, ["view"], 2)
+    sess(3, ["click", "purchase", "error"], 3)
+    sess(4, ["click", "view", "purchase"], 4)
+    sess(5, ["signup"], 5)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["channel"]: (
+            r["p_full_micro"],
+            r["p_removed_micro"],
+            r["removal_effect_bp"],
+            r["attribution_bp"],
+        )
+        for r in qlib.events_markov_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "click": (599999, 266666, 5555, 4545),
+        "signup": (599999, 599999, 0, 0),
+        "view": (599999, 200000, 6666, 5454),
+    }
+
+
+def test_moments_sketch_hand_computed(spark, tmp_path):
+    """events_moments_skew_kurtosis on distributions with closed-form
+    moments: a symmetric two-point distribution {9, 11} has mean 10,
+    sd 1, skewness 0, excess kurtosis -2 (the two-point minimum); an
+    asymmetric {0, 0, 0, 4} one has mean 1, sd sqrt(3), skewness
+    2/sqrt(3) (third central moment 6 over 3^1.5), excess kurtosis
+    21/9 - 3 = -2/3 (fourth central moment (3*1+81)/4 = 21) — all
+    exactly representable through the centi-quantized integer moment
+    sums."""
+    import datetime as dt
+    import math
+
+    rows = []
+    eid = 0
+    for v in [9.0, 11.0] * 8:
+        rows.append((eid, dt.datetime(2020, 1, 1, 10, 0), eid, "sym", v))
+        eid += 1
+    for v in [0.0, 0.0, 0.0, 4.0] * 4:
+        rows.append((eid, dt.datetime(2020, 1, 1, 10, 0), eid, "skw", v))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["event_type"]: (
+            r["n"],
+            r["mean_value"],
+            r["sd_value"],
+            r["skewness"],
+            r["kurtosis_excess"],
+        )
+        for r in qlib.events_moments_skew_kurtosis(spark, str(tmp_path)).collect()
+    }
+    assert got["sym"] == (16, 10.0, 1.0, 0.0, -2.0)
+    n, mean, sd, skew, kurt = got["skw"]
+    assert (n, mean) == (16, 1.0)
+    assert abs(sd - round(math.sqrt(3), 4)) < 1e-9
+    assert abs(skew - round(2 / math.sqrt(3), 6)) < 1e-9
+    assert abs(kurt - round(21 / 9 - 3, 6)) < 1e-9
