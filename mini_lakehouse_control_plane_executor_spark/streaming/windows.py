@@ -72,6 +72,32 @@ def sliding_counts(
     )
 
 
+def moments_sums(events: DataFrame) -> DataFrame:
+    """The higher-moment sketch state of
+    ``queries.events_moments_skew_kurtosis`` as a batch/stream-unified
+    aggregate: count plus four INTEGER power sums over centi-quantized
+    values (decimal(38,0) accumulators — x^4 of a max centi value
+    overflows int64). The sums are commutative, associative, and
+    mergeable, so Structured Streaming's own incremental aggregation
+    state IS the sketch — when the state is an algebraic aggregate, use
+    the engine's, not a custom applyInPandasWithState operator. No
+    watermark: state is bounded by the event-type vocabulary, like the
+    CMS/HLL cell twins. The stream drain equals the batch sums
+    bit-exactly (tests/test_streaming.py), and the batch query derives
+    skewness/kurtosis from exactly these columns."""
+    xc = F.round(F.col("value") * 100).cast("long")
+    d = events.select("event_type", xc.alias("xc"), (xc * xc).alias("x2"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).alias("m1"),
+        F.sum(F.col("x2").cast("decimal(38,0)")).alias("m2"),
+        F.sum((F.col("xc") * F.col("x2")).cast("decimal(38,0)")).alias("m3"),
+        F.sum(
+            F.col("x2").cast("decimal(19,0)") * F.col("x2").cast("decimal(19,0)")
+        ).alias("m4"),
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -1578,3 +1578,19 @@ def test_image_block_stats_stream_equals_batch(spark, tmp_path):
     assert len(want) > 0
     # the fixture really exercises variable shapes
     assert len({(r.width, r.height) for r in want}) > 1
+
+
+def test_moments_sums_stream_equals_batch(spark, event_dir):
+    """The moments sketch (count + four integer power sums per event
+    type) is a PLAIN algebraic aggregate, so its streaming twin needs
+    no custom state operator — Structured Streaming's incremental
+    aggregation state is the sketch. The drained complete-mode table
+    must equal the batch sums bit-exactly (decimal accumulators, no
+    floats anywhere), which is the mergeability claim of
+    events_moments_skew_kurtosis made executable."""
+    stream = W.moments_sums(W.stream_events(spark, event_dir))
+    batch = W.moments_sums(_batch(spark, event_dir))
+    got = _rows(_drain(spark, stream, "t_moments"), ["event_type"])
+    want = _rows(batch, ["event_type"])
+    assert got == want
+    assert len(want) > 0
