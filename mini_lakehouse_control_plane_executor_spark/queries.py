@@ -13175,6 +13175,415 @@ def ql_dirichlet_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-10d additions: b-bit minwise hashing (the storage/accuracy
+# tradeoff audit for MinHash sketches), two-sample Kolmogorov-Smirnov
+# over value distributions, simple Good-Turing unseen-mass estimation,
+# and Benford first-digit deviation.
+# ---------------------------------------------------------------------------
+
+
+def _bbit_minhash_oracle(k: int = 12, band_rows: int = 3) -> str:
+    """Oracle for minhash_bbit_estimate_error — the
+    _minhash_estimate_error_oracle pipeline plus the 1-bit estimator
+    column (lowest bit of each min-hash, collision-rate corrected)."""
+    p = _dedup.MINHASH_P
+    sig_cols = ", ".join(f"min((a + {i} * b) % {p}) AS h{i}" for i in range(k))
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {key} AS bk FROM sigs".format(
+            b=b,
+            key="||'|'||".join(
+                f"h{i}::VARCHAR" for i in range(b * band_rows, (b + 1) * band_rows)
+            ),
+        )
+        for b in range(k // band_rows)
+    )
+    agree_full = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    agree_b1 = " + ".join(
+        f"(CASE WHEN (a.h{i} & 1) = (b.h{i} & 1) THEN 1 ELSE 0 END)"
+        for i in range(k)
+    )
+    return f"""
+WITH {_sql_shingles(3)},
+ab AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(s), 1, 15))::BIGINT % {p} AS a,
+         ('0x'||substr(md5(s), 16, 15))::BIGINT % {p} AS b
+  FROM ex
+),
+sigs AS (SELECT doc_id, {sig_cols} FROM ab GROUP BY doc_id),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT cand.id1, cand.id2,
+         CAST(round(({agree_full}) * 1000000.0 / {k}) AS BIGINT) AS full_micro,
+         CAST(round(greatest(2.0 * ({agree_b1}) / {k} - 1.0, 0.0) * 1000000)
+              AS BIGINT) AS b1_micro
+  FROM cand JOIN sigs a ON cand.id1 = a.doc_id JOIN sigs b ON cand.id2 = b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT e.id1, e.id2, e.full_micro, e.b1_micro,
+         CAST(round(coalesce(i.c, 0) * 1000000.0
+                    / (s1.n_sh + s2.n_sh - coalesce(i.c, 0))) AS BIGINT) AS ex_micro
+  FROM est e
+  LEFT JOIN inter i ON e.id1 = i.id1 AND e.id2 = i.id2
+  JOIN sizes s1 ON e.id1 = s1.doc_id
+  JOIN sizes s2 ON e.id2 = s2.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(abs(full_micro - ex_micro)) / count(*) / 1000000.0, 6)
+         AS mean_abs_err_full,
+       round(sum(abs(b1_micro - ex_micro)) / count(*) / 1000000.0, 6)
+         AS mean_abs_err_b1,
+       round(sum(b1_micro) / count(*) / 1000000.0, 6) AS mean_est_b1,
+       round(sum(ex_micro) / count(*) / 1000000.0, 6) AS mean_exact
+FROM scored
+"""
+
+
+@query("minhash_bbit_estimate_error", oracle=_bbit_minhash_oracle())
+def minhash_bbit_estimate_error(spark, sf_dir):
+    """b-bit minwise hashing audit (Li & Koenig, WWW 2010): store only
+    the LOWEST BIT of each min-hash (64x less signature storage than
+    64-bit hashes) and estimate Jaccard from the 1-bit collision rate
+    A via the correction J = 2A - 1 (random bits collide with
+    probability 1/2, clamped at 0) — measured side by side with the
+    full-width estimator against exact shingle Jaccard over the same
+    LSH candidate pairs. The published tradeoff made visible: b=1
+    variance is ~3x the full estimator at J~0.5 but the sketch is 64x
+    smaller, which at 100 TB decides whether the signature table fits
+    in memory.
+
+    100 TB shape: identical to minhash_estimate_error — the shared
+    exploded-shingle pass, the banded candidate join, the candidate-
+    driven intersection, one keyless summary row; the b1 column is a
+    pure expression over the already-joined signatures (zero extra
+    jobs). Per-pair values quantize to integer micro-units before the
+    aggregate."""
+    from pyspark.storagelevel import StorageLevel
+
+    k = _dedup.MINHASH_K
+    d = _load(spark, sf_dir, "documents")
+    arr = _dedup.shingle_arrays(d, "doc_id", "text", 3)
+    ex = _dedup.exploded_shingles(d, "doc_id", "text", 3, arrays=arr).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _dedup.minhash_signatures(d, "doc_id", "text", 3, k, shingles=ex)
+    cands = _dedup.lsh_candidates(sigs, k, _dedup.MINHASH_BAND_ROWS)
+    sizes = arr.filter(F.size("sh") > 0).select(
+        "doc_id", F.size("sh").cast("long").alias("n_sh")
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)],
+    )
+    agree_full = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)),
+        F.lit(0),
+    )
+    agree_b1 = sum(
+        (
+            F.when(
+                F.col(f"a{i}").bitwiseAND(1) == F.col(f"b{i}").bitwiseAND(1), 1
+            ).otherwise(0)
+            for i in range(k)
+        ),
+        F.lit(0),
+    )
+    est = (
+        cands.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(agree_full * 1000000.0 / k).cast("long").alias("full_micro"),
+            F.round(F.greatest(2.0 * agree_b1 / k - 1.0, F.lit(0.0)) * 1000000)
+            .cast("long")
+            .alias("b1_micro"),
+        )
+    )
+    ex1 = ex.select(F.col("doc_id").alias("id1"), "s")
+    ex2 = ex.select(F.col("doc_id").alias("id2"), "s")
+    inter = (
+        cands.join(ex1, "id1")
+        .join(ex2, ["id2", "s"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"))
+    c = F.coalesce(F.col("c"), F.lit(0))
+    scored = (
+        est.join(inter, ["id1", "id2"], "left")
+        .join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "full_micro",
+            "b1_micro",
+            F.round(c * 1000000.0 / (F.col("n1") + F.col("n2") - c))
+            .cast("long")
+            .alias("ex_micro"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return scored.agg(
+        n.alias("n_pairs"),
+        F.round(
+            F.sum(F.abs(F.col("full_micro") - F.col("ex_micro"))) / n / 1000000.0, 6
+        ).alias("mean_abs_err_full"),
+        F.round(
+            F.sum(F.abs(F.col("b1_micro") - F.col("ex_micro"))) / n / 1000000.0, 6
+        ).alias("mean_abs_err_b1"),
+        F.round(F.sum("b1_micro") / n / 1000000.0, 6).alias("mean_est_b1"),
+        F.round(F.sum("ex_micro") / n / 1000000.0, 6).alias("mean_exact"),
+    )
+
+
+_KS_SQL = """
+WITH x AS (
+  SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS xc FROM events
+),
+h AS (SELECT t, xc, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1, 2),
+n AS (SELECT t, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY t),
+pairs AS (
+  SELECT a.t AS ta, b.t AS tb FROM n a JOIN n b ON a.t < b.t
+),
+ph AS (
+  SELECT p.ta, p.tb, h.xc,
+         CAST(sum(CASE WHEN h.t = p.ta THEN h.c ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN h.t = p.tb THEN h.c ELSE 0 END) AS BIGINT) AS cb
+  FROM pairs p JOIN h ON h.t IN (p.ta, p.tb)
+  GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT ta, tb, xc,
+         sum(ca) OVER (PARTITION BY ta, tb ORDER BY xc
+                       ROWS UNBOUNDED PRECEDING) AS fa,
+         sum(cb) OVER (PARTITION BY ta, tb ORDER BY xc
+                       ROWS UNBOUNDED PRECEDING) AS fb
+  FROM ph
+),
+d AS (
+  SELECT c.ta, c.tb, na.n AS n_a, nb.n AS n_b,
+         max(abs(c.fa * nb.n - c.fb * na.n)) AS dn
+  FROM cum c JOIN n na ON na.t = c.ta JOIN n nb ON nb.t = c.tb
+  GROUP BY 1, 2, 3, 4
+)
+SELECT ta AS type_a, tb AS type_b, n_a, n_b,
+       CAST(dn * 1000000 // (n_a * n_b) AS BIGINT) AS d_micro,
+       CAST(round(1.358 * sqrt((n_a + n_b) / (CAST(n_a AS DOUBLE) * n_b))
+                  * 1000000) AS BIGINT) AS crit_05_micro,
+       dn * 1000000 // (n_a * n_b)
+         > CAST(round(1.358 * sqrt((n_a + n_b) / (CAST(n_a AS DOUBLE) * n_b))
+                      * 1000000) AS BIGINT) AS reject_05
+FROM d ORDER BY type_a, type_b
+"""
+
+
+@query("events_ks_two_sample", oracle=_KS_SQL)
+def events_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test between every pair of event
+    types' value distributions: D = max |F_a - F_b| with the
+    alpha=0.05 asymptotic rejection threshold 1.358*sqrt((n_a+n_b)/
+    (n_a*n_b)) — the distribution-shift detector a feature pipeline
+    runs between cohorts/weeks/sources.
+
+    100 TB shape: the event stream collapses ONCE to a (type, value)
+    HISTOGRAM (map-side combinable, value-vocabulary bounded — value
+    has 2dp granularity); pairs expand the histogram x|pairs|, the ECDF
+    cumsum window partitions BY PAIR (never a global sort), and D-max
+    is a per-pair aggregate. The D statistic stays in exact integer
+    cross-multiplied space (|F_a*n_b - F_b*n_a| over the common
+    denominator n_a*n_b) until the final micro division, so the max
+    and the rejection decision are engine-identical — no float ECDF."""
+    e = _load(spark, sf_dir, "events")
+    x = e.select(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+    )
+    h = x.groupBy("t", "xc").agg(F.count(F.lit(1)).cast("long").alias("c")).persist()
+    n = h.groupBy("t").agg(F.sum("c").cast("long").alias("n"))
+    na = n.select(F.col("t").alias("ta"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("t").alias("tb"), F.col("n").alias("n_b"))
+    pairs = na.crossJoin(F.broadcast(nb)).filter(F.col("ta") < F.col("tb"))
+    ph = (
+        F.broadcast(pairs)
+        .join(h, (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")))
+        .groupBy("ta", "tb", "n_a", "n_b", "xc")
+        .agg(
+            F.sum(F.when(F.col("t") == F.col("ta"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("t") == F.col("tb"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("xc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = ph.select(
+        "ta",
+        "tb",
+        "n_a",
+        "n_b",
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+    )
+    d = cum.groupBy("ta", "tb", "n_a", "n_b").agg(
+        F.max(F.abs(F.col("fa") * F.col("n_b") - F.col("fb") * F.col("n_a"))).alias(
+            "dn"
+        )
+    )
+    crit = F.round(
+        1.358
+        * F.sqrt(
+            (F.col("n_a") + F.col("n_b"))
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        )
+        * 1000000
+    ).cast("long")
+    d_micro = F.expr("dn * 1000000 div (n_a * n_b)")
+    return d.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "n_a",
+        "n_b",
+        d_micro.alias("d_micro"),
+        crit.alias("crit_05_micro"),
+        (d_micro > crit).alias("reject_05"),
+    ).orderBy("type_a", "type_b")
+
+
+_GT_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+  FROM documents
+),
+tc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+gt AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM tc GROUP BY source
+)
+SELECT source, n_tokens, n_types, n1, n2,
+       CAST(n1 * 1000000 // n_tokens AS BIGINT) AS p_unseen_micro,
+       CAST(n1 * 1000000 // n_types AS BIGINT) AS singleton_share_micro
+FROM gt ORDER BY source
+"""
+
+
+@query("docs_good_turing_mass", oracle=_GT_SQL)
+def docs_good_turing_mass(spark, sf_dir):
+    """Good-Turing unseen-probability mass per source (Good 1953; Gale
+    & Sampson 1995 simple GT): the total probability of tokens NOT yet
+    seen is estimated by N1/N (singleton types over tokens) — the
+    smoothing foundation under Katz backoff and the practical "how
+    much of this domain's vocabulary have we actually covered" crawl
+    diagnostic (complements vocab_growth_heaps' rate with a mass).
+    N2 rides along as the input to the first GT count re-estimate
+    r* = (r+1)N_{r+1}/N_r.
+
+    100 TB shape: one (source, token) count shuffle, then a per-source
+    rollup OVER the vocab-sized count table — the token stream is
+    aggregated exactly once (the doremi_domain_weights skeleton); all
+    outputs are exact integers (floor-micro ratios), nothing floats."""
+    d = _load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(_text.tokens(F.col("text"))).alias("t"))
+    tc = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    gt = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    return gt.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n1",
+        "n2",
+        F.expr("n1 * 1000000 div n_tokens").alias("p_unseen_micro"),
+        F.expr("n1 * 1000000 div n_types").alias("singleton_share_micro"),
+    ).orderBy("source")
+
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c)
+SELECT c.digit, c.n_obs,
+       CAST(c.n_obs * 10000 // t.n AS BIGINT) AS obs_bp,
+       CAST(round(log10(1.0 + 1.0 / c.digit) * 10000) AS BIGINT) AS exp_bp,
+       CAST(c.n_obs * 10000 // t.n
+            - CAST(round(log10(1.0 + 1.0 / c.digit) * 10000) AS BIGINT)
+            AS BIGINT) AS dev_bp
+FROM c, t ORDER BY digit
+"""
+
+
+@query("orders_benford_deviation", oracle=_BENFORD_SQL)
+def orders_benford_deviation(spark, sf_dir):
+    """Benford's-law first-digit profile of order totals (Benford 1938;
+    Nigrini's fraud-audit staple): observed first-significant-digit
+    shares vs the log10(1 + 1/d) expectation, per digit — the data-
+    quality screen for fabricated or truncated monetary columns.
+    (TPC-H's uniform price generator is NOT Benford-distributed; the
+    per-digit dev_bp column is the point, not a pass/fail.)
+
+    100 TB shape: the first digit comes from the INTEGER part's string
+    head (no log10 on the data path — a float log would wobble on
+    exact powers of ten), so the scan is one map expression into a
+    9-key map-side-combinable count; shares are exact floor-basis-
+    points against a 1-row broadcast total."""
+    o = _load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    c = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    t = c.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp_bp = F.round(F.log10(1.0 + 1.0 / F.col("digit")) * 10000).cast("long")
+    obs_bp = F.expr("n_obs * 10000 div n")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_obs",
+            obs_bp.alias("obs_bp"),
+            exp_bp.alias("exp_bp"),
+            (obs_bp - exp_bp).alias("dev_bp"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
 # received a driver verdict are listed here so they enter the window
@@ -13258,4 +13667,8 @@ DRIVER_PRIORITY: list[str] = [
     "events_markov_attribution",
     "events_moments_skew_kurtosis",
     "ql_dirichlet_topk",
+    "minhash_bbit_estimate_error",
+    "events_ks_two_sample",
+    "docs_good_turing_mass",
+    "orders_benford_deviation",
 ]
