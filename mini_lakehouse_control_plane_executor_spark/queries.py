@@ -13584,6 +13584,168 @@ def orders_benford_deviation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-10e additions: CUSUM change-point detection and Church-Gale
+# term burstiness.
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts::TIMESTAMP AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS total
+  FROM d GROUP BY event_type
+),
+c AS (
+  SELECT d.event_type, d.day, t.n_days, t.total,
+         CAST(sum(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+              AS BIGINT) AS k
+  FROM d JOIN t ON d.event_type = t.event_type
+),
+dev AS (
+  SELECT event_type, day, n_days, total,
+         abs(n_days * cum - k * total) AS devn
+  FROM c
+),
+agg AS (SELECT event_type, max(devn) AS mx FROM dev GROUP BY 1)
+SELECT d.event_type, d.n_days, d.total,
+       CAST(a.mx * 1000000 // (d.n_days * d.total) AS BIGINT) AS peak_dev_micro,
+       min(d.day)::TIMESTAMP AS peak_day
+FROM dev d JOIN agg a ON d.event_type = a.event_type AND d.devn = a.mx
+GROUP BY 1, 2, 3, 4
+ORDER BY d.event_type
+"""
+
+
+@query("events_cusum_change_point", oracle=_CUSUM_SQL)
+def events_cusum_change_point(spark, sf_dir):
+    """CUSUM change-point localization (Page 1954) on daily event rates
+    per type: the peak of |CUSUM_k| = |sum_{i<=k}(x_i - mean)| marks
+    the most likely rate-change day (the classic offline change-point
+    estimator; complements events_daily_anomaly's pointwise z-screen
+    with a cumulative-drift statistic). Reported as the normalized
+    peak deviation + its day.
+
+    100 TB shape: events collapse to a (type, day) count FIRST
+    (map-side combinable; the cumsum window then runs on the
+    calendar-bounded daily table partitioned by type — never on
+    events). The CUSUM stays exact: |n_days*cum_k - k*total| is pure
+    integer arithmetic over the shared denominator, so the peak, the
+    argmax day (min-day tiebreak via an equi-join on the max), and the
+    floor-micro normalization are engine-identical — no float means."""
+    e = _load(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    t = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = (
+        d.join(t, "event_type")
+        .withColumn("cum", F.sum("x").over(run).cast("long"))
+        .withColumn("k", F.row_number().over(w).cast("long"))
+    )
+    dev = c.select(
+        "event_type",
+        "day",
+        "n_days",
+        "total",
+        F.abs(F.col("n_days") * F.col("cum") - F.col("k") * F.col("total")).alias(
+            "devn"
+        ),
+    )
+    agg = dev.groupBy("event_type").agg(F.max("devn").alias("mx"))
+    return (
+        dev.join(agg, "event_type")
+        .filter(F.col("devn") == F.col("mx"))
+        .groupBy("event_type", "n_days", "total")
+        .agg(
+            F.expr("any_value(mx) * 1000000 div (n_days * total)").alias(
+                "peak_dev_micro"
+            ),
+            F.min("day").cast("timestamp").alias("peak_day"),
+        )
+        .select("event_type", "n_days", "total", "peak_dev_micro", "peak_day")
+        .orderBy("event_type")
+    )
+
+
+_BURST_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+  FROM documents
+),
+tc AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+st AS (
+  SELECT t,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM tc GROUP BY t
+),
+sel AS (
+  SELECT t, df, s1, s2 FROM st ORDER BY df DESC, t LIMIT 20
+)
+SELECT sel.t AS term, sel.df, sel.s1 AS n_occ,
+       round((CAST(sel.s2 AS DOUBLE) / nd.n_docs
+              - (CAST(sel.s1 AS DOUBLE) / nd.n_docs)
+                * (CAST(sel.s1 AS DOUBLE) / nd.n_docs))
+             / (CAST(sel.s1 AS DOUBLE) / nd.n_docs), 6) AS vmr,
+       CAST(sel.df * 1000000 // nd.n_docs AS BIGINT) AS df_share_micro
+FROM sel, nd ORDER BY sel.df DESC, term
+"""
+
+
+@query("docs_term_burstiness", oracle=_BURST_SQL)
+def docs_term_burstiness(spark, sf_dir):
+    """Term burstiness (Church & Gale 1995): the variance-to-mean ratio
+    (VMR, index of dispersion) of per-document counts for the top-20
+    highest-df terms — VMR 1 is Poisson scatter, VMR >> 1 is the bursty
+    content-word signature, so the statistic separates function words
+    from topical terms and flags template-injected tokens whose
+    dispersion is unnaturally flat. Complements the frequency-based
+    corpus laws (Zipf/Heaps) with a second-moment statistic.
+
+    100 TB shape: one (term, doc) count shuffle, then a per-term rollup
+    of integer sufficient statistics (df, sum c, sum c^2) over the
+    vocab-sized table; top-20 by exact integer df (TakeOrdered — rank
+    on ints, never floats) against a 1-row broadcast doc count. The
+    VMR division happens once per selected term from exact sums."""
+    d = _load(spark, sf_dir, "documents")
+    n_docs_df = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tok = d.select("doc_id", F.explode(_text.tokens(F.col("text"))).alias("t"))
+    tc = tok.groupBy("t", "doc_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    st = tc.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    sel = st.orderBy(F.col("df").desc(), "t").limit(20)
+    m = F.col("s1").cast("double") / F.col("n_docs")
+    vmr = F.round((F.col("s2").cast("double") / F.col("n_docs") - m * m) / m, 6)
+    return (
+        sel.crossJoin(F.broadcast(n_docs_df))
+        .select(
+            F.col("t").alias("term"),
+            "df",
+            F.col("s1").alias("n_occ"),
+            vmr.alias("vmr"),
+            F.expr("df * 1000000 div n_docs").alias("df_share_micro"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
 # received a driver verdict are listed here so they enter the window
@@ -13671,4 +13833,6 @@ DRIVER_PRIORITY: list[str] = [
     "events_ks_two_sample",
     "docs_good_turing_mass",
     "orders_benford_deviation",
+    "events_cusum_change_point",
+    "docs_term_burstiness",
 ]
