@@ -13746,6 +13746,309 @@ def docs_term_burstiness(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-10f additions: Theil inequality decomposition and nDCG
+# retrieval evaluation.
+# ---------------------------------------------------------------------------
+
+_THEIL_SQL = """
+WITH cr AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(rev_c) AS BIGINT) AS rev_all, CAST(count(*) AS BIGINT) AS n_all
+  FROM cr
+),
+segstat AS (
+  SELECT seg, CAST(sum(rev_c) AS BIGINT) AS rev_g, CAST(count(*) AS BIGINT) AS n_g
+  FROM cr GROUP BY seg
+),
+win AS (
+  SELECT cr.seg,
+         CAST(sum(cr.rev_c * CAST(round(
+             ln(CAST(cr.rev_c AS DOUBLE) * s.n_g / s.rev_g) * 1000000)
+             AS BIGINT)) AS BIGINT) AS tw_num,
+         any_value(s.rev_g) AS rev_g, any_value(s.n_g) AS n_g
+  FROM cr JOIN segstat s ON cr.seg = s.seg
+  GROUP BY cr.seg
+),
+per_seg AS (
+  SELECT w.seg, w.n_g,
+         CAST(round(CAST(w.tw_num AS DOUBLE) / w.rev_g) AS BIGINT) AS theil_within_micro,
+         CAST(w.rev_g * 1000000 // t.rev_all AS BIGINT) AS rev_share_micro,
+         CAST(round(CAST(w.rev_g AS DOUBLE) / t.rev_all
+                    * CAST(round(ln((CAST(w.rev_g AS DOUBLE) / t.rev_all)
+                                    / (CAST(w.n_g AS DOUBLE) / t.n_all)) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS between_term_micro
+  FROM win w, tot t
+)
+SELECT seg, n_g, rev_share_micro, theil_within_micro, between_term_micro
+FROM per_seg ORDER BY seg
+"""
+
+
+@query("orders_theil_inequality", oracle=_THEIL_SQL)
+def orders_theil_inequality(spark, sf_dir):
+    """Theil T inequality of customer revenue per market segment with
+    the between/within DECOMPOSITION (Theil 1967) — the property Gini
+    lacks: T_total = T_between + sum_g share_g * T_within(g), so
+    concentration attributes additively to "segments differ" vs
+    "customers within a segment differ" (decomposition pinned on a
+    hand fixture in tests/test_operator_invariants.py). Complements
+    orders_decile_value_concentration's Lorenz view with the
+    entropy-based index.
+
+    100 TB shape: one customer-revenue aggregate (orders join a
+    broadcastable dim), then everything runs on the |customers|-row
+    frame: per-customer entropy terms quantize to integer micro-nats
+    WEIGHTED BY exact cent revenues before the per-segment sum, and
+    the between-segment terms are |segments|-row arithmetic against a
+    1-row broadcast total."""
+    o = _load(spark, sf_dir, "orders")
+    cu = _load(spark, sf_dir, "customer")
+    cr = (
+        o.join(cu, o["o_custkey"] == cu["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    tot = cr.agg(
+        F.sum("rev_c").cast("long").alias("rev_all"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    segstat = cr.groupBy("seg").agg(
+        F.sum("rev_c").cast("long").alias("rev_g"),
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+    )
+    term = F.col("rev_c") * F.round(
+        F.log(F.col("rev_c").cast("double") * F.col("n_g") / F.col("rev_g"))
+        * 1000000
+    ).cast("long")
+    win = (
+        cr.join(segstat, "seg")
+        .groupBy("seg")
+        .agg(
+            F.sum(term).cast("long").alias("tw_num"),
+            F.any_value("rev_g").alias("rev_g"),
+            F.any_value("n_g").alias("n_g"),
+        )
+    )
+    between = F.round(
+        F.col("rev_g").cast("double")
+        / F.col("rev_all")
+        * F.round(
+            F.log(
+                (F.col("rev_g").cast("double") / F.col("rev_all"))
+                / (F.col("n_g").cast("double") / F.col("n_all"))
+            )
+            * 1000000
+        ).cast("long")
+    ).cast("long")
+    return (
+        win.crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "n_g",
+            F.expr("rev_g * 1000000 div rev_all").alias("rev_share_micro"),
+            F.round(F.col("tw_num").cast("double") / F.col("rev_g"))
+            .cast("long")
+            .alias("theil_within_micro"),
+            between.alias("between_term_micro"),
+        )
+        .orderBy("seg")
+    )
+
+
+_NDCG_SQL = r"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM arr),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+),
+qterm AS (
+  SELECT query_id, unnest(regexp_extract_all(lower(qtext), '\w+')) AS term
+  FROM (VALUES (0, 'hash join merge'), (1, 'stream batch window'),
+               (2, 'table scan sort order')) AS q(query_id, qtext)
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM arr),
+tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok t JOIN (SELECT DISTINCT term FROM qterm) qt ON t.term = qt.term
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfr FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(round(
+           round(ln((s.n_docs - d.dfr + 0.5) / (d.dfr + 0.5) + 1), 6)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+           * 1000000) AS BIGINT) AS s_micro
+  FROM tf
+  JOIN qterm q ON tf.term = q.term
+  JOIN dfreq d ON tf.term = d.term
+  JOIN dl l ON tf.doc_id = l.doc_id
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id,
+         round(CAST(sum(s_micro) AS DOUBLE) / 1000000, 4) AS bm25
+  FROM scored GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id, bm25,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT) AS rnk
+    FROM agg
+  ) WHERE rnk <= 10
+),
+rel AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(count(DISTINCT tf.term) AS BIGINT) AS rel
+  FROM tf JOIN qterm q ON tf.term = q.term
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT rnk, CAST(round(1000000 / log2(rnk + 1)) AS BIGINT) AS w_micro
+  FROM (SELECT unnest(generate_series(1, 10)) AS rnk)
+),
+dcg AS (
+  SELECT r.query_id,
+         CAST(sum(((1 << rel.rel) - 1) * w.w_micro) AS BIGINT) AS dcg_micro
+  FROM ranked r
+  JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+  JOIN w ON r.rnk = w.rnk
+  GROUP BY 1
+),
+ideal AS (
+  SELECT query_id, rel, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rel DESC, doc_id) AS INT) AS rnk
+  FROM rel
+),
+idcg AS (
+  SELECT i.query_id,
+         CAST(sum(((1 << i.rel) - 1) * w.w_micro) AS BIGINT) AS idcg_micro
+  FROM ideal i JOIN w ON i.rnk = w.rnk
+  WHERE i.rnk <= 10
+  GROUP BY 1
+)
+SELECT d.query_id, d.dcg_micro, i.idcg_micro,
+       round(CAST(d.dcg_micro AS DOUBLE) / i.idcg_micro, 6) AS ndcg
+FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+ORDER BY d.query_id
+"""
+
+
+@query("retrieval_ndcg_bm25", oracle=_NDCG_SQL)
+def retrieval_ndcg_bm25(spark, sf_dir):
+    """nDCG@10 evaluation of the BM25 ranking (Jaervelin & Kekaelaeinen
+    2002) against a graded term-coverage ground truth (rel(q,d) =
+    number of distinct query terms present in d, the deterministic
+    relevance a synthetic corpus supports): DCG with 2^rel - 1 gains
+    and 1/log2(rank+1) discounts, normalized by the ideal ordering.
+    Closes the retrieval family's loop — bm25_topk/ql_dirichlet_topk
+    RANK, this measures how well, the same harness shape as the ANN
+    recall matrix on the dense side.
+
+    100 TB shape: the bm25_topk skeleton verbatim (query terms
+    broadcast into the token stream, |q|-bounded tf/df tables); the
+    relevance table is a rollup of the SAME candidate-sized tf table;
+    DCG gains and rank discounts are exact integers (micro discounts
+    x bit-shift gains), so both DCG sums and the ideal ranking are
+    engine-identical."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _load(spark, sf_dir, "documents")
+    arr = d.select("doc_id", _text.tokens(F.col("text")).alias("toks")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dl = arr.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qterm = spark.createDataFrame(
+        [(qid, t) for qid, q in _BM25_QUERIES for t in q.split()],
+        "query_id int, term string",
+    )
+    tok = arr.select("doc_id", F.explode("toks").alias("term"))
+    tf = (
+        tok.join(F.broadcast(qterm.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfr"))
+    idf = F.round(
+        F.log((F.col("n_docs") - F.col("dfr") + 0.5) / (F.col("dfr") + 0.5) + 1), 6
+    )
+    s_micro = (
+        F.round(
+            idf
+            * F.col("tf")
+            * 2.2
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            * 1000000
+        )
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(qterm), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", s_micro.alias("s_micro"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("s_micro").cast("double") / 1000000, 4).alias("bm25")
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    ranked = (
+        agg.withColumn("rnk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "doc_id", "rnk")
+    )
+    rel = (
+        tf.join(F.broadcast(qterm), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("rel"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w_micro = F.round(1000000 / F.log2(F.col("rnk") + 1)).cast("long")
+    gain = F.expr("cast(shiftleft(1, cast(rel as int)) - 1 as bigint)")
+    dcg = (
+        ranked.join(rel, ["query_id", "doc_id"])
+        .select("query_id", (gain * w_micro).alias("g"))
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("long").alias("dcg_micro"))
+    )
+    iw = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "doc_id")
+    idcg = (
+        rel.withColumn("rnk", F.row_number().over(iw).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", (gain * w_micro).alias("g"))
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("long").alias("idcg_micro"))
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .select(
+            "query_id",
+            "dcg_micro",
+            "idcg_micro",
+            F.round(F.col("dcg_micro").cast("double") / F.col("idcg_micro"), 6).alias(
+                "ndcg"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
 # received a driver verdict are listed here so they enter the window
@@ -13835,4 +14138,6 @@ DRIVER_PRIORITY: list[str] = [
     "orders_benford_deviation",
     "events_cusum_change_point",
     "docs_term_burstiness",
+    "orders_theil_inequality",
+    "retrieval_ndcg_bm25",
 ]

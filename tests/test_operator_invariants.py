@@ -1522,3 +1522,46 @@ def test_moments_sketch_hand_computed(spark, tmp_path):
     assert abs(sd - round(math.sqrt(3), 4)) < 1e-9
     assert abs(skew - round(2 / math.sqrt(3), 6)) < 1e-9
     assert abs(kurt - round(21 / 9 - 3, 6)) < 1e-9
+
+
+def test_theil_decomposition_hand_computed(spark, tmp_path):
+    """orders_theil_inequality on a hand fixture where the Theil
+    decomposition T_total = T_between + sum_g share_g * T_within(g) is
+    exactly computable: segment A has two equal customers (T_A = 0),
+    segment B has a 3:1 split (T_B = 0.75*ln(1.5) + 0.25*ln(0.5) =
+    0.130812), shares are 1/3 and 2/3, and the between terms are
+    (1/3)ln(2/3) = -0.135155 and (2/3)ln(4/3) = +0.191788 — their sum
+    (0.056633) plus the share-weighted withins (0.087208) equals the
+    direct whole-population Theil (0.143841)."""
+    cust = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")],
+        "c_custkey long, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, 100.0), (11, 2, 100.0), (12, 3, 300.0), (13, 4, 100.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    cust.write.parquet(f"{tmp_path}/customer.parquet")
+    orders.write.parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r["seg"]: (
+            r["n_g"],
+            r["rev_share_micro"],
+            r["theil_within_micro"],
+            r["between_term_micro"],
+        )
+        for r in qlib.orders_theil_inequality(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "A": (2, 333333, 0, -135155),
+        "B": (2, 666666, 130812, 191788),
+    }
+    # Decomposition closes: between sum + share-weighted withins equal
+    # the direct whole-population Theil (floor-micro share drift < 2e-6).
+    import math
+
+    t_between = sum(v[3] for v in got.values()) / 1e6
+    t_within = sum(v[1] / 1e6 * v[2] / 1e6 for v in got.values())
+    xs, total = [10000, 10000, 30000, 10000], 60000
+    t_direct = sum(x / total * math.log(x * len(xs) / total) for x in xs)
+    assert abs(t_between + t_within - t_direct) < 2e-6
