@@ -329,3 +329,87 @@ def test_kneser_ney_distribution_normalizes(seqs):
             assert 0.0 < p <= 1.0
             total += p
         assert abs(total - 1.0) < 1e-9
+
+
+@PROP
+@given(
+    start=st.integers(min_value=0, max_value=10_000),
+    length=st.integers(min_value=0, max_value=3_000),
+    wb=st.integers(min_value=0, max_value=120),
+)
+def test_interval_bucket_expansion_equals_overlap(start, length, wb):
+    """The exactness lemma behind events_interval_overlap_join's
+    rewrite: for a window that IS one width-W bucket [wb*W, (wb+1)*W),
+    bucket membership wb in [start div W, end div W] holds IFF the
+    closed interval [start, end] overlaps the window. Checked over
+    random intervals and buckets at W=100 (scale-free: only div
+    arithmetic is involved)."""
+    W = 100
+    end = start + length
+    member = (start // W) <= wb <= (end // W)
+    overlap = start < (wb + 1) * W and end >= wb * W
+    assert member == overlap
+
+
+@PROP
+@given(
+    trans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # src channel id
+            st.integers(min_value=-2, max_value=3),  # dst: -2 NULL, -1 CONV, >=0 channel
+            st.integers(min_value=1, max_value=50),  # count
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_markov_removal_effect_nonnegative_and_monotone(trans):
+    """events_markov_attribution's docstring claims: (a) removal
+    effects are nonnegative (turning a channel off only deletes
+    conversion paths — its incoming mass becomes non-converting), and
+    (b) the integer value-iteration is monotone nondecreasing in k
+    (starting from p=0, each step only adds discovered conversion
+    mass). Checked on random transition-count matrices through the
+    exact integer pipeline the query runs (floor-micro probabilities,
+    floor division per step)."""
+    pm_counts = {}
+    for src, dst, n in trans:
+        s = f"c{src}"
+        d = {-2: "NULL", -1: "CONV"}.get(dst, f"c{dst}")
+        if s == d:
+            continue
+        pm_counts[(s, d)] = pm_counts.get((s, d), 0) + n
+    # START rows: route to every channel that appears anywhere
+    chans = sorted(
+        {s for (s, _) in pm_counts} | {d for (_, d) in pm_counts if d.startswith("c")}
+    )
+    if not chans:
+        return
+    for c in chans:
+        pm_counts[("START", c)] = 1
+    tot = {}
+    for (s, _), n in pm_counts.items():
+        tot[s] = tot.get(s, 0) + n
+    pm = {k: n * 1000000 // tot[k[0]] for k, n in pm_counts.items()}
+
+    def absorb(removed, iters=25, trace=False):
+        states = ["START"] + [c for c in chans if c != removed]
+        p = {s: 0 for s in states}
+        seq = []
+        for _ in range(iters):
+            p = {
+                s: (
+                    pm.get((s, "CONV"), 0) * 1000000
+                    + sum(pm.get((s, d), 0) * p[d] for d in states)
+                )
+                // 1000000
+                for s in states
+            }
+            seq.append(p["START"])
+        return seq if trace else p["START"]
+
+    seq = absorb(None, trace=True)
+    assert all(b >= a for a, b in zip(seq, seq[1:]))  # monotone in k
+    p_full = seq[-1]
+    for c in chans:
+        assert absorb(c) <= p_full  # removal never helps
