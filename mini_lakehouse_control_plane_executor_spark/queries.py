@@ -14048,6 +14048,123 @@ def retrieval_ndcg_bm25(spark, sf_dir):
     )
 
 
+_SESS_PMI_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
+),
+g AS (
+  SELECT user_id, event_type, us,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > {_IVAL_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+n AS (SELECT CAST(count(DISTINCT (user_id, sid)) AS BIGINT) AS n_sess FROM st),
+tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t FROM st GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sid = b.sid AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both, ta.n_t AS n_a, tb.n_t AS n_b,
+       CAST(round(ln(CAST(p.n_both AS DOUBLE) * n.n_sess / (ta.n_t * tb.n_t))
+                  * 1000000) AS BIGINT) AS pmi_micro
+FROM pairs p
+JOIN tc ta ON p.type_a = ta.event_type
+JOIN tc tb ON p.type_b = tb.event_type, n
+ORDER BY p.type_a, p.type_b
+"""
+
+
+@query("events_session_type_pmi", oracle=_SESS_PMI_SQL)
+def events_session_type_pmi(spark, sf_dir):
+    """Session-level behavior co-occurrence: PMI between event-type
+    pairs appearing in the SAME session (positive PMI = behaviors that
+    travel together beyond chance — the "do viewers who error also
+    purchase" diagnostic), the collocation-mining shape
+    (bigram_pmi_top) lifted from token windows to behavioral sessions.
+
+    100 TB shape: sessions from the shared gaps-and-islands window,
+    then per-session DISTINCT type sets (bounded by the event-type
+    vocabulary, <= 5 elements) expand to pairs MAP-SIDE from the
+    collected set — the cooccurrence_edges via=collect discipline, two
+    shuffles total (session distinct + pair count), never an
+    incidence self-join over the event stream (the oracle runs that
+    quadratic-shaped join; outputs are identical). PMI quantizes to
+    integer micro-nats from exact counts."""
+    e = _load(spark, sf_dir, "events")
+    ew = e.select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    is_new = F.when(
+        F.lag("us").over(w).isNull()
+        | (F.col("us") - F.lag("us").over(w) > _IVAL_GAP_US),
+        1,
+    ).otherwise(0)
+    st = (
+        ew.withColumn("is_new", is_new)
+        .withColumn("sid", F.sum("is_new").over(run))
+        .select("user_id", "sid", "event_type")
+        .distinct()
+    )
+    sets = (
+        st.groupBy("user_id", "sid")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("ts"))
+        .persist()
+    )
+    n = sets.agg(F.count(F.lit(1)).cast("long").alias("n_sess"))
+    tc = (
+        sets.select(F.explode("ts").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    )
+    pairs_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ts"),
+                lambda a: F.transform(
+                    F.col("ts"), lambda b: F.struct(a.alias("ta"), b.alias("tb"))
+                ),
+            )
+        ),
+        lambda p: p["ta"] < p["tb"],
+    )
+    pairs = (
+        sets.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.ta").alias("type_a"), F.col("p.tb").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    pmi = F.round(
+        F.log(
+            F.col("n_both").cast("double")
+            * F.col("n_sess")
+            / (F.col("n_a") * F.col("n_b"))
+        )
+        * 1000000
+    ).cast("long")
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select("type_a", "type_b", "n_both", "n_a", "n_b", pmi.alias("pmi_micro"))
+        .orderBy("type_a", "type_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -14140,4 +14257,5 @@ DRIVER_PRIORITY: list[str] = [
     "docs_term_burstiness",
     "orders_theil_inequality",
     "retrieval_ndcg_bm25",
+    "events_session_type_pmi",
 ]
