@@ -1479,14 +1479,14 @@ WITH e AS (
   FROM events
 ),
 g AS (
-  SELECT user_id, ts_us, value, us,
+  SELECT user_id, event_id, ts_us, value, us,
          CASE WHEN lag(us) OVER w IS NULL
                 OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ),
 s AS (
   SELECT user_id, ts_us, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM g
 )
@@ -1512,7 +1512,7 @@ def events_sessionize(spark, sf_dir):
     e = _load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(us, "event_id")
-    run = Window.partitionBy("user_id").orderBy(us).rowsBetween(
+    run = Window.partitionBy("user_id").orderBy(us, "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     gap_us = 30 * 60 * 1000 * 1000
@@ -2132,18 +2132,19 @@ def text_bpe_rolling(spark, sf_dir):
 
 _SESSION_WINDOW_ORACLE = """
 WITH e AS (
-  SELECT user_id, ts::TIMESTAMP AS tsv, value, epoch_us(ts::TIMESTAMP) AS us
+  SELECT user_id, event_id, ts::TIMESTAMP AS tsv, value,
+         epoch_us(ts::TIMESTAMP) AS us
   FROM events
 ),
 g AS (
-  SELECT user_id, tsv, value, us,
+  SELECT user_id, event_id, tsv, value, us,
          CASE WHEN lag(us) OVER w IS NULL
                 OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ),
 s AS (
   SELECT user_id, tsv, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM g
 )
@@ -12229,14 +12230,14 @@ WITH e AS (
   SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events
 ),
 g AS (
-  SELECT user_id, us,
+  SELECT user_id, event_id, us,
          CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > {_IVAL_GAP_US}
               THEN 1 ELSE 0 END AS is_new
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ),
 s AS (
   SELECT user_id, us,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM g
 ),
@@ -12290,7 +12291,7 @@ def events_interval_overlap_join(spark, sf_dir):
     e = _load(spark, sf_dir, "events")
     ew = e.select("user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"))
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    run = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     is_new = F.when(
@@ -12350,13 +12351,13 @@ vocab AS (SELECT t, c FROM counts WHERE c >= 5),
 dom AS (
   SELECT st.source,
          CAST(sum(st.n) AS BIGINT) AS n_tokens,
-         CAST(sum(st.n * CAST(round(ln(tot.tot / coalesce(v.c, 1)) * 1000000)
-                              AS BIGINT)) AS BIGINT) AS s_micro
+         sum(CAST(st.n AS HUGEINT) * CAST(round(ln(tot.tot / coalesce(v.c, 1))
+                                               * 1000000) AS BIGINT)) AS s_micro
   FROM st LEFT JOIN vocab v ON st.t = v.t, tot
   GROUP BY st.source
 ),
 alltot AS (
-  SELECT CAST(sum(n_tokens) AS BIGINT) AS nt, CAST(sum(s_micro) AS BIGINT) AS sm
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS nt, sum(s_micro) AS sm
   FROM dom
 ),
 ex AS (
@@ -12390,7 +12391,9 @@ def doremi_domain_weights(spark, sf_dir):
     once); domain sums join the vocab-sized count table, and the
     softmax normalizer is an aggregate over the |domains|-row frame
     (broadcast scalar). Surprisal terms quantize to integer micro-nats
-    weighted by exact counts before any sum, so every aggregate is
+    weighted by exact counts before any sum — accumulated in
+    decimal(38,0) (Spark) / HUGEINT (DuckDB), since a count-weighted
+    micro-nat sum exceeds int64 at corpus scale — so every aggregate is
     order-independent; the only trans-micro floats (exp / softmax) are
     rounded to basis points, far coarser than a 1-ulp libm divergence."""
     d = _load(spark, sf_dir, "documents")
@@ -12409,12 +12412,13 @@ def doremi_domain_weights(spark, sf_dir):
         .groupBy("source")
         .agg(
             F.sum("n").cast("long").alias("n_tokens"),
-            F.sum(F.col("n") * s_micro).cast("long").alias("s_micro"),
+            F.sum(F.col("n").cast("decimal(19,0)") * s_micro.cast("decimal(19,0)"))
+            .alias("s_micro"),
         )
     )
     alltot = dom.agg(
         F.sum("n_tokens").cast("long").alias("nt"),
-        F.sum("s_micro").cast("long").alias("sm"),
+        F.sum("s_micro").alias("sm"),
     )
     ex = dom.crossJoin(F.broadcast(alltot)).select(
         "source",
@@ -12648,9 +12652,11 @@ model AS (
 )
 SELECT bs.source,
        CAST(sum(bs.n) AS BIGINT) AS n_bigrams,
-       round(CAST(sum(bs.n * m.nats_micro) AS DOUBLE) / sum(bs.n) / 1000000, 6)
+       round(CAST(sum(CAST(bs.n AS HUGEINT) * m.nats_micro) AS DOUBLE)
+             / sum(bs.n) / 1000000, 6)
          AS kn_cross_entropy_nats,
-       round(exp(CAST(sum(bs.n * m.nats_micro) AS DOUBLE) / sum(bs.n) / 1000000), 4)
+       round(exp(CAST(sum(CAST(bs.n AS HUGEINT) * m.nats_micro) AS DOUBLE)
+                 / sum(bs.n) / 1000000), 4)
          AS kn_perplexity
 FROM bs JOIN model m ON bs.bg = m.bg
 GROUP BY bs.source ORDER BY bs.source
@@ -12677,7 +12683,9 @@ def bigram_kneser_ney_ppl(spark, sf_dir):
     vocab-bounded, never re-touching the token stream; per-source
     scoring joins the vocab-sized model back to the vocab-sized
     per-source counts. Per-bigram nats quantize to micro-ints weighted
-    by exact counts, so sums are order-independent."""
+    by exact counts and accumulate in decimal(38,0) (Spark) / HUGEINT
+    (DuckDB) — a count-weighted micro-nat sum exceeds int64 at corpus
+    scale — so sums are exact and order-independent."""
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
@@ -12720,7 +12728,13 @@ def bigram_kneser_ney_ppl(spark, sf_dir):
         .crossJoin(F.broadcast(tt))
         .select("bg", F.round(-F.log(p) * 1000000).cast("long").alias("nats_micro"))
     )
-    h = F.sum(F.col("n") * F.col("nats_micro")).cast("double") / F.sum("n") / 1000000
+    h = (
+        F.sum(
+            F.col("n").cast("decimal(19,0)") * F.col("nats_micro").cast("decimal(19,0)")
+        ).cast("double")
+        / F.sum("n")
+        / 1000000
+    )
     return (
         bs.join(model, "bg")
         .groupBy("source")
@@ -12971,7 +12985,7 @@ m AS (
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(xc) AS DOUBLE) AS m1,
          CAST(sum(xc * xc) AS DOUBLE) AS m2,
-         CAST(sum(xc * xc * xc) AS DOUBLE) AS m3,
+         CAST(sum(CAST(xc AS HUGEINT) * xc * xc) AS DOUBLE) AS m3,
          CAST(sum(CAST(xc * xc AS HUGEINT) * (xc * xc)) AS DOUBLE) AS m4
   FROM x GROUP BY event_type
 )
@@ -13001,12 +13015,16 @@ def events_moments_skew_kurtosis(spark, sf_dir):
     100 TB shape: one map-side-combinable groupBy over 5 keys — the
     cheapest possible aggregate plan; no window, no join. Exactness
     discipline: value has 2dp granularity so centi-quantization is
-    lossless; x4 of a max centi value overflows int64, so the power
-    sums accumulate in decimal(38,0) (Spark) / HUGEINT (DuckDB) —
-    EXACT integers, order-independent — and convert to double once,
-    after which both engines evaluate the identical moment-formula
-    expression tree. Symmetric/two-point hand values pinned in
-    tests/test_operator_invariants.py (skew 0, kurtosis -2)."""
+    lossless; x3/x4 of a max centi value overflow int64, so the cube
+    multiplies through decimal (Spark) / HUGEINT (DuckDB) per row and
+    every power sum accumulates in decimal(38,0) / HUGEINT — EXACT
+    integers, order-independent — converting to double once, after
+    which both engines evaluate the identical moment-formula
+    expression tree. Remaining per-row contract: the x2 SQUARE is
+    computed in int64 before promotion, so |value| <= ~3e7 (|xc| <=
+    ~3e9) is required for x2 itself; beyond that both engines would
+    need the square promoted too. Symmetric/two-point hand values
+    pinned in tests/test_operator_invariants.py (skew 0, kurtosis -2)."""
     e = _load(spark, sf_dir, "events")
     xc = F.round(F.col("value") * 100).cast("long")
     d = e.select("event_type", xc.alias("xc"), (xc * xc).alias("x2"))
@@ -13014,7 +13032,7 @@ def events_moments_skew_kurtosis(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("xc").cast("decimal(38,0)")).cast("double").alias("m1"),
         F.sum(F.col("x2").cast("decimal(38,0)")).cast("double").alias("m2"),
-        F.sum((F.col("xc") * F.col("x2")).cast("decimal(38,0)"))
+        F.sum(F.col("xc").cast("decimal(19,0)") * F.col("x2").cast("decimal(19,0)"))
         .cast("double")
         .alias("m3"),
         F.sum(F.col("x2").cast("decimal(19,0)") * F.col("x2").cast("decimal(19,0)"))
@@ -13380,15 +13398,15 @@ cum AS (
 ),
 d AS (
   SELECT c.ta, c.tb, na.n AS n_a, nb.n AS n_b,
-         max(abs(c.fa * nb.n - c.fb * na.n)) AS dn
+         max(abs(CAST(c.fa AS HUGEINT) * nb.n - CAST(c.fb AS HUGEINT) * na.n)) AS dn
   FROM cum c JOIN n na ON na.t = c.ta JOIN n nb ON nb.t = c.tb
   GROUP BY 1, 2, 3, 4
 )
 SELECT ta AS type_a, tb AS type_b, n_a, n_b,
-       CAST(dn * 1000000 // (n_a * n_b) AS BIGINT) AS d_micro,
+       CAST(dn * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_micro,
        CAST(round(1.358 * sqrt((n_a + n_b) / (CAST(n_a AS DOUBLE) * n_b))
                   * 1000000) AS BIGINT) AS crit_05_micro,
-       dn * 1000000 // (n_a * n_b)
+       dn * 1000000 // (CAST(n_a AS HUGEINT) * n_b)
          > CAST(round(1.358 * sqrt((n_a + n_b) / (CAST(n_a AS DOUBLE) * n_b))
                       * 1000000) AS BIGINT) AS reject_05
 FROM d ORDER BY type_a, type_b
@@ -13409,8 +13427,10 @@ def events_ks_two_sample(spark, sf_dir):
     cumsum window partitions BY PAIR (never a global sort), and D-max
     is a per-pair aggregate. The D statistic stays in exact integer
     cross-multiplied space (|F_a*n_b - F_b*n_a| over the common
-    denominator n_a*n_b) until the final micro division, so the max
-    and the rejection decision are engine-identical — no float ECDF."""
+    denominator n_a*n_b, carried in decimal(38,0) / HUGEINT — the
+    cross products exceed int64 once n_a*n_b does) until the final
+    micro division, so the max and the rejection decision are
+    engine-identical — no float ECDF."""
     e = _load(spark, sf_dir, "events")
     x = e.select(
         F.col("event_type").alias("t"),
@@ -13446,9 +13466,12 @@ def events_ks_two_sample(spark, sf_dir):
         F.sum("cb").over(w).alias("fb"),
     )
     d = cum.groupBy("ta", "tb", "n_a", "n_b").agg(
-        F.max(F.abs(F.col("fa") * F.col("n_b") - F.col("fb") * F.col("n_a"))).alias(
-            "dn"
-        )
+        F.max(
+            F.abs(
+                F.col("fa").cast("decimal(19,0)") * F.col("n_b")
+                - F.col("fb").cast("decimal(19,0)") * F.col("n_a")
+            )
+        ).alias("dn")
     )
     crit = F.round(
         1.358
@@ -13458,7 +13481,11 @@ def events_ks_two_sample(spark, sf_dir):
         )
         * 1000000
     ).cast("long")
-    d_micro = F.expr("dn * 1000000 div (n_a * n_b)")
+    d_micro = F.floor(
+        F.col("dn")
+        * 1000000
+        / (F.col("n_a").cast("decimal(19,0)") * F.col("n_b"))
+    ).cast("long")
     return d.select(
         F.col("ta").alias("type_a"),
         F.col("tb").alias("type_b"),
@@ -13767,9 +13794,9 @@ segstat AS (
 ),
 win AS (
   SELECT cr.seg,
-         CAST(sum(cr.rev_c * CAST(round(
+         sum(CAST(cr.rev_c AS HUGEINT) * CAST(round(
              ln(CAST(cr.rev_c AS DOUBLE) * s.n_g / s.rev_g) * 1000000)
-             AS BIGINT)) AS BIGINT) AS tw_num,
+             AS BIGINT)) AS tw_num,
          any_value(s.rev_g) AS rev_g, any_value(s.n_g) AS n_g
   FROM cr JOIN segstat s ON cr.seg = s.seg
   GROUP BY cr.seg
@@ -13803,7 +13830,9 @@ def orders_theil_inequality(spark, sf_dir):
     100 TB shape: one customer-revenue aggregate (orders join a
     broadcastable dim), then everything runs on the |customers|-row
     frame: per-customer entropy terms quantize to integer micro-nats
-    WEIGHTED BY exact cent revenues before the per-segment sum, and
+    WEIGHTED BY exact cent revenues before the per-segment sum —
+    accumulated in decimal(38,0) (Spark) / HUGEINT (DuckDB), since a
+    cent-revenue-weighted micro-nat sum exceeds int64 at scale — and
     the between-segment terms are |segments|-row arithmetic against a
     1-row broadcast total."""
     o = _load(spark, sf_dir, "orders")
@@ -13825,15 +13854,15 @@ def orders_theil_inequality(spark, sf_dir):
         F.sum("rev_c").cast("long").alias("rev_g"),
         F.count(F.lit(1)).cast("long").alias("n_g"),
     )
-    term = F.col("rev_c") * F.round(
+    term = F.col("rev_c").cast("decimal(19,0)") * F.round(
         F.log(F.col("rev_c").cast("double") * F.col("n_g") / F.col("rev_g"))
         * 1000000
-    ).cast("long")
+    ).cast("long").cast("decimal(19,0)")
     win = (
         cr.join(segstat, "seg")
         .groupBy("seg")
         .agg(
-            F.sum(term).cast("long").alias("tw_num"),
+            F.sum(term).alias("tw_num"),
             F.any_value("rev_g").alias("rev_g"),
             F.any_value("n_g").alias("n_g"),
         )
@@ -14053,14 +14082,14 @@ WITH e AS (
   SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
 ),
 g AS (
-  SELECT user_id, event_type, us,
+  SELECT user_id, event_id, event_type, us,
          CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > {_IVAL_GAP_US}
               THEN 1 ELSE 0 END AS is_new
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ),
 s AS (
   SELECT user_id, event_type,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM g
 ),
@@ -14105,7 +14134,7 @@ def events_session_type_pmi(spark, sf_dir):
         "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    run = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     is_new = F.when(
@@ -14174,73 +14203,21 @@ def events_session_type_pmi(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # round 10 rotation (the r9 verdict's task 1): lead with the 37
-    # queries whose latest verdict is r06 (3 rounds stale), then the two
-    # queries whose PLAN changed in r9 (map-side weighted-MinHash
-    # signatures) but which were not in the r9 window — their r08
-    # verdicts attest the OLD plan. The remaining slots go to r10's new
-    # queries (inserted above the r07 fill as they land) so every new
-    # operator gets a driver verdict in its landing round; any leftover
-    # slots re-attest the oldest r07 names. Tail follows in definition
-    # order (all locally oracle-checked every CI run).
-    # -- latest verdict r06 (3 rounds stale; lead the window) --
-    "doc_dedup_suffix_ngram",
-    "dsir_importance_weights",
-    "dup_span_fraction",
-    "embedding_label_centroids",
-    "embedding_norm_quality",
-    "embedding_outlier_centroid",
-    "embedding_silhouette",
-    "embedding_whitening_stats",
-    "events_asof_join",
-    "events_cohort_retention",
-    "events_dedup_distinct",
-    "events_funnel",
-    "events_heavy_hitters_cms",
-    "events_hll_distinct",
-    "events_sessionize",
-    "gopher_quality_gates",
-    "hybrid_retrieval_rrf",
-    "langid_confusion",
-    "length_trim_per_lang",
-    "multimodal_frame_sample",
-    "part_cooccurrence",
-    "pii_pattern_rates",
-    "q15_top_supplier",
-    "q16_supplier_part_cnt",
-    "q17_small_qty_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
-    "quality_weighted_mix",
-    "rag_chunk_stats",
-    "range_join_value_bands",
-    "repetition_gate",
-    "source_similarity_jsd",
-    "split_leakage_neardup",
-    "supplier_part_pagerank",
-    "tfidf_top_terms",
-    "token_length_calibration",
-    "weighted_sample_aes",
-    # -- plan changed in r9 (r08 verdicts attest the pre-rewrite plan) --
-    "dedup_weighted_minhash",
-    "dedup_weighted_jaccard_exact",
-    # -- plan changed in r10 (r09 verdicts attest the pre-guard plans) --
-    "dedup_band_marginal_recall",
-    "part_name_fuzzy_matches",
-    "dedup_simhash_pairs",
-    "docs_simhash_hamming_histogram",
-    # -- new in r10 (never driver-verified; locally oracle-green) --
-    "ann_ivf_incremental_assign",
-    "events_hll_distinct_rollup",
-    "join_order_stress",
-    "events_value_quantile_rollup",
-    "multimodal_image_block_stats",
-    "events_cms_rollup",
-    "ann_cosine_sq8",
-    # -- past the 50-slot r10 window (the 50 above are all mandated by
-    # the r9 verdict's Done criteria): r10b additions, locally
-    # oracle-green at sf0.001/0.01/0.1, positioned to LEAD the r11
-    # window --
+    # round 11 rotation (the r10 verdict's task 1): the driver verifies
+    # the FIRST 50 entries of queries(). Lead with the 17 r10b queries
+    # that have never received any driver verdict, then the two queries
+    # whose plan/oracle changed this round (events_sessionize gained the
+    # event_id tiebreak on its session-id running sum; its r10 verdict
+    # attests the pre-tiebreak plan — events_session_window's ORACLE
+    # gained the same tiebreak), then fill the remaining 31 slots with
+    # r07-stale names (3 rounds since last attestation). New r11
+    # queries are inserted ABOVE the r07 fill as they land (every new
+    # operator gets a driver verdict in its landing round), displacing
+    # the newest r07 fill entries into the staged section. The 18
+    # leftover r07 names below the window marker are positioned to
+    # LEAD the r12 window. Tail follows in definition order (all
+    # locally oracle-checked every CI run).
+    # -- never driver-verified (r10b additions; lead the window) --
     "events_interval_overlap_join",
     "doremi_domain_weights",
     "events_user_streaks",
@@ -14258,4 +14235,62 @@ DRIVER_PRIORITY: list[str] = [
     "orders_theil_inequality",
     "retrieval_ndcg_bm25",
     "events_session_type_pmi",
+    # -- plan/oracle changed in r11 (tiebreak fixes; r10 verdicts
+    # attest the pre-fix versions) --
+    "events_sessionize",
+    "events_session_window",
+    # -- new in r11 (never driver-verified; locally oracle-green) --
+    # (inserted here as they land)
+    # -- r07-stale fill (oldest verdicts; alphabetical) --
+    "agg_global",
+    "agg_groupby",
+    "ann_cosine_bruteforce",
+    "ann_cosine_lsh",
+    "anti_join_not_exists",
+    "case_when_buckets",
+    "containment_dedup_pairs",
+    "cube_priority_status",
+    "date_functions",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "distinct_agg",
+    "embedding_neardup_exact",
+    "events_tumbling_window",
+    "filter_agg_fused",
+    "filter_comparison",
+    "hash_sample_orders",
+    "having_filter",
+    "in_like_between",
+    "incremental_dedup_newbatch",
+    "intersect_except",
+    "join_broadcast_dim",
+    "json_extract_props",
+    "math_functions",
+    "outer_join_coalesce",
+    "pivot_status_by_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    # ------- 50-slot window boundary (17 + 2 + 31) -------
+    # -- r07-stale leftovers: staged to lead the r12 window --
+    "q1_pricing_summary",
+    "q22_idle_customers",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "rfm_segmentation",
+    "rollup_flag_status",
+    "scalar_subquery_premium_parts",
+    "semi_join_exists",
+    "shuffle_partition_histogram",
+    "stats_percentiles",
+    "string_functions",
+    "text_stats",
+    "topk_orders",
+    "union_distinct",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_topn_per_group",
 ]

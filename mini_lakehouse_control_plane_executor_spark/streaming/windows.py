@@ -76,8 +76,9 @@ def moments_sums(events: DataFrame) -> DataFrame:
     """The higher-moment sketch state of
     ``queries.events_moments_skew_kurtosis`` as a batch/stream-unified
     aggregate: count plus four INTEGER power sums over centi-quantized
-    values (decimal(38,0) accumulators — x^4 of a max centi value
-    overflows int64). The sums are commutative, associative, and
+    values (decimal(38,0) accumulators, with the x^3 cube multiplied
+    through decimal per row — x^3/x^4 of a max centi value overflow
+    int64). The sums are commutative, associative, and
     mergeable, so Structured Streaming's own incremental aggregation
     state IS the sketch — when the state is an algebraic aggregate, use
     the engine's, not a custom applyInPandasWithState operator. No
@@ -91,7 +92,9 @@ def moments_sums(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("xc").cast("decimal(38,0)")).alias("m1"),
         F.sum(F.col("x2").cast("decimal(38,0)")).alias("m2"),
-        F.sum((F.col("xc") * F.col("x2")).cast("decimal(38,0)")).alias("m3"),
+        F.sum(
+            F.col("xc").cast("decimal(19,0)") * F.col("x2").cast("decimal(19,0)")
+        ).alias("m3"),
         F.sum(
             F.col("x2").cast("decimal(19,0)") * F.col("x2").cast("decimal(19,0)")
         ).alias("m4"),
