@@ -274,3 +274,90 @@ def kmv_bottom_k(
         .groupBy("g")
         .agg(F.array_sort(F.collect_list("h")).alias("sk"))
     )
+
+
+MG_K = 16  # counters kept per summary (per node and after the merge)
+MG_P = 32  # summary sites ("nodes") — at production scale, #partitions
+
+
+def mg_node_hash(col: Column, p: int = MG_P) -> Column:
+    """Deterministic node assignment for an input row — the stand-in
+    for "which partition saw this row" that both engines can compute
+    (same md5 idiom as the CMS bucket hash). Rows of the SAME key
+    scatter across nodes, which is what makes the merge step real."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("n:"), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % p
+    )
+
+
+def mg_node_counts(df: DataFrame, key_col: str, node_col: Column) -> DataFrame:
+    """Per-(node, key) exact counts — the MERGEABLE state under the
+    deterministic Misra-Gries formulation below (plain integer cells,
+    map-side combinable; on a stream this is an unwindowed stateful
+    aggregation like the CMS/HLL cell twins, state bounded by
+    |nodes| x |active keys|). Production deployments with an unbounded
+    key universe apply ``mg_prune`` per trigger instead, trading the
+    bit-exact stream==batch guarantee for O(nodes*k) state."""
+    return (
+        df.select(node_col.alias("node"), F.col(key_col).alias("key"))
+        .groupBy("node", "key")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def mg_prune(nc: DataFrame, k: int = MG_K) -> DataFrame:
+    """The Misra-Gries / mergeable-summaries prune (Agarwal et al.,
+    PODS 2012) applied deterministically to exact per-node counts:
+    subtract the (k+1)-th largest count from every counter and keep the
+    at-most-k positive survivors. Each prune removes >= (k+1)*lambda of
+    total weight, removals are disjoint, so the summed lambdas over ALL
+    prunes (every node + the merge) are <= n/(k+1) — the deterministic
+    undercount guarantee (est <= exact always; exact - est <= n/(k+1)).
+
+    100 TB shape: the rank window partitions by node (per-node frames
+    are |keys present on that node|); the lambda table is |nodes| rows,
+    broadcast back. Output is <= |nodes|*k rows regardless of input."""
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("node").orderBy(F.desc("c"), "key")
+    ranked = nc.withColumn("rn", F.row_number().over(wn))
+    lam = ranked.filter(F.col("rn") == k + 1).select(
+        "node", F.col("c").alias("lam")
+    )
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .join(F.broadcast(lam), "node", "left")
+        .select(
+            "node",
+            "key",
+            (F.col("c") - F.coalesce(F.col("lam"), F.lit(0))).alias("s"),
+        )
+        .filter(F.col("s") > 0)
+    )
+
+
+def mg_merge_ranked(summ: DataFrame, k: int = MG_K) -> DataFrame:
+    """Merge per-node MG summaries (sum counters per key) and rank the
+    merged counters. The merged relation is <= |nodes|*k rows BY
+    CONSTRUCTION (contract-bounded, input-size independent), so the
+    global rank runs as a broadcast triangular self-join — never an
+    Exchange SinglePartition window over data. Returns
+    (key, s, rn); the caller applies the final prune with the
+    rn == k+1 counter as lambda."""
+    merged = summ.groupBy("key").agg(F.sum("s").cast("long").alias("s"))
+    a = merged.select(F.col("key").alias("k1"), F.col("s").alias("s1"))
+    b = merged.select(F.col("key").alias("k2"), F.col("s").alias("s2"))
+    before = (F.col("s2") > F.col("s1")) | (
+        (F.col("s2") == F.col("s1")) & (F.col("k2") < F.col("k1"))
+    )
+    return (
+        a.join(F.broadcast(b), before, "left")
+        .groupBy("k1", "s1")
+        .agg((F.count("k2") + 1).cast("int").alias("rn"))
+        .select(F.col("k1").alias("key"), F.col("s1").alias("s"), "rn")
+    )

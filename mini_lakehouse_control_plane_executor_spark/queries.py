@@ -14195,6 +14195,113 @@ def events_session_type_pmi(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-11 additions: Misra-Gries heavy hitters (the deterministic-error
+# counterpart of the CMS sketch), an equi-depth mergeable quantile
+# digest, incremental PQ encoding for appended vectors, and a second
+# consumer of the interval bucket-rewrite.
+# ---------------------------------------------------------------------------
+
+_MG_P, _MG_K = 32, 16
+
+_MG_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+  FROM documents
+),
+e AS (
+  SELECT t, (('0x' || substr(md5('n:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+              % {_MG_P} AS node
+  FROM tok
+),
+nc AS (SELECT node, t, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+rk AS (
+  SELECT node, t, c, row_number() OVER (PARTITION BY node ORDER BY c DESC, t) AS rn
+  FROM nc
+),
+lam AS (SELECT node, c AS lam FROM rk WHERE rn = {_MG_K + 1}),
+summ AS (
+  SELECT r.node, r.t, r.c - coalesce(l.lam, 0) AS s
+  FROM rk r LEFT JOIN lam l ON r.node = l.node
+  WHERE r.rn <= {_MG_K} AND r.c - coalesce(l.lam, 0) > 0
+),
+merged AS (SELECT t, CAST(sum(s) AS BIGINT) AS s FROM summ GROUP BY 1),
+mrk AS (SELECT t, s, row_number() OVER (ORDER BY s DESC, t) AS rn FROM merged),
+l2 AS (SELECT coalesce((SELECT s FROM mrk WHERE rn = {_MG_K + 1}), 0) AS l2),
+exact AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_count FROM tok GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+SELECT m.t AS term, m.s - l2.l2 AS est_count, x.exact_count,
+       x.exact_count - (m.s - l2.l2) AS undercount,
+       n.n // {_MG_K + 1} AS bound,
+       (x.exact_count - (m.s - l2.l2)) <= n.n // {_MG_K + 1} AS within_bound
+FROM mrk m, l2, n
+JOIN exact x ON m.t = x.t
+WHERE m.rn <= {_MG_K} AND m.s - l2.l2 > 0
+ORDER BY est_count DESC, term
+"""
+
+
+@query("docs_token_heavy_hitters_mg", oracle=_MG_SQL)
+def docs_token_heavy_hitters_mg(spark, sf_dir):
+    """Misra-Gries heavy hitters over the document token stream — the
+    DETERMINISTIC-error counterpart of events_heavy_hitters_cms: where
+    CMS overestimates with probabilistic error, MG underestimates with
+    a hard bound (exact - est <= n/(k+1), no probability). Built in the
+    mergeable-summaries form (Agarwal et al., PODS 2012): tokens
+    scatter to 32 deterministic "nodes" (md5 of doc_id — the stand-in
+    for arbitrary partition placement), each node prunes its exact
+    counts to k=16 counters by subtracting the (k+1)-th largest, and
+    the merge sums counters and prunes once more. The audit reports
+    est vs exact, the undercount, and the n/(k+1) guarantee bound —
+    which the flat synthetic token distribution honestly shows as "no
+    token qualifies as a true heavy hitter" (every exact count sits
+    below the bound).
+
+    100 TB shape: one (node, token) count shuffle (map-side combinable);
+    the per-node rank window partitions by node; summaries are <=
+    nodes*k rows BY CONSTRUCTION, so the merge rank is a broadcast
+    triangular self-join over a 512-row relation — never a
+    SinglePartition window; exact counts for the <= k finalists come
+    from the vocab-sized count table. The streaming twin keeps the
+    (node, key) cells as unwindowed state and prunes at read time
+    (tests/test_streaming.py)."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as _sketch
+
+    d = _load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(_text.tokens(F.col("text"))).alias("t")
+    ).persist()
+    nc = _sketch.mg_node_counts(tok, "t", _sketch.mg_node_hash(F.col("doc_id"), _MG_P))
+    summ = _sketch.mg_prune(nc, _MG_K)
+    mrk = _sketch.mg_merge_ranked(summ, _MG_K)
+    l2 = mrk.filter(F.col("rn") == _MG_K + 1).agg(
+        F.coalesce(F.max("s"), F.lit(0)).cast("long").alias("l2")
+    )
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    n = tok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    est = F.col("s") - F.col("l2")
+    out = (
+        mrk.filter(F.col("rn") <= _MG_K)
+        .crossJoin(F.broadcast(l2))
+        .filter(est > 0)
+        .join(exact, mrk["key"] == exact["t"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("t").alias("term"),
+            est.alias("est_count"),
+            "exact_count",
+            (F.col("exact_count") - est).alias("undercount"),
+            F.expr(f"n div {_MG_K + 1}").alias("bound"),
+            (
+                (F.col("exact_count") - est)
+                <= F.expr(f"n div {_MG_K + 1}")
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("est_count"), "term")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
 # received a driver verdict are listed here so they enter the window
@@ -14240,7 +14347,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_sessionize",
     "events_session_window",
     # -- new in r11 (never driver-verified; locally oracle-green) --
-    # (inserted here as they land)
+    "docs_token_heavy_hitters_mg",
     # -- r07-stale fill (oldest verdicts; alphabetical) --
     "agg_global",
     "agg_groupby",
@@ -14272,9 +14379,9 @@ DRIVER_PRIORITY: list[str] = [
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q18_large_orders",
-    "q19_disjunctive_predicates",
-    # ------- 50-slot window boundary (17 + 2 + 31) -------
+    # ------- 50-slot window boundary (17 + 2 + 1 + 30) -------
     # -- r07-stale leftovers: staged to lead the r12 window --
+    "q19_disjunctive_predicates",
     "q1_pricing_summary",
     "q22_idle_customers",
     "q3_shipping_priority",

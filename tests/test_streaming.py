@@ -1594,3 +1594,36 @@ def test_moments_sums_stream_equals_batch(spark, event_dir):
     want = _rows(batch, ["event_type"])
     assert got == want
     assert len(want) > 0
+
+
+def test_mg_sketch_stream_equals_batch(spark, event_dir):
+    """Streaming Misra-Gries cells (operators/sketch.py): the
+    (node, key) exact-count table is an unwindowed stateful aggregation
+    (state bounded by |nodes| x |active keys| — the bounded-universe
+    deployment; unbounded universes prune per trigger instead, trading
+    the bit-exact drain). Drained cells equal the batch cells, and the
+    deterministic prune applied to the drained state equals the batch
+    summary row-for-row — the mergeable-summaries contract: prune is a
+    pure function of the mergeable state."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as SK
+
+    node = SK.mg_node_hash(F.col("event_id"), SK.MG_P)
+    stream_cells = SK.mg_node_counts(W.stream_events(spark, event_dir), "user_id", node)
+    batch_df = _batch(spark, event_dir)
+    batch_cells = SK.mg_node_counts(batch_df, "user_id", node)
+
+    got = _rows(_drain(spark, stream_cells, "t_mg"), ["node", "key"])
+    want = _rows(batch_cells, ["node", "key"])
+    assert got == want and len(want) > 0
+
+    drained = spark.createDataFrame(got, batch_cells.schema)
+    got_summary = _rows(SK.mg_prune(drained, k=4), ["node", "key"])
+    want_summary = _rows(SK.mg_prune(batch_cells, k=4), ["node", "key"])
+    assert got_summary == want_summary and len(want_summary) > 0
+    # Summary bound: at most k survivors per node, est never above exact.
+    from collections import Counter
+
+    per_node = Counter(r.node for r in want_summary)
+    assert max(per_node.values()) <= 4
+    exact = {(r.node, r.key): r.c for r in want}
+    assert all(r.s <= exact[(r.node, r.key)] for r in want_summary)
