@@ -14301,6 +14301,143 @@ def docs_token_heavy_hitters_mg(spark, sf_dir):
     return out
 
 
+_PQ_INCR_NSUB, _PQ_INCR_SDIM, _PQ_INCR_CODES = 4, 16, 8
+
+
+def _pq_incr_oracle(n_sub: int = _PQ_INCR_NSUB, sub_dim: int = _PQ_INCR_SDIM,
+                    n_codes: int = _PQ_INCR_CODES) -> str:
+    subs = []
+    for m in range(n_sub):
+        lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
+        subs.append(
+            f"SELECT vec_id, is_new, {m} AS m, v[{lo}:{hi}] AS sv FROM base"
+        )
+    sub_union = "\n  UNION ALL\n  ".join(subs)
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         (vec_id >= {n_codes} AND vec_id % 7 = 3) AS is_new
+  FROM embeddings
+),
+sub AS (
+  {sub_union}
+),
+cbook AS (SELECT vec_id AS code_id, m, sv AS cv FROM sub WHERE vec_id < {n_codes}),
+enc AS (
+  SELECT vec_id, is_new, m, code_id, qe_micro FROM (
+    SELECT s.vec_id, s.is_new, s.m, c.code_id,
+           CAST(round(list_sum(list_transform(range(1, {sub_dim + 1}),
+                i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) * 1000000)
+             AS BIGINT) AS qe_micro,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY round(list_sum(list_transform(range(1, {sub_dim + 1}),
+                        i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) ASC,
+                      c.code_id
+           ) AS rn
+    FROM sub s JOIN cbook c ON s.m = c.m
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT m, code_id,
+         CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_old,
+         CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         coalesce(sum(CASE WHEN is_new THEN qe_micro END), 0) AS qe_new
+  FROM enc GROUP BY 1, 2
+)
+SELECT m, code_id, n_old, n_new, CAST(n_old + n_new AS BIGINT) AS n_total,
+       CASE WHEN n_old = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(10000.0 * n_new / n_old) AS BIGINT)
+       END AS growth_bp,
+       CASE WHEN n_new = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(qe_new / CAST(n_new AS DOUBLE)) AS BIGINT)
+       END AS mean_new_qerr_sq_micro
+FROM agg ORDER BY m, code_id
+"""
+
+
+@query("ann_pq_incremental_encode", oracle=_pq_incr_oracle())
+def ann_pq_incremental_encode(spark, sf_dir):
+    """PQ index UPDATE path — the product-quantization sibling of
+    ann_ivf_incremental_assign, completing the ANN append story: an
+    appended vector batch (the vec_id % 7 == 3 slice above the codebook
+    seed range) is ENCODED against the frozen per-subspace codebooks,
+    and the per-(subspace, code) report shows code-usage growth
+    (n_old / n_new / growth_bp) plus the new vectors' mean squared
+    quantization error per cell — rising qerr or usage skewing onto few
+    codes is the drift signal that the appended data has outgrown the
+    trained codebooks and the index needs re-training, not more appends.
+
+    100 TB shape: encoding is O(|batch| x n_sub x n_codes) PURE MAP
+    WORK — the one-row codebook broadcasts (pq_adc_topk's persist
+    discipline), the argmin and the residual are array expressions on
+    the batch scan (the code's codeword is an element_at lookup on the
+    id-dense sorted book — no second pass), and the only shuffle is
+    the n_sub*n_codes-cell aggregate fed by 4 exploded rows per vector.
+    The committed corpus is never rescanned for the update; n_old here
+    recomputes the baseline only because the fixture stores no code
+    table (in the lakehouse deployment it comes from the PQ code
+    table's per-cell metadata). Per-cell qerr sums accumulate in
+    decimal(38,0) / HUGEINT (micro-int x cell population exceeds int64
+    at corpus scale)."""
+    e = _load(spark, sf_dir, "embeddings")
+    book = _sim.pq_codebook(
+        e, "vec_id", "embedding", _PQ_INCR_NSUB, _PQ_INCR_SDIM, _PQ_INCR_CODES
+    ).persist()
+    base = e.select(
+        "vec_id",
+        _sim._as_double(F.col("embedding")).alias("v"),
+        (
+            (F.col("vec_id") >= _PQ_INCR_CODES) & (F.col("vec_id") % 7 == 3)
+        ).alias("is_new"),
+    )
+    cells = []
+    for m in range(_PQ_INCR_NSUB):
+        sv = _sim._sub(F.col("v"), m, _PQ_INCR_SDIM)
+        code = _sim._pq_code(sv, F.col(f"book{m}"))
+        cw = F.element_at(F.col(f"book{m}"), code.cast("int") + 1)["cv"]
+        cells.append(
+            F.struct(
+                F.lit(m).alias("m"),
+                code.alias("code_id"),
+                F.round(_sim._l2sq(sv, cw) * 1000000)
+                .cast("long")
+                .alias("qe_micro"),
+            )
+        )
+    enc = (
+        base.crossJoin(F.broadcast(book))
+        .select("is_new", F.explode(F.array(*cells)).alias("c"))
+        .select("is_new", "c.m", "c.code_id", "c.qe_micro")
+    )
+    agg = enc.groupBy("m", "code_id").agg(
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1)).cast("long").alias("n_old"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("long").alias("n_new"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_new"), F.col("qe_micro")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("qe_new"),
+    )
+    return agg.select(
+        "m",
+        "code_id",
+        "n_old",
+        "n_new",
+        (F.col("n_old") + F.col("n_new")).cast("long").alias("n_total"),
+        F.when(F.col("n_old") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(F.lit(10000.0) * F.col("n_new") / F.col("n_old")).cast("long")
+        )
+        .alias("growth_bp"),
+        F.when(F.col("n_new") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(F.col("qe_new").cast("double") / F.col("n_new").cast("double"))
+            .cast("long")
+        )
+        .alias("mean_new_qerr_sq_micro"),
+    ).orderBy("m", "code_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -14348,6 +14485,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_session_window",
     # -- new in r11 (never driver-verified; locally oracle-green) --
     "docs_token_heavy_hitters_mg",
+    "ann_pq_incremental_encode",
     # -- r07-stale fill (oldest verdicts; alphabetical) --
     "agg_global",
     "agg_groupby",
@@ -14378,8 +14516,8 @@ DRIVER_PRIORITY: list[str] = [
     "pivot_status_by_priority",
     "q13_customer_distribution",
     "q14_promo_revenue",
+    # ------- 50-slot window boundary (17 + 2 + 2 + 29) -------
     "q18_large_orders",
-    # ------- 50-slot window boundary (17 + 2 + 1 + 30) -------
     # -- r07-stale leftovers: staged to lead the r12 window --
     "q19_disjunctive_predicates",
     "q1_pricing_summary",
