@@ -14438,6 +14438,158 @@ def ann_pq_incremental_encode(spark, sf_dir):
     ).orderBy("m", "code_id")
 
 
+_ED_M, _ED_NB = 32, 1024
+_ED_QS = [50, 90, 99]
+
+_ED_SQL = f"""
+WITH x AS (SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS xc
+           FROM events),
+h AS (SELECT t, xc, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1, 2),
+cb AS (
+  SELECT t, xc, c,
+         CAST(sum(c) OVER (PARTITION BY t ORDER BY xc
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY t) AS BIGINT) AS n
+  FROM h
+),
+qs AS (SELECT unnest([50, 90, 99]) AS q),
+exact AS (
+  SELECT b.t, q.q, any_value(b.n) AS n, min(b.xc) AS exact_c
+  FROM cb b, qs q WHERE b.cum * 100 >= q.q * b.n GROUP BY 1, 2
+),
+cent AS (
+  SELECT t, ((cum - c) * {_ED_M}) // n AS cent, CAST(sum(c) AS BIGINT) AS w,
+         max(xc) AS vmax, any_value(n) AS n
+  FROM cb GROUP BY 1, 2
+),
+ccum AS (
+  SELECT t, cent, vmax, n,
+         CAST(sum(w) OVER (PARTITION BY t ORDER BY cent
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM cent
+),
+ed AS (
+  SELECT c.t, q.q, min(c.vmax) AS ed_c
+  FROM ccum c, qs q WHERE c.cum * 100 >= q.q * c.n GROUP BY 1, 2
+),
+fwc AS (
+  SELECT t, least(xc // 100, {_ED_NB - 1}) AS bucket, CAST(sum(c) AS BIGINT) AS w,
+         any_value(n) AS n
+  FROM cb GROUP BY 1, 2
+),
+fcum AS (
+  SELECT t, bucket, n,
+         CAST(sum(w) OVER (PARTITION BY t ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM fwc
+),
+fw AS (
+  SELECT f.t, q.q, min(f.bucket) * 100 AS fw_c
+  FROM fcum f, qs q WHERE f.cum * 100 >= q.q * f.n GROUP BY 1, 2
+)
+SELECT e.t AS event_type, e.q AS q, e.n, e.exact_c,
+       d.ed_c AS eq_depth_c, d.ed_c - e.exact_c AS eq_depth_err_c,
+       w.fw_c AS fixed_width_c, w.fw_c - e.exact_c AS fixed_width_err_c
+FROM exact e JOIN ed d ON e.t = d.t AND e.q = d.q
+JOIN fw w ON e.t = w.t AND e.q = w.q
+ORDER BY event_type, q
+"""
+
+
+@query("events_value_equidepth_digest", oracle=_ED_SQL)
+def events_value_equidepth_digest(spark, sf_dir):
+    """Mergeable-quantile accuracy/state trade, measured: a 32-centroid
+    EQUI-DEPTH digest (the k0/uniform scale function of the t-digest
+    family — Dunning & Ertl 2019) and the 1024-cell fixed-width
+    histogram (events_value_quantile_sketch's state) estimate
+    p50/p90/p99 per event type side by side against the exact
+    percentile, with signed errors in centi units. The readout shows
+    the trade the quantile family had not measured: the digest matches
+    p50 exactly and degrades at p99 (its last centroid spans the long
+    tail — the weakness t-digest's tail-weighted k1 scale exists to
+    fix), while the histogram holds uniform <=1-bucket error at 32x
+    the state.
+
+    100 TB shape: the distributed state for ALL THREE estimators is
+    the ONE exact (type, centi-value) histogram (map-side combinable,
+    value-vocabulary bounded — the events_ks_two_sample discipline);
+    digest centroids, their boundaries, and both estimates are
+    READ-TIME derivations over the per-type cumulative window (centroid
+    id = cum_before * m div n — pure integer arithmetic, engine-exact;
+    no asin/log scale function, so no libm divergence risk). Per-type
+    windows only; the quantile probes are a 3-row broadcast."""
+    e = _load(spark, sf_dir, "events")
+    x = e.select(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+    )
+    h = x.groupBy("t", "xc").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.partitionBy("t").orderBy("xc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("t")
+    cb = h.select(
+        "t",
+        "xc",
+        "c",
+        F.sum("c").over(wc).cast("long").alias("cum"),
+        F.sum("c").over(wt).cast("long").alias("n"),
+    ).persist()
+    qs = spark.createDataFrame([(q,) for q in _ED_QS], "q int")
+    exact = (
+        cb.join(F.broadcast(qs), F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("t", "q")
+        .agg(F.any_value("n").alias("n"), F.min("xc").alias("exact_c"))
+    )
+    cent = cb.groupBy(
+        "t", F.expr(f"(cum - c) * {_ED_M} div n").alias("cent")
+    ).agg(
+        F.sum("c").cast("long").alias("w"),
+        F.max("xc").alias("vmax"),
+        F.any_value("n").alias("n"),
+    )
+    wcc = Window.partitionBy("t").orderBy("cent").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ccum = cent.select(
+        "t", "vmax", "n", F.sum("w").over(wcc).cast("long").alias("cum")
+    )
+    ed = (
+        ccum.join(F.broadcast(qs), F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("t", "q")
+        .agg(F.min("vmax").alias("ed_c"))
+    )
+    fwc = cb.groupBy(
+        "t", F.least(F.expr("xc div 100"), F.lit(_ED_NB - 1)).alias("bucket")
+    ).agg(F.sum("c").cast("long").alias("w"), F.any_value("n").alias("n"))
+    wfc = Window.partitionBy("t").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fcum = fwc.select(
+        "t", "bucket", "n", F.sum("w").over(wfc).cast("long").alias("cum")
+    )
+    fw = (
+        fcum.join(F.broadcast(qs), F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("t", "q")
+        .agg((F.min("bucket") * 100).cast("long").alias("fw_c"))
+    )
+    return (
+        exact.join(ed, ["t", "q"])
+        .join(fw, ["t", "q"])
+        .select(
+            F.col("t").alias("event_type"),
+            "q",
+            "n",
+            "exact_c",
+            F.col("ed_c").alias("eq_depth_c"),
+            (F.col("ed_c") - F.col("exact_c")).alias("eq_depth_err_c"),
+            F.col("fw_c").alias("fixed_width_c"),
+            (F.col("fw_c") - F.col("exact_c")).alias("fixed_width_err_c"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -14486,6 +14638,7 @@ DRIVER_PRIORITY: list[str] = [
     # -- new in r11 (never driver-verified; locally oracle-green) --
     "docs_token_heavy_hitters_mg",
     "ann_pq_incremental_encode",
+    "events_value_equidepth_digest",
     # -- r07-stale fill (oldest verdicts; alphabetical) --
     "agg_global",
     "agg_groupby",
@@ -14515,8 +14668,8 @@ DRIVER_PRIORITY: list[str] = [
     "outer_join_coalesce",
     "pivot_status_by_priority",
     "q13_customer_distribution",
+    # ------- 50-slot window boundary (17 + 2 + 3 + 28) -------
     "q14_promo_revenue",
-    # ------- 50-slot window boundary (17 + 2 + 2 + 29) -------
     "q18_large_orders",
     # -- r07-stale leftovers: staged to lead the r12 window --
     "q19_disjunctive_predicates",
