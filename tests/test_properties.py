@@ -413,3 +413,46 @@ def test_markov_removal_effect_nonnegative_and_monotone(trans):
     p_full = seq[-1]
     for c in chans:
         assert absorb(c) <= p_full  # removal never helps
+
+
+@PROP
+@given(
+    ivals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1_000),   # start
+            st.integers(min_value=0, max_value=400),     # length
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    wb=st.integers(min_value=0, max_value=12),
+)
+def test_sweepline_peak_equals_bruteforce(ivals, wb):
+    """The per-bucket sweep-line behind events_session_concurrency_peak:
+    peak concurrency within window [wb*W, (wb+1)*W) computed as
+    carry + max over delta timestamps of (starts<=t minus ends<t)
+    equals the brute-force max over all in-window instants of
+    |{[s,e] : s <= t <= e}|. Pure-integer model of the Spark plan
+    (carry from bucket membership with an earlier start bucket; deltas
+    only in the start's and end's own buckets)."""
+    W = 100
+    lo, hi = wb * W, (wb + 1) * W
+    spans = [(s, s + ln) for s, ln in ivals]
+    # brute force over every candidate instant in the window
+    cands = {lo} | {s for s, e in spans if lo <= s < hi} | {e for s, e in spans if lo <= e < hi}
+    brute = max(sum(1 for s, e in spans if s <= t <= e) for t in cands)
+    # sweep-line: carry + per-window deltas
+    carry = sum(1 for s, e in spans if s < lo <= e)
+    deltas = {}
+    for s, e in spans:
+        if lo <= s < hi:
+            d = deltas.setdefault(s, [0, 0]); d[0] += 1
+        if lo <= e < hi:
+            d = deltas.setdefault(e, [0, 0]); d[1] += 1
+    peak, cum_s, cum_e = carry, 0, 0
+    for t in sorted(deltas):
+        ns, ne = deltas[t]
+        cum_s += ns
+        peak = max(peak, carry + cum_s - cum_e)  # ends<t excluded
+        cum_e += ne
+    assert peak == brute
