@@ -94,6 +94,15 @@ HEADLINE = [
     # register passes; incremental IVF assign = the residual query's
     # broadcast-assignment shape).
     "join_order_stress",
+    # r11: Misra-Gries heavy hitters — the one new shape this round
+    # with its own join geometry (per-node summary rank windows + the
+    # broadcast triangular merge rank over the contract-bounded merged
+    # relation). The other r11 queries ride benched machinery
+    # (PQ incremental encode = pq_adc's broadcast-codebook map;
+    # equi-depth digest = the KS histogram + per-type windows;
+    # concurrency peak = the interval bucket-rewrite + sessionize
+    # windows).
+    "docs_token_heavy_hitters_mg",
 ]
 
 

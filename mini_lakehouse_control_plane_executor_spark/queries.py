@@ -14702,6 +14702,124 @@ def events_session_concurrency_peak(spark, sf_dir):
     )
 
 
+_ZIPF_R = 256
+
+_ZIPF_SQL = rf"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+  FROM documents
+),
+tc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+rk AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS rank
+  FROM tc
+),
+pt AS (
+  SELECT source,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM rk WHERE rank <= {_ZIPF_R}
+),
+st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pt GROUP BY source
+),
+d AS (
+  SELECT source, n,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny,
+         sx, sy
+  FROM st
+)
+SELECT source, n AS n_terms,
+       CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000)
+         AS BIGINT) AS slope_micro,
+       CAST(round(CAST(sy AS DOUBLE) / n
+                  - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * sx / n)
+         AS BIGINT) AS intercept_micro,
+       CAST(round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                  / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) * 1000000)
+         AS BIGINT) AS r2_micro
+FROM d ORDER BY source
+"""
+
+
+@query("docs_zipf_rank_slope", oracle=_ZIPF_SQL)
+def docs_zipf_rank_slope(spark, sf_dir):
+    """Zipf rank-frequency fit per source: OLS of ln(freq) on ln(rank)
+    over each source's top-256 terms — slope ~ -1 is Zipf's law, and a
+    corpus whose slope sits far from it (this synthetic text reads
+    shallow) is template-heavy or vocabulary-starved; the classic
+    crawl-health diagnostic next to Heaps growth (vocab_growth_heaps),
+    Good-Turing mass, and burstiness.
+
+    100 TB shape: one (source, token) count shuffle; the rank window
+    partitions BY SOURCE over the vocab-sized count table; the fit
+    consumes exactly R=256 points per source (bounded by contract), so
+    the OLS sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² over
+    micro-nat quantized coordinates — integers BEFORE any sum, the
+    engine-exactness discipline) aggregate a 256-row frame per source,
+    and slope/intercept/R² are one arithmetic expression over exact
+    ints (cross products n*sxy, sx*sy widened through decimal/HUGEINT —
+    they brush int64 even at R=256), emitted in micro units
+    (round-to-integer is the divergence-free form)."""
+    d = _load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(_text.tokens(F.col("text"))).alias("t"))
+    tc = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wr = Window.partitionBy("source").orderBy(F.desc("c"), "t")
+    pt = (
+        tc.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _ZIPF_R)
+        .select(
+            "source",
+            F.round(F.log(F.col("rank").cast("double")) * 1000000)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("c").cast("double")) * 1000000)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    st = pt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    def _d19(c):
+        return c.cast("decimal(19,0)")
+
+    num = (_d19(F.col("n")) * F.col("sxy") - _d19(F.col("sx")) * F.col("sy")).cast(
+        "double"
+    )
+    den = (_d19(F.col("n")) * F.col("sxx") - _d19(F.col("sx")) * F.col("sx")).cast(
+        "double"
+    )
+    deny = (_d19(F.col("n")) * F.col("syy") - _d19(F.col("sy")) * F.col("sy")).cast(
+        "double"
+    )
+    slope = num / den
+    return st.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        F.round(slope * 1000000).cast("long").alias("slope_micro"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n") - slope * F.col("sx") / F.col("n")
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+        F.round(num * num / (den * deny) * 1000000).cast("long").alias("r2_micro"),
+    ).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -14752,6 +14870,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_pq_incremental_encode",
     "events_value_equidepth_digest",
     "events_session_concurrency_peak",
+    "docs_zipf_rank_slope",
     # -- r07-stale fill (oldest verdicts; alphabetical) --
     "agg_global",
     "agg_groupby",
@@ -14779,8 +14898,8 @@ DRIVER_PRIORITY: list[str] = [
     "json_extract_props",
     "math_functions",
     "outer_join_coalesce",
+    # ------- 50-slot window boundary (17 + 2 + 5 + 26) -------
     "pivot_status_by_priority",
-    # ------- 50-slot window boundary (17 + 2 + 4 + 27) -------
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q18_large_orders",

@@ -1627,3 +1627,31 @@ def test_mg_sketch_stream_equals_batch(spark, event_dir):
     assert max(per_node.values()) <= 4
     exact = {(r.node, r.key): r.c for r in want}
     assert all(r.s <= exact[(r.node, r.key)] for r in want_summary)
+
+
+def test_value_histogram_stream_equals_batch(spark, event_dir):
+    """The exact (event_type, centi-value) histogram that backs
+    events_ks_two_sample and events_value_equidepth_digest, run as a
+    stream: a plain unwindowed stateful aggregation whose state is the
+    value-vocabulary-bounded cell table, exactly mergeable by addition.
+    Drained cells equal the batch histogram bit-for-bit — the read-time
+    derivations (ECDF cross products, digest centroids, fixed-width
+    buckets) are pure functions of these cells, so the batch queries'
+    streaming twins are free."""
+
+    def hist(df):
+        return (
+            df.select(
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("xc"),
+            )
+            .groupBy("event_type", "xc")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    got = _rows(
+        _drain(spark, hist(W.stream_events(spark, event_dir)), "t_vhist"),
+        ["event_type", "xc"],
+    )
+    want = _rows(hist(_batch(spark, event_dir)), ["event_type", "xc"])
+    assert got == want and len(want) > 0
