@@ -14820,6 +14820,178 @@ def docs_zipf_rank_slope(spark, sf_dir):
     ).orderBy("source")
 
 
+_KMVO_K = 256
+_KMVO_M = 1 << 60  # 60-bit md5 hash space (the HLL hash discipline)
+
+_KMVO_SQL = rf"""
+WITH arr AS (
+  SELECT source, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM arr, unnest(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+hs AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5('t:' || s), 1, 15))::BIGINT AS h
+  FROM sh
+),
+rk AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hs
+),
+sk AS (
+  SELECT source, list_sort(list(h)) AS ka
+  FROM rk WHERE rn <= {_KMVO_K} GROUP BY source
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS ix
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a.source AS sa, b.source AS sb,
+         list_sort(list_distinct(a.ka || b.ka))[1:{_KMVO_K}] AS u,
+         a.ka AS ka, b.ka AS kb
+  FROM sk a JOIN sk b ON a.source < b.source
+),
+est AS (
+  SELECT sa, sb,
+         len(u) AS nu,
+         CASE WHEN len(u) < {_KMVO_K} THEN CAST(len(u) AS BIGINT)
+              ELSE CAST(CAST({_KMVO_K - 1} AS HUGEINT) * {_KMVO_M}
+                        // u[{_KMVO_K}] AS BIGINT)
+         END AS est_union,
+         CAST(len(list_intersect(list_intersect(u, ka), kb)) AS BIGINT) AS trip
+  FROM p
+)
+SELECT e.sa AS source_a, e.sb AS source_b,
+       na.n AS n_exact_a, nb.n AS n_exact_b,
+       coalesce(i.ix, 0) AS inter_exact,
+       coalesce(i.ix, 0) * 1000000 // (na.n + nb.n - coalesce(i.ix, 0))
+         AS jacc_exact_micro,
+       e.est_union,
+       CASE WHEN e.nu < {_KMVO_K} THEN e.trip
+            ELSE e.trip * e.est_union // {_KMVO_K} END AS est_inter,
+       e.trip * 1000000 // least(e.nu, {_KMVO_K}) AS est_jacc_micro,
+       e.trip * 1000000 // least(e.nu, {_KMVO_K})
+         - coalesce(i.ix, 0) * 1000000 // (na.n + nb.n - coalesce(i.ix, 0))
+         AS jacc_err_micro
+FROM est e
+JOIN sizes na ON na.source = e.sa
+JOIN sizes nb ON nb.source = e.sb
+LEFT JOIN inter i ON i.sa = e.sa AND i.sb = e.sb
+ORDER BY source_a, source_b
+"""
+
+
+@query("source_shingle_overlap_kmv", oracle=_KMVO_SQL)
+def source_shingle_overlap_kmv(spark, sf_dir):
+    """Cross-source content-overlap ESTIMATION via KMV set algebra
+    (Beyer et al., SIGMOD 2007): per source a bottom-k sketch (k=256)
+    of its distinct 3-gram shingle hashes; for every source pair the
+    union cardinality is estimated from the merged sketch's k-th
+    minimum ((k-1)*M/h_k) and the Jaccard/intersection from the
+    fraction of the union sketch present in BOTH per-source sketches
+    (an element of bottom-k(A∪B) that belongs to A is necessarily in
+    bottom-k(A), so membership tests run on the sketches alone).
+    Audited against the exact overlap — the dedup-planning readout
+    ("which crawls share content, estimated without a corpus join")
+    that cross_source_dup_matrix answers exactly and expensively.
+
+    100 TB shape: the corpus contributes ONE (source, shingle)-distinct
+    pass feeding the salted bottom-k machinery (kmv_bottom_k — O(k)
+    state per source, exactly mergeable); every estimate is array
+    arithmetic on a |sources|²-row broadcast frame of k-element
+    arrays. The exact-audit columns pay a vocab-keyed join (at
+    production scale you'd drop them — they are the point of the
+    audit here); estimates stay in exact integer space (hash minima
+    are 60-bit ints; the (k-1)*M numerator runs in decimal/HUGEINT;
+    ratios floor to micro)."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as _sketch
+
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select("source", _text.tokens(F.col("text")).alias("toks"))
+    sarr = toks.select(
+        "source", _dedup.shingles_from_tokens(F.col("toks"), 3).alias("sh")
+    ).persist()
+    st = sarr.select("source", F.explode("sh").alias("s")).distinct().persist()
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("t:"), F.col("s"))), 1, 15), 16, 10
+    ).cast("long")
+    sk = _sketch.kmv_bottom_k(
+        st.select("source", h.alias("h")), "source", "h", k=_KMVO_K
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    srcs = st.groupBy("s").agg(F.array_sort(F.collect_set("source")).alias("ss"))
+    pairs_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ss"),
+                lambda a: F.transform(
+                    F.col("ss"), lambda b: F.struct(a.alias("sa"), b.alias("sb"))
+                ),
+            )
+        ),
+        lambda x: x["sa"] < x["sb"],
+    )
+    inter = (
+        srcs.select(F.explode(pairs_arr).alias("x"))
+        .groupBy(F.col("x.sa").alias("sa"), F.col("x.sb").alias("sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ix"))
+    )
+    a = sk.select(F.col("g").alias("sa"), F.col("sk").alias("ka"))
+    b = sk.select(F.col("g").alias("sb"), F.col("sk").alias("kb"))
+    u = F.slice(F.array_sort(F.array_union(F.col("ka"), F.col("kb"))), 1, _KMVO_K)
+    p = a.join(F.broadcast(b), F.col("sa") < F.col("sb")).select(
+        "sa", "sb", "ka", "kb", u.alias("u")
+    )
+    nu = F.size("u").cast("long")
+    est_union = F.when(nu < _KMVO_K, nu).otherwise(
+        F.floor(
+            F.lit(_KMVO_K - 1).cast("decimal(38,0)")
+            * F.lit(_KMVO_M).cast("decimal(38,0)")
+            / F.element_at(F.col("u"), _KMVO_K)
+        ).cast("long")
+    )
+    trip = F.size(
+        F.array_intersect(F.array_intersect(F.col("u"), F.col("ka")), F.col("kb"))
+    ).cast("long")
+    est = p.select(
+        "sa", "sb", nu.alias("nu"), est_union.alias("est_union"), trip.alias("trip")
+    )
+    na = sizes.select(F.col("source").alias("sa"), F.col("n").alias("n_exact_a"))
+    nb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("n_exact_b"))
+    ix = F.coalesce(F.col("ix"), F.lit(0)).cast("long")
+    jexact = F.expr(
+        "coalesce(ix, 0) * 1000000 div (n_exact_a + n_exact_b - coalesce(ix, 0))"
+    )
+    jest = F.expr(f"trip * 1000000 div least(nu, {_KMVO_K})")
+    return (
+        est.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .join(F.broadcast(inter), ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_exact_a",
+            "n_exact_b",
+            ix.alias("inter_exact"),
+            jexact.alias("jacc_exact_micro"),
+            "est_union",
+            F.when(F.col("nu") < _KMVO_K, F.col("trip"))
+            .otherwise(F.expr(f"trip * est_union div {_KMVO_K}"))
+            .cast("long")
+            .alias("est_inter"),
+            jest.alias("est_jacc_micro"),
+            (jest - jexact).alias("jacc_err_micro"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -14871,6 +15043,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_value_equidepth_digest",
     "events_session_concurrency_peak",
     "docs_zipf_rank_slope",
+    "source_shingle_overlap_kmv",
     # -- r07-stale fill (oldest verdicts; alphabetical) --
     "agg_global",
     "agg_groupby",
