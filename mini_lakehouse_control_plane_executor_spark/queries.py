@@ -15119,6 +15119,135 @@ def embedding_hard_negative_mining(spark, sf_dir):
     )
 
 
+_JSZ_D, _JSZ_W = 4, 256
+
+_JSZ_SQL = f"""
+WITH cells AS (
+  SELECT e.event_type AS t, g.d,
+         {_CMS_HASH_SQL.format(d='g.d', key='e.user_id', w=_JSZ_W)} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events e CROSS JOIN range({_JSZ_D}) g(d)
+  GROUP BY 1, 2, 3
+),
+ip AS (
+  SELECT a.t AS type_a, b.t AS type_b, a.d,
+         sum(CAST(a.c AS HUGEINT) * b.c) AS ipd
+  FROM cells a JOIN cells b ON a.d = b.d AND a.bucket = b.bucket AND a.t < b.t
+  GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT type_a, type_b, CAST(min(ipd) AS BIGINT) AS est_join_size
+  FROM ip GROUP BY 1, 2
+),
+f AS (
+  SELECT event_type AS t, user_id, CAST(count(*) AS BIGINT) AS fc
+  FROM events GROUP BY 1, 2
+),
+exact AS (
+  SELECT a.t AS type_a, b.t AS type_b,
+         CAST(sum(CAST(a.fc AS HUGEINT) * b.fc) AS BIGINT) AS exact_join_size
+  FROM f a JOIN f b ON a.user_id = b.user_id AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT x.type_a, x.type_b, x.exact_join_size, s.est_join_size,
+       s.est_join_size - x.exact_join_size AS overestimate,
+       CAST(CAST(s.est_join_size AS HUGEINT) * 1000000
+            // x.exact_join_size AS BIGINT) AS est_ratio_micro
+FROM exact x JOIN est s ON x.type_a = s.type_a AND x.type_b = s.type_b
+ORDER BY x.type_a, x.type_b
+"""
+
+
+@query("events_join_size_cms", oracle=_JSZ_SQL)
+def events_join_size_cms(spark, sf_dir):
+    """Join-size estimation from CMS inner products (Alon-Matias-
+    Szegedy F2 machinery as Cormode & Muthukrishnan ship it): for every
+    event-type pair, |A join B on user_id| = sum_u f_A(u)*f_B(u) is
+    estimated by min over the d sketch rows of the row-wise cell inner
+    product — the cardinality primitive a distributed optimizer uses to
+    pick join order WITHOUT touching the data (the reason CMS cells,
+    not samples, are the stats a catalog stores per partition). The
+    estimate never undercounts (hash collisions only ADD cross terms),
+    audited here against the exact join size.
+
+    100 TB shape: each type's sketch is the benched d*w-cell CMS
+    aggregate (map-side combinable, mergeable — the per-partition
+    catalog-stats story); the estimate is an inner product over
+    |types| * d * w broadcast-scale cells, data-independent. The exact
+    audit pays the per-(type, user) count join — at production scale
+    you'd run only the sketch side; the audit is the point here.
+    Products and their sums run in decimal(38,0)/HUGEINT (cell counts
+    multiply to beyond int64 at corpus scale)."""
+    from mini_lakehouse_control_plane_executor_spark.operators import sketch as _sketch
+
+    ev = _load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            F.posexplode(
+                _sketch.cms_bucket_array(F.col("user_id"), _JSZ_D, _JSZ_W)
+            ).alias("d", "bucket"),
+        )
+        .groupBy("t", "d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    a = cells.select(
+        F.col("t").alias("type_a"), "d", "bucket", F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("t").alias("type_b"), "d", "bucket", F.col("c").alias("cb")
+    )
+    ip = (
+        a.join(F.broadcast(b), ["d", "bucket"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b", "d")
+        .agg(
+            F.sum(
+                F.col("ca").cast("decimal(19,0)") * F.col("cb").cast("decimal(19,0)")
+            ).alias("ipd")
+        )
+    )
+    est = ip.groupBy("type_a", "type_b").agg(
+        F.min("ipd").cast("long").alias("est_join_size")
+    )
+    f = ev.groupBy(F.col("event_type").alias("t"), "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("fc")
+    )
+    fa = f.select(F.col("t").alias("type_a"), "user_id", F.col("fc").alias("fca"))
+    fb = f.select(F.col("t").alias("type_b"), "user_id", F.col("fc").alias("fcb"))
+    exact = (
+        fa.join(fb, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.col("fca").cast("decimal(19,0)") * F.col("fcb").cast("decimal(19,0)")
+            )
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    return (
+        exact.join(est, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_join_size",
+            "est_join_size",
+            (F.col("est_join_size") - F.col("exact_join_size")).alias("overestimate"),
+            F.floor(
+                F.col("est_join_size").cast("decimal(38,0)")
+                * 1000000
+                / F.col("exact_join_size")
+            )
+            .cast("long")
+            .alias("est_ratio_micro"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -15172,6 +15301,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_zipf_rank_slope",
     "source_shingle_overlap_kmv",
     "embedding_hard_negative_mining",
+    "events_join_size_cms",
     # -- r07-stale fill (oldest verdicts; alphabetical) --
     "agg_global",
     "agg_groupby",
@@ -15196,8 +15326,8 @@ DRIVER_PRIORITY: list[str] = [
     "incremental_dedup_newbatch",
     "intersect_except",
     "join_broadcast_dim",
+    # ------- 50-slot window boundary (17 + 2 + 8 + 23) -------
     "json_extract_props",
-    # ------- 50-slot window boundary (17 + 2 + 7 + 24) -------
     "math_functions",
     "outer_join_coalesce",
     "pivot_status_by_priority",
