@@ -15258,19 +15258,18 @@ def events_join_size_cms(spark, sf_dir):
 
 DRIVER_PRIORITY: list[str] = [
     # round 11 rotation (the r10 verdict's task 1): the driver verifies
-    # the FIRST 50 entries of queries(). Lead with the 17 r10b queries
-    # that have never received any driver verdict, then the two queries
-    # whose plan/oracle changed this round (events_sessionize gained the
-    # event_id tiebreak on its session-id running sum; its r10 verdict
-    # attests the pre-tiebreak plan — events_session_window's ORACLE
-    # gained the same tiebreak), then fill the remaining 31 slots with
-    # r07-stale names (3 rounds since last attestation). New r11
-    # queries are inserted ABOVE the r07 fill as they land (every new
-    # operator gets a driver verdict in its landing round), displacing
-    # the newest r07 fill entries into the staged section. The 18
-    # leftover r07 names below the window marker are positioned to
-    # LEAD the r12 window. Tail follows in definition order (all
-    # locally oracle-checked every CI run).
+    # the FIRST 50 entries of queries(). Window layout: the 17 r10b
+    # queries that have never received any driver verdict lead, then
+    # the two queries whose plan/oracle changed this round
+    # (events_sessionize gained the event_id tiebreak on its session-id
+    # running sum; its r10 verdict attests the pre-tiebreak plan —
+    # events_session_window's ORACLE gained the same tiebreak), then
+    # the 8 NEW r11 queries (every new operator gets a driver verdict
+    # in its landing round), then 23 r07-stale names (3 rounds since
+    # last attestation) fill to 50. The 26 leftover r07 names below
+    # the window marker are positioned to LEAD the r12 window. Tail
+    # follows in definition order (all locally oracle-checked every
+    # CI run).
     # -- never driver-verified (r10b additions; lead the window) --
     "events_interval_overlap_join",
     "doremi_domain_weights",
