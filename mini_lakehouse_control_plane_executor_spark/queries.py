@@ -15030,14 +15030,16 @@ ORDER BY n.q_id, n.rank
 
 @query("embedding_hard_negative_mining", oracle=_HNM_SQL)
 def embedding_hard_negative_mining(spark, sf_dir):
-    """Hard-negative mining for contrastive/metric training (the
-    FaceNet batch-mining readout, Schroff et al. 2015): per anchor, the
-    top-3 most-similar DIFFERENT-label vectors (hard negatives) next to
-    the hardest positive (least-similar same-label vector), with the
-    triplet margin and its violation flag (a hard negative MORE similar
-    than the hardest positive = the pair a contrastive batch must
-    contain). The training-data op every embedding pipeline runs when
-    assembling triplet/contrastive batches.
+    """TRIPLET-margin mining for contrastive/metric training (the
+    FaceNet batch-mining readout, Schroff et al. 2015) — completes the
+    hard_negative_mining / hard_negative_mining_lsh pair (which mine
+    the NEGATIVE side only) with the side a triplet loss actually
+    needs: per anchor, the top-3 hard negatives NEXT TO the hardest
+    positive (least-similar same-label vector), the triplet margin
+    sim(a, hard_neg) - sim(a, hardest_pos), and its violation flag (a
+    hard negative MORE similar than the hardest positive = the triplet
+    a contrastive batch must contain; margin distribution = how hard
+    the dataset still is).
 
     100 TB shape: the anchor set broadcasts (in production the
     in-flight training batch — bounded by contract); similarity is the
