@@ -1565,3 +1565,82 @@ def test_theil_decomposition_hand_computed(spark, tmp_path):
     xs, total = [10000, 10000, 30000, 10000], 60000
     t_direct = sum(x / total * math.log(x * len(xs) / total) for x in xs)
     assert abs(t_between + t_within - t_direct) < 2e-6
+
+
+def test_mg_prune_hand_values_and_bound(spark):
+    """Misra-Gries prune algebra pinned on hand values: node counts
+    {a:10, b:5, c:3} at k=2 -> lambda = 3rd largest = 3 -> summary
+    {a:7, b:2} (c zeroed). And on the real fixture: per-node summaries
+    keep <= k counters, every counter <= its exact count, and the
+    merged estimate's undercount respects the n/(k+1) deterministic
+    bound for every token (the Agarwal et al. mergeable-summaries
+    guarantee, checked exhaustively — not just for the top-k)."""
+    nc = spark.createDataFrame(
+        [(0, "a", 10), (0, "b", 5), (0, "c", 3)], "node int, key string, c long"
+    )
+    got = {(r.node, r.key): r.s for r in SK.mg_prune(nc, k=2).collect()}
+    assert got == {(0, "a"): 7, (0, "b"): 2}
+
+    d = qlib._load(spark, SF_DIR, "documents")
+    from mini_lakehouse_control_plane_executor_spark.operators import text as T
+
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+    ncr = SK.mg_node_counts(tok, "t", SK.mg_node_hash(F.col("doc_id"), 8))
+    summ = SK.mg_prune(ncr, k=4)
+    per_node = {r.node: r.cnt for r in summ.groupBy("node").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per_node and max(per_node.values()) <= 4
+    exact_nc = {(r.node, r.key): r.c for r in ncr.collect()}
+    for r in summ.collect():
+        assert 0 < r.s <= exact_nc[(r.node, r.key)]
+    # merged estimate: undercount <= n/(k+1) for EVERY key
+    merged = {r.key: r.s for r in summ.groupBy("key").agg(
+        F.sum("s").alias("s")).collect()}
+    exact = {}
+    for (node, key), c in exact_nc.items():
+        exact[key] = exact.get(key, 0) + c
+    n = sum(exact.values())
+    bound = n // 5  # k + 1 = 5
+    for key, ex in exact.items():
+        est = merged.get(key, 0)
+        assert est <= ex and ex - est <= bound, (key, est, ex, bound)
+
+
+def test_interval_bucket_expansion_equals_theta_join(spark):
+    """operators/intervals.expand_to_buckets at the DataFrame level:
+    membership rows equal the naive overlap theta-join against the
+    window relation, row for row — the lemma the property test checks
+    in pure integers, here checked through the actual Spark operator
+    on real sessionized intervals."""
+    from mini_lakehouse_control_plane_executor_spark.operators import intervals as IV
+
+    e = qlib._load(spark, SF_DIR, "events")
+    ew = e.select("user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"))
+    sess = IV.user_sessions(ew).persist()
+    W_US = 6 * 3600 * 1_000_000
+    got = sorted(
+        (r.user_id, r.sid, r.wb)
+        for r in IV.expand_to_buckets(sess, W_US).collect()
+    )
+    wins = (
+        ew.select(F.expr(f"us div {W_US}").alias("wb")).distinct()
+    )
+    lo, hi = [
+        (r.mn, r.mx)
+        for r in sess.agg(
+            F.min(F.expr(f"s_start div {W_US}")).alias("mn"),
+            F.max(F.expr(f"s_end div {W_US}")).alias("mx"),
+        ).collect()
+    ][0]
+    all_wb = spark.range(lo, hi + 1).select(F.col("id").alias("wb"))
+    naive = sorted(
+        (r.user_id, r.sid, r.wb)
+        for r in sess.crossJoin(all_wb)
+        .filter(
+            (F.col("s_start") < (F.col("wb") + 1) * W_US)
+            & (F.col("s_end") >= F.col("wb") * W_US)
+        )
+        .collect()
+    )
+    sess.unpersist()
+    assert got == naive and len(got) > 0
