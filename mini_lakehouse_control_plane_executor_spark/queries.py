@@ -13004,8 +13004,10 @@ def events_moments_skew_kurtosis(spark, sf_dir):
     which both engines evaluate the identical moment-formula
     expression tree. Remaining per-row contract: the x2 SQUARE is
     computed in int64 before promotion, so |value| <= ~3e7 (|xc| <=
-    ~3e9) is required for x2 itself; beyond that both engines would
-    need the square promoted too. Symmetric/two-point hand values
+    ~3.0e9) is required for x2 itself; promoting the square to decimal
+    would only move the bound to the decimal(38,0) per-row quartic
+    ceiling (x2*x2 <= 1e38, i.e. |xc| <= ~3.2e9), so the contract is
+    stated instead of widened. Symmetric/two-point hand values
     pinned in tests/test_operator_invariants.py (skew 0, kurtosis -2)."""
     e = _load(spark, sf_dir, "events")
     xc = F.round(F.col("value") * 100).cast("long")
@@ -14738,14 +14740,17 @@ d AS (
   FROM st
 )
 SELECT source, n AS n_terms,
-       CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000)
-         AS BIGINT) AS slope_micro,
-       CAST(round(CAST(sy AS DOUBLE) / n
-                  - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * sx / n)
-         AS BIGINT) AS intercept_micro,
-       CAST(round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
-                  / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) * 1000000)
-         AS BIGINT) AS r2_micro
+       CASE WHEN den > 0 THEN
+         CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000)
+           AS BIGINT) END AS slope_micro,
+       CASE WHEN den > 0 THEN
+         CAST(round(CAST(sy AS DOUBLE) / n
+                    - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * sx / n)
+           AS BIGINT) END AS intercept_micro,
+       CASE WHEN den > 0 AND deny > 0 THEN
+         CAST(round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+                    / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) * 1000000)
+           AS BIGINT) END AS r2_micro
 FROM d ORDER BY source
 """
 
@@ -14806,17 +14811,26 @@ def docs_zipf_rank_slope(spark, sf_dir):
     deny = (_d19(F.col("n")) * F.col("syy") - _d19(F.col("sy")) * F.col("sy")).cast(
         "double"
     )
+    # Degenerate guard: a source with a single ranked term (den = 0) or
+    # all-equal frequencies (deny = 0) has no defined fit; unguarded
+    # division diverges between engines (Spark non-ANSI -> NULL, DuckDB
+    # IEEE -> inf/NaN), so both sides emit NULL explicitly.
     slope = num / den
     return st.select(
         "source",
         F.col("n").alias("n_terms"),
-        F.round(slope * 1000000).cast("long").alias("slope_micro"),
-        F.round(
-            F.col("sy").cast("double") / F.col("n") - slope * F.col("sx") / F.col("n")
-        )
-        .cast("long")
-        .alias("intercept_micro"),
-        F.round(num * num / (den * deny) * 1000000).cast("long").alias("r2_micro"),
+        F.when(den > 0, F.round(slope * 1000000).cast("long")).alias("slope_micro"),
+        F.when(
+            den > 0,
+            F.round(
+                F.col("sy").cast("double") / F.col("n")
+                - slope * F.col("sx") / F.col("n")
+            ).cast("long"),
+        ).alias("intercept_micro"),
+        F.when(
+            (den > 0) & (deny > 0),
+            F.round(num * num / (den * deny) * 1000000).cast("long"),
+        ).alias("r2_micro"),
     ).orderBy("source")
 
 
@@ -15311,12 +15325,21 @@ pq AS (
 terms AS (
   SELECT t, CAST(round((pa - pb) * ln(pa / pb) * 1000000) AS BIGINT) AS term_micro
   FROM pq
+),
+new_only AS (
+  SELECT DISTINCT t FROM w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.t = w.t)
 )
 SELECT t AS event_type, CAST(sum(term_micro) AS BIGINT) AS psi_micro,
        CAST(count(*) AS BIGINT) AS n_buckets,
        sum(term_micro) > 250000 AS drifted_25,
        sum(term_micro) > 100000 AS drifted_10
-FROM terms GROUP BY t ORDER BY t
+FROM terms GROUP BY t
+UNION ALL
+SELECT t AS event_type, CAST(NULL AS BIGINT) AS psi_micro,
+       CAST(0 AS BIGINT) AS n_buckets, TRUE AS drifted_25, TRUE AS drifted_10
+FROM new_only
+ORDER BY event_type
 """
 
 
@@ -15332,7 +15355,10 @@ def events_value_psi_drift(spark, sf_dir):
     between dataset versions or weeks. Buckets are the BASELINE
     window's deciles (the standard practice: bins frozen from the
     reference population), Laplace +1 on the 10-bucket grid keeps
-    empty buckets finite.
+    empty buckets finite. A type that appears ONLY in the second half
+    has no baseline deciles to bin against — it is emitted explicitly
+    as a sentinel row (psi NULL, n_buckets 0, both drift flags TRUE):
+    a brand-new population is maximal drift, not a silent drop.
 
     100 TB shape: one pass builds the (type, win, centi-value)
     histogram (map-side combinable); decile edges derive from the
@@ -15413,7 +15439,7 @@ def events_value_psi_drift(spark, sf_dir):
         "t",
         F.round((pa - pb) * F.log(pa / pb) * 1000000).cast("long").alias("term_micro"),
     )
-    return (
+    scored = (
         terms.groupBy("t")
         .agg(
             F.sum("term_micro").cast("long").alias("psi_micro"),
@@ -15426,8 +15452,25 @@ def events_value_psi_drift(spark, sf_dir):
             (F.col("psi_micro") > 250000).alias("drifted_25"),
             (F.col("psi_micro") > 100000).alias("drifted_10"),
         )
-        .orderBy("event_type")
     )
+    # A type that appears ONLY in the second half has no baseline
+    # histogram, hence no decile edges — exactly the case a drift
+    # monitor must flag loudest, not drop. Emit it explicitly with a
+    # sentinel row: psi undefined (NULL), n_buckets 0, both drift flags
+    # raised. Anti-join over the vocab-bounded type frames — free.
+    new_only = (
+        h.select("t")
+        .distinct()
+        .join(edges.select("t"), "t", "left_anti")
+        .select(
+            F.col("t").alias("event_type"),
+            F.lit(None).cast("long").alias("psi_micro"),
+            F.lit(0).cast("long").alias("n_buckets"),
+            F.lit(True).alias("drifted_25"),
+            F.lit(True).alias("drifted_10"),
+        )
+    )
+    return scored.unionByName(new_only).orderBy("event_type")
 
 
 _XCORR_SQL = f"""
@@ -15455,15 +15498,22 @@ p AS (
          sum(CAST(b.c AS HUGEINT) * b.c) AS syy
   FROM dc a JOIN dc b ON a.day = b.day AND a.t < b.t
   GROUP BY 1, 2
+),
+d AS (
+  SELECT type_a, type_b, n,
+         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           AS num,
+         CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+           AS denx,
+         CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+           AS deny
+  FROM p
 )
 SELECT type_a, type_b, n AS n_days,
-       CAST(round(
-         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-         / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
-                * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
-                       AS DOUBLE))
-         * 1000000) AS BIGINT) AS r_micro
-FROM p ORDER BY type_a, type_b
+       CASE WHEN denx > 0 AND deny > 0
+            THEN CAST(round(num / sqrt(denx * deny) * 1000000) AS BIGINT)
+       END AS r_micro
+FROM d ORDER BY type_a, type_b
 """
 
 
@@ -15535,11 +15585,18 @@ def events_series_cross_correlation(spark, sf_dir):
     deny = (_d19(F.col("n")) * F.col("syy") - _d19(F.col("sy")) * F.col("sy")).cast(
         "double"
     )
+    # Degenerate guard: a CONSTANT daily-count series makes its variance
+    # term zero; r is undefined there, and unguarded division diverges
+    # between engines (Spark non-ANSI double division -> NULL, DuckDB
+    # IEEE -> inf/NaN). Both sides emit NULL explicitly.
     return pr.select(
         "type_a",
         "type_b",
         F.col("n").alias("n_days"),
-        F.round(num / F.sqrt(denx * deny) * 1000000).cast("long").alias("r_micro"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.round(num / F.sqrt(denx * deny) * 1000000).cast("long"),
+        ).alias("r_micro"),
     ).orderBy("type_a", "type_b")
 
 

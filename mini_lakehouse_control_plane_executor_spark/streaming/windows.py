@@ -78,7 +78,12 @@ def moments_sums(events: DataFrame) -> DataFrame:
     aggregate: count plus four INTEGER power sums over centi-quantized
     values (decimal(38,0) accumulators, with the x^3 cube multiplied
     through decimal per row — x^3/x^4 of a max centi value overflow
-    int64). The sums are commutative, associative, and
+    int64). Per-row contract (same as the batch twin): the x2 SQUARE is
+    computed in int64 before promotion, so |value| <= ~3e7 (|xc| <=
+    ~3.0e9) is required for x2 itself — promoting the square to decimal
+    would only move the bound to the decimal(38,0) per-row quartic
+    ceiling (x2*x2 <= 1e38, i.e. |xc| <= ~3.2e9), so the contract is
+    stated instead of widened. The sums are commutative, associative, and
     mergeable, so Structured Streaming's own incremental aggregation
     state IS the sketch — when the state is an algebraic aggregate, use
     the engine's, not a custom applyInPandasWithState operator. No

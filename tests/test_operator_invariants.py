@@ -1644,3 +1644,129 @@ def test_interval_bucket_expansion_equals_theta_join(spark):
     )
     sess.unpersist()
     assert got == naive and len(got) > 0
+
+
+def _oracle_rows(name: str, data_dir: str, tables: list[str]):
+    """Run a registered query's DuckDB oracle over parquet files in
+    ``data_dir`` (the driver's harness in miniature) and return rows as
+    a sorted list of tuples, NULL-safe."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        p = f"{data_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    out = con.execute(qlib._ORACLE[name]).fetchall()
+    con.close()
+    return sorted(out, key=lambda r: tuple((v is None, v) for v in r))
+
+
+def test_cross_correlation_constant_series_null_guard(spark, tmp_path):
+    """A type with a CONSTANT daily count series has zero variance —
+    Pearson r is undefined, and the r11 ADVICE found the unguarded
+    division diverges between engines (Spark NULL vs DuckDB inf/NaN).
+    Both engines must now emit NULL for such pairs and agree exactly."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    # days 0..2; 'aa' constant 1/day, 'bb' 1,2,3, 'cc' 3,1,2
+    counts = {"aa": [1, 1, 1], "bb": [1, 2, 3], "cc": [3, 1, 2]}
+    for t, per_day in counts.items():
+        for day, c in enumerate(per_day):
+            for _ in range(c):
+                rows.append(
+                    (eid, dt.datetime(2020, 1, 1 + day, 12, 0), eid, t, 1.0, "{}")
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r.type_a, r.type_b): r.r_micro
+        for r in qlib._REGISTRY["events_series_cross_correlation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[("aa", "bb")] is None and got[("aa", "cc")] is None
+    # bb vs cc: x=(1,2,3) y=(3,1,2) -> r = -1/2
+    assert got[("bb", "cc")] == -500000
+    ora = _oracle_rows(
+        "events_series_cross_correlation", str(tmp_path), ["events"]
+    )
+    assert sorted(
+        [(a, b, 3, r) for (a, b), r in got.items()],
+        key=lambda r: tuple((v is None, v) for v in r),
+    ) == ora
+
+
+def test_zipf_slope_degenerate_source_null_guard(spark, tmp_path):
+    """A source with a single ranked term (den=0) must emit NULL
+    slope/intercept/r2; a source whose top terms all share one
+    frequency (deny=0) keeps slope 0 but NULLs r2. Engine-agreement
+    checked against the DuckDB oracle on the same fixture."""
+    rows = [
+        (0, "foo foo foo", "en", "s1", 11),
+        (1, "alpha beta", "en", "s2", 10),
+        (2, "gamma delta", "en", "s2", 11),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: (r.n_terms, r.slope_micro, r.intercept_micro, r.r2_micro)
+        for r in qlib._REGISTRY["docs_zipf_rank_slope"](spark, str(tmp_path)).collect()
+    }
+    assert got["s1"] == (1, None, None, None)
+    n2, slope2, _, r22 = got["s2"]
+    assert (n2, slope2, r22) == (4, 0, None)
+    ora = _oracle_rows("docs_zipf_rank_slope", str(tmp_path), ["documents"])
+    assert sorted(
+        [(s, *v) for s, v in got.items()],
+        key=lambda r: tuple((v is None, v) for v in r),
+    ) == ora
+
+
+def test_psi_drift_new_type_sentinel(spark, tmp_path):
+    """A type that appears ONLY in the second half of the timeline has
+    no baseline deciles — r11 ADVICE flagged that it silently dropped
+    from the drift report. It must now surface as a sentinel row
+    (psi NULL, n_buckets 0, both drift flags TRUE), and the DuckDB
+    oracle must agree on the same fixture."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    for day in range(10):
+        for _ in range(3):
+            rows.append(
+                (eid, dt.datetime(2020, 1, 1 + day, 12, 0), eid, "old",
+                 float(1 + eid % 5), "{}")
+            )
+            eid += 1
+        if day >= 5:  # second half only
+            rows.append(
+                (eid, dt.datetime(2020, 1, 1 + day, 13, 0), eid, "neu",
+                 2.5, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.event_type: (r.psi_micro, r.n_buckets, r.drifted_25, r.drifted_10)
+        for r in qlib._REGISTRY["events_value_psi_drift"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["neu"] == (None, 0, True, True)
+    assert got["old"][1] == 10 and got["old"][0] is not None
+    ora = _oracle_rows("events_value_psi_drift", str(tmp_path), ["events"])
+    assert sorted(
+        [(t, *v) for t, v in got.items()],
+        key=lambda r: tuple((v is None, v) for v in r),
+    ) == ora
