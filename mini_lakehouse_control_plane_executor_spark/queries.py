@@ -15600,6 +15600,174 @@ def events_series_cross_correlation(spark, sf_dir):
     ).orderBy("type_a", "type_b")
 
 
+_LANGID_B = 1024
+
+_LANGID_SQL = rf"""
+WITH d AS (SELECT doc_id, lang, lower(text) AS txt FROM documents),
+tg AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('g:' || substr(txt, i, 3)), 1, 15))::BIGINT
+           % {_LANGID_B} AS b
+  FROM d, unnest(generate_series(1, length(txt) - 2)) AS t(i)
+  WHERE length(txt) >= 3
+),
+dbc AS (
+  SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS cnt
+  FROM tg GROUP BY 1, 2, 3
+),
+lb AS (SELECT lang, b, CAST(sum(cnt) AS BIGINT) AS c FROM dbc GROUP BY 1, 2),
+nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM lb GROUP BY 1),
+pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM d),
+priw AS (
+  SELECT lang AS cand,
+         CAST(round(ln(CAST(nd AS DOUBLE) / ntot) * 1000000) AS BIGINT)
+           AS prior_micro
+  FROM pri, tot
+),
+bs AS (SELECT DISTINCT b FROM dbc),
+model AS (
+  SELECT nl.lang AS cand, bs.b,
+         CAST(round(ln(CAST(coalesce(lb.c, 0) + 1 AS DOUBLE)
+                       / (nl.n + {_LANGID_B})) * 1000000) AS BIGINT) AS w
+  FROM nl CROSS JOIN bs
+  LEFT JOIN lb ON lb.lang = nl.lang AND lb.b = bs.b
+),
+sc AS (
+  SELECT dbc.doc_id, dbc.lang AS lang_true, m.cand,
+         CAST(sum(dbc.cnt * m.w) AS BIGINT) AS s0
+  FROM dbc JOIN model m ON dbc.b = m.b
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, any_value(lang_true) AS lang_true,
+         first(cand ORDER BY s DESC, cand) AS lang_pred
+  FROM (SELECT sc.*, sc.s0 + pw.prior_micro AS s
+        FROM sc JOIN priw pw ON pw.cand = sc.cand) z
+  GROUP BY doc_id
+),
+shortd AS (
+  SELECT doc_id, lang AS lang_true, 'und' AS lang_pred
+  FROM d WHERE length(txt) < 3
+)
+SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT lang_true, lang_pred FROM pred
+      UNION ALL SELECT lang_true, lang_pred FROM shortd) u
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("docs_langid_nb_confusion", oracle=_LANGID_SQL)
+def docs_langid_nb_confusion(spark, sf_dir):
+    """Hashed char-trigram Naive Bayes language identification, trained
+    from the corpus's OWN lang labels and audited as a confusion matrix
+    — the fastText/CCNet first pipeline stage (Joulin et al. 2017;
+    Wenzek et al. 2020) in its simplest exact form, and the one
+    text-pipeline stage this family lacked next to the stopword
+    heuristic (operators/text.py lang_id). Resubstitution audit by
+    design: the model is trained and scored on the same corpus, so the
+    matrix measures how separable the per-language trigram
+    distributions are, not held-out accuracy. Laplace +1 smoothing over
+    the B=1024 hashed feature space; log-priors from document counts;
+    ties break to the lexicographically smallest language; documents
+    with fewer than 3 characters emit 'und'.
+
+    100 TB shape: ONE char-trigram pass (map-side explode, repartitioned
+    up when the scan under-parallelizes) collapses immediately to the
+    (doc, lang, bucket) count frame — the SINGLE corpus-sized shuffle,
+    persisted and reused for both training and scoring. (A map-side RLE
+    aggregate-HOF variant that deletes this shuffle was measured and
+    REJECTED: 5.0s vs 3.3s min-of-2 at sf0.1 — the interpreted
+    array_append accumulator loses more than the exchange costs, the
+    dedup_weighted_minhash lesson in reverse.) The model
+    ((lang, bucket) log-likelihoods, <= |langs| x 1024 rows) and the
+    priors are vocab-bounded broadcasts; scoring is a broadcast join +
+    one doc-keyed aggregate (rows x |langs|, map-side combinable); the
+    confusion matrix is a |langs|^2 final aggregate. Micro-nat integer
+    weights: scores are exact integer sums (bounded by trigrams/doc x
+    max|w| ~ 3e7 — int64-safe for documents up to ~1e11 chars), so
+    argmax ties are engine-exact; the only doubles are the ln() calls
+    on exact integer ratios, quantized to micro before any sum (the
+    PSI/zipf discipline)."""
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("txt")
+    )
+    d = _scale_up(docs)
+    tg = d.filter(F.length("txt") >= 3).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(txt) - 2), i -> substring(txt, i, 3))"
+            )
+        ).alias("g"),
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("g:"), F.col("g"))), 1, 15), 16, 10)
+        .cast("long")
+        % _LANGID_B
+    )
+    dbc = (
+        tg.select("doc_id", "lang", b.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    lb = dbc.groupBy("lang", "b").agg(F.sum("cnt").cast("long").alias("c"))
+    nl = lb.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    bs = dbc.select("b").distinct()
+    model = (
+        nl.crossJoin(F.broadcast(bs))
+        .join(F.broadcast(lb), ["lang", "b"], "left")
+        .select(
+            F.col("lang").alias("cand"),
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n") + F.lit(_LANGID_B))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    pri = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("ntot"))
+    priw = pri.crossJoin(F.broadcast(tot)).select(
+        F.col("lang").alias("cand"),
+        F.round(F.log(F.col("nd").cast("double") / F.col("ntot")) * 1000000)
+        .cast("long")
+        .alias("prior_micro"),
+    )
+    sc = (
+        dbc.join(F.broadcast(model), "b")
+        .groupBy("doc_id", F.col("lang").alias("lang_true"), "cand")
+        .agg(F.sum(F.col("cnt") * F.col("w")).cast("long").alias("s0"))
+    )
+    scored = sc.join(F.broadcast(priw), "cand").select(
+        "doc_id",
+        "lang_true",
+        "cand",
+        (F.col("s0") + F.col("prior_micro")).alias("s"),
+    )
+    pred = scored.groupBy("doc_id", "lang_true").agg(
+        F.min(F.struct((-F.col("s")).alias("ns"), F.col("cand").alias("c")))["c"]
+        .alias("lang_pred")
+    )
+    shortd = docs.filter(F.length("txt") < 3).select(
+        F.col("lang").alias("lang_true"), F.lit("und").alias("lang_pred")
+    )
+    return (
+        pred.select("lang_true", "lang_pred")
+        .unionByName(shortd)
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never

@@ -1770,3 +1770,29 @@ def test_psi_drift_new_type_sentinel(spark, tmp_path):
         [(t, *v) for t, v in got.items()],
         key=lambda r: tuple((v is None, v) for v in r),
     ) == ora
+
+
+def test_langid_nb_separable_corpus_and_short_docs(spark, tmp_path):
+    """On a corpus whose languages use DISJOINT character inventories
+    the NB trigram model must classify every document correctly (pure
+    diagonal confusion matrix), sub-3-char docs must emit 'und', and
+    the matrix total must equal the corpus size. Engine agreement
+    checked against the DuckDB oracle on the same fixture."""
+    rows = []
+    did = 0
+    for _ in range(4):
+        rows.append((did, "aaab aabb abab baba", "aa", "s", 19)); did += 1
+        rows.append((did, "xxxy xyyx yxyx yyxx", "xx", "s", 19)); did += 1
+    rows.append((did, "zq", "aa", "s", 2)); did += 1  # too short -> und
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.lang_true, r.lang_pred): r.n_docs
+        for r in qlib._REGISTRY["docs_langid_nb_confusion"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {("aa", "aa"): 4, ("xx", "xx"): 4, ("aa", "und"): 1}
+    ora = _oracle_rows("docs_langid_nb_confusion", str(tmp_path), ["documents"])
+    assert sorted((a, b, n) for (a, b), n in got.items()) == ora
