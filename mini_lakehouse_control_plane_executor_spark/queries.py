@@ -15768,6 +15768,365 @@ def docs_langid_nb_confusion(spark, sf_dir):
     )
 
 
+_ESDUP_K = 8
+_ESDUP_MAXDF = 8
+
+_ESDUP_SQL = rf"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i + {_ESDUP_K - 1}], ' ') AS win
+  FROM arr, unnest(generate_series(1, len(w) - {_ESDUP_K} + 1)) AS t(i)
+  WHERE len(w) >= {_ESDUP_K}
+),
+keep AS (
+  SELECT win FROM (
+    SELECT win, count(DISTINCT doc_id) AS dfc FROM wins GROUP BY 1
+  ) WHERE dfc BETWEEN 2 AND {_ESDUP_MAXDF}
+),
+g AS (SELECT w.* FROM wins w JOIN keep USING (win)),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM g a JOIN g b ON a.win = b.win AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT da, db, pa - pb AS diag,
+         pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa)
+           AS island
+  FROM p
+),
+runs AS (
+  SELECT da, db, diag, island,
+         CAST(count(*) + {_ESDUP_K} - 1 AS BIGINT) AS run_tokens
+  FROM r GROUP BY 1, 2, 3, 4
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
+       CAST(sum(run_tokens) AS BIGINT) AS dup_tokens
+FROM runs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("docs_exact_substring_dup", oracle=_ESDUP_SQL)
+def docs_exact_substring_dup(spark, sf_dir):
+    """EXACT cross-document duplicated-substring detection (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr): every maximal token run of length >= K=8 shared
+    VERBATIM between two documents, reported per pair as run count,
+    longest run, and total duplicated tokens. The suffix-array member
+    of the dedup family that winnowing_dup_pairs approximates locally:
+    here a match is a certainty, not a fingerprint collision, because
+    the join key is the raw K-token window string itself.
+
+    Mechanism: every K-token window (with its position) joins on exact
+    window equality; consecutive matched windows lie on one (doc_a,
+    doc_b, pa-pb) DIAGONAL, and the classic islands trick (pos minus
+    row_number over the diagonal) merges them into maximal runs — a run
+    of L shared tokens is exactly L-K+1 consecutive windows, so
+    run_tokens = windows + K - 1 recovers L with no approximation.
+
+    100 TB shape: linear shuffle cost — one (window-string) aggregate
+    for the document-frequency gate, one co-partitioned self-join on
+    the gated windows, one (pair, diagonal) window for run merging, one
+    pair-keyed final aggregate; no global sort, no suffix array (the
+    paper's single-machine structure), and the window partitioning key
+    (da, db, diag) is pair-bounded. Boilerplate guard: windows shared
+    by more than MAXDF=8 distinct documents are excluded BEFORE the
+    self-join (the winnowing_dup_pairs df-gate) — a template window
+    shared by 10^5 docs would otherwise explode quadratically; gated
+    runs split where boilerplate interrupts them, which is the
+    documented trade (boilerplate_ngrams owns that signal). At cluster
+    scale the join key would band to a 128-bit fingerprint first; the
+    raw-string key keeps the small-SF form certainty-exact."""
+    d = _load(spark, sf_dir, "documents")
+    arr = _scale_up(d).select("doc_id", _text.tokens(F.col("text")).alias("toks"))
+    warr = (
+        arr.filter(F.size("toks") >= _ESDUP_K)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_ESDUP_K} + 1), "
+                f"i -> array_join(slice(toks, i, {_ESDUP_K}), ' '))"
+            ).alias("wins"),
+        )
+        .persist()
+    )
+    wins = warr.select(
+        "doc_id", F.posexplode("wins").alias("pos0", "win")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "win")
+    keep = (
+        wins.groupBy("win")
+        .agg(F.count_distinct("doc_id").alias("dfc"))
+        .filter((F.col("dfc") >= 2) & (F.col("dfc") <= _ESDUP_MAXDF))
+        .select("win")
+    )
+    g = wins.join(keep, "win")
+    a = g.select(F.col("win"), F.col("doc_id").alias("da"), F.col("pos").alias("pa"))
+    b = g.select(F.col("win"), F.col("doc_id").alias("db"), F.col("pos").alias("pb"))
+    p = a.join(b, "win").filter(F.col("da") < F.col("db"))
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    wr = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    r = p.select(
+        "da", "db", diag, (F.col("pa") - F.row_number().over(wr)).alias("island")
+    )
+    runs = r.groupBy("da", "db", "diag", "island").agg(
+        (F.count(F.lit(1)) + _ESDUP_K - 1).cast("long").alias("run_tokens")
+    )
+    return (
+        runs.groupBy("da", "db")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.max("run_tokens").cast("long").alias("max_run_tokens"),
+            F.sum("run_tokens").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "n_runs",
+            "max_run_tokens",
+            "dup_tokens",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+import math as _math
+
+_K1_M = 32
+# k1-scale centroid boundaries as ppm-quantile integers, precomputed in
+# PYTHON so neither engine evaluates asin/cos in the plan: uniform steps
+# in k1(q) = (m/2pi)*asin(2q-1) invert to q_i = (1 - cos(pi*i/m))/2.
+# The first/last centroids cover ~0.24% of mass vs the uniform scale's
+# 3.125% — 13x finer tail resolution at identical state size.
+_K1_BOUNDS = [
+    round((1 - _math.cos(_math.pi * i / _K1_M)) / 2 * 1000000)
+    for i in range(1, _K1_M)
+]
+_K1_QS = [500, 900, 990, 999]  # per-mille probes: the tail is the point
+
+_K1_SQL = f"""
+WITH x AS (SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS xc
+           FROM events),
+h AS (SELECT t, xc, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY 1, 2),
+cb AS (
+  SELECT t, xc, c,
+         CAST(sum(c) OVER (PARTITION BY t ORDER BY xc
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY t) AS BIGINT) AS n
+  FROM h
+),
+qs AS (SELECT unnest({_K1_QS}) AS q),
+exact AS (
+  SELECT b.t, q.q, any_value(b.n) AS n, min(b.xc) AS exact_c
+  FROM cb b, qs q WHERE b.cum * 1000 >= q.q * b.n GROUP BY 1, 2
+),
+c0 AS (
+  SELECT t, ((cum - c) * {_K1_M}) // n AS cent, CAST(sum(c) AS BIGINT) AS w,
+         max(xc) AS vmax, any_value(n) AS n
+  FROM cb GROUP BY 1, 2
+),
+c0c AS (
+  SELECT t, cent, vmax, n,
+         CAST(sum(w) OVER (PARTITION BY t ORDER BY cent
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM c0
+),
+k0 AS (
+  SELECT c.t, q.q, min(c.vmax) AS k0_c
+  FROM c0c c, qs q WHERE c.cum * 1000 >= q.q * c.n GROUP BY 1, 2
+),
+c1 AS (
+  SELECT t,
+         len(list_filter({_K1_BOUNDS},
+                         v -> CAST(cum - c AS HUGEINT) * 1000000
+                              >= CAST(v AS HUGEINT) * n)) AS cent,
+         CAST(sum(c) AS BIGINT) AS w, max(xc) AS vmax, any_value(n) AS n
+  FROM cb GROUP BY 1, 2
+),
+c1c AS (
+  SELECT t, cent, vmax, n,
+         CAST(sum(w) OVER (PARTITION BY t ORDER BY cent
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM c1
+),
+k1 AS (
+  SELECT c.t, q.q, min(c.vmax) AS k1_c
+  FROM c1c c, qs q WHERE c.cum * 1000 >= q.q * c.n GROUP BY 1, 2
+)
+SELECT e.t AS event_type, e.q AS q_mille, e.n, e.exact_c,
+       z.k0_c AS uniform_c, z.k0_c - e.exact_c AS uniform_err_c,
+       o.k1_c AS k1_c, o.k1_c - e.exact_c AS k1_err_c
+FROM exact e JOIN k0 z ON e.t = z.t AND e.q = z.q
+JOIN k1 o ON e.t = o.t AND e.q = o.q
+ORDER BY event_type, q_mille
+"""
+
+
+@query("events_value_k1_digest_tail", oracle=_K1_SQL)
+def events_value_k1_digest_tail(spark, sf_dir):
+    """Tail-weighted (k1-scale) t-digest vs the uniform (k0/equi-depth)
+    digest at the SAME 32-centroid state, probed where they differ —
+    p50/p90/p99/p99.9 per event type against the exact percentile.
+    Closes the loop events_value_equidepth_digest opened: that query
+    measured and documented the uniform scale's p99 failure (one
+    centroid spans the whole tail); Dunning & Ertl 2019's k1 scale
+    function exists to fix exactly that, shrinking tail centroids to
+    ~0.24% of mass (13x finer) at the cost of coarser mid-quantiles.
+
+    100 TB shape: identical to the equi-depth twin — the distributed
+    state for ALL estimators is the ONE exact (type, centi-value)
+    histogram (map-side combinable, value-vocabulary bounded); both
+    digests are read-time derivations over the per-type cumulative
+    window. Engine-exactness: the k1 scale needs asin/cos, which would
+    be a libm divergence risk inside the plan — so the 31 centroid
+    boundaries are precomputed in PYTHON as ppm-quantile INTEGERS
+    (module constants baked into both plans), and centroid assignment
+    is a pure integer comparison count over that literal array, widened
+    through decimal/HUGEINT (cum_before * 1e6 brushes int64 at corpus
+    scale). Per-mille probes are integer arithmetic on the cumulative
+    counts; no double enters either plan."""
+    e = _load(spark, sf_dir, "events")
+    x = e.select(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+    )
+    h = x.groupBy("t", "xc").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.partitionBy("t").orderBy("xc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("t")
+    cb = h.select(
+        "t",
+        "xc",
+        "c",
+        F.sum("c").over(wc).cast("long").alias("cum"),
+        F.sum("c").over(wt).cast("long").alias("n"),
+    ).persist()
+    qs = spark.createDataFrame([(q,) for q in _K1_QS], "q int")
+    exact = (
+        cb.join(F.broadcast(qs), F.col("cum") * 1000 >= F.col("q") * F.col("n"))
+        .groupBy("t", "q")
+        .agg(F.any_value("n").alias("n"), F.min("xc").alias("exact_c"))
+    )
+
+    def _digest_estimate(cent_expr, out_col):
+        cent = cb.groupBy("t", cent_expr.alias("cent")).agg(
+            F.sum("c").cast("long").alias("w"),
+            F.max("xc").alias("vmax"),
+            F.any_value("n").alias("n"),
+        )
+        wcc = Window.partitionBy("t").orderBy("cent").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ccum = cent.select(
+            "t", "vmax", "n", F.sum("w").over(wcc).cast("long").alias("cum")
+        )
+        return (
+            ccum.join(
+                F.broadcast(qs), F.col("cum") * 1000 >= F.col("q") * F.col("n")
+            )
+            .groupBy("t", "q")
+            .agg(F.min("vmax").alias(out_col))
+        )
+
+    cent0 = F.expr(f"(cum - c) * {_K1_M} div n")
+    bounds_arr = F.array(*[F.lit(b) for b in _K1_BOUNDS])
+    cent1 = F.size(
+        F.filter(
+            bounds_arr,
+            lambda v: (F.col("cum") - F.col("c")).cast("decimal(19,0)") * 1000000
+            >= v.cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)"),
+        )
+    )
+    k0 = _digest_estimate(cent0, "uniform_c")
+    k1 = _digest_estimate(cent1, "k1_c")
+    return (
+        exact.join(k0, ["t", "q"])
+        .join(k1, ["t", "q"])
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("q").alias("q_mille"),
+            "n",
+            "exact_c",
+            "uniform_c",
+            (F.col("uniform_c") - F.col("exact_c")).alias("uniform_err_c"),
+            "k1_c",
+            (F.col("k1_c") - F.col("exact_c")).alias("k1_err_c"),
+        )
+        .orderBy("event_type", "q_mille")
+    )
+
+
+_SKEW_HOT_MOD = 997
+
+_SKEW_SQL = f"""
+WITH f AS (
+  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+              ELSE 1 + (l_orderkey % {_SKEW_HOT_MOD}) END AS sk,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+  FROM lineitem
+),
+dim AS (
+  SELECT CAST(k AS BIGINT) AS sk, CAST(k % 10 AS BIGINT) AS grp
+  FROM (SELECT unnest(generate_series(0, {_SKEW_HOT_MOD})) AS k)
+),
+j AS (SELECT d.grp, f.sk, f.qty_c FROM f JOIN dim d ON f.sk = d.sk)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT sk) AS BIGINT) AS n_keys,
+       CAST(sum(qty_c) AS BIGINT) AS sum_qty_c
+FROM j GROUP BY 1 ORDER BY grp
+"""
+
+
+@query("join_skew_aqe_canary", oracle=_SKEW_SQL)
+def join_skew_aqe_canary(spark, sf_dir):
+    """Hot-key join canary — join_order_stress's sibling for the OTHER
+    optimizer trust claim: a fact side where ~70% of rows collapse onto
+    ONE derived join key (the classic power-law customer / null-bucket
+    / default-value hot key) joined to a 998-row dimension, aggregated
+    per dim group. The query itself takes the RIGHT plan at every
+    scale: the dimension broadcasts (no shuffle touches the skewed key,
+    so the skew is harmless), and the group-by re-aggregates by grp —
+    skew-proof by construction.
+
+    The 100 TB regression this query anchors lives in
+    tests/test_plan_shapes.py::test_aqe_skew_join_split_fires: when the
+    dim side is too large to broadcast (forced there by disabling the
+    broadcast threshold), the same hot-key geometry becomes a
+    sort-merge join whose key-0 shuffle partition dwarfs the median,
+    and the test asserts Spark's AQE OptimizeSkewedJoin actually
+    SPLITS it (``skew=true`` in the final adaptive plan) under
+    cluster-realistic thresholds — the optimizer-trust check that the
+    engine's "AQE handles residual skew" claims elsewhere (dedup
+    banding, session windows) rest on.
+
+    Exactness: qty accumulates as integer centi units; counts exact;
+    the derived key is pure integer arithmetic identical in both
+    engines."""
+    li = _load(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0).cast("long"))
+        .otherwise(1 + F.col("l_orderkey") % _SKEW_HOT_MOD)
+        .alias("sk"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+    )
+    dim = spark.range(0, _SKEW_HOT_MOD + 1).select(
+        F.col("id").alias("sk"), (F.col("id") % 10).alias("grp")
+    )
+    return (
+        f.join(F.broadcast(dim), "sk")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("sk").cast("long").alias("n_keys"),
+            F.sum("qty_c").cast("long").alias("sum_qty_c"),
+        )
+        .orderBy("grp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -15777,75 +16136,21 @@ def docs_langid_nb_confusion(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # round 11 rotation (the r10 verdict's task 1): the driver verifies
-    # the FIRST 50 entries of queries(). Window layout: the 17 r10b
-    # queries that have never received any driver verdict lead, then
-    # the two queries whose plan/oracle changed this round
-    # (events_sessionize gained the event_id tiebreak on its session-id
-    # running sum; its r10 verdict attests the pre-tiebreak plan —
-    # events_session_window's ORACLE gained the same tiebreak), then
-    # the 8 NEW r11 queries (every new operator gets a driver verdict
-    # in its landing round), then 23 r07-stale names (3 rounds since
-    # last attestation) fill to 50. The 26 leftover r07 names below
-    # the window marker are positioned to LEAD the r12 window. Tail
-    # follows in definition order (all locally oracle-checked every
-    # CI run).
-    # -- never driver-verified (r10b additions; lead the window) --
-    "events_interval_overlap_join",
-    "doremi_domain_weights",
-    "events_user_streaks",
-    "orders_scd2_status_history",
-    "bigram_kneser_ney_ppl",
-    "events_markov_attribution",
-    "events_moments_skew_kurtosis",
-    "ql_dirichlet_topk",
-    "minhash_bbit_estimate_error",
-    "events_ks_two_sample",
-    "docs_good_turing_mass",
-    "orders_benford_deviation",
-    "events_cusum_change_point",
-    "docs_term_burstiness",
-    "orders_theil_inequality",
-    "retrieval_ndcg_bm25",
-    "events_session_type_pmi",
-    # -- plan/oracle changed in r11 (tiebreak fixes; r10 verdicts
-    # attest the pre-fix versions) --
-    "events_sessionize",
-    "events_session_window",
-    # -- new in r11 (never driver-verified; locally oracle-green) --
-    "docs_token_heavy_hitters_mg",
-    "ann_pq_incremental_encode",
-    "events_value_equidepth_digest",
-    "events_session_concurrency_peak",
-    "docs_zipf_rank_slope",
-    "source_shingle_overlap_kmv",
-    "embedding_hard_negative_mining",
-    "events_join_size_cms",
-    "events_value_psi_drift",
-    "events_series_cross_correlation",
-    # -- r07-stale fill (oldest verdicts; alphabetical) --
-    "agg_global",
-    "agg_groupby",
-    "ann_cosine_bruteforce",
-    "ann_cosine_lsh",
-    "anti_join_not_exists",
-    "case_when_buckets",
-    "containment_dedup_pairs",
-    "cube_priority_status",
-    "date_functions",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "distinct_agg",
-    "embedding_neardup_exact",
-    "events_tumbling_window",
-    "filter_agg_fused",
-    "filter_comparison",
-    "hash_sample_orders",
-    "having_filter",
-    "in_like_between",
-    "incremental_dedup_newbatch",
-    # ------- 50-slot window boundary (17 + 2 + 10 + 21) -------
+    # round 12 rotation (the r11 verdict's task 1). The driver verifies
+    # the FIRST 50 entries of queries(). Window layout: the 28 r07-stale
+    # names lead (4 rounds since last attestation — TPC-H flagships,
+    # window functions, set ops), then the 4 NEW r12 operators (every
+    # new operator gets a driver verdict in its landing round), then the
+    # 3 queries whose plan/oracle changed this round (degenerate-series
+    # NULL guards on cross_correlation and zipf_rank_slope; the PSI
+    # drift new-type sentinel rows — their r11 verdicts attest the
+    # pre-fix versions), then 15 oldest-r08 names fill to 50
+    # (alphabetical within the cohort). The 31 leftover r08 names below
+    # the window marker are positioned to LEAD the r13 window. Tail
+    # follows in definition order (all locally oracle-checked every CI
+    # run). Boundary check: list(all_queries())[49] must be
+    # 'char_entropy_quality' and [50] 'cross_source_dup_matrix'.
+    # -- r07-stale (oldest verdicts; lead the window) --
     "intersect_except",
     "join_broadcast_dim",
     "json_extract_props",
@@ -15855,7 +16160,6 @@ DRIVER_PRIORITY: list[str] = [
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q18_large_orders",
-    # -- r07-stale leftovers: staged to lead the r12 window --
     "q19_disjunctive_predicates",
     "q1_pricing_summary",
     "q22_idle_customers",
@@ -15875,4 +16179,62 @@ DRIVER_PRIORITY: list[str] = [
     "window_lag_lead",
     "window_running_sum",
     "window_topn_per_group",
+    # -- new in r12 (never driver-verified; locally oracle-green) --
+    "docs_langid_nb_confusion",
+    "docs_exact_substring_dup",
+    "events_value_k1_digest_tail",
+    "join_skew_aqe_canary",
+    # -- plan/oracle changed in r12 (r11 verdicts attest pre-fix) --
+    "events_series_cross_correlation",
+    "docs_zipf_rank_slope",
+    "events_value_psi_drift",
+    # -- r08-stale fill (oldest cohort; alphabetical) --
+    "ab_test_value",
+    "ann_cosine_ivf",
+    "ann_cosine_ivf_kmeans",
+    "ann_cosine_ivfpq",
+    "ann_cosine_pq_adc",
+    "ann_recall_jl_vs_exact",
+    "ann_recall_lsh_vs_exact",
+    "ann_recall_matrix",
+    "ann_recall_pq_vs_exact",
+    "association_rules",
+    "bigram_pmi_top",
+    "boilerplate_ngrams",
+    "bootstrap_ci_mean_tokens",
+    "bpe_merge_learn",
+    "char_entropy_quality",
+    # ------- 50-slot window boundary (28 + 4 + 3 + 15) -------
+    # -- r08-stale leftovers: staged to lead the r13 window --
+    "cross_source_dup_matrix",
+    "dataset_card",
+    "decontamination_ngram_overlap",
+    "dedup_cluster_size_histogram",
+    "dedup_semdedup_prune",
+    "dedup_token_savings",
+    "docs_length_histogram",
+    "embedding_decontamination",
+    "embedding_jl_projection_distortion",
+    "embedding_neardup_lsh",
+    "embedding_pca_covariance",
+    "embedding_pca_power_iteration",
+    "embedding_quantization_error",
+    "event_attribution_touch",
+    "events_correlation",
+    "events_daily_anomaly",
+    "events_kmv_setops",
+    "events_sliding_window",
+    "events_transition_matrix",
+    "events_ttest_conversion",
+    "events_value_deciles",
+    "graph_connected_components",
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "grouping_sets_orders",
+    "minhash_tuning_matrix",
+    "quality_ensemble_score",
+    "robust_trimmed_stats",
+    "tokenizer_fertility_stats",
+    "winnowing_dup_pairs",
 ]

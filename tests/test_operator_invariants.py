@@ -1796,3 +1796,62 @@ def test_langid_nb_separable_corpus_and_short_docs(spark, tmp_path):
     assert got == {("aa", "aa"): 4, ("xx", "xx"): 4, ("aa", "und"): 1}
     ora = _oracle_rows("docs_langid_nb_confusion", str(tmp_path), ["documents"])
     assert sorted((a, b, n) for (a, b), n in got.items()) == ora
+
+
+def test_exact_substring_run_length_exact(spark, tmp_path):
+    """docs_exact_substring_dup recovers the EXACT shared-run length:
+    two docs sharing a verbatim 20-token region (unique context either
+    side) must report one run of exactly 20 tokens; the islands merge
+    must not split or extend it. DuckDB oracle must agree."""
+    common = " ".join(f"c{i}" for i in range(20))
+    t0 = " ".join(f"a{i}" for i in range(10)) + " " + common + " " + " ".join(
+        f"d{i}" for i in range(10)
+    )
+    t1 = " ".join(f"b{i}" for i in range(10)) + " " + common + " " + " ".join(
+        f"e{i}" for i in range(10)
+    )
+    rows = [(0, t0, "en", "s", len(t0)), (1, t1, "en", "s", len(t1))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        (r.doc_a, r.doc_b, r.n_runs, r.max_run_tokens, r.dup_tokens)
+        for r in qlib._REGISTRY["docs_exact_substring_dup"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [(0, 1, 1, 20, 20)]
+    assert got == _oracle_rows("docs_exact_substring_dup", str(tmp_path), ["documents"])
+
+
+def test_exact_substring_df_gate_drops_boilerplate(spark, tmp_path):
+    """A window shared by MORE than MAXDF=8 distinct docs is boilerplate
+    and must be excluded BEFORE the pair join (the quadratic-blowup
+    guard): 9 docs sharing one 8-token template with unique filler
+    produce ZERO pairs, in both engines."""
+    template = " ".join(f"t{i}" for i in range(8))
+    rows = [
+        (i, " ".join(f"u{i}x{j}" for j in range(8)) + " " + template, "en", "s", 99)
+        for i in range(9)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = qlib._REGISTRY["docs_exact_substring_dup"](spark, str(tmp_path)).collect()
+    assert got == []
+    assert _oracle_rows("docs_exact_substring_dup", str(tmp_path), ["documents"]) == []
+
+
+def test_k1_digest_estimates_upper_bound_and_tail_win(spark):
+    """Both digest estimates are vmax of the first centroid covering
+    the probe, so they can never undershoot the exact percentile
+    (err >= 0); the k1 scale must beat (or tie) the uniform scale at
+    the extreme-tail probes it exists for (p99 on every type — the
+    equi-depth digest's documented failure mode), while keeping the
+    same 32-centroid state."""
+    rows = qlib._REGISTRY["events_value_k1_digest_tail"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.uniform_err_c >= 0 and r.k1_err_c >= 0, r
+    p990 = [r for r in rows if r.q_mille == 990]
+    assert p990 and all(r.k1_err_c <= r.uniform_err_c for r in p990)

@@ -647,3 +647,70 @@ def test_trimmed_stats_windows_run_on_histogram(spark):
     assert "Exchange SinglePartition" not in plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"event_type", "v_u"}, keys
+
+
+def test_skew_canary_broadcasts_and_never_shuffles_hot_key(spark):
+    """join_skew_aqe_canary's OWN right plan: the 998-row dim broadcasts
+    (BroadcastHashJoin, no SortMergeJoin), so no exchange ever hashes
+    the skewed key — the hot key is harmless by construction."""
+    plan = _plan(spark, "join_skew_aqe_canary")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert not re.search(r"Exchange hashpartitioning\(sk", plan)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """The optimizer-trust regression for the 100 TB claim: when the
+    hot-key join CANNOT broadcast, AQE's OptimizeSkewedJoin must detect
+    the dominant shuffle partition and split it (``skew=true`` on the
+    SortMergeJoin in the final adaptive plan). Thresholds are scaled to
+    the fixture the way a real cluster's defaults (256 MB) relate to
+    real partitions; the skew geometry is the canary query's own: ~95%
+    of fact rows on one key."""
+    from pyspark.sql import functions as SF
+
+    conf_keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "512KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k, v in conf_keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # pad = md5(id): incompressible and aggregated downstream, so it
+        # survives column pruning and the hot partition's MEASURED map
+        # output (post-lz4) actually crosses the byte threshold — a
+        # constant pad compresses to nothing and defeats the detector.
+        fact = spark.range(0, 500_000).select(
+            SF.when(SF.col("id") % 20 < 19, SF.lit(0))
+            .otherwise(SF.col("id") % 997)
+            .alias("sk"),
+            SF.md5(SF.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(0, 998).select(
+            SF.col("id").alias("sk"), (SF.col("id") % 10).alias("grp")
+        )
+        df = fact.join(dim, "sk").groupBy("grp").agg(
+            SF.count(SF.lit(1)).alias("n"), SF.max("pad").alias("mx")
+        )
+        rows = {r["grp"]: r["n"] for r in df.collect()}
+        # correctness of the forced-SMJ result: every fact row lands
+        assert sum(rows.values()) == 500_000
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "AQE did not split the skewed partition:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
