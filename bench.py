@@ -103,6 +103,14 @@ HEADLINE = [
     # concurrency peak = the interval bucket-rewrite + sessionize
     # windows).
     "docs_token_heavy_hitters_mg",
+    # r12: exact-substring dedup — the one new shape this round with
+    # its own join geometry (position-carrying window-equality self-join
+    # + diagonal islands run-merge; no other headline carries positions
+    # through a pair join). The other r12 queries ride benched
+    # machinery (langid NB = broadcast-model scoring like CMS/DSIR;
+    # k1 digest = the equi-depth digest's histogram+window plan; skew
+    # canary = join_broadcast_dim's geometry with a derived key).
+    "docs_exact_substring_dup",
 ]
 
 

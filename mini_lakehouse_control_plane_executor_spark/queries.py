@@ -15837,9 +15837,15 @@ def docs_exact_substring_dup(spark, sf_dir):
     self-join (the winnowing_dup_pairs df-gate) — a template window
     shared by 10^5 docs would otherwise explode quadratically; gated
     runs split where boilerplate interrupts them, which is the
-    documented trade (boilerplate_ngrams owns that signal). At cluster
-    scale the join key would band to a 128-bit fingerprint first; the
-    raw-string key keeps the small-SF form certainty-exact."""
+    documented trade (boilerplate_ngrams owns that signal). The gate
+    also means a VERBATIM-duplicate family larger than MAXDF emits NO
+    pairs at all (every one of its windows exceeds the df cap) — by
+    design: whole-document duplicates are dedup_exact's territory at
+    hash-groupBy cost, and the dup-ladder rows (SCALE_DUP/SCALE_DUP100:
+    1.2x/1.0x, zero pairs on the pure-duplicate fixtures) measure the
+    guard doing exactly that hand-off. At cluster scale the join key
+    would band to a 128-bit fingerprint first; the raw-string key keeps
+    the small-SF form certainty-exact."""
     d = _load(spark, sf_dir, "documents")
     arr = _scale_up(d).select("doc_id", _text.tokens(F.col("text")).alias("toks"))
     warr = (
