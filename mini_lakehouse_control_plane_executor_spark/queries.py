@@ -16133,6 +16133,163 @@ def join_skew_aqe_canary(spark, sf_dir):
     )
 
 
+_UNIMAX_N = 4  # per-language epoch cap
+
+_UNIMAX_SQL = rf"""
+WITH lc AS (
+  SELECT lang, CAST(sum(len(regexp_extract_all(lower(text), '\w+')))
+    AS BIGINT) AS c
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS nl FROM lc
+),
+rk AS (
+  SELECT a.lang, a.c, a.c * {_UNIMAX_N} AS cap,
+         CAST(count(*) AS BIGINT) AS rn,
+         CAST(sum(b.c * {_UNIMAX_N}) AS BIGINT) AS prefix
+  FROM lc a JOIN lc b
+    ON (b.c * {_UNIMAX_N}, b.lang) <= (a.c * {_UNIMAX_N}, a.lang)
+  GROUP BY 1, 2
+),
+cp AS (
+  SELECT rk.*, tot.b, tot.nl,
+         CAST(cap AS HUGEINT) * (tot.nl - rn + 1) <= tot.b - (prefix - cap)
+           AS capped
+  FROM rk, tot
+),
+th AS (
+  SELECT coalesce(max(rn), 0) AS k,
+         coalesce(max(prefix), 0) AS pk
+  FROM cp WHERE capped
+),
+alloc AS (
+  SELECT cp.lang, cp.c, cp.cap, cp.capped, cp.b, cp.nl,
+         CASE WHEN cp.capped THEN CAST(cp.cap AS HUGEINT) * 1000000
+              ELSE (CAST(cp.b - th.pk AS HUGEINT) * 1000000)
+                   // (cp.nl - th.k) END AS alloc_micro
+  FROM cp, th
+)
+SELECT lang, c AS n_tokens, cap AS cap_tokens, capped,
+       CAST(alloc_micro // 1000000 AS BIGINT) AS alloc_tokens,
+       CAST(alloc_micro // c AS BIGINT) AS epochs_micro,
+       CAST(alloc_micro * 10000 // (CAST(b AS HUGEINT) * 1000000)
+         AS BIGINT) AS weight_bp
+FROM alloc ORDER BY lang
+"""
+
+
+@query("corpus_unimax_budget", oracle=_UNIMAX_SQL)
+def corpus_unimax_budget(spark, sf_dir):
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling") — the closed-form multilingual
+    sampler next to doremi_domain_weights' learned reweighting: given
+    per-language token counts, a total budget B (one corpus epoch here)
+    and a per-language epoch cap N=4, allocate uniformly across
+    languages but never take more than N epochs of any one — the
+    WATER-FILLING solution theta to sum(min(N*c_l, theta)) = B.
+    Low-resource languages are capped at N epochs; the freed budget
+    spreads evenly over the rest. Output per language: tokens,
+    capacity, capped flag, allocated tokens, realized epochs and
+    mixing weight.
+
+    Exactness: greedy ascending-capacity allocation equals
+    water-filling because capped languages form a PREFIX of the
+    capacity order and the uncapped share is invariant along the tail
+    (R/n stays constant as each uncapped language takes R/n); so
+    cappedness is ONE integer comparison per row — cap*(L-rn+1) <=
+    B - prefix_before — and theta is a single division, both exact in
+    decimal/HUGEINT micro-token units (alloc*1e6 brushes int64 at
+    corpus scale).
+
+    100 TB shape: the only corpus-sized work is the per-language token
+    count (one map-side-combinable aggregate over the scan); rank and
+    prefix sums over the |langs|-row frame come from a broadcast
+    triangular self-join (the MG merge-rank discipline — never a
+    SinglePartition window), and the threshold is a 1-row broadcast."""
+    d = _load(spark, sf_dir, "documents")
+    lc = (
+        _scale_up(d)
+        .select("lang", F.size(_text.tokens(F.col("text"))).alias("tc"))
+        .groupBy("lang")
+        .agg(F.sum("tc").cast("long").alias("c"))
+    )
+    lc = lc.select("lang", "c", (F.col("c") * _UNIMAX_N).alias("cap")).persist()
+    tot = lc.agg(
+        F.sum("c").cast("long").alias("b"), F.count(F.lit(1)).cast("long").alias("nl")
+    )
+    a = lc.select(
+        F.col("lang"), F.col("c"), F.col("cap")
+    )
+    bside = lc.select(
+        F.col("lang").alias("l2"), F.col("cap").alias("cap2")
+    )
+    rk = (
+        a.join(
+            F.broadcast(bside),
+            (F.col("cap2") < F.col("cap"))
+            | ((F.col("cap2") == F.col("cap")) & (F.col("l2") <= F.col("lang"))),
+        )
+        .groupBy("lang", "c", "cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rn"),
+            F.sum("cap2").cast("long").alias("prefix"),
+        )
+    )
+    cp = rk.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "c",
+        "cap",
+        "rn",
+        "prefix",
+        "b",
+        "nl",
+        (
+            F.col("cap").cast("decimal(38,0)") * (F.col("nl") - F.col("rn") + 1)
+            <= (F.col("b") - (F.col("prefix") - F.col("cap"))).cast("decimal(38,0)")
+        ).alias("capped"),
+    )
+    th = cp.filter("capped").agg(
+        F.coalesce(F.max("rn"), F.lit(0)).cast("long").alias("k"),
+        F.coalesce(F.max("prefix"), F.lit(0)).cast("long").alias("pk"),
+    )
+    # Integral `div` (not decimal true-division + floor): Spark decimal
+    # division rounds at a finite scale before any floor, which can
+    # disagree with DuckDB's exact integer // at quotient boundaries.
+    alloc_micro = F.when(
+        F.col("capped"),
+        (F.col("cap").cast("decimal(38,0)") * 1000000).cast("decimal(38,0)"),
+    ).otherwise(
+        F.expr(
+            "cast(cast(b - pk as decimal(38,0)) * 1000000 div (nl - k) "
+            "as decimal(38,0))"
+        )
+    )
+    out = cp.crossJoin(F.broadcast(th)).select(
+        "lang",
+        F.col("c").alias("n_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        "capped",
+        alloc_micro.alias("am"),
+        "c",
+        "b",
+    )
+    return out.select(
+        "lang",
+        "n_tokens",
+        "cap_tokens",
+        "capped",
+        F.expr("am div 1000000").cast("long").alias("alloc_tokens"),
+        F.expr("am div c").cast("long").alias("epochs_micro"),
+        F.expr(
+            "cast(am * 10000 as decimal(38,0)) "
+            "div (cast(b as decimal(38,0)) * 1000000)"
+        )
+        .cast("long")
+        .alias("weight_bp"),
+    ).orderBy("lang")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -16145,17 +16302,17 @@ DRIVER_PRIORITY: list[str] = [
     # round 12 rotation (the r11 verdict's task 1). The driver verifies
     # the FIRST 50 entries of queries(). Window layout: the 28 r07-stale
     # names lead (4 rounds since last attestation — TPC-H flagships,
-    # window functions, set ops), then the 4 NEW r12 operators (every
+    # window functions, set ops), then the 5 NEW r12 operators (every
     # new operator gets a driver verdict in its landing round), then the
     # 3 queries whose plan/oracle changed this round (degenerate-series
     # NULL guards on cross_correlation and zipf_rank_slope; the PSI
     # drift new-type sentinel rows — their r11 verdicts attest the
-    # pre-fix versions), then 15 oldest-r08 names fill to 50
-    # (alphabetical within the cohort). The 31 leftover r08 names below
+    # pre-fix versions), then 14 oldest-r08 names fill to 50
+    # (alphabetical within the cohort). The 32 leftover r08 names below
     # the window marker are positioned to LEAD the r13 window. Tail
     # follows in definition order (all locally oracle-checked every CI
     # run). Boundary check: list(all_queries())[49] must be
-    # 'char_entropy_quality' and [50] 'cross_source_dup_matrix'.
+    # 'bpe_merge_learn' and [50] 'char_entropy_quality'.
     # -- r07-stale (oldest verdicts; lead the window) --
     "intersect_except",
     "join_broadcast_dim",
@@ -16190,6 +16347,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_exact_substring_dup",
     "events_value_k1_digest_tail",
     "join_skew_aqe_canary",
+    "corpus_unimax_budget",
     # -- plan/oracle changed in r12 (r11 verdicts attest pre-fix) --
     "events_series_cross_correlation",
     "docs_zipf_rank_slope",
@@ -16209,9 +16367,9 @@ DRIVER_PRIORITY: list[str] = [
     "boilerplate_ngrams",
     "bootstrap_ci_mean_tokens",
     "bpe_merge_learn",
-    "char_entropy_quality",
-    # ------- 50-slot window boundary (28 + 4 + 3 + 15) -------
+    # ------- 50-slot window boundary (28 + 5 + 3 + 14) -------
     # -- r08-stale leftovers: staged to lead the r13 window --
+    "char_entropy_quality",
     "cross_source_dup_matrix",
     "dataset_card",
     "decontamination_ngram_overlap",

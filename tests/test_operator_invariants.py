@@ -1855,3 +1855,32 @@ def test_k1_digest_estimates_upper_bound_and_tail_win(spark):
         assert r.uniform_err_c >= 0 and r.k1_err_c >= 0, r
     p990 = [r for r in rows if r.q_mille == 990]
     assert p990 and all(r.k1_err_c <= r.uniform_err_c for r in p990)
+
+
+def test_unimax_water_filling_hand_computed(spark, tmp_path):
+    """corpus_unimax_budget on a hand corpus where the epoch cap bites:
+    token counts (1000, 100, 10) with N=4 give ascending caps
+    (40, 400, 4000); water-filling caps the two low-resource languages
+    at exactly 4 epochs and hands the freed budget to the largest:
+    theta = 1110 - 440 = 670. Budget conservation must hold exactly
+    and the DuckDB oracle must agree bit-for-bit."""
+    rows = [
+        (0, "x " * 1000, "aa", "s", 2000),
+        (1, "y " * 100, "bb", "s", 200),
+        (2, "z " * 10, "cc", "s", 20),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.lang: (r.n_tokens, r.cap_tokens, r.capped, r.alloc_tokens,
+                 r.epochs_micro, r.weight_bp)
+        for r in qlib._REGISTRY["corpus_unimax_budget"](spark, str(tmp_path)).collect()
+    }
+    assert got["aa"] == (1000, 4000, False, 670, 670000, 6036)
+    assert got["bb"] == (100, 400, True, 400, 4000000, 3603)
+    assert got["cc"] == (10, 40, True, 40, 4000000, 360)
+    # budget conservation: allocations sum back to B = 1110
+    assert sum(v[3] for v in got.values()) == 1110
+    ora = _oracle_rows("corpus_unimax_budget", str(tmp_path), ["documents"])
+    assert sorted((k, *v) for k, v in got.items()) == ora

@@ -456,3 +456,64 @@ def test_sweepline_peak_equals_bruteforce(ivals, wb):
         peak = max(peak, carry + cum_s - cum_e)  # ends<t excluded
         cum_e += ne
     assert peak == brute
+
+
+_ESDUP_COUNTER = [0]
+
+
+@settings(max_examples=10, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=30),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_exact_substring_equals_token_level_bruteforce(spark, tmp_path, docs):
+    """docs_exact_substring_dup against an INDEPENDENT token-level
+    oracle: for every doc pair and every alignment offset, extend-match
+    maximal common token blocks directly (no windows, no islands); every
+    maximal block of length >= K must surface as exactly one run of
+    that length. Alphabet {a, b} forces dense sharing; <= 5 docs keeps
+    every window's document frequency under the MAXDF=8 gate, so the
+    gate (tested separately) never interferes with the equivalence."""
+    from collections import defaultdict
+
+    from mini_lakehouse_control_plane_executor_spark import queries as qlib
+
+    K = qlib._ESDUP_K
+    _ESDUP_COUNTER[0] += 1
+    d = tmp_path / f"esdup{_ESDUP_COUNTER[0]}"
+    rows = [
+        (i, " ".join(tk), "en", "s", len(" ".join(tk))) for i, tk in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    expected = defaultdict(list)  # (a, b) -> [run_len, ...]
+    for ia in range(len(docs)):
+        for ib in range(ia + 1, len(docs)):
+            A, B = docs[ia], docs[ib]
+            for diag in range(-(len(B) - 1), len(A)):
+                run = 0
+                # walk the diagonal: positions i in A, i-diag in B
+                for i in range(max(0, diag), min(len(A), len(B) + diag) + 1):
+                    j = i - diag
+                    if i < len(A) and 0 <= j < len(B) and A[i] == B[j]:
+                        run += 1
+                    else:
+                        if run >= K:
+                            expected[(ia, ib)].append(run)
+                        run = 0
+    got = {
+        (r.doc_a, r.doc_b): (r.n_runs, r.max_run_tokens, r.dup_tokens)
+        for r in qlib._REGISTRY["docs_exact_substring_dup"](spark, str(d)).collect()
+    }
+    want = {
+        pair: (len(runs), max(runs), sum(runs))
+        for pair, runs in expected.items()
+        if runs
+    }
+    assert got == want
