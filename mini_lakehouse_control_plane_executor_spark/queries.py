@@ -15809,6 +15809,54 @@ FROM runs GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _esdup_runs(spark, sf_dir):
+    """Shared ExactSubstr run pipeline (window equality join + diagonal
+    islands merge) feeding both the pair report
+    (docs_exact_substring_dup) and the removal-savings pass
+    (docs_exact_substring_savings). Returns one row per maximal shared
+    run: (da, db, diag, island, run_tokens, pa_start); pb_start is
+    pa_start - diag by construction."""
+    d = _load(spark, sf_dir, "documents")
+    arr = _scale_up(d).select("doc_id", _text.tokens(F.col("text")).alias("toks"))
+    warr = (
+        arr.filter(F.size("toks") >= _ESDUP_K)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_ESDUP_K} + 1), "
+                f"i -> array_join(slice(toks, i, {_ESDUP_K}), ' '))"
+            ).alias("wins"),
+        )
+        .persist()
+    )
+    wins = warr.select(
+        "doc_id", F.posexplode("wins").alias("pos0", "win")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "win")
+    keep = (
+        wins.groupBy("win")
+        .agg(F.count_distinct("doc_id").alias("dfc"))
+        .filter((F.col("dfc") >= 2) & (F.col("dfc") <= _ESDUP_MAXDF))
+        .select("win")
+    )
+    g = wins.join(keep, "win")
+    a = g.select(F.col("win"), F.col("doc_id").alias("da"), F.col("pos").alias("pa"))
+    b = g.select(F.col("win"), F.col("doc_id").alias("db"), F.col("pos").alias("pb"))
+    p = a.join(b, "win").filter(F.col("da") < F.col("db"))
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    wr = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    r = p.select(
+        "da",
+        "db",
+        diag,
+        "pa",
+        (F.col("pa") - F.row_number().over(wr)).alias("island"),
+    )
+    return r.groupBy("da", "db", "diag", "island").agg(
+        (F.count(F.lit(1)) + _ESDUP_K - 1).cast("long").alias("run_tokens"),
+        F.min("pa").cast("long").alias("pa_start"),
+    )
+
+
 @query("docs_exact_substring_dup", oracle=_ESDUP_SQL)
 def docs_exact_substring_dup(spark, sf_dir):
     """EXACT cross-document duplicated-substring detection (Lee et al.
@@ -15846,40 +15894,7 @@ def docs_exact_substring_dup(spark, sf_dir):
     guard doing exactly that hand-off. At cluster scale the join key
     would band to a 128-bit fingerprint first; the raw-string key keeps
     the small-SF form certainty-exact."""
-    d = _load(spark, sf_dir, "documents")
-    arr = _scale_up(d).select("doc_id", _text.tokens(F.col("text")).alias("toks"))
-    warr = (
-        arr.filter(F.size("toks") >= _ESDUP_K)
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(sequence(1, size(toks) - {_ESDUP_K} + 1), "
-                f"i -> array_join(slice(toks, i, {_ESDUP_K}), ' '))"
-            ).alias("wins"),
-        )
-        .persist()
-    )
-    wins = warr.select(
-        "doc_id", F.posexplode("wins").alias("pos0", "win")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "win")
-    keep = (
-        wins.groupBy("win")
-        .agg(F.count_distinct("doc_id").alias("dfc"))
-        .filter((F.col("dfc") >= 2) & (F.col("dfc") <= _ESDUP_MAXDF))
-        .select("win")
-    )
-    g = wins.join(keep, "win")
-    a = g.select(F.col("win"), F.col("doc_id").alias("da"), F.col("pos").alias("pa"))
-    b = g.select(F.col("win"), F.col("doc_id").alias("db"), F.col("pos").alias("pb"))
-    p = a.join(b, "win").filter(F.col("da") < F.col("db"))
-    diag = (F.col("pa") - F.col("pb")).alias("diag")
-    wr = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
-    r = p.select(
-        "da", "db", diag, (F.col("pa") - F.row_number().over(wr)).alias("island")
-    )
-    runs = r.groupBy("da", "db", "diag", "island").agg(
-        (F.count(F.lit(1)) + _ESDUP_K - 1).cast("long").alias("run_tokens")
-    )
+    runs = _esdup_runs(spark, sf_dir)
     return (
         runs.groupBy("da", "db")
         .agg(
@@ -15895,6 +15910,151 @@ def docs_exact_substring_dup(spark, sf_dir):
             "dup_tokens",
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+_ESAVE_SQL = rf"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i + {_ESDUP_K - 1}], ' ') AS win
+  FROM arr, unnest(generate_series(1, len(w) - {_ESDUP_K} + 1)) AS t(i)
+  WHERE len(w) >= {_ESDUP_K}
+),
+keep AS (
+  SELECT win FROM (
+    SELECT win, count(DISTINCT doc_id) AS dfc FROM wins GROUP BY 1
+  ) WHERE dfc BETWEEN 2 AND {_ESDUP_MAXDF}
+),
+g AS (SELECT w.* FROM wins w JOIN keep USING (win)),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM g a JOIN g b ON a.win = b.win AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT da, db, pa - pb AS diag, pa,
+         pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa)
+           AS island
+  FROM p
+),
+runs AS (
+  SELECT da, db, diag, island,
+         CAST(count(*) + {_ESDUP_K} - 1 AS BIGINT) AS run_tokens,
+         CAST(min(pa) AS BIGINT) AS pa_start
+  FROM r GROUP BY 1, 2, 3, 4
+),
+spans AS (
+  SELECT DISTINCT db AS doc_id, pa_start - diag AS s,
+         pa_start - diag + run_tokens - 1 AS e
+  FROM runs
+),
+mx AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM spans
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM mx
+),
+merged AS (
+  SELECT doc_id, island, min(s) AS ms, max(e) AS me FROM isl GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(me - ms + 1) AS BIGINT) AS tokens_removed
+  FROM merged GROUP BY 1
+),
+dl AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT d.doc_id, d.n_spans, d.tokens_removed, dl.n_tokens,
+       (dl.n_tokens - d.tokens_removed) * 10000 // dl.n_tokens AS keep_ratio_bp
+FROM per_doc d JOIN dl ON dl.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("docs_exact_substring_savings", oracle=_ESAVE_SQL)
+def docs_exact_substring_savings(spark, sf_dir):
+    """The REMEDIATION half of ExactSubstr (Lee et al. 2022 remove one
+    copy of every duplicated substring): per document, the token-span
+    UNION it would lose under a deterministic keep-first policy — in
+    every pair (a < b) the higher doc id surrenders its copy — reported
+    as merged span count, tokens removed, and the keep ratio. The
+    detection half (docs_exact_substring_dup) reports pairs; this pass
+    turns the same runs into the per-document deletion budget a
+    dedup-rewrite job executes, with overlapping spans from different
+    partners merged so no token is double-counted.
+
+    Mechanism: the shared _esdup_runs pipeline yields maximal runs with
+    start positions; a run (da < db) claims span [pb_start, pb_start +
+    L - 1] of db; per-doc interval UNION via the running-max sweep
+    (island = new when start exceeds the max end seen so far — the 1D
+    interval-merge twin of the diagonal islands trick). Keep-first by
+    id is the standard deterministic tie-break; a doc keeps a span only
+    if it is the lowest id holding it.
+
+    100 TB shape: everything up to runs is docs_exact_substring_dup's
+    linear-shuffle plan (df-gated against boilerplate and verbatim
+    families); spans are run-bounded, the merge window partitions by
+    doc_id (never SinglePartition), and the final join adds one
+    doc-keyed token-count aggregate. Integer arithmetic throughout;
+    keep ratio in exact basis points via integral division."""
+    runs = _esdup_runs(spark, sf_dir)
+    spans = runs.select(
+        F.col("db").alias("doc_id"),
+        (F.col("pa_start") - F.col("diag")).alias("s"),
+        (F.col("pa_start") - F.col("diag") + F.col("run_tokens") - 1).alias("e"),
+    ).distinct()
+    wm = Window.partitionBy("doc_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mx = spans.select("doc_id", "s", "e", F.max("e").over(wm).alias("pm"))
+    wi = Window.partitionBy("doc_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = mx.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(F.col("pm").isNull() | (F.col("s") > F.col("pm")), 1).otherwise(0)
+        )
+        .over(wi)
+        .cast("long")
+        .alias("island"),
+    )
+    merged = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("tokens_removed"),
+    )
+    d = _load(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id", F.size(_text.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return (
+        per_doc.join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "tokens_removed",
+            "n_tokens",
+            F.expr("(n_tokens - tokens_removed) * 10000 div n_tokens")
+            .cast("long")
+            .alias("keep_ratio_bp"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -16302,17 +16462,17 @@ DRIVER_PRIORITY: list[str] = [
     # round 12 rotation (the r11 verdict's task 1). The driver verifies
     # the FIRST 50 entries of queries(). Window layout: the 28 r07-stale
     # names lead (4 rounds since last attestation — TPC-H flagships,
-    # window functions, set ops), then the 5 NEW r12 operators (every
+    # window functions, set ops), then the 6 NEW r12 operators (every
     # new operator gets a driver verdict in its landing round), then the
     # 3 queries whose plan/oracle changed this round (degenerate-series
     # NULL guards on cross_correlation and zipf_rank_slope; the PSI
     # drift new-type sentinel rows — their r11 verdicts attest the
-    # pre-fix versions), then 14 oldest-r08 names fill to 50
-    # (alphabetical within the cohort). The 32 leftover r08 names below
+    # pre-fix versions), then 13 oldest-r08 names fill to 50
+    # (alphabetical within the cohort). The 33 leftover r08 names below
     # the window marker are positioned to LEAD the r13 window. Tail
     # follows in definition order (all locally oracle-checked every CI
     # run). Boundary check: list(all_queries())[49] must be
-    # 'bpe_merge_learn' and [50] 'char_entropy_quality'.
+    # 'bootstrap_ci_mean_tokens' and [50] 'bpe_merge_learn'.
     # -- r07-stale (oldest verdicts; lead the window) --
     "intersect_except",
     "join_broadcast_dim",
@@ -16348,6 +16508,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_value_k1_digest_tail",
     "join_skew_aqe_canary",
     "corpus_unimax_budget",
+    "docs_exact_substring_savings",
     # -- plan/oracle changed in r12 (r11 verdicts attest pre-fix) --
     "events_series_cross_correlation",
     "docs_zipf_rank_slope",
@@ -16366,9 +16527,9 @@ DRIVER_PRIORITY: list[str] = [
     "bigram_pmi_top",
     "boilerplate_ngrams",
     "bootstrap_ci_mean_tokens",
-    "bpe_merge_learn",
-    # ------- 50-slot window boundary (28 + 5 + 3 + 14) -------
+    # ------- 50-slot window boundary (28 + 6 + 3 + 13) -------
     # -- r08-stale leftovers: staged to lead the r13 window --
+    "bpe_merge_learn",
     "char_entropy_quality",
     "cross_source_dup_matrix",
     "dataset_card",

@@ -1884,3 +1884,35 @@ def test_unimax_water_filling_hand_computed(spark, tmp_path):
     assert sum(v[3] for v in got.values()) == 1110
     ora = _oracle_rows("corpus_unimax_budget", str(tmp_path), ["documents"])
     assert sorted((k, *v) for k, v in got.items()) == ora
+
+
+def test_exact_substring_savings_union_hand_computed(spark, tmp_path):
+    """docs_exact_substring_savings under keep-first with OVERLAPPING
+    losing spans: doc1 holds c0..c29; doc0 (keeper) shares c0..c19,
+    doc2 shares c10..c29 with both. doc1 loses exactly its c0..c19
+    span to doc0; doc2's two losing spans (c10..c19 vs doc0, c10..c29
+    vs doc1) overlap and must merge to ONE 20-token span — no double
+    counting. doc0 keeps everything and must not appear. DuckDB oracle
+    must agree."""
+    c = [f"c{i}" for i in range(30)]
+    t0 = "u0 u1 u2 " + " ".join(c[:20]) + " v0 v1 v2"
+    t1 = "w0 " + " ".join(c) + " w1"
+    t2 = "z0 z1 " + " ".join(c[10:30]) + " z2"
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate([t0, t1, t2])]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_spans, r.tokens_removed, r.n_tokens, r.keep_ratio_bp)
+        for r in qlib._REGISTRY["docs_exact_substring_savings"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        1: (1, 20, 32, (32 - 20) * 10000 // 32),
+        2: (1, 20, 23, (23 - 20) * 10000 // 23),
+    }
+    ora = _oracle_rows(
+        "docs_exact_substring_savings", str(tmp_path), ["documents"]
+    )
+    assert sorted((k, *v) for k, v in got.items()) == ora
