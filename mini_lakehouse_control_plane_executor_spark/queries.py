@@ -15771,7 +15771,12 @@ def docs_langid_nb_confusion(spark, sf_dir):
 _ESDUP_K = 8
 _ESDUP_MAXDF = 8
 
-_ESDUP_SQL = rf"""
+# The run pipeline's oracle CTE prefix, shared VERBATIM by the pair
+# report (_ESDUP_SQL) and the removal-savings pass (_ESAVE_SQL) — the
+# SQL twin of _esdup_runs below. One definition means a future change to
+# the gate, window construction, or islands algebra cannot be applied to
+# one oracle and silently missed in the other.
+_ESDUP_RUNS_CTES = rf"""
 WITH arr AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
 ),
@@ -15791,22 +15796,29 @@ p AS (
   FROM g a JOIN g b ON a.win = b.win AND a.doc_id < b.doc_id
 ),
 r AS (
-  SELECT da, db, pa - pb AS diag,
+  SELECT da, db, pa - pb AS diag, pa,
          pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa)
            AS island
   FROM p
 ),
 runs AS (
   SELECT da, db, diag, island,
-         CAST(count(*) + {_ESDUP_K} - 1 AS BIGINT) AS run_tokens
+         CAST(count(*) + {_ESDUP_K} - 1 AS BIGINT) AS run_tokens,
+         CAST(min(pa) AS BIGINT) AS pa_start
   FROM r GROUP BY 1, 2, 3, 4
 )
+"""
+
+_ESDUP_SQL = (
+    _ESDUP_RUNS_CTES
+    + """
 SELECT da AS doc_a, db AS doc_b,
        CAST(count(*) AS BIGINT) AS n_runs,
        CAST(max(run_tokens) AS BIGINT) AS max_run_tokens,
        CAST(sum(run_tokens) AS BIGINT) AS dup_tokens
 FROM runs GROUP BY 1, 2 ORDER BY 1, 2
 """
+)
 
 
 def _esdup_runs(spark, sf_dir):
@@ -15863,7 +15875,12 @@ def docs_exact_substring_dup(spark, sf_dir):
     2022, "Deduplicating Training Data Makes Language Models Better" —
     ExactSubstr): every maximal token run of length >= K=8 shared
     VERBATIM between two documents, reported per pair as run count,
-    longest run, and total duplicated tokens. The suffix-array member
+    longest run, and dup_tokens = the SUM of run lengths WITH
+    MULTIPLICITY — when the df-gate splits one contiguous region into
+    several runs, their K-1-token re-extensions overlap and this sum
+    exceeds the distinct-token overlap (each run is still individually
+    exact); the per-document interval-UNION form, which never double
+    counts, is docs_exact_substring_savings. The suffix-array member
     of the dedup family that winnowing_dup_pairs approximates locally:
     here a match is a certainty, not a fingerprint collision, because
     the join key is the raw K-token window string itself.
@@ -15913,37 +15930,7 @@ def docs_exact_substring_dup(spark, sf_dir):
     )
 
 
-_ESAVE_SQL = rf"""
-WITH arr AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
-),
-wins AS (
-  SELECT doc_id, i AS pos, array_to_string(w[i:i + {_ESDUP_K - 1}], ' ') AS win
-  FROM arr, unnest(generate_series(1, len(w) - {_ESDUP_K} + 1)) AS t(i)
-  WHERE len(w) >= {_ESDUP_K}
-),
-keep AS (
-  SELECT win FROM (
-    SELECT win, count(DISTINCT doc_id) AS dfc FROM wins GROUP BY 1
-  ) WHERE dfc BETWEEN 2 AND {_ESDUP_MAXDF}
-),
-g AS (SELECT w.* FROM wins w JOIN keep USING (win)),
-p AS (
-  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
-  FROM g a JOIN g b ON a.win = b.win AND a.doc_id < b.doc_id
-),
-r AS (
-  SELECT da, db, pa - pb AS diag, pa,
-         pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa)
-           AS island
-  FROM p
-),
-runs AS (
-  SELECT da, db, diag, island,
-         CAST(count(*) + {_ESDUP_K} - 1 AS BIGINT) AS run_tokens,
-         CAST(min(pa) AS BIGINT) AS pa_start
-  FROM r GROUP BY 1, 2, 3, 4
-),
+_ESAVE_SQL = _ESDUP_RUNS_CTES + rf""",
 spans AS (
   SELECT DISTINCT db AS doc_id, pa_start - diag AS s,
          pa_start - diag + run_tokens - 1 AS e
@@ -16416,14 +16403,21 @@ def corpus_unimax_budget(spark, sf_dir):
     # Integral `div` (not decimal true-division + floor): Spark decimal
     # division rounds at a finite scale before any floor, which can
     # disagree with DuckDB's exact integer // at quotient boundaries.
+    # Theta is DECOMPOSED — (b-pk) div (nl-k) * 1e6 + rem * 1e6 div
+    # (nl-k) — because Spark's IntegralDivide always RETURNS long: the
+    # one-shot (b-pk)*1e6 div (nl-k) quotient itself exceeds int64 past
+    # ~9.2e12 tokens, exactly the scale the decimal contract is for.
+    # Every div here has a long-safe result (quotient <= b; remainder
+    # term < 1e6); the decimal cast happens after, on the exact parts.
     alloc_micro = F.when(
         F.col("capped"),
         (F.col("cap").cast("decimal(38,0)") * 1000000).cast("decimal(38,0)"),
     ).otherwise(
         F.expr(
-            "cast(cast(b - pk as decimal(38,0)) * 1000000 div (nl - k) "
-            "as decimal(38,0))"
-        )
+            "cast((b - pk) div (nl - k) as decimal(38,0)) * 1000000"
+            " + cast((b - pk) % (nl - k) * 1000000 div (nl - k)"
+            " as decimal(38,0))"
+        ).cast("decimal(38,0)")
     )
     out = cp.crossJoin(F.broadcast(th)).select(
         "lang",
