@@ -106,6 +106,44 @@ def moments_sums(events: DataFrame) -> DataFrame:
     )
 
 
+def langid_model_counts(docs: DataFrame) -> DataFrame:
+    """The NB language-ID TRAINING state of
+    ``queries.docs_langid_nb_confusion`` as a batch/stream-unified
+    aggregate: exact (lang, bucket) char-trigram counts over the
+    1024-bucket hashed feature space. State is bounded by
+    |langs| x 1024 regardless of corpus size and merges by addition, so
+    Structured Streaming's own incremental aggregation IS the model
+    trainer; the scoring side consumes a pure function (Laplace
+    micro-nat log-likelihoods + priors) of these cells at read time,
+    making continuous model refresh free — the moments_sums /
+    value-histogram discipline applied to a trainable model. The stream
+    drain equals the batch counts bit-exactly
+    (tests/test_streaming.py)."""
+    from mini_lakehouse_control_plane_executor_spark.queries import _LANGID_B
+
+    d = docs.select("lang", F.lower(F.col("text")).alias("txt")).filter(
+        F.length("txt") >= 3
+    )
+    tg = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(txt) - 2), i -> substring(txt, i, 3))"
+            )
+        ).alias("g"),
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("g:"), F.col("g"))), 1, 15), 16, 10)
+        .cast("long")
+        % _LANGID_B
+    )
+    return (
+        tg.select("lang", b.alias("b"))
+        .groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -1655,3 +1655,28 @@ def test_value_histogram_stream_equals_batch(spark, event_dir):
     )
     want = _rows(hist(_batch(spark, event_dir)), ["event_type", "xc"])
     assert got == want and len(want) > 0
+
+
+def test_langid_model_stream_equals_batch(spark, tmp_path):
+    """The NB language-ID training state ((lang, bucket) trigram
+    counts) drained from a document stream equals the batch counts
+    bit-for-bit — continuous model refresh is a plain unwindowed
+    stateful aggregation with |langs| x 1024-bounded state, and the
+    model weights the scoring query derives are a pure function of
+    these cells."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("lang", "text")
+    doc_dir = str(tmp_path / "langid_docs")
+    docs.repartition(3).write.parquet(doc_dir)
+    schema = "lang string, text string"
+
+    stream_in = spark.readStream.schema(schema).parquet(doc_dir)
+    batch_in = spark.read.schema(schema).parquet(doc_dir)
+    got = _rows(
+        _drain(spark, W.langid_model_counts(stream_in), "t_langid"), ["lang", "b"]
+    )
+    want = _rows(W.langid_model_counts(batch_in), ["lang", "b"])
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) > 0
+    # state-bound contract: at most |langs| x 1024 cells
+    langs = {r["lang"] for r in want}
+    assert len(want) <= len(langs) * 1024
