@@ -16444,6 +16444,157 @@ def corpus_unimax_budget(spark, sf_dir):
     ).orderBy("lang")
 
 
+_NEYMAN_BUDGET = 1000
+
+_NEYMAN_SQL = f"""
+WITH x AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+st AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sx,
+         sum(CAST(cents AS HUGEINT) * cents) AS sxx
+  FROM x GROUP BY segment
+),
+w AS (
+  SELECT segment, n, sx,
+         CAST(round(sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                              - CAST(sx AS HUGEINT) * sx AS DOUBLE)))
+           AS BIGINT) AS wr
+  FROM st
+),
+tot AS (
+  SELECT CAST(sum(wr) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS nl FROM w
+),
+we AS (
+  SELECT w.segment, w.n, w.sx,
+         CASE WHEN tot.t = 0 THEN 1 ELSE w.wr END AS wv,
+         CASE WHEN tot.t = 0 THEN tot.nl ELSE tot.t END AS t
+  FROM w, tot
+),
+q AS (
+  SELECT segment, n, sx, wv, t,
+         {_NEYMAN_BUDGET} * wv // t AS base,
+         {_NEYMAN_BUDGET} * wv % t AS rem
+  FROM we
+),
+lv AS (SELECT CAST({_NEYMAN_BUDGET} - sum(base) AS BIGINT) AS leftover FROM q),
+rk AS (
+  SELECT a.segment, CAST(count(*) AS BIGINT) AS rn
+  FROM q a JOIN q b
+    ON b.rem > a.rem OR (b.rem = a.rem AND b.segment <= a.segment)
+  GROUP BY a.segment
+)
+SELECT q.segment, q.n AS n_orders, q.wv AS neyman_w_cents,
+       CAST(q.base + CASE WHEN rk.rn <= lv.leftover THEN 1 ELSE 0 END
+         AS BIGINT) AS alloc_n,
+       CAST((q.base + CASE WHEN rk.rn <= lv.leftover THEN 1 ELSE 0 END)
+            * 10000 // q.n AS BIGINT) AS rate_bp
+FROM q JOIN rk ON rk.segment = q.segment, lv
+ORDER BY q.segment
+"""
+
+
+@query("orders_neyman_allocation", oracle=_NEYMAN_SQL)
+def orders_neyman_allocation(spark, sf_dir):
+    """Neyman optimal sample allocation with EXACT largest-remainder
+    apportionment — the survey-sampling budget allocator (Neyman 1934;
+    Hamilton/Vinton apportionment) an eval-set or audit-label pipeline
+    runs before drawing: a fixed budget of n=1000 labels split across
+    customer segments proportional to N_h * S_h (stratum size x stratum
+    std dev of order value), so high-variance strata get the labels
+    that shrink the estimator most. The deterministic-arithmetic
+    sibling of corpus_unimax_budget (that one caps epochs; this one
+    apportions a sample).
+
+    Exactness: N_h * S_h = sqrt(N_h * sum(x^2) - sum(x)^2) EXACTLY (the
+    N_h factors cancel), so the Neyman weight is one sqrt of an exact
+    decimal/HUGEINT integer, rounded to integer cents — after which
+    apportionment is pure integer arithmetic: base = budget*w div T,
+    remainders ranked (desc, segment asc) via a broadcast triangular
+    self-join over the |segments|-row frame (never a SinglePartition
+    window), +1 to the top (budget - sum(base)) rows. Allocations sum
+    to the budget EXACTLY by construction (pinned in tests). An
+    all-constant-strata corpus (T=0) degrades to equal apportionment
+    instead of dividing by zero, in both engines.
+
+    100 TB shape: the only corpus-sized work is the orders-customer
+    equi-join feeding one map-side-combinable (segment) aggregate of
+    integer sufficient statistics; everything after runs on the
+    |segments|-row broadcast frame."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    x = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    st = x.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        ).alias("sxx"),
+    )
+    d = (
+        F.col("n").cast("decimal(19,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(19,0)") * F.col("sx")
+    ).cast("double")
+    w = st.select(
+        "segment", "n", "sx", F.round(F.sqrt(d)).cast("long").alias("wr")
+    )
+    tot = w.agg(
+        F.sum("wr").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("nl"),
+    )
+    we = w.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n",
+        F.when(F.col("t") == 0, F.lit(1)).otherwise(F.col("wr")).alias("wv"),
+        F.when(F.col("t") == 0, F.col("nl")).otherwise(F.col("t")).alias("t"),
+    )
+    q = we.select(
+        "segment",
+        "n",
+        "wv",
+        F.expr(f"{_NEYMAN_BUDGET} * wv div t").cast("long").alias("base"),
+        F.expr(f"{_NEYMAN_BUDGET} * wv % t").cast("long").alias("rem"),
+    )
+    lv = q.agg((F.lit(_NEYMAN_BUDGET) - F.sum("base")).cast("long").alias("leftover"))
+    b2 = q.select(F.col("segment").alias("s2"), F.col("rem").alias("rem2"))
+    rk = (
+        q.join(
+            F.broadcast(b2),
+            (F.col("rem2") > F.col("rem"))
+            | ((F.col("rem2") == F.col("rem")) & (F.col("s2") <= F.col("segment"))),
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("rn"))
+    )
+    alloc = F.col("base") + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+    return (
+        q.join(rk, "segment")
+        .crossJoin(F.broadcast(lv))
+        .select(
+            "segment",
+            F.col("n").alias("n_orders"),
+            F.col("wv").alias("neyman_w_cents"),
+            alloc.cast("long").alias("alloc_n"),
+            (alloc * 10000).cast("long").alias("a4"),
+            "n",
+        )
+        .select(
+            "segment",
+            "n_orders",
+            "neyman_w_cents",
+            "alloc_n",
+            F.expr("a4 div n").cast("long").alias("rate_bp"),
+        )
+        .orderBy("segment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's correctness gate verifies a PREFIX
 # of the registry (observed: first 50 entries). Queries that have never
@@ -16456,17 +16607,17 @@ DRIVER_PRIORITY: list[str] = [
     # round 12 rotation (the r11 verdict's task 1). The driver verifies
     # the FIRST 50 entries of queries(). Window layout: the 28 r07-stale
     # names lead (4 rounds since last attestation — TPC-H flagships,
-    # window functions, set ops), then the 6 NEW r12 operators (every
+    # window functions, set ops), then the 7 NEW r12 operators (every
     # new operator gets a driver verdict in its landing round), then the
     # 3 queries whose plan/oracle changed this round (degenerate-series
     # NULL guards on cross_correlation and zipf_rank_slope; the PSI
     # drift new-type sentinel rows — their r11 verdicts attest the
-    # pre-fix versions), then 13 oldest-r08 names fill to 50
-    # (alphabetical within the cohort). The 33 leftover r08 names below
+    # pre-fix versions), then 12 oldest-r08 names fill to 50
+    # (alphabetical within the cohort). The 34 leftover r08 names below
     # the window marker are positioned to LEAD the r13 window. Tail
     # follows in definition order (all locally oracle-checked every CI
     # run). Boundary check: list(all_queries())[49] must be
-    # 'bootstrap_ci_mean_tokens' and [50] 'bpe_merge_learn'.
+    # 'boilerplate_ngrams' and [50] 'bootstrap_ci_mean_tokens'.
     # -- r07-stale (oldest verdicts; lead the window) --
     "intersect_except",
     "join_broadcast_dim",
@@ -16503,6 +16654,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_skew_aqe_canary",
     "corpus_unimax_budget",
     "docs_exact_substring_savings",
+    "orders_neyman_allocation",
     # -- plan/oracle changed in r12 (r11 verdicts attest pre-fix) --
     "events_series_cross_correlation",
     "docs_zipf_rank_slope",
@@ -16520,9 +16672,9 @@ DRIVER_PRIORITY: list[str] = [
     "association_rules",
     "bigram_pmi_top",
     "boilerplate_ngrams",
-    "bootstrap_ci_mean_tokens",
-    # ------- 50-slot window boundary (28 + 6 + 3 + 13) -------
+    # ------- 50-slot window boundary (28 + 7 + 3 + 12) -------
     # -- r08-stale leftovers: staged to lead the r13 window --
+    "bootstrap_ci_mean_tokens",
     "bpe_merge_learn",
     "char_entropy_quality",
     "cross_source_dup_matrix",

@@ -97,6 +97,16 @@ DUP_SET: dict[str, str] = {
     # unlike the pair emitters its output is a constant 4 rows, so its
     # ratio here bounds pure guard join work (no output-growth term).
     "dedup_band_marginal_recall": "dup",
+    # r11/r12 document-universe additions (rows first spliced manually;
+    # registered here so future dup-ladder rebuilds cover them): MG and
+    # KMV have no pair geometry (counts collapse linearly); the
+    # ExactSubstr pair uses the winnowing-style df-gate, its savings
+    # twin rides the same gate; langid is map-only scoring.
+    "docs_token_heavy_hitters_mg": "dup",
+    "source_shingle_overlap_kmv": "dup",
+    "docs_exact_substring_dup": "dup",
+    "docs_exact_substring_savings": "dup",
+    "docs_langid_nb_confusion": "dup",
     # embedding-side guards -> the main sf1 (vectors already verbatim)
     "embedding_neardup_lsh": "big",
     "semantic_dedup_clusters": "big",

@@ -1916,3 +1916,79 @@ def test_exact_substring_savings_union_hand_computed(spark, tmp_path):
         "docs_exact_substring_savings", str(tmp_path), ["documents"]
     )
     assert sorted((k, *v) for k, v in got.items()) == ora
+
+
+def test_neyman_allocation_hand_computed(spark, tmp_path):
+    """orders_neyman_allocation on a hand fixture with closed-form
+    strata: A = {9.00, 11.00} x2 (n=4, sd 100 cents, w = 4*100 = 400),
+    B = {5.00} x4 (sd 0, w 0), C = {0.00, 20.00} x2 (sd 1000, w 4000).
+    T = 4400; quotas 90.909 / 0 / 909.09 -> bases 90/0/909, leftover 1
+    goes to the largest remainder (A: 4000 vs C: 400 vs B: 0). Exact
+    allocations (91, 0, 909) sum to the budget; DuckDB must agree."""
+    import datetime as dt
+
+    segs = {"AA": [9.0, 11.0, 9.0, 11.0], "BB": [5.0] * 4,
+            "CC": [0.0, 20.0, 0.0, 20.0]}
+    cust, orders, ck, ok = [], [], 0, 0
+    for seg, vals in segs.items():
+        cust.append((ck, f"c{ck}", seg))
+        for v in vals:
+            orders.append((ok, ck, v, dt.datetime(2020, 1, 1)))
+            ok += 1
+        ck += 1
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_mktsegment string"
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r.segment: (r.n_orders, r.neyman_w_cents, r.alloc_n, r.rate_bp)
+        for r in qlib._REGISTRY["orders_neyman_allocation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        "AA": (4, 400, 91, 91 * 10000 // 4),
+        "BB": (4, 0, 0, 0),
+        "CC": (4, 4000, 909, 909 * 10000 // 4),
+    }
+    assert sum(v[2] for v in got.values()) == 1000
+    ora = _oracle_rows("orders_neyman_allocation", str(tmp_path),
+                       ["orders", "customer"])
+    assert sorted((k, *v) for k, v in got.items()) == ora
+
+
+def test_neyman_allocation_constant_strata_equal_split(spark, tmp_path):
+    """All-constant strata (every Neyman weight 0) must degrade to
+    EQUAL largest-remainder apportionment, not divide by zero: 3
+    constant segments split 1000 as 334/333/333 (leftover to the
+    lexicographically smallest on tied remainders), in both engines."""
+    import datetime as dt
+
+    cust = [(i, f"c{i}", s) for i, s in enumerate(["AA", "BB", "CC"])]
+    orders = [
+        (i * 10 + j, i, 5.0, dt.datetime(2020, 1, 1))
+        for i in range(3)
+        for j in range(4)
+    ]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_mktsegment string"
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r.segment: r.alloc_n
+        for r in qlib._REGISTRY["orders_neyman_allocation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"AA": 334, "BB": 333, "CC": 333}
+    ora = _oracle_rows("orders_neyman_allocation", str(tmp_path),
+                       ["orders", "customer"])
+    assert [(k, v[3]) for k, v in
+            sorted((r[0], r) for r in ora)] == [
+        ("AA", 334), ("BB", 333), ("CC", 333)]
