@@ -168,3 +168,9 @@ def test_driver_priority_names_are_registered():
     # the prefix rule: priority names lead the registry ordering
     head = list(qlib.all_queries())[: len(qlib.DRIVER_PRIORITY)]
     assert head == qlib.DRIVER_PRIORITY
+    # no duplicates: a repeated name silently shrinks the effective
+    # 50-slot window by one (the r11 verdict's comment-drift lesson,
+    # made structural)
+    dups = [n for n in set(qlib.DRIVER_PRIORITY)
+            if qlib.DRIVER_PRIORITY.count(n) > 1]
+    assert dups == [], dups
