@@ -341,23 +341,28 @@ def containment_pairs(
         F.min("doc_id").over(wg).alias("rep"),
         F.count(F.lit(1)).over(wg).alias("gsize"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    ex = exploded_shingles(df, id_col, text_col, n, arrays=arr).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Rep-filter the exploded stream ONCE, before BOTH consumers (the
+    # document-frequency aggregate and the rank pass): the member-level
+    # stream is duplicate-multiplicity times larger than the rep-level
+    # one, and persisting/aggregating it paid d x cache and d x shuffle
+    # on exactly the duplicate-heavy corpora the rep collapse exists
+    # for. The doc_id join shuffle this adds is the partitioning the
+    # rank window needs anyway, and the document frequency it yields is
+    # genuinely REP-level — the order the PPJoin docstring promises
+    # (completeness holds under ANY fixed global order, so only the
+    # candidate count can change, never the verified output).
+    ex = (
+        exploded_shingles(df, id_col, text_col, n, arrays=arr)
+        .join(vm.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("dfr"))
     w = Window.partitionBy("doc_id")
     wo = w.orderBy("dfr", F.md5("s"), "s")
     # ONE window pass yields both the global-order rank and |doc|;
-    # persisted because the prefix AND the container side read it. The
-    # rep filter joins in BEFORE the window, so the member stream
-    # shrinks to distinct-set representatives ahead of the expensive
-    # rank pass AND the blocking join; the join's doc_id shuffle is the
-    # same partitioning the window needs, so it costs no extra exchange.
+    # persisted because the prefix AND the container side read it.
     ranked = (
         ex.join(dfreq, "s")
-        .join(
-            vm.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
-        )
         .withColumn("rn", F.row_number().over(wo))
         .withColumn("n_sh", F.count(F.lit(1)).over(w))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -724,9 +729,22 @@ def simhash_pairs(
     # majority sums reference them as column attributes. The signature
     # table is persisted — it feeds both sides of the chunk join, and
     # the majority-vote expression is the expensive part.
+    # Repartition UP to cluster parallelism before the CPU-heavy
+    # majority folds (the shingle_arrays discipline — a small-file scan
+    # otherwise pins the 2x32 per-bit votes to one core), and DROP
+    # empty-shingle docs: a sub-shingle_n document has no features, its
+    # majority vote is the all-zero fingerprint, and every such doc
+    # would pair with every other at hamming 0 — quadratic FALSE pairs
+    # from unrelated short texts. The MinHash path already drops them
+    # (no exploded rows); this makes SimHash consistent.
+    n_parts = max(
+        df.rdd.getNumPartitions(), df.sparkSession.sparkContext.defaultParallelism
+    )
     sigs = (
-        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        df.repartition(n_parts)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
         .select("doc_id", shingles_from_tokens(F.col("toks"), shingle_n).alias("shl"))
+        .filter(F.size("shl") > 0)
         .select(
             "doc_id",
             F.transform(F.col("shl"), _feature_hash60).alias("hsa"),
@@ -920,9 +938,15 @@ def winnowing_fingerprints_map(
         " (t, i) -> concat(t, ' ', element_at(toks, i + 2),"
         " ' ', element_at(toks, i + 3), ' ', element_at(toks, i + 4)))"
     )
+    # The explicit BIGINT cast matches the batch twin: conv() returns a
+    # STRING, and only ANSI mode coerces string*int to bigint — under
+    # legacy coercion the product goes through DOUBLE, whose 53-bit
+    # mantissa silently rounds the 60-bit packed value (h+1 at early
+    # positions for high hashes), diverging the fingerprints from the
+    # batch/oracle twins on a config flip.
     encs = F.expr(
         "transform(gs, (g, i) ->"
-        " conv(substring(md5(g), 1, 9), 16, 10) * 16777216"
+        " cast(conv(substring(md5(g), 1, 9), 16, 10) as bigint) * 16777216"
         f" + ({WINNOW_POS_MOD - 1} - (i + 1)))"
     )
     fps = F.expr(

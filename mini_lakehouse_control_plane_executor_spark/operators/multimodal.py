@@ -145,16 +145,25 @@ def image_resize(
 def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explode each video row into frame
     timestamps from metadata (no decode needed — duration lives in
-    meta). The decode of each frame is then an extract_features call."""
-    n_frames = (F.col("meta.duration_ms") / every_ms).cast("int")
+    meta). The decode of each frame is then an extract_features call.
+    Samples every instant i*every_ms STRICTLY below the duration —
+    ceil(duration/every) frames via integer arithmetic: the old floor
+    form silently dropped the last valid frame of any duration that is
+    not a multiple of every_ms (2500 ms @ 1000 lost its 2000 ms frame)
+    and emitted a phantom frame_ts 0 for zero-duration rows."""
+    n_frames = F.expr(
+        f"cast((meta.duration_ms + {every_ms - 1}) div {every_ms} as int)"
+    )
     return (
-        media_df.filter(F.col("meta.duration_ms").isNotNull())
+        media_df.filter(
+            F.col("meta.duration_ms").isNotNull() & (F.col("meta.duration_ms") > 0)
+        )
         .select(
             "media_id",
             "mime",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+                    F.sequence(F.lit(0), n_frames - 1),
                     lambda i: i * every_ms,
                 )
             ).alias("frame_ts_ms"),

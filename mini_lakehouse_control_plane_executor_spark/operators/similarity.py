@@ -99,9 +99,17 @@ def _paired_sim() -> Column:
     BEFORE the join — per pair only the dot product and one divide
     remain (vs 3 full array passes when norms are re-derived per pair).
     The arithmetic (dot / (nq · nc), then round) is identical to
-    ``cosine``, so results are bit-equal to the naive form."""
+    ``cosine``, so results are bit-equal to the naive form. try_divide
+    makes every consumer TOTAL on zero-norm vectors (sim NULL — sorts
+    out of every desc top-k window): under Spark's default ANSI mode a
+    single all-zero embedding would otherwise abort the whole job with
+    DIVIDE_BY_ZERO (the ivf_assign guard, applied at the shared helper
+    instead of per operator)."""
     return F.round(
-        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+        F.try_divide(
+            dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nrm") * F.col("c_nrm")
+        ),
+        6,
     )
 
 
@@ -196,7 +204,7 @@ def _nearest_centroid(vec: str, nrm: str) -> Column:
         F.col("cents"),
         lambda x: F.struct(
             F.round(
-                dot(F.col(vec), x["cent_vec"]) / (F.col(nrm) * x["cent_nrm"]), 6
+                F.try_divide(dot(F.col(vec), x["cent_vec"]), F.col(nrm) * x["cent_nrm"]), 6
             ).alias("sim"),
             x["cent_id"].alias("cent_id"),
         ),
@@ -227,7 +235,7 @@ def _probe_cent_ids(vec: str, nrm: str, n_probe: int) -> Column:
         F.col("cents"),
         lambda x: F.struct(
             F.round(
-                dot(F.col(vec), x["cent_vec"]) / (F.col(nrm) * x["cent_nrm"]), 6
+                F.try_divide(dot(F.col(vec), x["cent_vec"]), F.col(nrm) * x["cent_nrm"]), 6
             ).alias("sim"),
             x["cent_id"].alias("cent_id"),
         ),
@@ -411,7 +419,7 @@ def brute_force_pairs(
     small = v.limit(broadcast_cap_rows + 1).count() <= broadcast_cap_rows
     r = (F.broadcast(v) if small else v).alias("r")
     sim = F.round(
-        dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+        F.try_divide(dot(F.col("l.vec"), F.col("r.vec")), F.col("l.nrm") * F.col("r.nrm")), 6
     )
     return (
         l.join(r, F.col("l.vid") < F.col("r.vid"))
@@ -519,7 +527,7 @@ def neardup_pairs(
     # expansion (members of distinct groups are distinct docs) and
     # exactly one orientation of each same-group member pair.
     self_sim = F.round(
-        dot(F.col("vec"), F.col("vec")) / (F.col("nrm") * F.col("nrm")), 6
+        F.try_divide(dot(F.col("vec"), F.col("vec")), F.col("nrm") * F.col("nrm")), 6
     )
     self_reps = reps.filter((F.col("gsize") >= 2) & (self_sim >= threshold)).select(
         F.col("doc_id").alias("id1"),
@@ -649,7 +657,7 @@ def neardup_components(
         .select("id1", "id2")
     )
     self_sim = F.round(
-        dot(F.col("vec"), F.col("vec")) / (F.col("nrm") * F.col("nrm")), 6
+        F.try_divide(dot(F.col("vec"), F.col("vec")), F.col("nrm") * F.col("nrm")), 6
     )
     self_edges = (
         reps.filter((F.col("gsize") >= 2) & (self_sim >= threshold))
@@ -734,7 +742,7 @@ def lsh_hard_negatives(
         F.col("nrm").alias("c_nrm"),
     )
     sim = F.round(
-        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+        F.try_divide(dot(F.col("q_vec"), F.col("c_vec")), F.col("q_nrm") * F.col("c_nrm")), 6
     )
     wg = Window.partitionBy("q_rep").orderBy(F.col("sim").desc())
     top_groups = (
@@ -808,7 +816,7 @@ def lsh_decontaminate(
         F.col(id_col).alias("e_id"), _as_double(F.col(vec_col)).alias("e_vec")
     ).withColumn("e_nrm", norm(F.col("e_vec")))
     sim = F.round(
-        dot(F.col("t_vec"), F.col("e_vec")) / (F.col("t_nrm") * F.col("e_nrm")), 6
+        F.try_divide(dot(F.col("t_vec"), F.col("e_vec")), F.col("t_nrm") * F.col("e_nrm")), 6
     )
     return (
         cands.join(tv, "t_id")
@@ -1047,7 +1055,7 @@ def pq_adc_topk(
         .select(
             "q_id",
             "c_id",
-            F.round(adot / (F.col("q_nrm") * F.sqrt(cnorm2)), 6).alias("sim"),
+            F.round(F.try_divide(adot, F.col("q_nrm") * F.sqrt(cnorm2)), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
@@ -1183,7 +1191,7 @@ def ivfpq_topk(
         .select(
             "q_id",
             "c_id",
-            F.round(adot / (F.col("q_nrm") * F.sqrt(cnorm2)), 6).alias("sim"),
+            F.round(F.try_divide(adot, F.col("q_nrm") * F.sqrt(cnorm2)), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))

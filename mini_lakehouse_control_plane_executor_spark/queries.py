@@ -3004,9 +3004,9 @@ def events_funnel(spark, sf_dir):
     ),
     f AS (
       SELECT media_id,
-             unnest(range(0, greatest(CAST(duration_ms // 700 AS INT) - 1, 0) + 1)) * 700
+             unnest(range(0, CAST((duration_ms + 699) // 700 AS BIGINT))) * 700
                AS frame_ts_ms
-      FROM m
+      FROM m WHERE duration_ms > 0
     )
     SELECT media_id,
            CAST(count(*) AS BIGINT) AS n_frames,
@@ -16609,15 +16609,18 @@ DRIVER_PRIORITY: list[str] = [
     # names lead (4 rounds since last attestation — TPC-H flagships,
     # window functions, set ops), then the 7 NEW r12 operators (every
     # new operator gets a driver verdict in its landing round), then the
-    # 3 queries whose plan/oracle changed this round (degenerate-series
+    # 6 queries whose plan/oracle changed this round (degenerate-series
     # NULL guards on cross_correlation and zipf_rank_slope; the PSI
-    # drift new-type sentinel rows — their r11 verdicts attest the
-    # pre-fix versions), then 12 oldest-r08 names fill to 50
-    # (alphabetical within the cohort). The 34 leftover r08 names below
-    # the window marker are positioned to LEAD the r13 window. Tail
+    # drift new-type sentinel rows; the code-review fixes to the frame
+    # sampler (floor -> exact ceil, results change), simhash (short-doc
+    # zero-fingerprint drop, aligns Spark with its oracle), and
+    # containment (rep-level dfreq/persist)), then 9 oldest-r08 names
+    # fill to 50 (alphabetical within the cohort). The 37 leftover r08
+    # names below the window marker are positioned to LEAD the r13
+    # window. Tail
     # follows in definition order (all locally oracle-checked every CI
     # run). Boundary check: list(all_queries())[49] must be
-    # 'boilerplate_ngrams' and [50] 'bootstrap_ci_mean_tokens'.
+    # 'ann_recall_pq_vs_exact' and [50] 'association_rules'.
     # -- r07-stale (oldest verdicts; lead the window) --
     "intersect_except",
     "join_broadcast_dim",
@@ -16655,10 +16658,13 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_unimax_budget",
     "docs_exact_substring_savings",
     "orders_neyman_allocation",
-    # -- plan/oracle changed in r12 (r11 verdicts attest pre-fix) --
+    # -- plan/oracle changed in r12 (prior verdicts attest pre-fix) --
     "events_series_cross_correlation",
     "docs_zipf_rank_slope",
     "events_value_psi_drift",
+    "multimodal_frame_sample",
+    "dedup_simhash_pairs",
+    "containment_dedup_pairs",
     # -- r08-stale fill (oldest cohort; alphabetical) --
     "ab_test_value",
     "ann_cosine_ivf",
@@ -16669,11 +16675,11 @@ DRIVER_PRIORITY: list[str] = [
     "ann_recall_lsh_vs_exact",
     "ann_recall_matrix",
     "ann_recall_pq_vs_exact",
+    # ------- 50-slot window boundary (28 + 7 + 6 + 9) -------
+    # -- r08-stale leftovers: staged to lead the r13 window --
     "association_rules",
     "bigram_pmi_top",
     "boilerplate_ngrams",
-    # ------- 50-slot window boundary (28 + 7 + 3 + 12) -------
-    # -- r08-stale leftovers: staged to lead the r13 window --
     "bootstrap_ci_mean_tokens",
     "bpe_merge_learn",
     "char_entropy_quality",

@@ -72,7 +72,10 @@ def test_frame_sample_plan(spark, media):
     by_id = {}
     for r in frames:
         by_id.setdefault(r.media_id, []).append(r.frame_ts_ms)
-    # 10.5 s video → 10 frames at 0..9000; 4.5 s audio → 4 frames
-    assert by_id[3] == [i * 1000 for i in range(10)]
-    assert by_id[2] == [i * 1000 for i in range(4)]
+    # ceil(duration/every) frames, every instant strictly below the
+    # duration: 10.5 s video → 11 frames at 0..10000 (10000 < 10500 is
+    # a valid decodable instant — the old floor form dropped it);
+    # 4.5 s audio → 5 frames at 0..4000
+    assert by_id[3] == [i * 1000 for i in range(11)]
+    assert by_id[2] == [i * 1000 for i in range(5)]
     assert 1 not in by_id  # no duration → not sampled

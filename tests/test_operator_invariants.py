@@ -1992,3 +1992,46 @@ def test_neyman_allocation_constant_strata_equal_split(spark, tmp_path):
     assert [(k, v[3]) for k, v in
             sorted((r[0], r) for r in ora)] == [
         ("AA", 334), ("BB", 333), ("CC", 333)]
+
+
+def test_similarity_total_on_zero_vectors(spark):
+    """A single all-zero embedding must not abort similarity jobs under
+    Spark's default ANSI mode (r12 review finding, verified live as a
+    DIVIDE_BY_ZERO crash): zero-norm rows score NULL via try_divide in
+    the shared cosine helpers and sort out of every desc top-k."""
+    from mini_lakehouse_control_plane_executor_spark.operators import (
+        similarity as SIM,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.0, 0.0]), (2, [2.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    rows = SIM.brute_force_topk(df, "vec_id", "embedding", q, k=3).collect()
+    ids = [r.c_id for r in rows]
+    # the zero vector scores NULL and sorts after every real similarity
+    assert ids[:2] == [3, 2] or ids[:2] == [2, 3]
+    assert all(r.sim is not None for r in rows if r.c_id in (2, 3))
+
+
+def test_simhash_short_docs_emit_no_pairs(spark, tmp_path):
+    """Documents shorter than the shingle width have NO features; the
+    r12 review verified they previously all collapsed onto the all-zero
+    fingerprint and were reported pairwise as hamming-0 near-dups
+    (quadratic false pairs). They must now be dropped — consistent with
+    the MinHash path and with the oracle's shingles CTE, which always
+    excluded them."""
+    from mini_lakehouse_control_plane_executor_spark.operators import dedup as D
+
+    rows = [
+        (1, "hello world", "en", "s", 11),
+        (3, "x y", "en", "s", 3),
+        (4, "quantum entanglement", "en", "s", 20),
+        (5, "a b c d e f g h i j k l m n o p", "en", "s", 31),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = D.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert got == []
