@@ -77,6 +77,38 @@ def _band_key(ab: Column, band: Column, band_rows: int) -> Column:
     return F.concat_ws("|", *[h(j) for j in range(band_rows)])
 
 
+def _first_band_verified(
+    joined: DataFrame, n_bands: int, band_rows: int, threshold: float
+) -> DataFrame:
+    """Exactly-once banded-candidate verification shared by the three
+    band-join consumers (corpus probe, in-batch gate, stream-stream
+    pairs): keep only the FIRST band where the two signatures collide
+    (stateless — re-derived from the carried ab arrays, so no streaming
+    distinct is needed), then verify TRUE Jaccard >= threshold in exact
+    integer arithmetic. Emits ``inter``/``uni`` columns for the
+    caller's projection. One definition: a change to the emission rule
+    or the threshold rounding cannot silently diverge between the three
+    consumers."""
+    first_band = F.array_position(
+        F.array(
+            *[
+                _band_key(F.col("l.ab"), F.lit(b), band_rows)
+                == _band_key(F.col("r.ab"), F.lit(b), band_rows)
+                for b in range(n_bands)
+            ]
+        ),
+        True,
+    ) - 1
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    return (
+        joined.filter(F.col("l.band") == first_band)
+        .filter(inter * 1000000 >= F.lit(int(round(threshold * 1000000))) * union)
+        .withColumn("inter", inter)
+        .withColumn("uni", union)
+    )
+
+
 def banded_rows(
     docs: DataFrame,
     n: int = 3,
@@ -163,26 +195,10 @@ def incremental_neardup_stream(
         & (F.col("l.bk") == F.col("r.bk"))
         & (F.col("l.doc_id") != F.col("r.doc_id")),
     )
-    first_band = F.array_position(
-        F.array(
-            *[
-                _band_key(F.col("l.ab"), F.lit(b), band_rows)
-                == _band_key(F.col("r.ab"), F.lit(b), band_rows)
-                for b in range(n_bands)
-            ]
-        ),
-        True,
-    ) - 1
-    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
-    return (
-        joined.filter(F.col("l.band") == first_band)
-        .filter(inter * 1000000 >= F.lit(int(round(threshold * 1000000))) * union)
-        .select(
-            F.col("l.doc_id").alias("new_id"),
-            F.col("r.doc_id").alias("old_id"),
-            F.round(inter / union, 6).alias("jaccard"),
-        )
+    return _first_band_verified(joined, n_bands, band_rows, threshold).select(
+        F.col("l.doc_id").alias("new_id"),
+        F.col("r.doc_id").alias("old_id"),
+        F.round(F.col("inter") / F.col("uni"), 6).alias("jaccard"),
     )
 
 
@@ -223,21 +239,8 @@ def intra_batch_neardup_losers(
         & (F.col("l.bk") == F.col("r.bk"))
         & (F.col("l.doc_id") < F.col("r.doc_id")),
     )
-    first_band = F.array_position(
-        F.array(
-            *[
-                _band_key(F.col("l.ab"), F.lit(b), band_rows)
-                == _band_key(F.col("r.ab"), F.lit(b), band_rows)
-                for b in range(n_bands)
-            ]
-        ),
-        True,
-    ) - 1
-    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
     return (
-        joined.filter(F.col("l.band") == first_band)
-        .filter(inter * 1000000 >= F.lit(int(round(threshold * 1000000))) * union)
+        _first_band_verified(joined, n_bands, band_rows, threshold)
         .select(F.col("r.doc_id").alias("doc_id"))
         .distinct()
     )
@@ -285,27 +288,8 @@ def neardup_pairs(
         & (F.col("r.ts") >= F.col("l.ts") - gap)
         & (F.col("r.ts") <= F.col("l.ts") + gap),
     )
-    # Exactly-once emission: keep only the FIRST band where the two
-    # signatures collide (stateless — re-derived from the carried ab
-    # arrays, so no streaming distinct is needed).
-    first_band = F.array_position(
-        F.array(
-            *[
-                _band_key(F.col("l.ab"), F.lit(b), band_rows)
-                == _band_key(F.col("r.ab"), F.lit(b), band_rows)
-                for b in range(n_bands)
-            ]
-        ),
-        True,
-    ) - 1
-    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
-    return (
-        joined.filter(F.col("l.band") == first_band)
-        .filter(inter * 1000000 >= F.lit(int(round(threshold * 1000000))) * union)
-        .select(
-            F.col("l.doc_id").alias("id1"),
-            F.col("r.doc_id").alias("id2"),
-            F.round(inter / union, 6).alias("jaccard"),
-        )
+    return _first_band_verified(joined, n_bands, band_rows, threshold).select(
+        F.col("l.doc_id").alias("id1"),
+        F.col("r.doc_id").alias("id2"),
+        F.round(F.col("inter") / F.col("uni"), 6).alias("jaccard"),
     )

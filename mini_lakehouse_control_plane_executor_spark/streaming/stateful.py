@@ -48,7 +48,14 @@ def _update_profile(
         n += len(pdf)
         s += float(pdf["value"].sum())
         if len(pdf):
-            last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
+            # Normalize to datetime64[ns] before the int conversion —
+            # Arrow may hand ts as [us] depending on version, which
+            # would silently yield milliseconds in a field named _us
+            # (the FunnelProcessor discipline).
+            last = max(
+                last,
+                int(pdf["ts"].astype("datetime64[ns]").astype("int64").max() // 1000),
+            )
     state.update((n, s, last))
     yield pd.DataFrame(
         [{"user_id": user_id, "n_events": n, "sum_value": round(s, 2), "last_ts_us": last}]

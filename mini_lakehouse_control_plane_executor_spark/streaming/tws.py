@@ -59,8 +59,10 @@ class UserProfileProcessor(StatefulProcessor):
         self.totals.update((n, total))
         counts = {k[0]: v[0] for k, v in self.types.iterator()}
         # Deterministic top type: max count, ties to the
-        # lexicographically smallest type name.
-        top = sorted(counts, key=lambda t: (-counts[t], t))[0]
+        # lexicographically smallest type name. A key seen only with
+        # NULL event_type has no counts (pandas groupby drops NaN
+        # keys) — emit NULL instead of indexing an empty list.
+        top = sorted(counts, key=lambda t: (-counts[t], t))[0] if counts else None
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -119,18 +121,27 @@ class SessionFinalizerProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         cur = self.sess.get() if self.sess.exists() else None
         out = []
+        # Collect EVERY chunk before sorting: a micro-batch larger than
+        # Arrow's maxRecordsPerBatch arrives as several pandas chunks
+        # whose time ranges interleave — per-chunk sorts let a later
+        # chunk's early event regress the open session's end below its
+        # start. ts normalizes to datetime64[ns] first (Arrow may hand
+        # [us] depending on version — the FunnelProcessor discipline).
+        pairs = []
         for pdf in rows:
-            pdf = pdf.sort_values("ts")
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            vals = pdf["value"].fillna(0.0).tolist()
-            for t, v in zip(ts_ms, vals):
-                if cur is None:
-                    cur = (t, t, 1, float(v))
-                elif t - cur[1] <= self.gap_ms:
-                    cur = (cur[0], t, cur[2] + 1, cur[3] + float(v))
-                else:
-                    out.append(self._emit(key, *cur))
-                    cur = (t, t, 1, float(v))
+            ts_ms = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+            pairs.extend(zip(ts_ms.tolist(), pdf["value"].fillna(0.0).tolist()))
+        pairs.sort(key=lambda p: p[0])
+        for t, v in pairs:
+            if cur is None:
+                cur = (t, t, 1, float(v))
+            elif t - cur[1] <= self.gap_ms:
+                # max() keeps the end monotone even for a late event
+                # that lands inside the open session's span.
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1, cur[3] + float(v))
+            else:
+                out.append(self._emit(key, *cur))
+                cur = (t, t, 1, float(v))
         if cur is not None:
             self.sess.update(cur)
             # Re-arm: exactly one live timer per key, at end + gap.

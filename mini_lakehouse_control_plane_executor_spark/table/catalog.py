@@ -535,6 +535,12 @@ class LakehouseSession:
         finally:
             info.finished_ms = int(time.time() * 1000)
             self._record_job_totals(info)
+            # The sync path reaches a terminal status right here — set
+            # the completion event so job_wait/job_result return
+            # immediately instead of blocking their full timeout on a
+            # job that is already COMPLETED/FAILED (only _run_job set it
+            # before, making the sync path unwaitable).
+            info.done.set()
 
     def submit_async(self, q: SimpleQuery | dict) -> str:
         """The reference's POST /queries contract: returns a job id

@@ -571,9 +571,18 @@ class LakehouseTable:
         (add/drop/create/restore do). Reads log entries only
         (no data files); ``limit`` bounds how many recent versions are
         returned."""
+        # Bounded calls read only the newest limit+1 entries: every
+        # commit stores a full schema, so the schema-changed diff for
+        # version v needs only v-1's entry — walking the whole log for
+        # history(limit=1) on a 10k-commit table was thousands of
+        # redundant file reads. Each returned version still compares
+        # against its true predecessor (the one extra entry read).
+        versions = self.versions()  # oldest-first
+        if limit is not None and limit >= 0:
+            versions = versions[-(limit + 1):]
         out = []
         prev_schema: list[Field] = []
-        for v in self.versions():  # oldest-first so schema diffs compare
+        for i, v in enumerate(versions):
             e = self.log.read_entry(v)
             op = "WRITE"
             for prefix, name in self._HISTORY_OPS:
@@ -711,8 +720,19 @@ class LakehouseTable:
                 snap = self.log.snapshot()
                 self._recheck_constraints(adds, enforced, snap.constraints)
                 try:
+                    # Commit the SNAPSHOT schema, not the entry-time
+                    # field list: a concurrent add_column landing before
+                    # a retry would otherwise be silently reverted by
+                    # this commit's latest-schema-wins replay (the
+                    # delete/update/compact loops already do this). The
+                    # staged files simply lack the concurrent column and
+                    # read as NULL under the committed schema.
                     return self.log.commit(
-                        snap.version, txn_id, fields, adds, [f.path for f in snap.files]
+                        snap.version,
+                        txn_id,
+                        snap.schema,
+                        adds,
+                        [f.path for f in snap.files],
                     )
                 except CommitConflictError as exc:
                     last = exc
@@ -939,6 +959,18 @@ class LakehouseTable:
         try:
             for attempt in range(COMMIT_MAX_RETRIES + 1):
                 snap = self.log.snapshot()
+                # Re-resolve the schema PER ATTEMPT: merge rewrites the
+                # candidate files, so rewriting through the entry-time
+                # schema after a concurrent add_column would physically
+                # drop the new column's values from every rewritten file
+                # and the commit would revert the schema via
+                # latest-schema-wins replay. The source frame stays
+                # aligned to the entry-time columns (a concurrent
+                # column reads as NULL for merge-written rows — the
+                # insert-overwrite semantics); target-side columns pass
+                # through the rewrite intact.
+                fields = snap.schema
+                schema = to_spark_schema(fields)
 
                 def _overlaps(f: FileAdd) -> bool:
                     mn, mx = f.min_values.get(key), f.max_values.get(key)
@@ -1051,19 +1083,25 @@ class LakehouseTable:
         prior = self.log.find_txn(txn_id)
         if prior is not None:
             return prior
-        current = self.fields
-        names = {f.name for f in current}
         for f in new_fields:
-            if f.name in names:
-                raise SchemaError(f"column {f.name!r} already exists")
             if not f.nullable:
                 raise SchemaError(
                     f"new column {f.name!r} must be nullable (existing rows have no value)"
                 )
-        merged = list(current) + list(new_fields)
-        validate_schema(merged)
         last: Exception | None = None
         for attempt in range(COMMIT_MAX_RETRIES + 1):
+            # Re-merge against the CURRENT schema every attempt: a merge
+            # computed before the loop would, after losing a race to a
+            # concurrent schema commit, re-commit without the winner's
+            # column — silently dropping committed DDL. Racing an
+            # identical column name now correctly raises instead.
+            current = self.fields
+            names = {f.name for f in current}
+            for f in new_fields:
+                if f.name in names:
+                    raise SchemaError(f"column {f.name!r} already exists")
+            merged = list(current) + list(new_fields)
+            validate_schema(merged)
             try:
                 return self.log.commit(self.log.latest_version(), txn_id, merged)
             except CommitConflictError as exc:

@@ -955,3 +955,91 @@ def test_insert_path_orc(lake, spark, tmp_path):
     lake.create_table("t_orc", SCHEMA)
     lake.table("t_orc").insert_path(orc, fmt="orc")
     assert lake.table("t_orc").read().count() == 3
+
+
+def _race_one_schema_commit(t, col_name):
+    """Monkeypatch t.log.commit so the FIRST write-path commit loses an
+    OCC race to a concurrent add_columns(col_name) — the injected commit
+    lands after the caller captured its base version (argument
+    evaluation order), so the caller's own commit raises
+    CommitConflictError and must retry against the evolved schema."""
+    orig_commit = t.log.commit
+    state = {"raced": False}
+
+    def racing_commit(base, txn_id, schema, *args, **kwargs):
+        if not state["raced"]:
+            state["raced"] = True
+            orig_commit(
+                t.log.latest_version(),
+                f"race-{col_name}",
+                list(t.fields) + [Field(col_name, "int64", True)],
+            )
+        return orig_commit(base, txn_id, schema, *args, **kwargs)
+
+    t.log.commit = racing_commit
+    return state
+
+
+def test_add_columns_retry_preserves_concurrent_column(lake, spark):
+    """r12 review: add_columns computed its merged schema BEFORE the OCC
+    retry loop, so losing a race to another schema commit silently
+    dropped the winner's column on retry. Both columns must survive."""
+    lake.create_table("t", SCHEMA)
+    lake.insert("t", _df(spark, 0, 10))
+    t = lake.table("t")
+    state = _race_one_schema_commit(t, "col_a")
+    t.add_columns([Field("col_b", "int64", True)])
+    assert state["raced"]
+    names = {f.name for f in t.fields}
+    assert {"col_a", "col_b"} <= names
+
+
+def test_insert_overwrite_retry_preserves_concurrent_column(lake, spark):
+    """r12 review: insert(mode='overwrite') committed the entry-time
+    field list; a retry after a concurrent add_column reverted the new
+    column. It must commit the snapshot schema instead."""
+    lake.create_table("t", SCHEMA)
+    lake.insert("t", _df(spark, 0, 10))
+    t = lake.table("t")
+    state = _race_one_schema_commit(t, "col_a")
+    t.insert(_df(spark, 100, 110), mode="overwrite")
+    assert state["raced"]
+    assert "col_a" in {f.name for f in t.fields}
+    out = t.read()
+    assert out.count() == 10 and "col_a" in out.columns
+    assert out.filter(F.col("col_a").isNotNull()).count() == 0  # null-filled
+
+
+def test_merge_retry_preserves_concurrent_column(lake, spark):
+    """r12 review: merge rewrote candidate files through the entry-time
+    schema and committed it; a retry after a concurrent add_column both
+    reverted the schema and physically dropped the column from
+    rewritten files. The snapshot schema must win per attempt."""
+    lake.create_table("t", SCHEMA)
+    lake.insert("t", _df(spark, 0, 10))
+    t = lake.table("t")
+    state = _race_one_schema_commit(t, "col_a")
+    src = _df(spark, 5, 15)
+    t.merge(src, key="k")
+    assert state["raced"]
+    assert "col_a" in {f.name for f in t.fields}
+    out = t.read()
+    assert out.count() == 15 and "col_a" in out.columns
+
+
+def test_history_limit_reads_tail_only(lake, spark):
+    """history(limit) must return the same newest rows as the unbounded
+    walk (the bounded form now reads only limit+1 log entries), with
+    schema_changed diffs intact across the truncation boundary."""
+    lake.create_table("t", SCHEMA)
+    for i in range(4):
+        lake.insert("t", _df(spark, i * 10, i * 10 + 5))
+    t = lake.table("t")
+    t.add_columns([Field("extra", "int64", True)])
+    lake.insert(
+        "t", _df(spark, 100, 105).withColumn("extra", F.lit(None).cast("long"))
+    )
+    full = t.history()
+    for lim in (1, 2, 3, len(full), len(full) + 5):
+        assert t.history(limit=lim) == full[:lim]
+    assert [h["schema_changed"] for h in full[:2]] == [False, True]
