@@ -147,17 +147,26 @@ def encode(msg) -> bytes:
 
 
 def _skip(data: bytes, i: int, wt: int) -> int:
+    """Advance past an unknown field, REJECTING truncation: without the
+    bounds checks a message cut off inside a skipped field decoded
+    cleanly to a partial message (e.g. a CommitRequest missing trailing
+    adds) instead of failing the RPC — corruption accepted selectively
+    is worse than corruption rejected uniformly."""
     if wt == _VARINT:
         _, i = _read_uvarint(data, i)
         return i
     if wt == _I64:
-        return i + 8
-    if wt == _LEN:
+        i += 8
+    elif wt == _LEN:
         n, i = _read_uvarint(data, i)
-        return i + n
-    if wt == _I32:
-        return i + 4
-    raise ValueError(f"unsupported wire type {wt}")
+        i += n
+    elif wt == _I32:
+        i += 4
+    else:
+        raise ValueError(f"unsupported wire type {wt}")
+    if i > len(data):
+        raise ValueError("truncated payload")
+    return i
 
 
 def decode(cls: type, data: bytes):
@@ -206,7 +215,10 @@ def decode(cls: type, data: bytes):
                     enum, ewt = ekey >> 3, ekey & 0x7
                     if ewt == _LEN:
                         ln, j = _read_uvarint(chunk, j)
-                        s = chunk[j : j + ln].decode("utf-8")
+                        piece = chunk[j : j + ln]
+                        if len(piece) != ln:  # truncated map-entry value
+                            raise ValueError(f"field {num}: truncated payload")
+                        s = piece.decode("utf-8")
                         j += ln
                         if enum == 1:
                             k = s

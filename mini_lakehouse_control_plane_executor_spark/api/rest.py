@@ -80,7 +80,9 @@ DIFF_MAX_ROWS = 10_000
 
 def _fields_from_api(schema: dict) -> list[Field]:
     fields = schema.get("fields") if isinstance(schema, dict) else None
-    if not fields:
+    if not isinstance(fields, list) or not fields or not all(
+        isinstance(f, dict) for f in fields
+    ):
         raise _ApiError(400, "Missing or invalid schema")
     return [
         Field(f.get("name", ""), f.get("type", ""), bool(f.get("nullable", True)))
@@ -290,7 +292,11 @@ class LakehouseRestServer:
                 when_matched=body.get("when_matched"),
                 insert_unmatched=bool(body.get("insert_unmatched", True)),
             )
-        except (ValueError, KeyError) as exc:
+        except Exception as exc:
+            # Same blanket mapping as insert_rows: any malformed rows /
+            # key / when_matched body (non-dict row elements raise
+            # TypeError, createDataFrame type mismatches raise
+            # PySparkException) is a client error, not a 500.
             raise _ApiError(400, f"Merge failed: {exc}")
         return 200, {
             "success": True,
@@ -449,6 +455,10 @@ class LakehouseRestServer:
         t = self._table(name)
         if not body.get("name") or not body.get("expr"):
             raise _ApiError(400, "missing required fields: name, expr")
+        # Non-string name/expr (a list reaches re.fullmatch and raises
+        # TypeError) is a client error, not a 500.
+        if not isinstance(body["name"], str) or not isinstance(body["expr"], str):
+            raise _ApiError(400, "name and expr must be strings")
         try:
             t.add_constraint(body["name"], body["expr"])
         except ValueError as exc:
@@ -542,10 +552,13 @@ class LakehouseRestServer:
 
     def vacuum(self, name: str, body: dict):
         self._table(name)
+        try:
+            retain = int(body.get("retain_versions", 1))
+            min_age = float(body.get("min_age_seconds", 3600.0))
+        except (TypeError, ValueError) as exc:
+            raise _ApiError(400, f"Invalid vacuum parameter: {exc}")
         stats = self.lake.vacuum(
-            name,
-            retain_versions=int(body.get("retain_versions", 1)),
-            min_age_seconds=float(body.get("min_age_seconds", 3600.0)),
+            name, retain_versions=retain, min_age_seconds=min_age
         )
         return 200, {"success": True, **stats}
 
@@ -691,6 +704,16 @@ def _make_handler(server: LakehouseRestServer):
         def log_message(self, fmt, *args):  # keep test output quiet
             pass
 
+        def _drain_body(self) -> bytes:
+            """Read (and return) any request body. MUST be called on
+            every request path — including 404s and methods whose
+            handlers ignore bodies — or the unread bytes desync the
+            HTTP/1.1 keep-alive connection: the next request line is
+            parsed from the middle of the stale body and the client
+            gets spurious 400s."""
+            length = int(self.headers.get("Content-Length") or 0)
+            return self.rfile.read(length) if length else b""
+
         def _dispatch(self, method: str):
             raw_path, _, qs = self.path.partition("?")
             path = raw_path.rstrip("/") or "/"
@@ -701,9 +724,10 @@ def _make_handler(server: LakehouseRestServer):
                 if not match:
                     continue
                 args = list(match.groups())
+                if method not in _BODY_METHODS:
+                    self._drain_body()  # a body on GET/DELETE still desyncs
                 if method in _BODY_METHODS:
-                    length = int(self.headers.get("Content-Length") or 0)
-                    raw = self.rfile.read(length) if length else b""
+                    raw = self._drain_body()
                     try:
                         body = json.loads(raw) if raw else {}
                     except json.JSONDecodeError as exc:
@@ -732,6 +756,9 @@ def _make_handler(server: LakehouseRestServer):
                 except Exception as exc:  # pragma: no cover - defensive
                     return self._send(500, {"error": f"Internal error: {exc}"})
                 return self._send(status, payload)
+            # Unmatched route (or a body sent to a bodyless method):
+            # drain before responding to keep the connection usable.
+            self._drain_body()
             self._send(404, {"error": f"no route for {method} {path}"})
 
         def _send(self, status: int, payload) -> None:

@@ -32,9 +32,13 @@ class Comparison:
 
 def _parse_literal(tok: str) -> object:
     """Literal inference order of ``task_executor.rs:488-501``:
-    quoted string → int → float → bool → bare string."""
+    quoted string → int → float → bool → bare string. SQL doubled-quote
+    escapes inside the literal unescape ('it''s' → it's) — without
+    this, a filter written in valid Spark SQL silently matched nothing
+    AND mis-pruned files whose min/max straddle the real value."""
     if len(tok) >= 2 and tok[0] in "'\"" and tok[-1] == tok[0]:
-        return tok[1:-1]
+        q = tok[0]
+        return tok[1:-1].replace(q + q, q)
     try:
         return int(tok)
     except ValueError:
@@ -51,7 +55,8 @@ def _parse_literal(tok: str) -> object:
 import re as _cmp_re
 
 _QUOTED_CMP_RE = _cmp_re.compile(
-    r"^\s*([A-Za-z_]\w*)\s*(==|!=|<>|>=|<=|=|<|>)\s*('[^']*'|\"[^\"]*\")\s*$"
+    r"^\s*([A-Za-z_]\w*)\s*(==|!=|<>|>=|<=|=|<|>)"
+    r"\s*('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")\s*$"
 )
 
 

@@ -60,6 +60,26 @@ _OPS = {
 }
 
 
+def _pa_types():
+    """Schema-type -> pyarrow-type map, built lazily (executor-side
+    workers import pyarrow on demand). ONE definition shared by the
+    reader's evolution-NULL backfill and the writer's typed arrays — a
+    type added to only one of two copies would silently diverge the
+    read and write paths (r12 review)."""
+    import pyarrow as pa
+
+    return {
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "float32": pa.float32(),
+        "float64": pa.float64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+    }
+
+
 @dataclass
 class _FilePartition(InputPartition):
     path: str
@@ -272,16 +292,7 @@ class _MinilakeReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pa_types = {
-            "int32": pa.int32(),
-            "int64": pa.int64(),
-            "float32": pa.float32(),
-            "float64": pa.float64(),
-            "string": pa.string(),
-            "boolean": pa.bool_(),
-            "date": pa.date32(),
-            "timestamp": pa.timestamp("us", tz="UTC"),
-        }
+        pa_types = _pa_types()
         fields = self._schema_fields
         pf = pq.ParquetFile(os.path.join(self._table_dir, partition.path))
         present = [f.name for f in fields if f.name in pf.schema_arrow.names]
@@ -523,16 +534,7 @@ class _MinilakeWriter(DataSourceWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pa_types = {
-            "int32": pa.int32(),
-            "int64": pa.int64(),
-            "float32": pa.float32(),
-            "float64": pa.float64(),
-            "string": pa.string(),
-            "boolean": pa.bool_(),
-            "date": pa.date32(),
-            "timestamp": pa.timestamp("us", tz="UTC"),
-        }
+        pa_types = _pa_types()
         by_name = {f.name: f for f in self._fields}
         rows = [tuple(r) for r in iterator]
         names = [f.name for f in self._fields]
@@ -657,7 +659,15 @@ class _MinilakeWriter(DataSourceWriter):
                             )
                     removes = [f.path for f in snap.files] if self._overwrite else []
                     try:
-                        log.commit(snap.version, self._txn, self._fields, adds, removes)
+                        # Commit the SNAPSHOT schema, not the plan-time
+                        # field list: a concurrent add_columns landing
+                        # between plan time and this commit would
+                        # otherwise be silently reverted by
+                        # latest-schema-wins replay (the table.py
+                        # merge/overwrite fix, applied to the writer).
+                        # The staged files lack the concurrent column
+                        # and read as NULL under the committed schema.
+                        log.commit(snap.version, self._txn, snap.schema, adds, removes)
                         return
                     except CommitConflictError as exc:
                         last = exc

@@ -517,3 +517,26 @@ def test_exact_substring_equals_token_level_bruteforce(spark, tmp_path, docs):
         if runs
     }
     assert got == want
+
+
+def test_filter_grammar_unescapes_doubled_quotes(spark):
+    """SQL doubled-quote escapes in string literals must match the rows
+    Spark SQL itself would match — the r12 review found 'it''s' taken
+    verbatim (both the row filter and file pruning missed the value)."""
+    from mini_lakehouse_control_plane_executor_spark.functions.filters import (
+        parse_comparison,
+        parse_filter,
+    )
+
+    cmp = parse_comparison("product = 'it''s'")
+    assert cmp is not None and cmp.value == "it's"
+    # with spaces — the regex path
+    cmp2 = parse_comparison("product = 'a b''c d'")
+    assert cmp2 is not None and cmp2.value == "a b'c d"
+    sdf = spark.createDataFrame([("it's",), ("its",)], "product string")
+    got = [r.product for r in sdf.filter(parse_filter("product = 'it''s'")).collect()]
+    want = [
+        r.product
+        for r in sdf.filter("product = 'it''s'").collect()  # Spark SQL authority
+    ]
+    assert got == want == ["it's"]

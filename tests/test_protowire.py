@@ -206,3 +206,20 @@ def test_decode_arbitrary_bytes_never_crashes_uncleanly(data):
             continue
         # decodable garbage must re-encode without error
         pw.encode(msg)
+
+
+def test_truncated_unknown_field_rejected():
+    """Truncation landing inside a SKIPPED unknown field must raise,
+    not decode to a partial message (r12 review): a CommitRequest whose
+    trailing unknown field is cut off previously decoded cleanly with
+    fewer fields — corruption accepted selectively."""
+    raw = pw.encode(g.GetLatestVersionResponse(version=7))
+    # append an unknown LEN field (tag 15) claiming 100 bytes but
+    # providing 2 — a truncated trailer
+    trailer = bytes([15 << 3 | 2, 100]) + b"xx"
+    with pytest.raises(ValueError, match="truncated"):
+        pw.decode(g.GetLatestVersionResponse, raw + trailer)
+    # unknown I64 field cut to 3 bytes
+    trailer = bytes([14 << 3 | 1]) + b"abc"
+    with pytest.raises(ValueError, match="truncated"):
+        pw.decode(g.GetLatestVersionResponse, raw + trailer)

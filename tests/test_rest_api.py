@@ -437,6 +437,16 @@ def test_fuzz_malformed_bodies_never_500(lake, server, spark):
 
     checked = 0
     for method, pat, _fn in _ROUTES:
+        # The fuzz grid includes DELETE /tables/ft, which DROPS the
+        # fixture table — every route iterated after it was previously
+        # fuzzed against a 404, masking real 500s (the r12 review found
+        # three). Recreate the fixture before each route so every
+        # handler is fuzzed against a LIVE table.
+        try:
+            lake.table("ft")
+        except Exception:
+            lake.create_table("ft", [Field("a", "int64", False)])
+            lake.insert("ft", spark.range(0, 3).selectExpr("id as a"))
         for path in paths_for(pat):
             for body in bodies if method in ("POST", "DELETE") else [None]:
                 req = _rq.Request(
