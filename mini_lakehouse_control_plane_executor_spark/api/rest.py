@@ -63,14 +63,42 @@ import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from pyspark.errors import PySparkException
+
 from mini_lakehouse_control_plane_executor_spark.table.catalog import LakehouseSession
 from mini_lakehouse_control_plane_executor_spark.table.schema import Field, SchemaError
+
+# Failure classes a malformed client body produces on the write paths:
+# non-dict row elements raise TypeError, missing row fields KeyError,
+# bad literals/exprs/constraint names ValueError (SchemaError subclasses
+# it), and createDataFrame type mismatches / in-write CHECK violations
+# PySparkException. Anything else (AttributeError, OSError from the
+# staging dir, ...) is a genuine server defect and must surface as 500.
+_CLIENT_INPUT_ERRORS = (ValueError, KeyError, TypeError, PySparkException)
 
 
 class _ApiError(Exception):
     def __init__(self, status: int, message: str):
         super().__init__(message)
         self.status = status
+
+
+class _BodyTooLarge(Exception):
+    """Declared Content-Length above _BODY_CAP_BYTES. The body is NOT
+    read: the dispatcher responds 413 with ``Connection: close`` and
+    drops the connection, because the unread bytes would desync any
+    further keep-alive requests."""
+
+    def __init__(self, length: int):
+        super().__init__(f"declared body of {length} bytes")
+        self.length = length
+
+
+# Largest request body the server will buffer (or even drain) for one
+# request. Inline-row inserts are test/demo-scale; bulk loads go through
+# POST /tables/{t}/data with a data_path.
+_BODY_CAP_BYTES = 64 * 1024 * 1024
+_DRAIN_CHUNK = 64 * 1024
 
 
 # Cap on rows serialized into one /diff response; callers raise it
@@ -210,7 +238,7 @@ class LakehouseRestServer:
                 [tuple(r[f.name] for f in t.fields) for r in rows], t.spark_schema
             )
             version = t.insert(df, txn_id=body.get("txn_id"))
-        except Exception as exc:
+        except _CLIENT_INPUT_ERRORS as exc:
             raise _ApiError(400, f"Insert failed: {exc}")
         return 200, {"success": True, "new_version": version}
 
@@ -292,11 +320,12 @@ class LakehouseRestServer:
                 when_matched=body.get("when_matched"),
                 insert_unmatched=bool(body.get("insert_unmatched", True)),
             )
-        except Exception as exc:
-            # Same blanket mapping as insert_rows: any malformed rows /
-            # key / when_matched body (non-dict row elements raise
-            # TypeError, createDataFrame type mismatches raise
-            # PySparkException) is a client error, not a 500.
+        except _CLIENT_INPUT_ERRORS as exc:
+            # Only the enumerated client-input failure types map to 400
+            # (same contract as insert_rows); genuine server defects
+            # (AttributeError, OSError, ...) re-raise so the
+            # dispatcher's 500 path surfaces them instead of hiding
+            # behind 'Merge failed'.
             raise _ApiError(400, f"Merge failed: {exc}")
         return 200, {
             "success": True,
@@ -704,17 +733,56 @@ def _make_handler(server: LakehouseRestServer):
         def log_message(self, fmt, *args):  # keep test output quiet
             pass
 
-        def _drain_body(self) -> bytes:
-            """Read (and return) any request body. MUST be called on
-            every request path — including 404s and methods whose
-            handlers ignore bodies — or the unread bytes desync the
-            HTTP/1.1 keep-alive connection: the next request line is
-            parsed from the middle of the stale body and the client
-            gets spurious 400s."""
+        def _drain_body(self, keep: bool = True) -> bytes:
+            """Read (and, when ``keep``, return) any request body. MUST
+            be called on every request path — including 404s and methods
+            whose handlers ignore bodies — or the unread bytes desync
+            the HTTP/1.1 keep-alive connection: the next request line is
+            parsed from the middle of the stale body and the client gets
+            spurious 400s. The body is consumed in bounded chunks (never
+            one Content-Length-sized read), drain-only paths discard the
+            chunks as they go, and a declared length above
+            _BODY_CAP_BYTES is not read at all — _BodyTooLarge makes the
+            dispatcher answer 413 and close the connection, so a client
+            cannot force the server to buffer a multi-GB body per
+            keep-alive connection."""
             length = int(self.headers.get("Content-Length") or 0)
-            return self.rfile.read(length) if length else b""
+            if length <= 0:
+                return b""
+            if length > _BODY_CAP_BYTES:
+                raise _BodyTooLarge(length)
+            chunks: list[bytes] = []
+            remaining = length
+            while remaining > 0:
+                chunk = self.rfile.read(min(remaining, _DRAIN_CHUNK))
+                if not chunk:  # client hung up mid-body
+                    break
+                remaining -= len(chunk)
+                if keep:
+                    chunks.append(chunk)
+            return b"".join(chunks)
 
         def _dispatch(self, method: str):
+            try:
+                self._dispatch_inner(method)
+            except _BodyTooLarge as exc:
+                data = json.dumps(
+                    {
+                        "error": (
+                            f"Request body too large: {exc.length} bytes "
+                            f"(cap {_BODY_CAP_BYTES})"
+                        )
+                    }
+                ).encode()
+                self.send_response(413)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                # Body unread -> socket desynced; close instead of reading.
+                self.send_header("Connection", "close")
+                self.end_headers()
+                self.wfile.write(data)
+
+        def _dispatch_inner(self, method: str):
             raw_path, _, qs = self.path.partition("?")
             path = raw_path.rstrip("/") or "/"
             for m, pat, fn_name in _ROUTES:
@@ -725,7 +793,8 @@ def _make_handler(server: LakehouseRestServer):
                     continue
                 args = list(match.groups())
                 if method not in _BODY_METHODS:
-                    self._drain_body()  # a body on GET/DELETE still desyncs
+                    # A body on GET/DELETE still desyncs; discard it.
+                    self._drain_body(keep=False)
                 if method in _BODY_METHODS:
                     raw = self._drain_body()
                     try:
@@ -758,7 +827,7 @@ def _make_handler(server: LakehouseRestServer):
                 return self._send(status, payload)
             # Unmatched route (or a body sent to a bodyless method):
             # drain before responding to keep the connection usable.
-            self._drain_body()
+            self._drain_body(keep=False)
             self._send(404, {"error": f"no route for {method} {path}"})
 
         def _send(self, status: int, payload) -> None:

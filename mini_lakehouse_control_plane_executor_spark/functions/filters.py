@@ -31,11 +31,14 @@ class Comparison:
 
 
 def _parse_literal(tok: str) -> object:
-    """Literal inference order of ``task_executor.rs:488-501``:
-    quoted string → int → float → bool → bare string. SQL doubled-quote
-    escapes inside the literal unescape ('it''s' → it's) — without
-    this, a filter written in valid Spark SQL silently matched nothing
-    AND mis-pruned files whose min/max straddle the real value."""
+    """Literal inference ORDER follows ``task_executor.rs:488-501``:
+    quoted string → int → float → bool → bare string. The doubled-quote
+    unescape ('it''s' → it's) is a DELIBERATE divergence from the
+    reference (whose parser takes the quoted slice verbatim) toward
+    Spark SQL escape semantics — without it, a filter written in valid
+    Spark SQL silently matched nothing AND mis-pruned files whose
+    min/max straddle the real value. Pinned by
+    test_filter_grammar_unescapes_doubled_quotes."""
     if len(tok) >= 2 and tok[0] in "'\"" and tok[-1] == tok[0]:
         q = tok[0]
         return tok[1:-1].replace(q + q, q)

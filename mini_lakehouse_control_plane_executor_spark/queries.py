@@ -16446,7 +16446,7 @@ def corpus_unimax_budget(spark, sf_dir):
 
 _NEYMAN_BUDGET = 1000
 
-_NEYMAN_SQL = f"""
+_NEYMAN_ALLOC_SQL = f"""
 WITH x AS (
   SELECT c.c_mktsegment AS segment,
          CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
@@ -16497,7 +16497,7 @@ ORDER BY q.segment
 """
 
 
-@query("orders_neyman_allocation", oracle=_NEYMAN_SQL)
+@query("orders_neyman_allocation", oracle=_NEYMAN_ALLOC_SQL)
 def orders_neyman_allocation(spark, sf_dir):
     """Neyman optimal sample allocation with EXACT largest-remainder
     apportionment — the survey-sampling budget allocator (Neyman 1934;

@@ -1090,20 +1090,22 @@ class LakehouseTable:
                 )
         last: Exception | None = None
         for attempt in range(COMMIT_MAX_RETRIES + 1):
-            # Re-merge against the CURRENT schema every attempt: a merge
-            # computed before the loop would, after losing a race to a
-            # concurrent schema commit, re-commit without the winner's
-            # column — silently dropping committed DDL. Racing an
-            # identical column name now correctly raises instead.
-            current = self.fields
-            names = {f.name for f in current}
+            # ONE snapshot per attempt: schema and commit base must come
+            # from the same log read. Reading self.fields and then
+            # latest_version() separately lets a concurrent schema commit
+            # land between the two — base == latest, so the commit
+            # succeeds with a merge computed from the STALE schema,
+            # silently reverting the winner's column via latest-schema-
+            # wins replay. Racing an identical column name still raises.
+            snap = self.log.snapshot()
+            names = {f.name for f in snap.schema}
             for f in new_fields:
                 if f.name in names:
                     raise SchemaError(f"column {f.name!r} already exists")
-            merged = list(current) + list(new_fields)
+            merged = list(snap.schema) + list(new_fields)
             validate_schema(merged)
             try:
-                return self.log.commit(self.log.latest_version(), txn_id, merged)
+                return self.log.commit(snap.version, txn_id, merged)
             except CommitConflictError as exc:
                 last = exc
                 time.sleep(0.01 * (attempt + 1))

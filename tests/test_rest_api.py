@@ -467,6 +467,90 @@ def test_fuzz_malformed_bodies_never_500(lake, server, spark):
     assert checked > 300  # the grid actually ran
 
 
+def test_oversize_body_413_without_buffering(server):
+    """r13 review: _drain_body read the entire declared Content-Length
+    in ONE rfile.read on every path (including 404s), so a client
+    declaring a multi-GB body forced the server to buffer it per
+    keep-alive connection. Declare 10 GB but send nothing: the server
+    must answer 413 immediately (it never reads the body) and close the
+    connection (the unread bytes would desync keep-alive)."""
+    import socket
+
+    with socket.create_connection(("127.0.0.1", server.port), timeout=30) as sock:
+        sock.sendall(
+            b"POST /tables/whatever/insert HTTP/1.1\r\n"
+            b"Host: 127.0.0.1\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: 10737418240\r\n"
+            b"\r\n"
+        )
+        sock.settimeout(30)
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            chunk = sock.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+        head = buf.split(b"\r\n\r\n", 1)[0].decode()
+        assert " 413 " in head.splitlines()[0], head
+        assert "connection: close" in head.lower(), head
+        # Server closes without waiting for the 10 GB body.
+        rest = b""
+        while True:
+            chunk = sock.recv(65536)
+            if not chunk:
+                break
+            rest += chunk
+    # The listener itself stays healthy for the next connection.
+    assert _call(server, "GET", "/health")["status"] == "healthy"
+
+
+def test_oversize_body_on_unmatched_route_413(server):
+    """The drain-only 404 path must ALSO refuse to read an oversize
+    body instead of buffering it."""
+    import socket
+
+    with socket.create_connection(("127.0.0.1", server.port), timeout=30) as sock:
+        sock.sendall(
+            b"GET /no/such/route HTTP/1.1\r\n"
+            b"Host: 127.0.0.1\r\n"
+            b"Content-Length: 10737418240\r\n"
+            b"\r\n"
+        )
+        sock.settimeout(30)
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            chunk = sock.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+        head = buf.split(b"\r\n\r\n", 1)[0].decode()
+        assert " 413 " in head.splitlines()[0], head
+        assert "connection: close" in head.lower(), head
+
+
+def test_merge_server_fault_is_500(server, lake, spark, monkeypatch):
+    """r13 review: merge_rows mapped EVERY exception to a 400 'Merge
+    failed', so genuine server defects hid behind the fuzz-never-500
+    contract. An injected AttributeError must now surface as 500."""
+    _call(server, "POST", "/tables", {"name": "m500", "schema": SCHEMA_API})
+    _call(server, "POST", "/tables/m500/insert", {"rows": ROWS[:2]})
+    from mini_lakehouse_control_plane_executor_spark.table import table as table_mod
+
+    def boom(self, *a, **k):
+        raise AttributeError("injected server defect")
+
+    monkeypatch.setattr(table_mod.LakehouseTable, "merge", boom)
+    out = _call(
+        server,
+        "POST",
+        "/tables/m500/merge",
+        {"rows": [dict(ROWS[0], price=1.0)], "key": "id"},
+        expect=500,
+    )
+    assert "Internal error" in out.get("error", "")
+
+
 def test_zorder_compaction_over_http(server):
     """POST /tables/{t}/compaction with zorder_by: multi-dimensional
     clustered rewrite; bad columns surface as success=False, not 500."""

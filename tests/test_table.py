@@ -994,6 +994,43 @@ def test_add_columns_retry_preserves_concurrent_column(lake, spark):
     assert {"col_a", "col_b"} <= names
 
 
+def test_add_columns_snapshot_commit_atomicity(lake, spark):
+    """r13 review: add_columns read the schema via self.fields (one log
+    snapshot) but took the commit base from a SEPARATE latest_version()
+    call. A concurrent schema commit landing between the two made
+    base == latest, so the commit succeeded with a merge computed from
+    the stale snapshot — silently reverting the winner's column with NO
+    conflict raised (the retry-loop test never covers this). Inject the
+    race right after the first snapshot read; the fixed code commits
+    with base = that snapshot's version, hits the conflict, and retries
+    against the evolved schema."""
+    lake.create_table("t", SCHEMA)
+    lake.insert("t", _df(spark, 0, 10))
+    t = lake.table("t")
+    orig_snapshot = t.log.snapshot
+    orig_commit = t.log.commit
+    state = {"raced": False}
+
+    def racing_snapshot(*args, **kwargs):
+        snap = orig_snapshot(*args, **kwargs)
+        if not state["raced"]:
+            state["raced"] = True
+            orig_commit(
+                snap.version,
+                "race-col_a",
+                list(snap.schema) + [Field("col_a", "int64", True)],
+            )
+        return snap
+
+    t.log.snapshot = racing_snapshot
+    try:
+        t.add_columns([Field("col_b", "int64", True)])
+    finally:
+        t.log.snapshot = orig_snapshot
+    assert state["raced"]
+    assert {"col_a", "col_b"} <= {f.name for f in t.fields}
+
+
 def test_insert_overwrite_retry_preserves_concurrent_column(lake, spark):
     """r12 review: insert(mode='overwrite') committed the entry-time
     field list; a retry after a concurrent add_column reverted the new
