@@ -8221,6 +8221,178 @@ def gopher_quality_gates(spark, sf_dir):
     )
 
 
+# Gopher repetition thresholds (Rae et al. 2021, Table A1 "Repetition
+# removal"), in basis points: a doc FAILS a gate when its fraction
+# exceeds the threshold. top-n = fraction of characters in the most
+# frequent word n-gram; dup-n = fraction of characters covered by any
+# word n-gram that occurs more than once in the doc.
+_GOPHER_REP_GATES = [
+    ("top_2", 2, 2000, "top"),
+    ("top_3", 3, 1800, "top"),
+    ("top_4", 4, 1600, "top"),
+    ("dup_5", 5, 1500, "dup"),
+    ("dup_6", 6, 1400, "dup"),
+    ("dup_7", 7, 1300, "dup"),
+    ("dup_8", 8, 1200, "dup"),
+    ("dup_9", 9, 1100, "dup"),
+    ("dup_10", 10, 1000, "dup"),
+]
+
+
+def _gopher_rep_duck_expr(n: int, kind: str) -> str:
+    """DuckDB per-doc expression for one repetition gate, in basis
+    points over word characters (spaces excluded on both sides of the
+    ratio — integer arithmetic, so both engines agree bit-for-bit)."""
+    gs = (
+        f"CASE WHEN len(ws) >= {n} THEN list_transform("
+        f"generate_series(1, len(ws) - {n} + 1), "
+        f"i -> array_to_string(ws[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+    body = f"WITH g AS (SELECT {gs} AS gs, ws AS w)"
+    cn = "list_transform(gs, x -> len(list_filter(gs, y -> y = x)))"
+    if kind == "top":
+        return (
+            f"(SELECT CASE WHEN len(gs) = 0 THEN 0 ELSE 10000 * ("
+            f"list_max({cn}) * (len(list_min(list_filter(gs, "
+            f"x -> len(list_filter(gs, y -> y = x)) = list_max({cn})))) - {n - 1})"
+            f") // tot END FROM (SELECT {gs} AS gs) )"
+        )
+    # dup: character positions covered by any >=2-count n-gram occurrence
+    return (
+        f"(SELECT CASE WHEN len(gs) = 0 THEN 0 ELSE 10000 * "
+        f"CAST(list_aggregate(list_transform(generate_series(1, len(w)), p -> "
+        f"CASE WHEN len(list_filter(generate_series(1, len(cn)), s -> "
+        f"cn[s] >= 2 AND s <= p AND p <= s + {n - 1})) > 0 "
+        f"THEN len(w[p]) ELSE 0 END), 'sum') AS BIGINT) // tot END "
+        f"FROM (SELECT gs, {cn} AS cn, w FROM (SELECT {gs} AS gs, ws AS w)) )"
+    )
+
+
+def _gopher_rep_sql() -> str:
+    bp_cols = ",\n         ".join(
+        f"{_gopher_rep_duck_expr(n, kind)} AS {gate}"
+        for gate, n, _thr, kind in _GOPHER_REP_GATES
+    )
+    values = ", ".join(f"('{g}', {t})" for g, _n, t, _k in _GOPHER_REP_GATES)
+    case_bp = " ".join(f"WHEN '{g}' THEN {g}" for g, *_ in _GOPHER_REP_GATES)
+    return rf"""
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+sized AS (
+  SELECT source, ws, len(array_to_string(ws, '')) AS tot
+  FROM toks WHERE len(ws) > 0
+),
+per_doc AS (
+  SELECT source,
+         {bp_cols}
+  FROM sized
+),
+long AS (
+  SELECT source, g.gate, g.thr,
+         CASE g.gate {case_bp} END AS bp
+  FROM per_doc, (VALUES {values}) AS g(gate, thr)
+)
+SELECT source, gate,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN bp > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       CAST(sum(bp) AS BIGINT) AS bp_sum
+FROM long GROUP BY source, gate ORDER BY source, gate
+"""
+
+
+@query("gopher_repetition_gates", oracle=_gopher_rep_sql())
+def gopher_repetition_gates(spark, sf_dir):
+    """The REPETITION half of the published Gopher ruleset (Rae et al.
+    2021, Table A1) whose token-ratio half ``gopher_quality_gates``
+    already implements (minus the line/paragraph rules — the synthetic
+    docs are single-line, the same scoping note as the sibling): per
+    document, the character fraction of the most frequent word
+    {2,3,4}-gram and the character fraction covered by duplicated
+    {5..10}-grams, each compared to the paper's threshold, rolled up
+    per (source, gate) as fail counts plus the exact basis-point sum
+    (an integer checksum over every per-doc fraction).
+
+    100 TB shape: every gate is a pure column expression over ONE
+    tokenize pass — no explode, no join, no shuffle beyond the
+    |sources|x9-row final rollup; scan-speed and embarrassingly
+    parallel (`_scale_up` widens the under-split local fixture; at
+    100 TB it is a no-op). Per-doc work is O(L^2) array comparisons
+    with L <= doc word count (bounded here; for unbounded docs the
+    same counts come from a sorted-run-length pass, the
+    `_weighted_expand_expr` discipline). Intermediates (token array,
+    gram array, count array) are LET-BOUND via single-element
+    transform lambdas — HOFs don't codegen and CollapseProject inlines
+    projected columns, so a bare column reference inside a lambda
+    re-evaluates its whole expression per element (measured 15.7s ->
+    sub-second at sf0.1). Fractions are integer basis points (char
+    counts and floor division only — both engines agree bit-for-bit);
+    coverage positions are counted once however many duplicated
+    n-grams overlap them (interval union, not occurrence sum)."""
+    d = _load(spark, sf_dir, "documents")
+    base = _scale_up(
+        d.select("source", _text.tokens(F.col("text")).alias("ws")).filter(
+            F.size("ws") > 0
+        )
+    )
+    per_doc = base
+    for gate, n, _thr, kind in _GOPHER_REP_GATES:
+        gs_expr = (
+            f"CASE WHEN size(wsv) >= {n} THEN transform("
+            f"sequence(1, size(wsv) - {n} + 1), "
+            f"i -> array_join(slice(wsv, i, {n}), ' ')) "
+            f"ELSE array() END"
+        )
+        if kind == "top":
+            body = (
+                f"CASE WHEN size(gsv) = 0 THEN 0L ELSE 10000L * ("
+                f"array_max(cnv) * (length(array_min(transform(filter("
+                f"zip_with(gsv, cnv, (g, c) -> struct(c, g)), "
+                f"p -> p.c = array_max(cnv)), p -> p.g))) - {n - 1})"
+                f") div cast(length(concat_ws('', wsv)) AS BIGINT) END"
+            )
+        else:
+            body = (
+                f"CASE WHEN size(gsv) = 0 THEN 0L ELSE 10000L * "
+                f"aggregate(transform(sequence(1, size(wsv)), p -> "
+                f"CASE WHEN exists(sequence(1, size(cnv)), s -> "
+                f"element_at(cnv, s) >= 2 AND s <= p AND p <= s + {n - 1}) "
+                f"THEN cast(length(element_at(wsv, p)) AS BIGINT) ELSE 0L END), "
+                f"0L, (a, x) -> a + x) "
+                f"div cast(length(concat_ws('', wsv)) AS BIGINT) END"
+            )
+        bp = (
+            f"element_at(transform(array(ws), wsv -> "
+            f"element_at(transform(array({gs_expr}), gsv -> "
+            f"element_at(transform(array("
+            f"transform(gsv, x -> size(filter(gsv, y -> y = x)))"
+            f"), cnv -> {body}), 1)"
+            f"), 1)"
+            f"), 1)"
+        )
+        per_doc = per_doc.withColumn(gate, F.expr(bp))
+    stack_args = ", ".join(
+        f"'{gate}', {gate}, {gate} > {thr}L"
+        for gate, _n, thr, _k in _GOPHER_REP_GATES
+    )
+    long = per_doc.select(
+        "source",
+        F.expr(
+            f"stack({len(_GOPHER_REP_GATES)}, {stack_args}) AS (gate, bp, fail)"
+        ),
+    )
+    return (
+        long.groupBy("source", "gate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("fail"), 1).otherwise(0)).cast("long").alias("n_fail"),
+            F.sum("bp").cast("long").alias("bp_sum"),
+        )
+        .orderBy("source", "gate")
+    )
+
+
 _CHUNK_DEDUP_SQL = r"""
 WITH arr AS (
   SELECT source, regexp_extract_all(lower(text), '\w+') AS toks FROM documents
@@ -9561,6 +9733,209 @@ def bpe_merge_learn(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return _text.bpe_learn_merges(words, rounds=3).orderBy("merge_round")
+
+
+# Unigram-LM tokenizer training (Kudo 2018) — hard-EM (Viterbi) form:
+# pieces are word substrings up to _ULM_MAX_PIECE chars; words longer
+# than _ULM_MAX_WORD chars are excluded from training (documented cap —
+# it bounds the oracle's unrolled position-DP depth; real corpora cap
+# rare ultra-long tokens the same way).
+_ULM_MAX_PIECE = 4
+_ULM_MAX_WORD = 16
+_ULM_ROUNDS = 2
+
+
+def _ulm_oracle(rounds: int = _ULM_ROUNDS) -> str:
+    """Unrolled-CTE twin of ``unigram_lm_em_learn``: per EM round, a
+    position-indexed Viterbi shortest-path DP (st{r}_{k} = best
+    segmentation of each word prefix of length k, argmin tie-broken by
+    the segmentation string — the min-struct/ordered-first idiom), then
+    piece recount + micro-nat renormalization. The multiply-referenced
+    state CTEs are MATERIALIZED (the pagerank/bpe inline-blowup rule)."""
+    P, W = _ULM_MAX_PIECE, _ULM_MAX_WORD
+    body = rf"""
+WITH words AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w FROM documents
+  ) WHERE length(w) <= {W} GROUP BY w
+),
+edge_base AS MATERIALIZED (
+  SELECT word, cnt, s - 1 AS s, s - 1 + l AS e, substr(word, s, l) AS piece
+  FROM words,
+       unnest(generate_series(1, length(word))) AS t(s),
+       unnest(generate_series(1, {P})) AS u(l)
+  WHERE s + l - 1 <= length(word)
+),
+cnt0 AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS piece_count FROM edge_base GROUP BY piece
+),
+pieces0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(ln(CAST(t.total AS DOUBLE) / piece_count) * 1000000) AS BIGINT)
+           AS cost
+  FROM cnt0, (SELECT sum(piece_count) AS total FROM cnt0) t
+)"""
+    for r in range(1, rounds + 1):
+        body += f""",
+edges{r} AS MATERIALIZED (
+  SELECT e.word, e.s, e.e, e.piece, p.cost
+  FROM edge_base e JOIN pieces{r - 1} p ON p.piece = e.piece
+),
+st{r}_0 AS MATERIALIZED (
+  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS seg FROM words
+)"""
+        for k in range(1, W + 1):
+            step = f"st.seg || CASE WHEN e.s = 0 THEN '' ELSE ' ' END || e.piece"
+            body += f""",
+d{r}_{k} AS (
+  SELECT e.word, min(st.cost + e.cost) AS cost,
+         first({step} ORDER BY st.cost + e.cost, {step}) AS seg
+  FROM edges{r} e JOIN st{r}_{k - 1} st ON st.word = e.word AND st.pos = e.s
+  WHERE e.e = {k}
+  GROUP BY e.word
+),
+st{r}_{k} AS MATERIALIZED (
+  SELECT * FROM st{r}_{k - 1}
+  UNION ALL SELECT word, {k} AS pos, cost, seg FROM d{r}_{k}
+)"""
+        body += f""",
+segs{r} AS MATERIALIZED (
+  SELECT w.word, w.cnt, st.seg
+  FROM words w JOIN st{r}_{W} st ON st.word = w.word AND st.pos = length(w.word)
+),
+cnt{r} AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS piece_count
+  FROM (SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM segs{r})
+  GROUP BY piece
+),
+pieces{r} AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(ln(CAST(t.total AS DOUBLE) / piece_count) * 1000000) AS BIGINT)
+           AS cost
+  FROM cnt{r}, (SELECT sum(piece_count) AS total FROM cnt{r}) t
+)"""
+    sel = "\n  UNION ALL ".join(
+        f"(SELECT {r} AS em_round, c.piece, c.piece_count, p.cost AS cost_mnat "
+        f"FROM cnt{r} c JOIN pieces{r} p ON p.piece = c.piece "
+        f"ORDER BY c.piece_count DESC, c.piece LIMIT 10)"
+        for r in range(1, rounds + 1)
+    )
+    return body + (
+        f"\nSELECT * FROM (\n  {sel}\n) ORDER BY em_round, piece_count DESC, piece"
+    )
+
+
+@query("unigram_lm_em_learn", oracle=_ulm_oracle())
+def unigram_lm_em_learn(spark, sf_dir):
+    """Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece
+    unigram model) in hard-EM form — the EM counterpart of
+    ``bpe_merge_learn`` that completes the tokenizer-training family:
+    seed the piece vocabulary with all word substrings up to 4 chars
+    (occurrence-weighted, Kudo's init), then per EM round (2 rounds)
+    E-step = Viterbi-best segmentation of every word under the current
+    piece costs, M-step = recount pieces from the chosen segmentations
+    and renormalize. Reports the top-10 pieces per round with their
+    expected counts and micro-nat costs.
+
+    Exactness: piece costs are integer micro-nats (round(ln(total/c) *
+    1e6) on exact integer ratios — the langid/NB discipline), so
+    segmentation argmins are integer comparisons; ties break on the
+    segmentation STRING via min-struct (Spark) ≡ ordered-first (DuckDB)
+    — the r11 argmin idiom. Words over 16 chars are excluded from
+    training in both engines (bounds the oracle's unrolled DP depth).
+
+    100 TB shape: ONE corpus-sized shuffle (the word count); everything
+    after runs on the Heaps-bounded (word, cnt) table — the substring
+    lattice is a bounded explode, per-round piece costs are vocab-sized
+    broadcasts, and the Viterbi DP is a map-side HOF ``aggregate`` over
+    each word's edge array (collected once per round from a broadcast
+    join), never a per-position join cascade. The oracle pays the
+    16-position unrolled join chain instead — same semantics, shaped
+    for a planner without lambdas."""
+    P, W, R = _ULM_MAX_PIECE, _ULM_MAX_WORD, _ULM_ROUNDS
+    d = _load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_text.tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") <= W)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    edge_base = (
+        words.select(
+            "word",
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(word)), s -> "
+                    f"transform(sequence(1, least({P}, length(word) - s + 1)), "
+                    f"l -> named_struct('s', s - 1, 'e', s - 1 + l, "
+                    f"'piece', substring(word, s, l)))))"
+                )
+            ).alias("ed"),
+        )
+        .select("word", "cnt", "ed.s", "ed.e", "ed.piece")
+        .persist()
+    )
+    seg_expr = F.expr(
+        "aggregate("
+        "  sequence(1, length(word)),"
+        "  array(named_struct('cost', CAST(0 AS BIGINT), 'seg', '')),"
+        "  (acc, k) -> concat(acc, array("
+        "    array_min(transform("
+        "      filter(eds, ed -> ed.e = k"
+        "             AND element_at(acc, ed.s + 1).cost IS NOT NULL),"
+        "      ed -> named_struct("
+        "        'cost', element_at(acc, ed.s + 1).cost + ed.cost,"
+        "        'seg', concat(element_at(acc, ed.s + 1).seg,"
+        "                      CASE WHEN ed.s = 0 THEN '' ELSE ' ' END,"
+        "                      ed.piece)))))),"
+        "  acc -> element_at(acc, length(word) + 1).seg)"
+    )
+    mnat = (
+        lambda: F.round(
+            F.log(F.col("total").cast("double") / F.col("piece_count")) * 1000000
+        ).cast("long")
+    )
+    cnt_r = edge_base.groupBy("piece").agg(
+        F.sum("cnt").cast("long").alias("piece_count")
+    )
+    outs = []
+    for r in range(1, R + 1):
+        total = cnt_r.agg(F.sum("piece_count").cast("long").alias("total"))
+        pieces = cnt_r.crossJoin(F.broadcast(total)).select(
+            "piece", mnat().alias("cost")
+        )
+        eds = (
+            edge_base.join(F.broadcast(pieces), "piece")
+            .groupBy("word", "cnt")
+            .agg(F.collect_list(F.struct("s", "e", "cost", "piece")).alias("eds"))
+        )
+        segs = eds.select("word", "cnt", seg_expr.alias("seg")).filter(
+            F.col("seg").isNotNull()
+        )
+        cnt_r = (
+            segs.select("cnt", F.explode(F.split("seg", " ")).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("long").alias("piece_count"))
+            .persist()
+        )
+        total_r = cnt_r.agg(F.sum("piece_count").cast("long").alias("total"))
+        outs.append(
+            cnt_r.crossJoin(F.broadcast(total_r))
+            .select(
+                F.lit(r).alias("em_round"),
+                "piece",
+                "piece_count",
+                mnat().alias("cost_mnat"),
+            )
+            .orderBy(F.col("piece_count").desc(), "piece")
+            .limit(10)
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("em_round", F.col("piece_count").desc(), "piece")
 
 
 def _lpa_oracle(rounds: int = 3) -> str:

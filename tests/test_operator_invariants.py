@@ -2035,3 +2035,88 @@ def test_simhash_short_docs_emit_no_pairs(spark, tmp_path):
     )
     got = D.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
     assert got == []
+
+
+def test_gopher_repetition_gates_hand_computed(spark, tmp_path):
+    """Pin the repetition-gate arithmetic on crafted docs (the synthetic
+    corpus has near-zero dup-n signal, so parity alone under-tests the
+    dup path):
+
+    - doc 0: 'a b c d e a b c d e x' — the 5-gram 'a b c d e' occurs
+      twice, covering word positions 1..10 of 11; every word is 1 char,
+      so dup_5 = 10000*10 div 11 = 9090.
+    - doc 1: 'a a a a a a a' — all three 5-gram occurrences are the
+      same gram; coverage is an interval UNION (all 7 positions =
+      10000), not an occurrence sum (15/7 of the chars would exceed 1).
+    - doc 0 top_2: 'a b' occurs twice (as do 3 other grams; 'a b' wins
+      the lexicographic tie-break), chars = 2*2 of 11 -> 3636.
+    """
+    rows = [
+        (0, "a b c d e a b c d e x", "en", "s", 21),
+        (1, "a a a a a a a", "en", "s", 13),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.source, r.gate): (r.n_docs, r.n_fail, r.bp_sum)
+        for r in qlib._REGISTRY["gopher_repetition_gates"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # doc0 dup_5 = 9090, doc1 dup_5 = 10000 (union, not 15/7 of chars)
+    assert got[("s", "dup_5")] == (2, 2, 19090)
+    # doc1's 7 positions are all covered at n=6 (two identical 6-grams);
+    # doc0 has no duplicated 6-gram.
+    assert got[("s", "dup_6")] == (2, 1, 10000)
+    # n=7: doc1 has exactly ONE 7-gram — no duplication; n=8..10: no
+    # n-grams at all -> bp 0 by contract.
+    assert got[("s", "dup_7")] == (2, 0, 0)
+    assert got[("s", "dup_8")] == (2, 0, 0)
+    assert got[("s", "dup_10")] == (2, 0, 0)
+    # doc0 top_2: max count 2, tie-broken to 'a b' (3 chars incl space
+    # -> 2 word chars) = 10000*2*2 div 11 = 3636; doc1 top_2: 'a a' x6
+    # = 10000*6*2 div 7 = 17142 (fails the 2000 bp threshold).
+    assert got[("s", "top_2")] == (2, 2, 3636 + 17142)
+    ora = {
+        (s, g): (nd, nf, bp)
+        for s, g, nd, nf, bp in _oracle_rows(
+            "gopher_repetition_gates", str(tmp_path), ["documents"]
+        )
+    }
+    assert ora == got
+
+
+def test_unigram_lm_em_hand_computed(spark, tmp_path):
+    """Pin the Viterbi hard-EM on a corpus where the best segmentations
+    are hand-derivable: 'aa' must segment as 'a a' (two cheap singles
+    beat one rare pair) while 'abab' must survive as one piece (the
+    4-char piece beats every split under seed costs). A 20-char word is
+    excluded from training by the length cap. Costs are checked to the
+    exact micro-nat against math.log. DuckDB oracle must agree."""
+    import math
+
+    text = "aa aa aa b abab abab abab " + "a" * 20
+    spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        (r.em_round, r.piece, r.piece_count, r.cost_mnat)
+        for r in qlib._REGISTRY["unigram_lm_em_learn"](spark, str(tmp_path)).collect()
+    ]
+    mn = lambda t, c: round(math.log(t / c) * 1e6)
+    # E-step under seed costs: 'aa' -> 'a a' (2x a = 2407946 beats
+    # aa = 2590267), 'abab' -> 'abab' (2590267 beats ab+ab = 3794240
+    # and a+b+a+b = 5893884); the 20-a word contributes nothing.
+    r1 = [
+        (1, "a", 6, mn(10, 6)),
+        (1, "abab", 3, mn(10, 3)),
+        (1, "b", 1, mn(10, 1)),
+    ]
+    # Round 2 re-segments under round-1 costs; choices are stable.
+    r2 = [(2, p, c, w) for (_r, p, c, w) in r1]
+    assert got == r1 + r2
+    assert got == _oracle_rows(
+        "unigram_lm_em_learn", str(tmp_path), ["documents"]
+    )
