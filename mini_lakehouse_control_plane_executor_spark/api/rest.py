@@ -204,7 +204,13 @@ class LakehouseRestServer:
             "version": snap.version,
             "schema": _fields_to_api(snap.schema),
             "files": [
-                {"path": f.path, "rows": f.rows, "size": f.size, "partition": f.partition}
+                {
+                    "path": f.path,
+                    "rows": f.rows,
+                    "size": f.size,
+                    "partition": f.partition,
+                    "dv_rows": f.dv_rows,
+                }
                 for f in snap.files
             ],
             "file_count": len(snap.files),

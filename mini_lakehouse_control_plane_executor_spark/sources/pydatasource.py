@@ -83,6 +83,7 @@ def _pa_types():
 @dataclass
 class _FilePartition(InputPartition):
     path: str
+    dv_path: str | None = None  # deletion vector to apply, if any
 
 
 _SOUNDEX_MAP = "01230127022455012623017202"  # A..Z; 0=vowel reset, 7=H/W skip
@@ -283,8 +284,11 @@ class _MinilakeReader(DataSourceReader):
 
     def partitions(self):
         # One input partition per snapshot file — the reference's
-        # one-map-task-per-file plan (query_planner.go:141-160).
-        return [_FilePartition(f.path) for f in self._files]
+        # one-map-task-per-file plan (query_planner.go:141-160). The
+        # file's deletion vector (if any) rides along so each task can
+        # apply its own deleted-position set — the per-file bitmap
+        # application that scales where a join-side dv would not.
+        return [_FilePartition(f.path, f.dv_path) for f in self._files]
 
     def read(self, partition: _FilePartition):
         import os
@@ -294,6 +298,19 @@ class _MinilakeReader(DataSourceReader):
 
         pa_types = _pa_types()
         fields = self._schema_fields
+        deleted: set[int] = set()
+        if partition.dv_path:
+            import pyarrow.compute as pc
+
+            dvt = pq.read_table(
+                os.path.join(self._table_dir, partition.dv_path),
+                columns=["src", "pos"],
+            )
+            mask = pc.equal(
+                dvt.column("src"), os.path.basename(partition.path)
+            )
+            deleted = set(dvt.filter(mask).column("pos").to_pylist())
+        offset = 0
         pf = pq.ParquetFile(os.path.join(self._table_dir, partition.path))
         present = [f.name for f in fields if f.name in pf.schema_arrow.names]
         for batch in pf.iter_batches(columns=present):
@@ -305,7 +322,15 @@ class _MinilakeReader(DataSourceReader):
                 else pa.nulls(batch.num_rows, type=pa_types[f.type])
                 for f in fields
             ]
-            yield pa.RecordBatch.from_arrays(arrays, [f.name for f in fields])
+            out = pa.RecordBatch.from_arrays(arrays, [f.name for f in fields])
+            if deleted:
+                keep = [
+                    i for i in range(out.num_rows) if offset + i not in deleted
+                ]
+                if len(keep) < out.num_rows:
+                    out = out.take(pa.array(keep, type=pa.int64()))
+            offset += batch.num_rows
+            yield out
 
 
 class MinilakeDataSource(DataSource):
@@ -411,12 +436,18 @@ class _MinilakeStreamReader(SimpleDataSourceStreamReader):
         names = [f.name for f in self._fields]
         for v in range(v0 + 1, v1 + 1):
             entry = log.read_entry(v)
-            if entry.removes:
+            # A deletion-vector update re-adds an EXISTING path with a dv
+            # pointer (merge-on-read DELETE) — no new rows; emitting its
+            # adds would replay the whole file. Same non-append contract
+            # as removes. (Fresh appends never carry a dv.)
+            dv_update = any(a.dv_path for a in entry.adds)
+            if entry.removes or dv_update:
                 if self._ignore_changes:
                     continue
                 raise ValueError(
                     f"minilake stream: version {v} is not append-only "
-                    f"({len(entry.removes)} removes — rewrite/delete/compaction). "
+                    f"({len(entry.removes)} removes, dv_update={dv_update} — "
+                    "rewrite/delete/compaction). "
                     "Set ignoreChanges=true to skip non-append commits."
                 )
             for add in entry.adds:

@@ -186,6 +186,16 @@ class LakehouseSession:
                 partition=dict(f.partition),
                 min_values=dict(f.min_values),
                 max_values=dict(f.max_values),
+                # Deletion vectors are part of the referenced snapshot:
+                # absolutize their paths exactly like the data files.
+                dv_path=(
+                    None
+                    if f.dv_path is None
+                    else f.dv_path
+                    if os.path.isabs(f.dv_path)
+                    else os.path.join(src.dir, f.dv_path)
+                ),
+                dv_rows=f.dv_rows,
             )
             for f in snap.files
         ]
@@ -508,7 +518,8 @@ class LakehouseSession:
             return {
                 "input_files": len(files),
                 "input_bytes": sum(f.size for f in files),
-                "input_rows": sum(f.rows for f in files),
+                # live rows: physical minus deletion-vector'd
+                "input_rows": sum(f.rows - f.dv_rows for f in files),
             }
         except Exception:
             return {}

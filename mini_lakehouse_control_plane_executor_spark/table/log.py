@@ -83,19 +83,31 @@ class FileAdd:
     partition: dict[str, str] = field(default_factory=dict)
     min_values: dict[str, object] = field(default_factory=dict)
     max_values: dict[str, object] = field(default_factory=dict)
+    # Deletion vector (merge-on-read DELETE, the public Delta/Iceberg
+    # design): a parquet file of (src=data-file basename, pos=row index)
+    # whose positions are invisible at read time. ``rows`` stays the
+    # PHYSICAL row count; live rows = rows - dv_rows. min/max stats stay
+    # sound for pruning (deleting rows can only narrow the true range,
+    # so the stored range remains an over-approximation).
+    dv_path: str | None = None
+    dv_rows: int = 0
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "rows": self.rows,
             "size": self.size,
             "partition": self.partition,
             "stats": {"min_values": self.min_values, "max_values": self.max_values},
         }
+        if self.dv_path is not None:
+            d["dv"] = {"path": self.dv_path, "rows": self.dv_rows}
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "FileAdd":
         stats = d.get("stats") or {}
+        dv = d.get("dv") or {}
         return FileAdd(
             path=d["path"],
             rows=d.get("rows", 0),
@@ -103,6 +115,8 @@ class FileAdd:
             partition=d.get("partition") or {},
             min_values=stats.get("min_values") or {},
             max_values=stats.get("max_values") or {},
+            dv_path=dv.get("path"),
+            dv_rows=dv.get("rows", 0),
         )
 
 
@@ -453,8 +467,19 @@ class TransactionLog:
             for rm in removes:
                 if rm not in have:
                     raise CommitValidationError(f"remove of unknown file {rm!r}")
+            pre_by_path = {f.path: f for f in pre.files}
             for add in adds:
                 if add.path in have:
+                    # Deletion-vector metadata update: re-adding an
+                    # existing path is legal iff it CHANGES the dv
+                    # pointer — attach (merge-on-read delete), swap
+                    # (a later delete supersedes the dv), or detach
+                    # (RESTORE to a pre-delete version). Replay replaces
+                    # by path key, so the entry swaps only the metadata.
+                    # An identical re-add is still the reference's
+                    # add-of-existing-file error.
+                    if add.dv_path != pre_by_path[add.path].dv_path:
+                        continue
                     raise CommitValidationError(f"add of existing file {add.path!r}")
 
         # Monotone commit timestamps: wall clocks can step backwards (NTP,

@@ -307,6 +307,7 @@ class LakehouseTable:
         self.dir = os.path.join(root, "tables", name)
         self.data_dir = os.path.join(self.dir, "data")
         self.tmp_dir = os.path.join(self.dir, "_tmp")
+        self.dv_dir = os.path.join(self.dir, "_dv")
         self.log = TransactionLog(self.dir)
 
     # -- lifecycle -----------------------------------------------------
@@ -749,25 +750,46 @@ class LakehouseTable:
             self._remove_adds(adds)
             raise
 
-    def delete(self, filter_str: str, txn_id: str | None = None) -> tuple[int | None, int]:
-        """Copy-on-write DELETE: rows matching ``filter_str`` (reference
-        grammar or any SQL predicate) are removed by rewriting ONLY the
-        files whose min/max stats admit matches — untouched files carry
-        over by reference, exactly Delta's DELETE dataflow. Returns
-        (new_version | None, rows_deleted); no version is committed when
-        nothing matches. Old versions remain readable (the rewrite adds
-        files and removes files; it never mutates them).
+    def delete(
+        self,
+        filter_str: str,
+        txn_id: str | None = None,
+        mode: str = "copy-on-write",
+    ) -> tuple[int | None, int]:
+        """DELETE rows matching ``filter_str`` (reference grammar or any
+        SQL predicate). Returns (new_version | None, rows_deleted); no
+        version is committed when nothing matches. Old versions remain
+        readable in both modes (commits add/replace log entries; they
+        never mutate data files).
+
+        ``mode='copy-on-write'`` (default, Delta's DELETE dataflow):
+        files whose min/max stats admit matches are REWRITTEN without
+        the matching rows; untouched files carry over by reference.
+        Write amplification = the full size of every touched file.
+
+        ``mode='merge-on-read'``: no data file is rewritten — the
+        matching (file, row-position) pairs are written as a DELETION
+        VECTOR (the public Delta/Iceberg merge-on-read design) and the
+        affected files re-committed with the dv pointer attached; reads
+        apply the dv as an anti-join, and compaction materializes it
+        (rewrites the file without the deleted rows, clearing the dv).
+        The write-amplification lever a selective DELETE over 100 TB
+        needs: the commit costs O(deleted rows), not O(touched bytes).
 
         The reference stubs DeleteTable and has no row deletes
         (``rest_api.go:676-687``); this is beyond-reference surface.
         """
         from mini_lakehouse_control_plane_executor_spark.functions.filters import parse_filter, prune_files
 
+        if mode not in ("copy-on-write", "cow", "merge-on-read", "mor"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         pred = parse_filter(filter_str)
         txn_id = txn_id or f"delete-{uuid.uuid4()}"
         prior = self.log.find_txn(txn_id)
         if prior is not None:
             return prior, 0
+        if mode in ("merge-on-read", "mor"):
+            return self._delete_mor(pred, filter_str, txn_id)
 
         for attempt in range(COMMIT_MAX_RETRIES + 1):
             snap = self.log.snapshot()
@@ -775,8 +797,11 @@ class LakehouseTable:
             if not candidates:
                 return None, 0
             schema = to_spark_schema(snap.schema)
-            paths = [os.path.join(self.dir, f.path) for f in candidates]
-            src = self.spark.read.schema(schema).parquet(*paths)
+            # Deletion vectors of candidate files apply here too: a
+            # copy-on-write rewrite of a dv-carrying file must not
+            # resurrect its already-deleted rows (and the rewrite
+            # materializes the dv — the new add carries none).
+            src = self._scan_files(candidates, schema)
             n_match = src.filter(pred).count()
             if n_match == 0:
                 return None, 0
@@ -802,6 +827,86 @@ class LakehouseTable:
                 # Concurrent commit: drop our rewrite and re-plan against
                 # the fresh snapshot (same loop as compaction).
                 self._remove_adds(adds)
+                time.sleep(0.01 * (attempt + 1))
+        raise CommitRetriesExhausted(
+            f"delete on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races"
+        )
+
+    def _delete_mor(
+        self, pred, filter_str: str, txn_id: str
+    ) -> tuple[int | None, int]:
+        """Merge-on-read DELETE body: compute matching live row
+        positions, union them with the affected files' existing dv
+        positions into ONE new dv parquet, and commit the affected
+        FileAdds with the new dv pointer (adds-only — log.commit allows
+        re-adding an existing path when it swaps the dv). Matches are
+        computed on the dv-APPLIED scan, so re-deleting an
+        already-deleted row can never double-count."""
+        from dataclasses import replace as _dc_replace
+
+        from mini_lakehouse_control_plane_executor_spark.functions.filters import prune_files
+
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            snap = self.log.snapshot()
+            candidates = prune_files(snap.files, filter_str, snap.schema)
+            if not candidates:
+                return None, 0
+            schema = to_spark_schema(snap.schema)
+            live = self._scan_files(candidates, schema, with_positions=True)
+            matches = (
+                live.filter(pred)
+                .select(F.col("_src").alias("src"), F.col("_pos").alias("pos"))
+                .persist()
+            )
+            try:
+                new_counts = {
+                    r["src"]: r["n"]
+                    for r in matches.groupBy("src")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }  # bounded by |candidate files|
+                if not new_counts:
+                    return None, 0
+                by_name = {os.path.basename(f.path): f for f in candidates}
+                affected = [by_name[s] for s in sorted(new_counts)]
+                dv_df = matches
+                carry = [f for f in affected if f.dv_path]
+                if carry:
+                    # The new dv supersedes the old ones for these files:
+                    # union the existing deleted positions in.
+                    dv_df = dv_df.unionByName(self._dv_rows(carry))
+                stage = os.path.join(self.tmp_dir, f"dv-{txn_id}-a{attempt}")
+                dv_df.coalesce(1).write.mode("overwrite").parquet(stage)
+                os.makedirs(self.dv_dir, exist_ok=True)
+                part = next(
+                    f
+                    for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                )
+                dv_name = f"dv-{uuid.uuid4()}.parquet"
+                shutil.move(
+                    os.path.join(stage, part), os.path.join(self.dv_dir, dv_name)
+                )
+                shutil.rmtree(stage, ignore_errors=True)
+                rel_dv = os.path.join("_dv", dv_name)
+                adds = [
+                    _dc_replace(
+                        f,
+                        dv_path=rel_dv,
+                        dv_rows=f.dv_rows + new_counts[os.path.basename(f.path)],
+                    )
+                    for f in affected
+                ]
+            finally:
+                matches.unpersist()
+            try:
+                version = self.log.commit(snap.version, txn_id, snap.schema, adds, [])
+                return version, sum(new_counts.values())
+            except CommitConflictError:
+                try:
+                    os.remove(os.path.join(self.dv_dir, dv_name))
+                except OSError:
+                    pass
                 time.sleep(0.01 * (attempt + 1))
         raise CommitRetriesExhausted(
             f"delete on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races"
@@ -833,8 +938,9 @@ class LakehouseTable:
             if not candidates:
                 return None, 0
             schema = to_spark_schema(snap.schema)
-            paths = [os.path.join(self.dir, f.path) for f in candidates]
-            src = self.spark.read.schema(schema).parquet(*paths)
+            # dv-aware: the rewrite must not resurrect deleted rows, and
+            # it materializes any dv on the touched files.
+            src = self._scan_files(candidates, schema)
             n_match = src.filter(pred).count()
             if n_match == 0:
                 return None, 0
@@ -984,11 +1090,9 @@ class LakehouseTable:
                 n_updated = 0
                 adds: list[FileAdd] = []
                 stage = os.path.join(self.tmp_dir, txn_id)
-                if candidates:
-                    paths = [os.path.join(self.dir, f.path) for f in candidates]
-                    cur = self.spark.read.schema(schema).parquet(*paths)
-                else:
-                    cur = self.spark.createDataFrame([], schema)
+                # dv-aware (and [] returns an empty frame): the rewrite
+                # must not resurrect deleted rows of dv-carrying files.
+                cur = self._scan_files(candidates, schema)
                 src_keys = source.select(key).distinct()
                 if candidates:
                     n_updated = cur.join(src_keys, key, "left_semi").count()
@@ -1255,6 +1359,85 @@ class LakehouseTable:
     def snapshot(self, version: int | None = None) -> Snapshot:
         return self.log.snapshot(version)
 
+    # -- deletion-vector-aware scans ------------------------------------
+
+    def _abs(self, path: str) -> str:
+        # Shallow-clone FileAdds carry absolute paths; os.path.join
+        # passes an absolute second argument through unchanged.
+        return os.path.join(self.dir, path)
+
+    def _dv_rows(self, files: list[FileAdd]) -> DataFrame:
+        """Deleted (src=data-file basename, pos=row index) rows for the
+        given dv-carrying files. Reading the UNION of their dv files and
+        filtering src to the requested basenames is sound even when a dv
+        file is shared across commits: a file's deleted-position set
+        only GROWS until compaction materializes it (every new dv unions
+        the old positions), so stale entries for a src in an older dv
+        file are always a subset of its current set; and rewritten files
+        get fresh uuid basenames, so a name never maps to two files."""
+        names = [os.path.basename(f.path) for f in files]
+        paths = sorted({self._abs(f.dv_path) for f in files})
+        return (
+            self.spark.read.schema("src string, pos long")
+            .parquet(*paths)
+            .where(F.col("src").isin(names))
+        )
+
+    def _scan_files(
+        self, files: list[FileAdd], schema, with_positions: bool = False
+    ) -> DataFrame:
+        """Scan a file list with deletion vectors APPLIED: plain files
+        read directly; dv-carrying files read with parquet row indexes
+        (``_metadata.row_index``) and anti-joined against their deleted
+        positions. The dv side broadcasts — it is bounded by
+        deleted-but-not-yet-materialized rows, and compaction exists
+        precisely to keep that bounded (at larger dv volumes the
+        per-file bitmap application in sources/pydatasource.py is the
+        shape to scale, as Delta's DV readers do).
+
+        ``with_positions=True`` keeps ``_src`` (file basename) and
+        ``_pos`` (row index) columns on every row — the merge-on-read
+        delete path uses them to build new dv entries."""
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+            if with_positions:
+                df = df.withColumn("_src", F.lit(None).cast("string")).withColumn(
+                    "_pos", F.lit(None).cast("long")
+                )
+            return df
+
+        def _scan(fs: list[FileAdd], need_meta: bool) -> DataFrame:
+            df = self.spark.read.schema(schema).parquet(
+                *[self._abs(f.path) for f in fs]
+            )
+            if need_meta:
+                df = df.withColumn(
+                    "_src",
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+                ).withColumn("_pos", F.col("_metadata.row_index"))
+            return df
+
+        plain = [f for f in files if not f.dv_path]
+        dvd = [f for f in files if f.dv_path]
+        parts = []
+        if plain:
+            parts.append(_scan(plain, with_positions))
+        if dvd:
+            df = _scan(dvd, True)
+            dv = self._dv_rows(dvd)
+            df = df.join(
+                F.broadcast(dv),
+                (df["_src"] == dv["src"]) & (df["_pos"] == dv["pos"]),
+                "left_anti",
+            )
+            if not with_positions:
+                df = df.drop("_src", "_pos")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(
         self,
         version: int | None = None,
@@ -1285,10 +1468,7 @@ class LakehouseTable:
             from mini_lakehouse_control_plane_executor_spark.functions.filters import prune_files
 
             files = prune_files(files, prune_filter, snap.schema)
-        paths = [os.path.join(self.dir, f.path) for f in files]
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._scan_files(files, schema)
 
     def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Change-data-feed read: the multiset row difference between two
@@ -1311,20 +1491,33 @@ class LakehouseTable:
             raise ValueError(f"v_from must be >= 0, got {v_from}")
         new_snap = self.log.snapshot(v_to)
         schema = to_spark_schema(new_snap.schema)
-        old_paths = (
-            set() if v_from == 0 else {f.path for f in self.log.snapshot(v_from).files}
+        old_files = [] if v_from == 0 else self.log.snapshot(v_from).files
+
+        # A file is "changed" when its (path, dv) PAIR differs — a
+        # merge-on-read delete keeps the path but swaps the deletion
+        # vector, and its deleted rows must surface in the diff. Both
+        # sides scan dv-AWARE (each with its own version's dv), so rows
+        # live in both versions cancel in the multiset difference and a
+        # dv-only change nets exactly the newly-deleted rows.
+        def _key(f: FileAdd):
+            return (f.path, f.dv_path)
+
+        old_keys = {_key(f) for f in old_files}
+        new_keys = {_key(f) for f in new_snap.files}
+        old_only = self._scan_files(
+            sorted(
+                (f for f in old_files if _key(f) not in new_keys),
+                key=lambda f: f.path,
+            ),
+            schema,
         )
-        new_paths = {f.path for f in new_snap.files}
-
-        def _scan(paths: list[str]) -> DataFrame:
-            if not paths:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.dir, p) for p in paths]
-            )
-
-        old_only = _scan(sorted(old_paths - new_paths))
-        new_only = _scan(sorted(new_paths - old_paths))
+        new_only = self._scan_files(
+            sorted(
+                (f for f in new_snap.files if _key(f) not in old_keys),
+                key=lambda f: f.path,
+            ),
+            schema,
+        )
         # Columns added between versions read as NULL from old files
         # (parquet schema merge by name), so the diff is well-typed
         # under additive evolution.
@@ -1363,26 +1556,39 @@ class LakehouseTable:
         versions = self.log.list_versions()
         retained = versions[-retain_versions:]
         referenced: set[str] = set()
+        referenced_dv: set[str] = set()
         for v in retained:
-            referenced.update(self.log.snapshot(v).file_paths)
+            snap = self.log.snapshot(v)
+            referenced.update(snap.file_paths)
+            referenced_dv.update(f.dv_path for f in snap.files if f.dv_path)
         now = time.time()
         deleted_files = freed_bytes = 0
-        for fname in os.listdir(self.data_dir):
-            if os.path.join("data", fname) in referenced:
-                continue
-            full = os.path.join(self.data_dir, fname)
-            try:
-                st = os.stat(full)
-            except FileNotFoundError:
-                continue
-            if now - st.st_mtime < min_age_seconds:
-                continue  # possibly a concurrent writer's in-flight file
-            try:
-                os.remove(full)
-                deleted_files += 1
-                freed_bytes += st.st_size
-            except FileNotFoundError:
-                pass
+
+        def _sweep_dir(dirpath: str, prefix: str, keep: set[str]) -> None:
+            nonlocal deleted_files, freed_bytes
+            if not os.path.isdir(dirpath):
+                return
+            for fname in os.listdir(dirpath):
+                if os.path.join(prefix, fname) in keep:
+                    continue
+                full = os.path.join(dirpath, fname)
+                try:
+                    st = os.stat(full)
+                except FileNotFoundError:
+                    continue
+                if now - st.st_mtime < min_age_seconds:
+                    continue  # possibly a concurrent writer's in-flight file
+                try:
+                    os.remove(full)
+                    deleted_files += 1
+                    freed_bytes += st.st_size
+                except FileNotFoundError:
+                    pass
+
+        _sweep_dir(self.data_dir, "data", referenced)
+        # Deletion-vector files unreferenced by every retained version
+        # (superseded by a later dv, or materialized by compaction).
+        _sweep_dir(self.dv_dir, "_dv", referenced_dv)
         removed_tmp = 0
         for dname in os.listdir(self.tmp_dir):
             full = os.path.join(self.tmp_dir, dname)
@@ -1436,20 +1642,29 @@ class LakehouseTable:
         whole snapshot."""
         pool = files if files is not None else snap.files
         small = [f for f in pool if f.size < COMPACT_MIN_FILE_SIZE]
-        if len(small) < COMPACT_MIN_CANDIDATES:
-            return []
         groups: list[list[FileAdd]] = []
-        cur: list[FileAdd] = []
-        cur_size = 0
-        for f in sorted(small, key=lambda f: f.path):
-            if cur and cur_size + f.size > COMPACT_TARGET_FILE_SIZE:
+        if len(small) >= COMPACT_MIN_CANDIDATES:
+            cur: list[FileAdd] = []
+            cur_size = 0
+            for f in sorted(small, key=lambda f: f.path):
+                if cur and cur_size + f.size > COMPACT_TARGET_FILE_SIZE:
+                    groups.append(cur)
+                    cur, cur_size = [], 0
+                cur.append(f)
+                cur_size += f.size
+            if len(cur) >= 2:
                 groups.append(cur)
-                cur, cur_size = [], 0
-            cur.append(f)
-            cur_size += f.size
-        if len(cur) >= 2:
-            groups.append(cur)
-        return [g for g in groups if len(g) >= 2]
+            groups = [g for g in groups if len(g) >= 2]
+        # A file carrying a deletion vector is ALWAYS a candidate
+        # (singleton group allowed): its rewrite is what materializes
+        # the dv — the merge-on-read contract's second half.
+        grouped = {f.path for g in groups for f in g}
+        groups.extend(
+            [f]
+            for f in sorted(pool, key=lambda f: f.path)
+            if f.dv_path and f.path not in grouped
+        )
+        return groups
 
     def compact(
         self,
@@ -1513,9 +1728,11 @@ class LakehouseTable:
             stage = os.path.join(self.tmp_dir, txn)
             schema = to_spark_schema(snap.schema)
             for gi, group in enumerate(groups):
-                paths = [os.path.join(self.dir, f.path) for f in group]
                 out = os.path.join(stage, f"g{gi}")
-                df = self.spark.read.schema(schema).parquet(*paths)
+                # dv-aware: compaction is what MATERIALIZES deletion
+                # vectors — the rewrite drops the deleted rows and the
+                # fresh adds carry no dv.
+                df = self._scan_files(group, schema)
                 if cluster_by or zorder_by:
                     n_out = max(
                         1,
@@ -1560,9 +1777,10 @@ class LakehouseTable:
             return prior
         target = self.log.snapshot(version)  # raises on unknown version
         missing = [
-            f.path
+            p
             for f in target.files
-            if not os.path.exists(os.path.join(self.dir, f.path))
+            for p in ([f.path] + ([f.dv_path] if f.dv_path else []))
+            if not os.path.exists(os.path.join(self.dir, p))
         ]
         if missing:
             raise ValueError(
@@ -1574,7 +1792,15 @@ class LakehouseTable:
             cur = self.log.snapshot()
             cur_paths = {f.path for f in cur.files}
             tgt_paths = {f.path for f in target.files}
-            adds = [f for f in target.files if f.path not in cur_paths]
+            # Diff on the (path, dv) PAIR: a file whose deletion vector
+            # changed since the target version must be re-added with the
+            # target's dv pointer (possibly none — that UNDOES a
+            # merge-on-read delete), which log.commit allows for
+            # dv-changing re-adds.
+            cur_keys = {(f.path, f.dv_path) for f in cur.files}
+            adds = [
+                f for f in target.files if (f.path, f.dv_path) not in cur_keys
+            ]
             removes = sorted(cur_paths - tgt_paths)
             try:
                 # Constraints restore with the data (Delta versions CHECK

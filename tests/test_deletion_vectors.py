@@ -1,0 +1,260 @@
+"""Merge-on-read DELETE via deletion vectors (the public Delta/Iceberg
+design): matching row positions are committed as a per-file dv parquet
+instead of rewriting data files; reads apply the dv, compaction
+materializes it, RESTORE undoes it, vacuum reclaims superseded dv files.
+The reference has no row deletes at all (``rest_api.go:676-687``); the
+copy-on-write DELETE was already beyond-reference surface, and this adds
+the write-amplification lever a selective 100 TB DELETE needs."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_lakehouse_control_plane_executor_spark.table.schema import Field
+
+SCHEMA = [Field("k", "int64"), Field("v", "string"), Field("x", "float64")]
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        (F.col("id") * 1.5).alias("x"),
+    )
+
+
+def _mk(lake, spark, n=100, name="t"):
+    lake.create_table(name, SCHEMA)
+    lake.insert(name, _df(spark, 0, n))
+    return lake.table(name)
+
+
+def test_mor_delete_basics(lake, spark):
+    """Rows disappear, data files stay byte-identical (only a dv commit
+    lands), time travel still sees the pre-delete rows, and the snapshot
+    keeps the SAME path with the dv pointer attached."""
+    t = _mk(lake, spark)
+    pre = t.snapshot()
+    sizes = {
+        f.path: os.path.getsize(os.path.join(t.dir, f.path)) for f in pre.files
+    }
+    v, n = t.delete("k < 10", mode="merge-on-read")
+    assert n == 10 and v == pre.version + 1
+    assert t.read().count() == 90
+    assert t.read().filter(F.col("k") < 10).count() == 0
+    assert t.read(version=pre.version).count() == 100  # time travel intact
+    post = t.snapshot()
+    assert {f.path for f in post.files} == {f.path for f in pre.files}
+    for f in post.files:
+        # physical files untouched
+        assert os.path.getsize(os.path.join(t.dir, f.path)) == sizes[f.path]
+    dv = [f for f in post.files if f.dv_path]
+    assert dv and sum(f.dv_rows for f in dv) == 10
+    assert all(f.rows >= f.dv_rows for f in dv)
+
+
+def test_mor_delete_accumulates(lake, spark):
+    """A second merge-on-read delete unions positions into a NEW dv file
+    (monotone per-file growth) and never recounts already-deleted rows."""
+    t = _mk(lake, spark)
+    _, n1 = t.delete("k < 10", mode="mor")
+    first_dvs = {f.path: f.dv_path for f in t.snapshot().files if f.dv_path}
+    # overlapping predicate: k < 15 matches 5 LIVE rows only
+    _, n2 = t.delete("k < 15", mode="mor")
+    assert (n1, n2) == (10, 5)
+    assert t.read().count() == 85
+    post = {f.path: f for f in t.snapshot().files if f.dv_path}
+    for path, f in post.items():
+        if path in first_dvs:
+            assert f.dv_path != first_dvs[path]  # superseded, not mutated
+    assert sum(f.dv_rows for f in post.values()) == 15
+
+
+def test_mor_delete_null_predicate_semantics(lake, spark):
+    """SQL DELETE semantics: only predicate-TRUE rows are deleted; rows
+    where it evaluates NULL survive."""
+    lake.create_table("t", SCHEMA)
+    rows = [(1, "a", 1.0), (2, None, 2.0), (3, "b", 3.0)]
+    lake.insert("t", lake.spark.createDataFrame(rows, "k long, v string, x double"))
+    t = lake.table("t")
+    _, n = t.delete("v = 'a'", mode="mor")
+    assert n == 1
+    assert sorted(r.k for r in t.read().collect()) == [2, 3]
+
+
+def test_mor_delete_idempotent_and_no_match(lake, spark):
+    t = _mk(lake, spark, n=20)
+    v1, n1 = t.delete("k < 5", txn_id="del-1", mode="mor")
+    v2, n2 = t.delete("k < 5", txn_id="del-1", mode="mor")
+    assert (v1, n1) == (v2, 0 if n2 == 0 else n2) or v1 == v2
+    assert t.read().count() == 15
+    assert t.delete("k > 1000", mode="mor") == (None, 0)
+
+
+def test_cow_delete_respects_existing_dv(lake, spark):
+    """A copy-on-write delete over a dv-carrying file must not resurrect
+    its deleted rows — the rewrite materializes the dv of every file it
+    TOUCHES (untouched files rightly keep theirs: stats-pruning scopes
+    the rewrite)."""
+    t = _mk(lake, spark)
+    t.delete("k < 10", mode="mor")
+    # Overlapping predicate: forces the rewrite onto dv-carrying files.
+    t.delete("k < 20", mode="copy-on-write")
+    assert t.read().count() == 80
+    assert t.read().filter(F.col("k") < 20).count() == 0
+    # Every file whose stats admitted k<20 was rewritten dv-free; a
+    # file that still carries a dv must not contain any k<10 rows.
+    for f in t.snapshot().files:
+        if f.dv_path:
+            assert not (
+                f.min_values.get("k") is not None and f.min_values["k"] < 10
+            )
+
+
+def test_update_respects_and_materializes_dv(lake, spark):
+    t = _mk(lake, spark)
+    t.delete("k < 10", mode="mor")
+    _, n = t.update("k >= 0", {"x": "x + 1000"})
+    assert n == 90  # live rows only
+    out = t.read()
+    assert out.count() == 90
+    assert out.filter(F.col("x") < 1000).count() == 0
+    assert all(f.dv_path is None for f in t.snapshot().files)
+
+
+def test_merge_respects_dv(lake, spark):
+    t = _mk(lake, spark, n=20)
+    t.delete("k < 5", mode="mor")
+    src = _df(spark, 0, 10)  # keys 0..4 are dv-deleted -> inserts
+    version, n_upd, n_ins = t.merge(src, key="k")
+    assert (n_upd, n_ins) == (5, 5)
+    assert t.read().count() == 20
+
+
+def test_compact_materializes_dv(lake, spark):
+    """Compaction rewrites dv-carrying files (singleton groups allowed),
+    drops the deleted rows physically, clears the dv pointer — and the
+    pre-compaction version still reads dv-applied (P30)."""
+    t = _mk(lake, spark)
+    t.delete("k % 2 = 0", mode="mor")
+    v_pre = t.log.latest_version()
+    assert t.read().count() == 50
+    v = t.compact()
+    assert v is not None
+    post = t.snapshot()
+    assert all(f.dv_path is None for f in post.files)
+    assert t.read().count() == 50
+    assert t.read(version=v_pre).count() == 50
+    assert sum(f.rows for f in post.files) == 50  # physically dropped
+
+
+def test_restore_undoes_mor_delete(lake, spark):
+    t = _mk(lake, spark)
+    v_pre = t.log.latest_version()
+    t.delete("k < 50", mode="mor")
+    assert t.read().count() == 50
+    t.restore(v_pre)
+    assert t.read().count() == 100
+    assert all(f.dv_path is None for f in t.snapshot().files)
+
+
+def test_diff_surfaces_dv_deleted_rows(lake, spark):
+    t = _mk(lake, spark, n=30)
+    v0 = t.log.latest_version()
+    t.delete("k < 3", mode="mor")
+    d = t.diff(v0).collect()
+    assert sorted((r.k, r._change_type) for r in d) == [
+        (0, "delete"),
+        (1, "delete"),
+        (2, "delete"),
+    ]
+
+
+def test_vacuum_dv_files(lake, spark):
+    """Superseded dv files are reclaimed; the referenced one survives."""
+    t = _mk(lake, spark)
+    t.delete("k < 10", mode="mor")
+    t.delete("k < 20", mode="mor")  # supersedes the first dv
+    referenced = {f.dv_path for f in t.snapshot().files if f.dv_path}
+    all_dv = {os.path.join("_dv", f) for f in os.listdir(t.dv_dir)}
+    assert referenced < all_dv  # a superseded dv file exists
+    t.vacuum(retain_versions=1, min_age_seconds=0.0)
+    left = {os.path.join("_dv", f) for f in os.listdir(t.dv_dir)}
+    assert left == referenced
+    assert t.read().count() == 80
+
+
+def test_clone_carries_dv(lake, spark):
+    t = _mk(lake, spark)
+    t.delete("k < 25", mode="mor")
+    lake.clone_table("t", "c")
+    c = lake.table("c")
+    assert c.read().count() == 75
+    assert c.read().filter(F.col("k") < 25).count() == 0
+
+
+def test_checkpoint_roundtrips_dv(lake, spark):
+    """dv metadata survives the checkpoint write/load path (a fresh
+    TransactionLog cold-starts from the checkpoint)."""
+    from mini_lakehouse_control_plane_executor_spark.table.log import (
+        CHECKPOINT_INTERVAL,
+        TransactionLog,
+    )
+
+    t = _mk(lake, spark, n=50)
+    t.delete("k < 5", mode="mor")
+    for i in range(CHECKPOINT_INTERVAL + 1):
+        lake.insert("t", _df(spark, 1000 + i * 10, 1000 + i * 10 + 5))
+    fresh = TransactionLog(t.dir)
+    snap = fresh.snapshot()
+    dv = [f for f in snap.files if f.dv_path]
+    assert dv and sum(f.dv_rows for f in dv) == 5
+    assert t.read().count() == 50 - 5 + (CHECKPOINT_INTERVAL + 1) * 5
+
+
+def test_pydatasource_applies_dv(lake, spark):
+    """The minilake DataSource's per-file partitions apply each file's
+    deletion vector (bitmap-style, task-local) — results must match the
+    snapshot read()."""
+    from mini_lakehouse_control_plane_executor_spark.sources.pydatasource import register
+
+    register(spark)
+    t = _mk(lake, spark)
+    t.delete("k % 3 = 0", mode="mor")
+    expect = sorted(r.k for r in t.read().collect())
+    got = sorted(
+        r.k
+        for r in spark.read.format("minilake")
+        .option("root", lake.root)
+        .option("table", "t")
+        .load()
+        .collect()
+    )
+    assert got == expect and len(got) == 66
+
+
+def test_stream_source_rejects_dv_update(lake, spark, tmp_path):
+    """A dv-update commit is NOT an append: the stream source must raise
+    without ignoreChanges (re-emitting the file would replay all rows)."""
+    from mini_lakehouse_control_plane_executor_spark.sources.pydatasource import register
+
+    register(spark)
+    t = _mk(lake, spark, n=10)
+    t.delete("k < 3", mode="mor")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("minilake-stream")
+        .option("root", lake.root)
+        .option("table", "t")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination()
+    assert "dv_update" in str(exc.value) or "append-only" in str(exc.value)

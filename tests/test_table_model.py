@@ -114,7 +114,12 @@ def test_table_agrees_with_model(spark, tmp_path_factory, ops):
                 t.insert(_df_from(spark, rows, extra_cols), mode="overwrite")
                 model = list(rows)
         elif op == "delete":
-            _, n_del = t.delete(f"k >= {a} AND k < {a + n}")
+            # Alternate copy-on-write and merge-on-read (deletion
+            # vector) by the generated offset's parity: the two modes
+            # must be row-level EQUIVALENT under every interleaving
+            # with compaction / restore / clone / update / merge.
+            mode = "merge-on-read" if a % 2 else "copy-on-write"
+            _, n_del = t.delete(f"k >= {a} AND k < {a + n}", mode=mode)
             kept = [r for r in model if not (a <= r[0] < a + n)]
             assert n_del == len(model) - len(kept)
             model = kept
