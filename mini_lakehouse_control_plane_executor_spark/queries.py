@@ -16216,19 +16216,31 @@ def _esdup_runs(spark, sf_dir):
         )
         .persist()
     )
+    # 128-bit fingerprint of the window (md5 halves, the simhash hex
+    # trick widened): the df-gate aggregate and the self-join ship a
+    # 16-byte key instead of the ~50-byte raw window string — the form
+    # you'd run at 100 TB (the r12 docstring's promised refinement,
+    # measured and kept: see BENCH_NOTES). Equality on the fingerprint
+    # is equality on the window up to md5 collision (2^-120-scale);
+    # the DuckDB oracle keeps string equality, which doubles as the
+    # collision canary.
     wins = warr.select(
         "doc_id", F.posexplode("wins").alias("pos0", "win")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "win")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.unhex(F.md5(F.col("win"))).alias("fp"),
+    )
     keep = (
-        wins.groupBy("win")
+        wins.groupBy("fp")
         .agg(F.count_distinct("doc_id").alias("dfc"))
         .filter((F.col("dfc") >= 2) & (F.col("dfc") <= _ESDUP_MAXDF))
-        .select("win")
+        .select("fp")
     )
-    g = wins.join(keep, "win")
-    a = g.select(F.col("win"), F.col("doc_id").alias("da"), F.col("pos").alias("pa"))
-    b = g.select(F.col("win"), F.col("doc_id").alias("db"), F.col("pos").alias("pb"))
-    p = a.join(b, "win").filter(F.col("da") < F.col("db"))
+    g = wins.join(keep, "fp")
+    a = g.select("fp", F.col("doc_id").alias("da"), F.col("pos").alias("pa"))
+    b = g.select("fp", F.col("doc_id").alias("db"), F.col("pos").alias("pb"))
+    p = a.join(b, "fp").filter(F.col("da") < F.col("db"))
     diag = (F.col("pa") - F.col("pb")).alias("diag")
     wr = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
     r = p.select(
@@ -16282,10 +16294,14 @@ def docs_exact_substring_dup(spark, sf_dir):
     pairs at all (every one of its windows exceeds the df cap) — by
     design: whole-document duplicates are dedup_exact's territory at
     hash-groupBy cost, and the dup-ladder rows (SCALE_DUP/SCALE_DUP100:
-    1.2x/1.0x, zero pairs on the pure-duplicate fixtures) measure the
-    guard doing exactly that hand-off. At cluster scale the join key
-    would band to a 128-bit fingerprint first; the raw-string key keeps
-    the small-SF form certainty-exact."""
+    1.0x flat, zero pairs on the pure-duplicate fixtures) measure the
+    guard doing exactly that hand-off. The join/df-gate key is the
+    128-bit md5 fingerprint of the window (r13, the r12 docstring's
+    promised refinement): 16 fixed bytes through the exchanges instead
+    of the ~50-byte raw string — measured at-or-below the string form
+    at sf0.1 AND 10x (BENCH_NOTES note 14); a match is exact up to md5
+    collision (~2^-120), and the string-keyed DuckDB oracle doubles as
+    the collision canary."""
     runs = _esdup_runs(spark, sf_dir)
     return (
         runs.groupBy("da", "db")
