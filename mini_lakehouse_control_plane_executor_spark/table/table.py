@@ -832,6 +832,60 @@ class LakehouseTable:
             f"delete on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races"
         )
 
+    def _write_dv(
+        self, matches: DataFrame, candidates: list[FileAdd], tag: str
+    ) -> tuple[list[FileAdd], dict[str, int], str | None]:
+        """Write ONE new deletion-vector parquet carrying ``matches``
+        (NEW deletions, as (src=basename, pos) over LIVE rows of
+        ``candidates``) unioned with the affected files' existing dv
+        positions (the new dv supersedes the old). Returns
+        (dv-updated FileAdds, per-file new-deletion counts, abs dv path
+        to remove on OCC-conflict cleanup); ([], {}, None) when nothing
+        matched."""
+        from dataclasses import replace as _dc_replace
+
+        matches = matches.persist()
+        try:
+            new_counts = {
+                r["src"]: r["n"]
+                for r in matches.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }  # bounded by |candidate files|
+            if not new_counts:
+                return [], {}, None
+            by_name = {os.path.basename(f.path): f for f in candidates}
+            affected = [by_name[s] for s in sorted(new_counts)]
+            dv_df = matches
+            carry = [f for f in affected if f.dv_path]
+            if carry:
+                dv_df = dv_df.unionByName(self._dv_rows(carry))
+            stage = os.path.join(self.tmp_dir, f"dv-{tag}")
+            dv_df.coalesce(1).write.mode("overwrite").parquet(stage)
+            os.makedirs(self.dv_dir, exist_ok=True)
+            part = next(
+                f
+                for f in sorted(os.listdir(stage))
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            dv_name = f"dv-{uuid.uuid4()}.parquet"
+            shutil.move(
+                os.path.join(stage, part), os.path.join(self.dv_dir, dv_name)
+            )
+            shutil.rmtree(stage, ignore_errors=True)
+            rel_dv = os.path.join("_dv", dv_name)
+            adds = [
+                _dc_replace(
+                    f,
+                    dv_path=rel_dv,
+                    dv_rows=f.dv_rows + new_counts[os.path.basename(f.path)],
+                )
+                for f in affected
+            ]
+            return adds, new_counts, os.path.join(self.dv_dir, dv_name)
+        finally:
+            matches.unpersist()
+
     def _delete_mor(
         self, pred, filter_str: str, txn_id: str
     ) -> tuple[int | None, int]:
@@ -842,8 +896,6 @@ class LakehouseTable:
         re-adding an existing path when it swaps the dv). Matches are
         computed on the dv-APPLIED scan, so re-deleting an
         already-deleted row can never double-count."""
-        from dataclasses import replace as _dc_replace
-
         from mini_lakehouse_control_plane_executor_spark.functions.filters import prune_files
 
         for attempt in range(COMMIT_MAX_RETRIES + 1):
@@ -853,58 +905,20 @@ class LakehouseTable:
                 return None, 0
             schema = to_spark_schema(snap.schema)
             live = self._scan_files(candidates, schema, with_positions=True)
-            matches = (
-                live.filter(pred)
-                .select(F.col("_src").alias("src"), F.col("_pos").alias("pos"))
-                .persist()
+            matches = live.filter(pred).select(
+                F.col("_src").alias("src"), F.col("_pos").alias("pos")
             )
-            try:
-                new_counts = {
-                    r["src"]: r["n"]
-                    for r in matches.groupBy("src")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }  # bounded by |candidate files|
-                if not new_counts:
-                    return None, 0
-                by_name = {os.path.basename(f.path): f for f in candidates}
-                affected = [by_name[s] for s in sorted(new_counts)]
-                dv_df = matches
-                carry = [f for f in affected if f.dv_path]
-                if carry:
-                    # The new dv supersedes the old ones for these files:
-                    # union the existing deleted positions in.
-                    dv_df = dv_df.unionByName(self._dv_rows(carry))
-                stage = os.path.join(self.tmp_dir, f"dv-{txn_id}-a{attempt}")
-                dv_df.coalesce(1).write.mode("overwrite").parquet(stage)
-                os.makedirs(self.dv_dir, exist_ok=True)
-                part = next(
-                    f
-                    for f in sorted(os.listdir(stage))
-                    if f.endswith(".parquet") and not f.startswith((".", "_"))
-                )
-                dv_name = f"dv-{uuid.uuid4()}.parquet"
-                shutil.move(
-                    os.path.join(stage, part), os.path.join(self.dv_dir, dv_name)
-                )
-                shutil.rmtree(stage, ignore_errors=True)
-                rel_dv = os.path.join("_dv", dv_name)
-                adds = [
-                    _dc_replace(
-                        f,
-                        dv_path=rel_dv,
-                        dv_rows=f.dv_rows + new_counts[os.path.basename(f.path)],
-                    )
-                    for f in affected
-                ]
-            finally:
-                matches.unpersist()
+            adds, new_counts, dv_abs = self._write_dv(
+                matches, candidates, f"{txn_id}-a{attempt}"
+            )
+            if not new_counts:
+                return None, 0
             try:
                 version = self.log.commit(snap.version, txn_id, snap.schema, adds, [])
                 return version, sum(new_counts.values())
             except CommitConflictError:
                 try:
-                    os.remove(os.path.join(self.dv_dir, dv_name))
+                    os.remove(dv_abs)
                 except OSError:
                     pass
                 time.sleep(0.01 * (attempt + 1))
@@ -990,10 +1004,21 @@ class LakehouseTable:
         txn_id: str | None = None,
         when_matched: dict[str, str] | None = None,
         insert_unmatched: bool = True,
+        mode: str = "copy-on-write",
     ) -> tuple[int, int, int]:
-        """Copy-on-write MERGE on ``key``. Default semantics (upsert):
-        rows in the table whose key appears in ``source`` are replaced by
-        the source row; source rows with unseen keys are appended.
+        """MERGE on ``key``. Default semantics (upsert): rows in the
+        table whose key appears in ``source`` are replaced by the source
+        row; source rows with unseen keys are appended.
+
+        ``mode='copy-on-write'`` (default, Delta's dataflow) rewrites
+        every candidate file without its matched rows; untouched files
+        carry over by reference. ``mode='merge-on-read'`` instead
+        DELETION-VECTORS the matched target rows (no candidate file is
+        rewritten) and appends the replacement/updated rows as fresh
+        files — the Iceberg MoR upsert: commit cost O(matched + source
+        rows), not O(touched bytes). Row-level results are identical
+        (pinned by the model test's mode coin-flip); compaction later
+        materializes the dvs.
 
         Delta-style clauses:
         - ``when_matched``: instead of replacing, matched rows are
@@ -1013,6 +1038,9 @@ class LakehouseTable:
         the joins, and the append)."""
         from pyspark.storagelevel import StorageLevel
 
+        if mode not in ("copy-on-write", "cow", "merge-on-read", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r}")
+        mor = mode in ("merge-on-read", "mor")
         txn_id = txn_id or f"merge-{uuid.uuid4()}"
         prior = self.log.find_txn(txn_id)
         if prior is not None:
@@ -1089,17 +1117,37 @@ class LakehouseTable:
                 candidates = [f for f in snap.files if _overlaps(f)]
                 n_updated = 0
                 adds: list[FileAdd] = []
+                dv_adds: list[FileAdd] = []
+                dv_abs: str | None = None
                 stage = os.path.join(self.tmp_dir, txn_id)
-                # dv-aware (and [] returns an empty frame): the rewrite
-                # must not resurrect deleted rows of dv-carrying files.
-                cur = self._scan_files(candidates, schema)
+                # dv-aware (and [] returns an empty frame): neither mode
+                # may resurrect already-deleted rows of dv-carrying
+                # files. Positions ride along for the merge-on-read
+                # branch; ``cur`` is the live-row view both modes share.
+                live = self._scan_files(candidates, schema, with_positions=True)
+                cur = live.drop("_src", "_pos")
                 src_keys = source.select(key).distinct()
                 if candidates:
-                    n_updated = cur.join(src_keys, key, "left_semi").count()
-                    kept = cur.join(src_keys, key, "left_anti")
-                    kept.coalesce(max(1, len(candidates))).write.mode("overwrite").parquet(
-                        os.path.join(stage, "kept")
-                    )
+                    if mor:
+                        # Matched target rows become dv entries instead
+                        # of a candidate-file rewrite; their replacement
+                        # rows (source / when_matched output) append as
+                        # fresh files below.
+                        matched_pos = live.join(
+                            src_keys, key, "left_semi"
+                        ).select(
+                            F.col("_src").alias("src"), F.col("_pos").alias("pos")
+                        )
+                        dv_adds, new_counts, dv_abs = self._write_dv(
+                            matched_pos, candidates, f"{txn_id}-a{attempt}"
+                        )
+                        n_updated = sum(new_counts.values())
+                    else:
+                        n_updated = cur.join(src_keys, key, "left_semi").count()
+                        kept = cur.join(src_keys, key, "left_anti")
+                        kept.coalesce(max(1, len(candidates))).write.mode(
+                            "overwrite"
+                        ).parquet(os.path.join(stage, "kept"))
                     if when_matched is not None:
                         matched = cur.alias("target").join(
                             source.alias("source"),
@@ -1164,12 +1212,22 @@ class LakehouseTable:
                     shutil.rmtree(stage, ignore_errors=True)
                 try:
                     version = self.log.commit(
-                        snap.version, txn_id, fields, adds,
-                        [f.path for f in candidates],
+                        snap.version,
+                        txn_id,
+                        fields,
+                        adds + dv_adds,
+                        [] if mor else [f.path for f in candidates],
                     )
                     return version, n_updated, n_inserted
                 except CommitConflictError:
+                    # Only FRESH files are reclaimed — dv_adds point at
+                    # live data files (metadata-only updates).
                     self._remove_adds(adds)
+                    if dv_abs is not None:
+                        try:
+                            os.remove(dv_abs)
+                        except OSError:
+                            pass
                     time.sleep(0.01 * (attempt + 1))
             raise CommitRetriesExhausted(
                 f"merge on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races"

@@ -258,3 +258,54 @@ def test_stream_source_rejects_dv_update(lake, spark, tmp_path):
     with pytest.raises(Exception) as exc:
         q.awaitTermination()
     assert "dv_update" in str(exc.value) or "append-only" in str(exc.value)
+
+
+def test_mor_merge_upsert(lake, spark):
+    """Merge-on-read MERGE: matched target rows are dv'd (no candidate
+    rewrite — original paths survive with dv pointers), replacements
+    and unmatched rows append as fresh files; row-level result equals
+    the copy-on-write upsert."""
+    t = _mk(lake, spark, n=20)
+    pre_paths = {f.path for f in t.snapshot().files}
+    src = spark.range(15, 25).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("m"), F.col("id")).alias("v"),
+        F.lit(0.0).alias("x"),
+    )
+    version, n_upd, n_ins = t.merge(src, key="k", mode="merge-on-read")
+    assert (n_upd, n_ins) == (5, 5)
+    out = t.read()
+    assert out.count() == 25
+    assert out.filter((F.col("k") >= 15) & (F.col("v").startswith("m"))).count() == 10
+    assert out.filter((F.col("k") >= 15) & (F.col("v").startswith("v"))).count() == 0
+    post = t.snapshot()
+    assert pre_paths < {f.path for f in post.files}  # originals survive
+    assert sum(f.dv_rows for f in post.files) == 5
+
+
+def test_mor_merge_when_matched(lake, spark):
+    t = _mk(lake, spark, n=10)
+    src = spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit("s").alias("v"), F.lit(100.0).alias("x")
+    )
+    version, n_upd, n_ins = t.merge(
+        src,
+        key="k",
+        when_matched={"x": "target.x + source.x"},
+        mode="mor",
+    )
+    assert (n_upd, n_ins) == (3, 0)
+    rows = {r.k: (r.v, r.x) for r in t.read().collect()}
+    assert len(rows) == 10
+    for k in (5, 6, 7):
+        assert rows[k] == (f"v{k}", k * 1.5 + 100.0)  # target v kept
+
+
+def test_mor_merge_then_compact_materializes(lake, spark):
+    t = _mk(lake, spark, n=20)
+    src = _df(spark, 10, 30)
+    t.merge(src, key="k", mode="mor")
+    assert t.read().count() == 30
+    t.compact()
+    assert all(f.dv_path is None for f in t.snapshot().files)
+    assert t.read().count() == 30

@@ -132,11 +132,14 @@ def test_table_agrees_with_model(spark, tmp_path_factory, ops):
             ]
         elif op == "merge":
             rows = _mk_rows(a, n, len(extra_cols), tag=f"m{i}_")
+            # Same coin-flip as delete: copy-on-write and merge-on-read
+            # MERGE must be row-level equivalent under interleavings.
+            mmode = "merge-on-read" if a % 2 else "copy-on-write"
             if violates(rows):
                 with pytest.raises(Exception, match="cs"):
-                    t.merge(_df_from(spark, rows, extra_cols), "k")
+                    t.merge(_df_from(spark, rows, extra_cols), "k", mode=mmode)
             else:
-                t.merge(_df_from(spark, rows, extra_cols), "k")
+                t.merge(_df_from(spark, rows, extra_cols), "k", mode=mmode)
                 keys = {r[0] for r in rows}
                 model = [r for r in model if r[0] not in keys] + rows
         elif op == "compact":
