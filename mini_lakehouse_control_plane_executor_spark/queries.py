@@ -5463,6 +5463,126 @@ def events_daily_anomaly(spark, sf_dir):
     )
 
 
+_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+dense AS (
+  SELECT t.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c
+  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM bounds) t
+  LEFT JOIN daily d ON d.day = t.day
+),
+win AS (
+  SELECT a.day, a.c, CAST(sum(b.c) AS BIGINT) AS w_sum, count(*) AS w_cnt
+  FROM dense a JOIN dense b
+    ON b.day BETWEEN a.day - INTERVAL 3 DAY AND a.day + INTERVAL 3 DAY
+  GROUP BY a.day, a.c
+),
+full7 AS (
+  SELECT day, c, w_sum, CAST(7 * c - w_sum AS BIGINT) AS r7,
+         CAST(isodow(day) - 1 AS INT) AS weekday
+  FROM win WHERE w_cnt = 7
+),
+seas AS (
+  SELECT weekday,
+         CAST(round(CAST(sum(r7) * 1000000 AS DOUBLE) / (7 * count(*)))
+              AS BIGINT) AS seasonal_micro
+  FROM full7 GROUP BY weekday
+)
+SELECT f.day, f.c AS n_events, f.w_sum AS trend_sum7, f.r7 AS detrended_x7,
+       f.weekday, s.seasonal_micro
+FROM full7 f JOIN seas s USING (weekday)
+ORDER BY f.day
+"""
+
+
+@query("events_seasonal_decomposition", oracle=_SEASONAL_SQL)
+def events_seasonal_decomposition(spark, sf_dir):
+    """STL-style seasonal decomposition of the daily event-count series
+    (Cleveland et al. 1990, the single-pass moving-average form):
+    trend = centered 7-day moving window, detrended remainder, and a
+    per-weekday seasonal index — the weekly-cycle monitor that
+    complements the level-shift detectors (CUSUM, PSI, daily z-score
+    anomaly). Emitted per day (full windows only, the STL edge rule)
+    with the weekday seasonal index joined back.
+
+    Exactness: the series is DENSIFIED over the full date range (a
+    zero-event day is data, not a gap — a 7-day window over sparse rows
+    would silently span more than 7 calendar days); the trend is kept
+    as the window SUM and the remainder as r7 = 7*c - sum (integers,
+    never a divided average), so every per-day column is engine-exact;
+    the only division is the final seasonal index, one round of an
+    exact-integer ratio (the micro-nat discipline). Weekday parity:
+    Spark ``weekday()`` (0=Monday) == DuckDB ``isodow()-1``.
+
+    100 TB shape: ONE corpus-sized shuffle (the daily count); the dense
+    day series is calendar-bounded, so the ±3-day range self-join is a
+    broadcast nested loop over a tiny relation (the triangular-join
+    discipline), the weekday aggregate is a 7-row frame, and the final
+    join broadcasts it back."""
+    ev = _load_events(spark, sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    dense = (
+        bounds.select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+        )
+        .join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"))
+        .persist()
+    )
+    b = dense.select(F.col("day").alias("bday"), F.col("c").alias("bc"))
+    win = (
+        dense.join(
+            F.broadcast(b),
+            (F.col("bday") >= F.expr("day - interval 3 day"))
+            & (F.col("bday") <= F.expr("day + interval 3 day")),
+        )
+        .groupBy("day", "c")
+        .agg(
+            F.sum("bc").cast("long").alias("w_sum"),
+            F.count(F.lit(1)).alias("w_cnt"),
+        )
+    )
+    full7 = win.filter(F.col("w_cnt") == 7).select(
+        "day",
+        "c",
+        "w_sum",
+        (F.lit(7) * F.col("c") - F.col("w_sum")).cast("long").alias("r7"),
+        F.weekday("day").cast("int").alias("weekday"),
+    )
+    seas = (
+        full7.groupBy("weekday")
+        .agg(F.sum("r7").cast("long").alias("sum_r7"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "weekday",
+            F.round(
+                (F.col("sum_r7") * 1000000).cast("double") / (7 * F.col("n"))
+            )
+            .cast("long")
+            .alias("seasonal_micro"),
+        )
+    )
+    return (
+        full7.join(F.broadcast(seas), "weekday")
+        .select(
+            "day",
+            F.col("c").alias("n_events"),
+            F.col("w_sum").alias("trend_sum7"),
+            F.col("r7").alias("detrended_x7"),
+            "weekday",
+            "seasonal_micro",
+        )
+        .orderBy("day")
+    )
+
+
 _DATASET_CARD_SQL = r"""
 WITH f AS (
   SELECT source, lang, n_chars,
@@ -10710,6 +10830,144 @@ def quality_ensemble_score(spark, sf_dir):
         )
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(20)
+    )
+
+
+_ECE_SQL = rf"""
+WITH per_doc AS (
+  SELECT regexp_extract_all(lower(text), '\w+') AS ws,
+         length(text) AS nc,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS na,
+         len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
+  FROM documents
+),
+scored AS (
+  SELECT (CAST(round(1000000.0 * len(list_distinct(ws)) / len(ws)) AS BIGINT)
+          + CAST(round(1000000.0 * na / nc) AS BIGINT)
+          + CAST(round(1000000.0 * least(len(ws), 256) / 256) AS BIGINT)) // 3
+           AS score_micro,
+         ((len(ws) BETWEEN 50 AND 100000)
+          AND (CAST(len(array_to_string(ws, '')) AS DOUBLE) / len(ws)
+                 BETWEEN 3 AND 10)
+          AND (CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-z]')))
+                 AS DOUBLE) / len(ws) >= 0.8)
+          AND (len(list_intersect(ws, {_sql_strlist(_GOPHER_STOPWORDS)})) >= 2)
+          AND (CAST(n_sym AS DOUBLE) / len(ws) < 0.1)) AS pass_gates
+  FROM per_doc WHERE len(ws) > 0 AND nc > 0
+),
+bins AS (
+  SELECT least(score_micro // 100000, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN pass_gates THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         CAST(sum(score_micro) AS BIGINT) // count(*) AS conf_micro,
+         (1000000 * CAST(sum(CASE WHEN pass_gates THEN 1 ELSE 0 END) AS BIGINT))
+           // count(*) AS acc_micro
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_docs * abs(conf_micro - acc_micro)) // sum(n_docs)
+              AS BIGINT) AS ece_micro
+  FROM bins
+)
+SELECT b.bin, b.n_docs, b.n_pass, b.conf_micro, b.acc_micro,
+       CAST(abs(b.conf_micro - b.acc_micro) AS BIGINT) AS gap_micro,
+       t.ece_micro
+FROM bins b, tot t ORDER BY b.bin
+"""
+
+
+@query("quality_calibration_ece", oracle=_ECE_SQL)
+def quality_calibration_ece(spark, sf_dir):
+    """Reliability diagram + Expected Calibration Error (Naeini et al.
+    2015; Guo et al. 2017) of the ensemble quality score against the
+    hard Gopher token-ratio gates: per score-decile bin, the mean
+    predicted score (confidence) vs the empirical all-gates pass rate
+    (accuracy), and ECE = the doc-weighted mean |confidence - accuracy|
+    — the audit a curator runs before using a soft score as a filter
+    threshold. Score = ``quality_ensemble_score``'s composite; label =
+    ``gopher_quality_gates``'s conjunction, both reused verbatim so
+    this stays a pure composition.
+
+    Exactness: the score is already integer micro-units; binning is
+    integer division (decile edges at 100k micro), confidence/accuracy
+    are integer-divided micro ratios, and ECE is an integer-weighted
+    integer mean — no doubles anywhere past the per-doc score rounds,
+    so both engines agree bit-for-bit.
+
+    100 TB shape: one map pass over the scan computes score AND label
+    (no explode, no join), a <=10-row bin aggregate with map-side
+    combine, and a broadcast of the one-row total — scan-speed, like
+    the two operators it composes."""
+    d = _scale_up(_load(spark, sf_dir, "documents"))
+    ws = _text.tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    t = d.select(
+        ws.alias("ws"),
+        F.length("text").alias("nc"),
+        F.length(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+        ).alias("na"),
+        F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.")).alias("n_sym"),
+    ).filter((F.size("ws") > 0) & (F.col("nc") > 0))
+    n_words = F.size("ws")
+    score = F.expr(
+        "(cast(round(1000000.0 * size(array_distinct(ws)) / size(ws)) as bigint)"
+        " + cast(round(1000000.0 * na / nc) as bigint)"
+        " + cast(round(1000000.0 * least(size(ws), 256) / 256) as bigint)) div 3"
+    )
+    label = (
+        n_words.between(50, 100000)
+        & (F.length(F.concat_ws("", F.col("ws"))).cast("double") / n_words).between(
+            3, 10
+        )
+        & (
+            F.size(F.filter(F.col("ws"), lambda x: x.rlike("[a-z]"))).cast("double")
+            / n_words
+            >= 0.8
+        )
+        & (F.size(F.array_intersect(F.col("ws"), stop_arr)) >= 2)
+        & (F.col("n_sym").cast("double") / n_words < 0.1)
+    )
+    scored = t.select(score.alias("score_micro"), label.alias("pass_gates"))
+    bins = (
+        scored.groupBy(
+            F.least(F.expr("score_micro div 100000"), F.lit(9)).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("pass_gates"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            F.sum("score_micro").cast("long").alias("sum_score"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pass",
+            F.expr("sum_score div n_docs").alias("conf_micro"),
+            F.expr("(1000000 * n_pass) div n_docs").alias("acc_micro"),
+        )
+    )
+    tot = bins.agg(
+        F.expr(
+            "cast(sum(n_docs * abs(conf_micro - acc_micro)) div sum(n_docs) "
+            "as bigint)"
+        ).alias("ece_micro")
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            "n_pass",
+            "conf_micro",
+            "acc_micro",
+            F.abs(F.col("conf_micro") - F.col("acc_micro"))
+            .cast("long")
+            .alias("gap_micro"),
+            "ece_micro",
+        )
+        .orderBy("bin")
     )
 
 

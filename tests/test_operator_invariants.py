@@ -2120,3 +2120,46 @@ def test_unigram_lm_em_hand_computed(spark, tmp_path):
     assert got == _oracle_rows(
         "unigram_lm_em_learn", str(tmp_path), ["documents"]
     )
+
+
+def test_seasonal_decomposition_densifies_gap_days(spark, tmp_path):
+    """A zero-event day is DATA: the dense series must include it (a
+    window over sparse rows would silently span >7 calendar days).
+    11 days (Mon Jan 6 .. Thu Jan 16, 2020) with day index 4 (Fri
+    Jan 10) absent: full windows exist for days 4..8 (index 3..7),
+    the gap day carries c=0 with its own detrended value, and the
+    run's arithmetic is hand-checked. DuckDB oracle must agree."""
+    import datetime as dt
+
+    # counts per day index 0..10; index 4 has NO rows at all
+    counts = [2, 3, 4, 5, 0, 6, 7, 1, 2, 3, 4]
+    rows, eid = [], 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, dt.datetime(2020, 1, 6 + day, 12, 0), eid, "t", 1.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.day.day: (r.n_events, r.trend_sum7, r.detrended_x7, r.weekday)
+        for r in qlib._REGISTRY["events_seasonal_decomposition"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # full windows at day index 3..7 = Jan 9..13
+    assert sorted(got) == [9, 10, 11, 12, 13]
+    # Jan 10 (index 4) is the GAP day: c=0, window = idx1..7 = 3+4+5+0+6+7+1
+    assert got[10] == (0, 26, -26, 4)  # Friday
+    # Jan 9 (index 3): c=5, window idx0..6 = 2+3+4+5+0+6+7 = 27 -> r7 = 35-27
+    assert got[9] == (5, 27, 8, 3)
+    ora = _oracle_rows(
+        "events_seasonal_decomposition", str(tmp_path), ["events"]
+    )
+    assert [(r[0].day, r[1], r[2], r[3], r[4]) for r in ora] == [
+        (d, got[d][0], got[d][1], got[d][2], got[d][3]) for d in sorted(got)
+    ]
