@@ -111,6 +111,17 @@ HEADLINE = [
     # k1 digest = the equi-depth digest's histogram+window plan; skew
     # canary = join_broadcast_dim's geometry with a derived key).
     "docs_exact_substring_dup",
+    # r13: unigram-LM EM tokenizer training — the one new shape this
+    # round with its own plan (a fixed-round EM loop: per-round
+    # broadcast piece-cost join + vocab-keyed edge collect + map-side
+    # Viterbi HOF + recount; no other headline iterates a train/score
+    # loop). The other r13 queries ride benched machinery (repetition
+    # gates / calibration ECE = text_stats' scan-speed map + tiny agg;
+    # seasonal decomposition = the daily-count + broadcast-window shape
+    # events_tumbling_window and the anomaly family already cover; the
+    # ExactSubstr fingerprint key changes docs_exact_substring_dup's
+    # exchange payload in place, which its existing slot measures).
+    "unigram_lm_em_learn",
 ]
 
 

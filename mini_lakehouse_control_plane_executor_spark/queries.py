@@ -17253,79 +17253,19 @@ def orders_neyman_allocation(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # round 12 rotation (the r11 verdict's task 1). The driver verifies
-    # the FIRST 50 entries of queries(). Window layout: the 28 r07-stale
-    # names lead (4 rounds since last attestation — TPC-H flagships,
-    # window functions, set ops), then the 7 NEW r12 operators (every
-    # new operator gets a driver verdict in its landing round), then the
-    # 6 queries whose plan/oracle changed this round (degenerate-series
-    # NULL guards on cross_correlation and zipf_rank_slope; the PSI
-    # drift new-type sentinel rows; the code-review fixes to the frame
-    # sampler (floor -> exact ceil, results change), simhash (short-doc
-    # zero-fingerprint drop, aligns Spark with its oracle), and
-    # containment (rep-level dfreq/persist)), then 9 oldest-r08 names
-    # fill to 50 (alphabetical within the cohort). The 37 leftover r08
-    # names below the window marker are positioned to LEAD the r13
-    # window. Tail
+    # round 13 rotation (the r12 verdict's task 1). The driver verifies
+    # the FIRST 50 entries of queries(). Window layout: the 37 r08-stale
+    # names lead (4 rounds since last attestation), then the 4 NEW r13
+    # operators (every new operator gets a driver verdict in its landing
+    # round), then the 2 queries whose PLAN changed this round (the
+    # ExactSubstr pair now joins on the 128-bit md5 window fingerprint,
+    # BENCH_NOTES note 14), then 7 oldest-r09 names fill to 50
+    # (alphabetical within the cohort). The 40 leftover r09 names below
+    # the window marker are positioned to LEAD the r14 window. Tail
     # follows in definition order (all locally oracle-checked every CI
     # run). Boundary check: list(all_queries())[49] must be
-    # 'ann_recall_pq_vs_exact' and [50] 'association_rules'.
-    # -- r07-stale (oldest verdicts; lead the window) --
-    "intersect_except",
-    "join_broadcast_dim",
-    "json_extract_props",
-    "math_functions",
-    "outer_join_coalesce",
-    "pivot_status_by_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q1_pricing_summary",
-    "q22_idle_customers",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "rfm_segmentation",
-    "rollup_flag_status",
-    "scalar_subquery_premium_parts",
-    "semi_join_exists",
-    "shuffle_partition_histogram",
-    "stats_percentiles",
-    "string_functions",
-    "text_stats",
-    "topk_orders",
-    "union_distinct",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_topn_per_group",
-    # -- new in r12 (never driver-verified; locally oracle-green) --
-    "docs_langid_nb_confusion",
-    "docs_exact_substring_dup",
-    "events_value_k1_digest_tail",
-    "join_skew_aqe_canary",
-    "corpus_unimax_budget",
-    "docs_exact_substring_savings",
-    "orders_neyman_allocation",
-    # -- plan/oracle changed in r12 (prior verdicts attest pre-fix) --
-    "events_series_cross_correlation",
-    "docs_zipf_rank_slope",
-    "events_value_psi_drift",
-    "multimodal_frame_sample",
-    "dedup_simhash_pairs",
-    "containment_dedup_pairs",
-    # -- r08-stale fill (oldest cohort; alphabetical) --
-    "ab_test_value",
-    "ann_cosine_ivf",
-    "ann_cosine_ivf_kmeans",
-    "ann_cosine_ivfpq",
-    "ann_cosine_pq_adc",
-    "ann_recall_jl_vs_exact",
-    "ann_recall_lsh_vs_exact",
-    "ann_recall_matrix",
-    "ann_recall_pq_vs_exact",
-    # ------- 50-slot window boundary (28 + 7 + 6 + 9) -------
-    # -- r08-stale leftovers: staged to lead the r13 window --
+    # 'bm25_topk' and [50] 'ccnet_perplexity_buckets'.
+    # -- r08-stale (oldest verdicts; lead the window) --
     "association_rules",
     "bigram_pmi_top",
     "boilerplate_ngrams",
@@ -17363,4 +17303,62 @@ DRIVER_PRIORITY: list[str] = [
     "robust_trimmed_stats",
     "tokenizer_fertility_stats",
     "winnowing_dup_pairs",
+    # -- new in r13 (never driver-verified; locally oracle-green) --
+    "gopher_repetition_gates",
+    "unigram_lm_em_learn",
+    "events_seasonal_decomposition",
+    "quality_calibration_ece",
+    # -- plan changed in r13 (prior verdicts attest the string-key plan) --
+    "docs_exact_substring_dup",
+    "docs_exact_substring_savings",
+    # -- r09-stale fill (oldest cohort; alphabetical) --
+    "ann_cosine_matmul",
+    "ann_cosine_pq_opq",
+    "balanced_sample_per_source",
+    "bigram_cond_entropy",
+    "bigram_lm_surprisal",
+    "bloom_decontaminate",
+    "bm25_topk",
+    # ------- 50-slot window boundary (37 + 4 + 2 + 7) -------
+    # -- r09-stale leftovers: staged to lead the r14 window --
+    "ccnet_perplexity_buckets",
+    "chunk_dedup_rate",
+    "corpus_filter_shard_pipeline",
+    "dedup_aware_split",
+    "dedup_duplicate_clusters",
+    "dedup_survivor_quality",
+    "docs_idf_rarity_quality",
+    "docs_neyman_stratified_sample",
+    "embedding_ann_ivf_residual",
+    "events_count_min_width_sweep",
+    "events_reservoir_sample_stats",
+    "events_value_quantile_sketch",
+    "hard_negative_mining",
+    "hard_negative_mining_lsh",
+    "minhash_estimate_error",
+    "multimodal_audio_frame_rms",
+    "multimodal_features",
+    "ngram_novelty_rate",
+    "oov_rate_by_source",
+    "orders_decile_value_concentration",
+    "project_columns",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_flag",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "salted_agg_skew",
+    "scan_full",
+    "semantic_dedup_clusters",
+    "sequence_packing_sharded",
+    "supplier_percent_rank",
+    "temperature_mix_weights",
+    "text_bpe_rolling",
+    "token_budget_mix",
+    "unigram_lm_surprisal",
+    "vocab_growth_heaps",
+    "zipf_slope_by_lang",
 ]
