@@ -8369,7 +8369,6 @@ def _gopher_rep_duck_expr(n: int, kind: str) -> str:
         f"i -> array_to_string(ws[i:i+{n - 1}], ' ')) "
         f"ELSE [] END"
     )
-    body = f"WITH g AS (SELECT {gs} AS gs, ws AS w)"
     cn = "list_transform(gs, x -> len(list_filter(gs, y -> y = x)))"
     if kind == "top":
         return (
@@ -16527,8 +16526,10 @@ def docs_exact_substring_dup(spark, sf_dir):
     exact); the per-document interval-UNION form, which never double
     counts, is docs_exact_substring_savings. The suffix-array member
     of the dedup family that winnowing_dup_pairs approximates locally:
-    here a match is a certainty, not a fingerprint collision, because
-    the join key is the raw K-token window string itself.
+    winnowing SAMPLES fingerprints (one per window of windows), while
+    this joins EVERY K-token window, so no shared run can be missed —
+    window identity rides a full 128-bit md5 of the window (r13; see
+    the final paragraph), exact up to md5 collision.
 
     Mechanism: every K-token window (with its position) joins on exact
     window equality; consecutive matched windows lie on one (doc_a,

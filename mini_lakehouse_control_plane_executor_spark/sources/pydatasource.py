@@ -436,18 +436,24 @@ class _MinilakeStreamReader(SimpleDataSourceStreamReader):
         names = [f.name for f in self._fields]
         for v in range(v0 + 1, v1 + 1):
             entry = log.read_entry(v)
-            # A deletion-vector update re-adds an EXISTING path with a dv
-            # pointer (merge-on-read DELETE) — no new rows; emitting its
-            # adds would replay the whole file. Same non-append contract
-            # as removes. (Fresh appends never carry a dv.)
-            dv_update = any(a.dv_path for a in entry.adds)
-            if entry.removes or dv_update:
+            # Re-adding a path visible in the PREVIOUS version is never
+            # new data: a deletion-vector attach/swap (merge-on-read
+            # DELETE/MERGE), a dv DETACH (RESTORE undoing one — dv_path
+            # None, so inspecting the add alone cannot tell it from a
+            # fresh append), or a restore re-adding old files. Emitting
+            # such adds would replay every row of the file. Same
+            # non-append contract as removes.
+            prev_paths = (
+                {f.path for f in log.snapshot(v - 1).files} if v > 1 else set()
+            )
+            readds = [a.path for a in entry.adds if a.path in prev_paths]
+            if entry.removes or readds:
                 if self._ignore_changes:
                     continue
                 raise ValueError(
                     f"minilake stream: version {v} is not append-only "
-                    f"({len(entry.removes)} removes, dv_update={dv_update} — "
-                    "rewrite/delete/compaction). "
+                    f"({len(entry.removes)} removes, {len(readds)} re-adds — "
+                    "rewrite/delete/dv-update/restore/compaction). "
                     "Set ignoreChanges=true to skip non-append commits."
                 )
             for add in entry.adds:

@@ -904,9 +904,11 @@ class LakehouseTable:
             if not candidates:
                 return None, 0
             schema = to_spark_schema(snap.schema)
-            live = self._scan_files(candidates, schema, with_positions=True)
+            live, src_col, pos_col = self._scan_files(
+                candidates, schema, with_positions=True
+            )
             matches = live.filter(pred).select(
-                F.col("_src").alias("src"), F.col("_pos").alias("pos")
+                F.col(src_col).alias("src"), F.col(pos_col).alias("pos")
             )
             adds, new_counts, dv_abs = self._write_dv(
                 matches, candidates, f"{txn_id}-a{attempt}"
@@ -1124,8 +1126,10 @@ class LakehouseTable:
                 # may resurrect already-deleted rows of dv-carrying
                 # files. Positions ride along for the merge-on-read
                 # branch; ``cur`` is the live-row view both modes share.
-                live = self._scan_files(candidates, schema, with_positions=True)
-                cur = live.drop("_src", "_pos")
+                live, src_col, pos_col = self._scan_files(
+                    candidates, schema, with_positions=True
+                )
+                cur = live.drop(src_col, pos_col)
                 src_keys = source.select(key).distinct()
                 if candidates:
                     if mor:
@@ -1136,7 +1140,8 @@ class LakehouseTable:
                         matched_pos = live.join(
                             src_keys, key, "left_semi"
                         ).select(
-                            F.col("_src").alias("src"), F.col("_pos").alias("pos")
+                            F.col(src_col).alias("src"),
+                            F.col(pos_col).alias("pos"),
                         )
                         dv_adds, new_counts, dv_abs = self._write_dv(
                             matched_pos, candidates, f"{txn_id}-a{attempt}"
@@ -1453,15 +1458,25 @@ class LakehouseTable:
         per-file bitmap application in sources/pydatasource.py is the
         shape to scale, as Delta's DV readers do).
 
-        ``with_positions=True`` keeps ``_src`` (file basename) and
-        ``_pos`` (row index) columns on every row — the merge-on-read
-        delete path uses them to build new dv entries."""
+        ``with_positions=True`` returns ``(df, src_col, pos_col)``: the
+        frame keeps a file-basename column and a row-index column on
+        every row (the merge-on-read write paths build new dv entries
+        from them). The column NAMES are generated to avoid colliding
+        with user columns — field names are unrestricted, so a literal
+        ``_src`` could silently shadow (and then drop) a data column."""
+        names = set(schema.fieldNames())
+        src_col, pos_col = "_dv_src", "_dv_pos"
+        while src_col in names:
+            src_col += "_"
+        while pos_col in names:
+            pos_col += "_"
         if not files:
             df = self.spark.createDataFrame([], schema)
             if with_positions:
-                df = df.withColumn("_src", F.lit(None).cast("string")).withColumn(
-                    "_pos", F.lit(None).cast("long")
+                df = df.withColumn(src_col, F.lit(None).cast("string")).withColumn(
+                    pos_col, F.lit(None).cast("long")
                 )
+                return df, src_col, pos_col
             return df
 
         def _scan(fs: list[FileAdd], need_meta: bool) -> DataFrame:
@@ -1470,9 +1485,9 @@ class LakehouseTable:
             )
             if need_meta:
                 df = df.withColumn(
-                    "_src",
+                    src_col,
                     F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-                ).withColumn("_pos", F.col("_metadata.row_index"))
+                ).withColumn(pos_col, F.col("_metadata.row_index"))
             return df
 
         plain = [f for f in files if not f.dv_path]
@@ -1485,15 +1500,17 @@ class LakehouseTable:
             dv = self._dv_rows(dvd)
             df = df.join(
                 F.broadcast(dv),
-                (df["_src"] == dv["src"]) & (df["_pos"] == dv["pos"]),
+                (df[src_col] == dv["src"]) & (df[pos_col] == dv["pos"]),
                 "left_anti",
             )
             if not with_positions:
-                df = df.drop("_src", "_pos")
+                df = df.drop(src_col, pos_col)
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if with_positions:
+            return out, src_col, pos_col
         return out
 
     def read(

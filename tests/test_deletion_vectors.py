@@ -87,7 +87,8 @@ def test_mor_delete_idempotent_and_no_match(lake, spark):
     t = _mk(lake, spark, n=20)
     v1, n1 = t.delete("k < 5", txn_id="del-1", mode="mor")
     v2, n2 = t.delete("k < 5", txn_id="del-1", mode="mor")
-    assert (v1, n1) == (v2, 0 if n2 == 0 else n2) or v1 == v2
+    assert n1 == 5
+    assert (v2, n2) == (v1, 0)  # replay: same version, deletes nothing
     assert t.read().count() == 15
     assert t.delete("k > 1000", mode="mor") == (None, 0)
 
@@ -309,3 +310,85 @@ def test_mor_merge_then_compact_materializes(lake, spark):
     t.compact()
     assert all(f.dv_path is None for f in t.snapshot().files)
     assert t.read().count() == 30
+
+
+def test_user_columns_named_src_pos_survive(lake, spark):
+    """r13 review: the scan's internal file/position columns collided
+    with user columns literally named _src/_pos — merge silently
+    overwrote then DROPPED them. Names are now generated around the
+    schema."""
+    lake.create_table(
+        "t", [Field("k", "int64"), Field("_src", "string"), Field("_pos", "int64")]
+    )
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), F.col("id")).alias("_src"),
+        (F.col("id") * 7).alias("_pos"),
+    )
+    lake.insert("t", df)
+    t = lake.table("t")
+    src = spark.range(5, 12).select(
+        F.col("id").alias("k"),
+        F.lit("m").alias("_src"),
+        F.lit(-1).alias("_pos"),
+    )
+    for mode in ("copy-on-write", "merge-on-read"):
+        version, n_upd, n_ins = t.merge(
+            src, key="k", mode=mode, txn_id=f"m-{mode}"
+        )
+        rows = {r.k: (r._src, r._pos) for r in t.read().collect()}
+        assert len(rows) == 12
+        assert rows[3] == ("s3", 21)  # untouched row keeps its data
+        assert rows[6] == ("m", -1)
+    _, n = t.delete("k < 2", mode="mor")
+    assert n == 2
+    rows = {r.k: (r._src, r._pos) for r in t.read().collect()}
+    assert rows[3] == ("s3", 21) and 0 not in rows
+
+
+def test_stream_source_rejects_dv_detach_readd(lake, spark, tmp_path):
+    """r13 review: RESTORE undoing a MoR delete re-adds the path with
+    dv_path=None — indistinguishable from a fresh append by inspecting
+    the add alone, so the reader now flags ANY re-add of a
+    previously-visible path. Without the guard every row of the file
+    replays as a new append."""
+    from mini_lakehouse_control_plane_executor_spark.sources.pydatasource import register
+
+    register(spark)
+    t = _mk(lake, spark, n=10)
+    v_pre = t.log.latest_version()
+    t.delete("k < 3", mode="mor")
+    t.restore(v_pre)  # detaches the dv by re-adding the path
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("minilake-stream")
+        .option("root", lake.root)
+        .option("table", "t")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination()
+    assert "append-only" in str(exc.value)
+    # ignoreChanges skips BOTH the dv-update and the restore commit
+    # without replaying the file.
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    q2 = (
+        spark.readStream.format("minilake-stream")
+        .option("root", lake.root)
+        .option("table", "t")
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out2).count() == 10  # initial insert only
