@@ -48,6 +48,10 @@ REST route table (``pkg/coordinator/rest_api.go:44-76``):
                                                      the plan, no execution)
     POST   /tables/{t}/columns                       additive schema evolution
     POST   /tables/{t}/merge                         transactional upsert
+    POST   /tables/{t}/delete                        row DELETE (copy-on-write
+                                                     or merge-on-read via
+                                                     deletion vectors)
+    POST   /tables/{t}/update                        row UPDATE (expressions)
     GET    /health                                   liveness
 
 Transport is stdlib ``http.server`` (threaded) — the engine stays a
@@ -305,6 +309,55 @@ class LakehouseRestServer:
             "columns": [f.name for f in df.schema.fields],
             "rows": rows,
             "row_count": len(rows),
+        }
+
+    def delete_rows(self, name: str, body: dict):
+        """POST /tables/{t}/delete {"filter": "<predicate>",
+        "mode": "copy-on-write"|"merge-on-read"?, "txn_id"?} —
+        transactional row DELETE over HTTP (beyond the reference
+        surface, which stubs DeleteTable and has no row deletes).
+        merge-on-read commits a deletion vector instead of rewriting
+        files (the selective-DELETE lever at scale)."""
+        flt = body.get("filter")
+        if not flt or not isinstance(flt, str):
+            raise _ApiError(400, "Missing filter")
+        t = self._table(name)
+        try:
+            version, n = t.delete(
+                flt,
+                txn_id=body.get("txn_id"),
+                mode=body.get("mode", "copy-on-write"),
+            )
+        except _CLIENT_INPUT_ERRORS as exc:
+            raise _ApiError(400, f"Delete failed: {exc}")
+        return 200, {
+            "success": True,
+            "new_version": version,
+            "rows_deleted": n,
+        }
+
+    def update_rows(self, name: str, body: dict):
+        """POST /tables/{t}/update {"filter": "<predicate>",
+        "set": {col: sql_expr}, "txn_id"?} — transactional row UPDATE
+        over HTTP (beyond the reference surface)."""
+        flt = body.get("filter")
+        assignments = body.get("set")
+        if not flt or not isinstance(flt, str):
+            raise _ApiError(400, "Missing filter")
+        if not isinstance(assignments, dict) or not assignments or not all(
+            isinstance(k, str) and isinstance(v, str)
+            for k, v in assignments.items()
+        ):
+            raise _ApiError(400, "Missing or invalid set assignments")
+        t = self._table(name)
+        try:
+            version, n = t.update(flt, assignments, txn_id=body.get("txn_id"))
+        except _CLIENT_INPUT_ERRORS as exc:
+            raise _ApiError(400, f"Update failed: {exc}")
+        return 200, {
+            "success": True,
+            "new_version": version,
+            "rows_updated": n,
         }
 
     def merge_rows(self, name: str, body: dict):
@@ -726,6 +779,8 @@ _ROUTES: list[tuple[str, re.Pattern, str]] = [
     ("GET", re.compile(r"^/tables/([A-Za-z0-9_]+)/diff/(\d+)/(\d+)$"), "table_diff"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/columns$"), "add_columns"),
     ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/merge$"), "merge_rows"),
+    ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/delete$"), "delete_rows"),
+    ("POST", re.compile(r"^/tables/([A-Za-z0-9_]+)/update$"), "update_rows"),
     ("GET", re.compile(r"^/health$"), "health"),
 ]
 

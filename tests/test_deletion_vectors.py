@@ -392,3 +392,34 @@ def test_stream_source_rejects_dv_detach_readd(lake, spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out2).count() == 10  # initial insert only
+
+
+def test_concurrent_mor_deletes_all_land(lake, spark):
+    """Threaded merge-on-read deletes on DISJOINT predicates: OCC
+    retries must make every delete land (each retry recomputes matches
+    on the fresh dv-applied snapshot, carrying the winners' positions),
+    with no row lost, resurrected, or double-deleted."""
+    import threading
+
+    t = _mk(lake, spark, n=100)
+    errs, results = [], {}
+
+    def worker(i):
+        try:
+            results[i] = t.delete(
+                f"k >= {i * 10} AND k < {i * 10 + 5}", mode="mor"
+            )
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert not errs, errs
+    assert sorted(n for _v, n in results.values()) == [5] * 5
+    assert t.read().count() == 75
+    kept = sorted(r.k for r in t.read().collect())
+    expect = [k for k in range(100) if not any(
+        i * 10 <= k < i * 10 + 5 for i in range(5))]
+    assert kept == expect
+    assert sum(f.dv_rows for f in t.snapshot().files) == 25

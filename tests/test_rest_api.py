@@ -670,3 +670,38 @@ def test_sql_explain_over_http(server, spark):
     _call(server, "POST", "/sql",
           {"sql": "SELECT no_such_col FROM exp_t", "explain": True},
           expect=400)
+
+
+def test_delete_update_rows_over_http(server, spark):
+    """POST /tables/{t}/delete and /update: both modes of DELETE (the
+    merge-on-read form commits a deletion vector - visible as dv_rows
+    in the snapshot listing), plus expression UPDATE."""
+    _call(server, "POST", "/tables", {"name": "du", "schema": SCHEMA_API})
+    _call(server, "POST", "/tables/du/insert", {"rows": ROWS})
+    out = _call(
+        server, "POST", "/tables/du/delete",
+        {"filter": "category = 'Books'", "mode": "merge-on-read"},
+    )
+    assert out["success"] and out["rows_deleted"] == 2
+    ver = out["new_version"]
+    snap = _call(server, "GET", f"/tables/du/versions/{ver}/snapshot")
+    assert sum(f.get("dv_rows", 0) for f in snap["files"]) == 2
+    out = _call(
+        server, "POST", "/tables/du/update",
+        {"filter": "category = 'Furniture'", "set": {"price": "price * 2"}},
+    )
+    assert out["success"] and out["rows_updated"] == 3
+    res = _call(server, "POST", "/query", {
+        "table_name": "du",
+        "aggregates": [{"function": "count", "column": "*", "alias": "n"}],
+    })
+    # 9 - 2 deleted = 7 rows remain
+    assert res["rows"][0]["n"] == 7
+    # malformed bodies are 400s
+    _call(server, "POST", "/tables/du/delete", {"filter": ""}, expect=400)
+    _call(server, "POST", "/tables/du/delete",
+          {"filter": "price > 0", "mode": "bogus"}, expect=400)
+    _call(server, "POST", "/tables/du/update",
+          {"filter": "price > 0", "set": {"price": 7}}, expect=400)
+    _call(server, "POST", "/tables/du/update",
+          {"filter": "price > 0", "set": {"nope": "'x'"}}, expect=400)
