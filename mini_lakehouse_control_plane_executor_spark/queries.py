@@ -8437,23 +8437,51 @@ def gopher_repetition_gates(spark, sf_dir):
     tokenize pass — no explode, no join, no shuffle beyond the
     |sources|x9-row final rollup; scan-speed and embarrassingly
     parallel (`_scale_up` widens the under-split local fixture; at
-    100 TB it is a no-op). Per-doc work is O(L^2) array comparisons
-    with L <= doc word count (bounded here; for unbounded docs the
-    same counts come from a sorted-run-length pass, the
-    `_weighted_expand_expr` discipline). Intermediates (token array,
-    gram array, count array) are LET-BOUND via single-element
-    transform lambdas — HOFs don't codegen and CollapseProject inlines
-    projected columns, so a bare column reference inside a lambda
-    re-evaluates its whole expression per element (measured 15.7s ->
-    sub-second at sf0.1). Fractions are integer basis points (char
-    counts and floor division only — both engines agree bit-for-bit);
-    coverage positions are counted once however many duplicated
-    n-grams overlap them (interval union, not occurrence sum)."""
+    100 TB it is a no-op). Per-doc work is O(K log K) sort + one
+    run-length aggregate pass over the sorted gram array (runs =
+    counts; the max run and its lexicographically-first gram fall out
+    of the ascending order, and duplicated grams collect into a sorted
+    set), then O(L*n) coverage and O(K*|dups|) membership flags — the
+    r13 rewrite of the first-cut O(K^2) per-gram count filters
+    (sf1 11.2s -> 10.5s; gram STRING construction, not counting,
+    dominates — measured honestly; the DuckDB oracle keeps the
+    simple quadratic form — same RESULTS, planner without HOF
+    accumulators). Intermediates (token array, gram array, RLE struct,
+    dup flags) are LET-BOUND via single-element transform lambdas —
+    HOFs don't codegen and CollapseProject inlines projected columns,
+    so a bare column reference inside a lambda re-evaluates its whole
+    expression per element (measured 15.7s -> sub-second at sf0.1).
+    Fractions are integer basis points (char counts and floor division
+    only — both engines agree bit-for-bit); coverage positions are
+    counted once however many duplicated n-grams overlap them
+    (interval union, not occurrence sum)."""
     d = _load(spark, sf_dir, "documents")
     base = _scale_up(
         d.select("source", _text.tokens(F.col("text")).alias("ws")).filter(
             F.size("ws") > 0
         )
+    )
+    # One pass over array_sort(gsv): equal grams are adjacent, so run
+    # length == gram count. Transitions finalize the previous run into
+    # (bestc, bestg, dups); ascending order makes strict-greater the
+    # correct tie-break (first max-count run has the smallest gram) and
+    # keeps dups sorted. '' is a safe sentinel (grams are non-empty).
+    _finalize = (
+        "named_struct("
+        "'prev', {g}, 'run', {r}, "
+        "'bestc', IF(st.run > st.bestc, st.run, st.bestc), "
+        "'bestg', IF(st.run > st.bestc, st.prev, st.bestg), "
+        "'dups', IF(st.run >= 2L, array_append(st.dups, st.prev), st.dups))"
+    )
+    rle_expr = (
+        "aggregate(array_sort(gsv), "
+        "named_struct('prev', '', 'run', 0L, 'bestc', 0L, 'bestg', '', "
+        "'dups', CAST(array() AS array<string>)), "
+        "(st, g) -> IF(g = st.prev, "
+        "named_struct('prev', st.prev, 'run', st.run + 1L, "
+        "'bestc', st.bestc, 'bestg', st.bestg, 'dups', st.dups), "
+        + _finalize.format(g="g", r="1L")
+        + "), st -> " + _finalize.format(g="''", r="0L") + ")"
     )
     per_doc = base
     for gate, n, _thr, kind in _GOPHER_REP_GATES:
@@ -8466,27 +8494,29 @@ def gopher_repetition_gates(spark, sf_dir):
         if kind == "top":
             body = (
                 f"CASE WHEN size(gsv) = 0 THEN 0L ELSE 10000L * ("
-                f"array_max(cnv) * (length(array_min(transform(filter("
-                f"zip_with(gsv, cnv, (g, c) -> struct(c, g)), "
-                f"p -> p.c = array_max(cnv)), p -> p.g))) - {n - 1})"
+                f"rlev.bestc * (length(rlev.bestg) - {n - 1})"
                 f") div cast(length(concat_ws('', wsv)) AS BIGINT) END"
             )
         else:
+            # Coverage: position p is covered iff some duplicated
+            # n-gram STARTS in [p-n+1, p] — O(n) per position over the
+            # membership flags, O(K*|dups|) to build the flags.
+            fs_expr = "transform(gsv, g -> array_contains(rlev.dups, g))"
             body = (
+                f"element_at(transform(array({fs_expr}), fsv -> "
                 f"CASE WHEN size(gsv) = 0 THEN 0L ELSE 10000L * "
                 f"aggregate(transform(sequence(1, size(wsv)), p -> "
-                f"CASE WHEN exists(sequence(1, size(cnv)), s -> "
-                f"element_at(cnv, s) >= 2 AND s <= p AND p <= s + {n - 1}) "
+                f"CASE WHEN exists(sequence(greatest(1, p - {n - 1}), "
+                f"least(p, size(fsv))), s -> element_at(fsv, s)) "
                 f"THEN cast(length(element_at(wsv, p)) AS BIGINT) ELSE 0L END), "
                 f"0L, (a, x) -> a + x) "
                 f"div cast(length(concat_ws('', wsv)) AS BIGINT) END"
+                f"), 1)"
             )
         bp = (
             f"element_at(transform(array(ws), wsv -> "
             f"element_at(transform(array({gs_expr}), gsv -> "
-            f"element_at(transform(array("
-            f"transform(gsv, x -> size(filter(gsv, y -> y = x)))"
-            f"), cnv -> {body}), 1)"
+            f"element_at(transform(array({rle_expr}), rlev -> {body}), 1)"
             f"), 1)"
             f"), 1)"
         )
