@@ -8542,6 +8542,118 @@ def gopher_repetition_gates(spark, sf_dir):
     )
 
 
+# PII patterns chosen to be DIALECT-NEUTRAL between Java regex (Spark)
+# and RE2 (DuckDB): no lookaround, no backreferences, only \b \d
+# non-capturing groups and bounded quantifiers; text is lowercased
+# first so no (?i) flag is needed (flag syntax differs).
+_PII_PATTERNS = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("url", r"https?://[^\s]+"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+]
+
+_PII_SQL = (
+    "WITH per_doc AS (\n  SELECT source, length(text) AS nc,\n"
+    + ",\n".join(
+        f"         regexp_extract_all(lower(text), '{p}') AS m_{k}"
+        for k, p in _PII_PATTERNS
+    )
+    + "\n  FROM documents WHERE length(text) > 0\n)\n"
+    + "SELECT source,\n"
+    + "       CAST(count(*) AS BIGINT) AS n_docs,\n"
+    + "       CAST(sum(CASE WHEN "
+    + " OR ".join(f"len(m_{k}) > 0" for k, _ in _PII_PATTERNS)
+    + " THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,\n"
+    + ",\n".join(
+        f"       CAST(sum(len(m_{k})) AS BIGINT) AS n_{k}"
+        for k, _ in _PII_PATTERNS
+    )
+    + ",\n       CAST(sum("
+    + " + ".join(
+        f"COALESCE(list_aggregate(list_transform(m_{k}, x -> length(x)), "
+        f"'sum'), 0)"
+        for k, _ in _PII_PATTERNS
+    )
+    + ") AS BIGINT) AS pii_chars,\n"
+    + "       CAST(10000 * sum("
+    + " + ".join(
+        f"COALESCE(list_aggregate(list_transform(m_{k}, x -> length(x)), "
+        f"'sum'), 0)"
+        for k, _ in _PII_PATTERNS
+    )
+    + ") // sum(nc) AS BIGINT) AS pii_bp\n"
+    + "FROM per_doc GROUP BY source ORDER BY source"
+)
+
+
+@query("docs_pii_scan", oracle=_PII_SQL)
+def docs_pii_scan(spark, sf_dir):
+    """PII detection audit — the scrubbing stage every public pretrain
+    pipeline runs before release (CCNet, Dolma, RedPajama all carry
+    one): per source, match counts for email / URL / phone / IPv4
+    patterns, documents containing any, total matched characters, and
+    the redaction fraction in basis points (what a masking pass would
+    remove). Patterns are restricted to the Java-regex ∩ RE2 dialect
+    (no lookaround/backrefs) so both engines match identically; the
+    synthetic corpus is PII-free by construction, so the hand fixture
+    is the behavioral pin and the corpus run is the zero-noise check.
+
+    100 TB shape: pure scan-speed map (regexp_extract_all + length
+    arithmetic per doc, let-bound so each pattern runs once), then a
+    |sources|-row rollup with map-side combine; integer char counts
+    and floor division keep every output engine-exact."""
+    d = _scale_up(_load(spark, sf_dir, "documents"))
+    t = d.select("source", F.lower(F.col("text")).alias("txt")).filter(
+        F.length("txt") > 0
+    )
+    cols = [F.col("source"), F.length("txt").cast("long").alias("nc")]
+    for k, p in _PII_PATTERNS:
+        # one regexp pass per pattern: count + matched-char sum, both
+        # derived from the same let-bound match array. Spark SQL string
+        # literals eat single backslashes — double them (the DuckDB
+        # literal above keeps them single; standard SQL).
+        p_sql = p.replace("\\", "\\\\")
+        cols.append(
+            F.expr(
+                f"element_at(transform(array("
+                f"regexp_extract_all(txt, '{p_sql}', 0)"
+                f"), mv -> named_struct("
+                f"'n', cast(size(mv) AS BIGINT), "
+                f"'chars', aggregate(mv, 0L, (a, x) -> a + length(x)))), 1)"
+            ).alias(f"m_{k}")
+        )
+    per_doc = t.select(*cols)
+    any_pii = None
+    for k, _ in _PII_PATTERNS:
+        c = F.col(f"m_{k}.n") > 0
+        any_pii = c if any_pii is None else (any_pii | c)
+    chars_sum = None
+    for k, _ in _PII_PATTERNS:
+        c = F.col(f"m_{k}.chars")
+        chars_sum = c if chars_sum is None else (chars_sum + c)
+    return (
+        per_doc.withColumn("has_pii", any_pii)
+        .withColumn("chars", chars_sum)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("has_pii"), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_with_pii"),
+            *[
+                F.sum(F.col(f"m_{k}.n")).cast("long").alias(f"n_{k}")
+                for k, _ in _PII_PATTERNS
+            ],
+            F.sum("chars").cast("long").alias("pii_chars"),
+            F.expr("cast(10000 * sum(chars) div sum(nc) AS BIGINT)").alias(
+                "pii_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 _CHUNK_DEDUP_SQL = r"""
 WITH arr AS (
   SELECT source, regexp_extract_all(lower(text), '\w+') AS toks FROM documents
@@ -17295,7 +17407,7 @@ DRIVER_PRIORITY: list[str] = [
     # the window marker are positioned to LEAD the r14 window. Tail
     # follows in definition order (all locally oracle-checked every CI
     # run). Boundary check: list(all_queries())[49] must be
-    # 'bm25_topk' and [50] 'ccnet_perplexity_buckets'.
+    # 'bloom_decontaminate' and [50] 'bm25_topk'.
     # -- r08-stale (oldest verdicts; lead the window) --
     "association_rules",
     "bigram_pmi_top",
@@ -17339,6 +17451,7 @@ DRIVER_PRIORITY: list[str] = [
     "unigram_lm_em_learn",
     "events_seasonal_decomposition",
     "quality_calibration_ece",
+    "docs_pii_scan",
     # -- plan changed in r13 (prior verdicts attest the string-key plan) --
     "docs_exact_substring_dup",
     "docs_exact_substring_savings",
@@ -17349,9 +17462,9 @@ DRIVER_PRIORITY: list[str] = [
     "bigram_cond_entropy",
     "bigram_lm_surprisal",
     "bloom_decontaminate",
-    "bm25_topk",
-    # ------- 50-slot window boundary (37 + 4 + 2 + 7) -------
+    # ------- 50-slot window boundary (37 + 5 + 2 + 6) -------
     # -- r09-stale leftovers: staged to lead the r14 window --
+    "bm25_topk",
     "ccnet_perplexity_buckets",
     "chunk_dedup_rate",
     "corpus_filter_shard_pipeline",

@@ -2163,3 +2163,38 @@ def test_seasonal_decomposition_densifies_gap_days(spark, tmp_path):
     assert [(r[0].day, r[1], r[2], r[3], r[4]) for r in ora] == [
         (d, got[d][0], got[d][1], got[d][2], got[d][3]) for d in sorted(got)
     ]
+
+
+def test_pii_scan_hand_computed(spark, tmp_path):
+    """The synthetic corpus is PII-free, so this fixture is the
+    behavioral pin: crafted docs with email/url/phone/ipv4 (and
+    overlaps with plain text) must produce identical match counts and
+    matched-char sums in BOTH regex dialects (Java vs RE2 — the
+    patterns are restricted to their intersection)."""
+    rows = [
+        (0, "contact Bob.Smith+spam@Example.COM or visit https://x.io/a?b=1 now",
+         "en", "s1", 64),
+        (1, "call 555-123-4567 or 555.987.6543; server at 10.0.255.7 ok",
+         "en", "s1", 58),
+        (2, "no pii here just words", "en", "s2", 22),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: (
+            r.n_docs, r.docs_with_pii, r.n_email, r.n_url, r.n_phone,
+            r.n_ipv4, r.pii_chars,
+        )
+        for r in qlib._REGISTRY["docs_pii_scan"](spark, str(tmp_path)).collect()
+    }
+    # doc0: email 'bob.smith+spam@example.com' (26 ch), url
+    # 'https://x.io/a?b=1' (18 ch). doc1: two phones (12 ch each),
+    # one ipv4 '10.0.255.7' (10 ch).
+    assert got["s1"] == (2, 2, 1, 1, 2, 1, 26 + 18 + 24 + 10)
+    assert got["s2"] == (1, 0, 0, 0, 0, 0, 0)
+    ora = {
+        r[0]: tuple(r[1:8])
+        for r in _oracle_rows("docs_pii_scan", str(tmp_path), ["documents"])
+    }
+    assert ora == got
