@@ -338,8 +338,12 @@ class LakehouseRestServer:
 
     def update_rows(self, name: str, body: dict):
         """POST /tables/{t}/update {"filter": "<predicate>",
-        "set": {col: sql_expr}, "txn_id"?} — transactional row UPDATE
-        over HTTP (beyond the reference surface)."""
+        "set": {col: sql_expr},
+        "mode": "copy-on-write"|"merge-on-read"?, "txn_id"?} —
+        transactional row UPDATE over HTTP (beyond the reference
+        surface). merge-on-read commits a deletion vector over the old
+        rows plus fresh files of the rewritten rows instead of
+        rewriting the touched files."""
         flt = body.get("filter")
         assignments = body.get("set")
         if not flt or not isinstance(flt, str):
@@ -351,7 +355,12 @@ class LakehouseRestServer:
             raise _ApiError(400, "Missing or invalid set assignments")
         t = self._table(name)
         try:
-            version, n = t.update(flt, assignments, txn_id=body.get("txn_id"))
+            version, n = t.update(
+                flt,
+                assignments,
+                txn_id=body.get("txn_id"),
+                mode=body.get("mode", "copy-on-write"),
+            )
         except _CLIENT_INPUT_ERRORS as exc:
             raise _ApiError(400, f"Update failed: {exc}")
         return 200, {

@@ -434,6 +434,15 @@ class _MinilakeStreamReader(SimpleDataSourceStreamReader):
 
         log = TransactionLog(self._table_dir)
         names = [f.name for f in self._fields]
+        # The live path set is seeded from ONE snapshot at the range
+        # start and then advanced incrementally per entry (adds then
+        # removes, the replay order of TransactionLog._apply). The
+        # previous shape re-snapshotted log.snapshot(v-1) inside the
+        # loop — O(versions × replay-suffix) cold replays per
+        # micro-batch instead of one (r13 ADVICE).
+        prev_paths = (
+            {f.path for f in log.snapshot(v0).files} if v0 >= 1 else set()
+        )
         for v in range(v0 + 1, v1 + 1):
             entry = log.read_entry(v)
             # Re-adding a path visible in the PREVIOUS version is never
@@ -443,10 +452,9 @@ class _MinilakeStreamReader(SimpleDataSourceStreamReader):
             # fresh append), or a restore re-adding old files. Emitting
             # such adds would replay every row of the file. Same
             # non-append contract as removes.
-            prev_paths = (
-                {f.path for f in log.snapshot(v - 1).files} if v > 1 else set()
-            )
             readds = [a.path for a in entry.adds if a.path in prev_paths]
+            prev_paths |= {a.path for a in entry.adds}
+            prev_paths -= set(entry.removes)
             if entry.removes or readds:
                 if self._ignore_changes:
                     continue

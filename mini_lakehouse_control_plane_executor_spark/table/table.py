@@ -60,6 +60,28 @@ COMMIT_MAX_RETRIES = 3  # pkg/coordinator/transaction_manager.go:174-179
 # stage alive for an hour (stage → promote → commit is one call).
 TMP_SWEEP_AGE_SECONDS = 3600.0
 
+# Deletion-vector bounds — the merge-on-read contract's self-enforcing
+# half. A file whose deleted fraction reaches DV_MATERIALIZE_FRACTION is
+# auto-rewritten right after the MoR commit that crossed the line
+# (Delta's ~50% purge-eligibility heuristic): reading it costs full scan
+# + anti-join for under half the live rows, so materializing is cheaper
+# than the next two reads. DV_BROADCAST_MAX_ROWS bounds the dv side a
+# native read will BROADCAST; above it the anti-join runs as a shuffled
+# join instead (the per-file bitmap application in
+# sources/pydatasource.py stays the at-scale shape). Both are module
+# constants so tests (and operators) can tighten them.
+DV_MATERIALIZE_FRACTION = 0.5
+# Dust guard: auto-rewriting a file over a handful of dv'd rows is pure
+# churn (the rewrite costs more than every future read saves); a file
+# below this many dv rows only materializes through a normal compaction
+# pass (where it is already a singleton-group candidate).
+DV_MATERIALIZE_MIN_ROWS = 1024
+# Table-wide pending-dv budget: above this, the post-commit pass also
+# drafts the largest dv carriers (even under the fraction bar) until the
+# projected total is back under budget.
+DV_PENDING_MAX_ROWS = 4_000_000
+DV_BROADCAST_MAX_ROWS = 4_000_000
+
 # Stats are harvested only for scalar leaf types we can JSON-roundtrip.
 # date/timestamp serialize as FIXED-WIDTH ISO strings ('%Y-%m-%d' /
 # '%Y-%m-%d %H:%M:%S.%f'), whose lexicographic order equals their
@@ -886,6 +908,72 @@ class LakehouseTable:
         finally:
             matches.unpersist()
 
+    def _dv_flagged(self, snap: Snapshot) -> list[FileAdd]:
+        """Files due for deletion-vector materialization — the
+        self-enforcing half of the MoR contract. Eligible: deleted
+        fraction ≥ DV_MATERIALIZE_FRACTION (Delta's ~50% purge
+        heuristic) with at least DV_MATERIALIZE_MIN_ROWS dv'd rows
+        (dust guard). Additionally, when table-wide pending dv rows
+        exceed DV_PENDING_MAX_ROWS, the largest dv carriers are drafted
+        — fraction bar or not — until the projected total is back under
+        budget, so a pathological client issuing millions of MoR
+        deletes without ever compacting cannot grow the dv side
+        unboundedly."""
+        dvd = [f for f in snap.files if f.dv_path]
+        flagged = {
+            f.path: f
+            for f in dvd
+            if f.dv_rows >= DV_MATERIALIZE_MIN_ROWS
+            and f.rows > 0
+            and f.dv_rows / f.rows >= DV_MATERIALIZE_FRACTION
+        }
+        remaining = sum(f.dv_rows for f in dvd) - sum(
+            f.dv_rows for f in flagged.values()
+        )
+        if sum(f.dv_rows for f in dvd) > DV_PENDING_MAX_ROWS:
+            for f in sorted(dvd, key=lambda f: (-f.dv_rows, f.path)):
+                if remaining <= DV_PENDING_MAX_ROWS:
+                    break
+                if f.path not in flagged:
+                    flagged[f.path] = f
+                    remaining -= f.dv_rows
+        return sorted(flagged.values(), key=lambda f: f.path)
+
+    def _auto_materialize_dvs(self) -> int | None:
+        """Post-MoR-commit maintenance pass: rewrite (dv-applied) every
+        flagged file, clearing its dv — its own OCC commit, retried like
+        compaction's. BEST-EFFORT by design: losing every retry leaves
+        the files flagged (the next MoR commit or compaction pass picks
+        them up) and never fails the DML that triggered the pass.
+        Returns the commit version, or None when nothing was flagged or
+        every retry lost."""
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            snap = self.log.snapshot()
+            flagged = self._dv_flagged(snap)
+            if not flagged:
+                return None
+            txn = f"dvmat-{uuid.uuid4()}"
+            schema = to_spark_schema(snap.schema)
+            stage = os.path.join(self.tmp_dir, txn)
+            adds: list[FileAdd] = []
+            removes: list[str] = []
+            try:
+                for gi, f in enumerate(flagged):
+                    out = os.path.join(stage, f"g{gi}")
+                    self._scan_files([f], schema).coalesce(1).write.mode(
+                        "overwrite"
+                    ).parquet(out)
+                    adds.extend(self._promote_staged(out))
+                    removes.append(f.path)
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+            try:
+                return self.log.commit(snap.version, txn, snap.schema, adds, removes)
+            except CommitConflictError:
+                self._remove_adds(adds)
+                time.sleep(0.01 * (attempt + 1))
+        return None
+
     def _delete_mor(
         self, pred, filter_str: str, txn_id: str
     ) -> tuple[int | None, int]:
@@ -917,6 +1005,7 @@ class LakehouseTable:
                 return None, 0
             try:
                 version = self.log.commit(snap.version, txn_id, snap.schema, adds, [])
+                self._auto_materialize_dvs()
                 return version, sum(new_counts.values())
             except CommitConflictError:
                 try:
@@ -929,16 +1018,34 @@ class LakehouseTable:
         )
 
     def update(
-        self, filter_str: str, assignments: dict[str, str], txn_id: str | None = None
+        self,
+        filter_str: str,
+        assignments: dict[str, str],
+        txn_id: str | None = None,
+        mode: str = "copy-on-write",
     ) -> tuple[int | None, int]:
-        """Copy-on-write UPDATE: in files whose stats admit matches, rows
-        matching ``filter_str`` get each column in ``assignments`` set to
-        the given SQL expression (evaluated against the pre-update row);
-        all other rows — and all other files — carry over unchanged.
-        Returns (new_version | None, rows_updated). Same dataflow,
-        OCC-retry, idempotency, and time-travel behavior as ``delete``."""
+        """UPDATE: rows matching ``filter_str`` get each column in
+        ``assignments`` set to the given SQL expression (evaluated
+        against the pre-update row); all other rows — and all other
+        files — carry over unchanged. Returns
+        (new_version | None, rows_updated). Same OCC-retry, idempotency,
+        and time-travel behavior as ``delete``.
+
+        ``mode='copy-on-write'`` (default): files whose min/max stats
+        admit matches are fully rewritten with the assignments applied.
+
+        ``mode='merge-on-read'`` (Delta's DV UPDATE dataflow): the
+        matched (file, position) pairs are committed as a deletion
+        vector over the old rows and the REWRITTEN rows append as fresh
+        files — one OCC commit, cost O(matched rows), not O(touched
+        bytes). Row-level results are identical (pinned by the model
+        test's mode coin-flip); compaction later materializes the dvs.
+        Completes the DV write-path triple next to ``delete`` and
+        ``merge``."""
         from mini_lakehouse_control_plane_executor_spark.functions.filters import parse_filter, prune_files
 
+        if mode not in ("copy-on-write", "cow", "merge-on-read", "mor"):
+            raise ValueError(f"unknown update mode {mode!r}")
         pred = parse_filter(filter_str)
         txn_id = txn_id or f"update-{uuid.uuid4()}"
         prior = self.log.find_txn(txn_id)
@@ -947,6 +1054,8 @@ class LakehouseTable:
         unknown = set(assignments) - {f.name for f in self.fields}
         if unknown:
             raise ValueError(f"UPDATE of unknown column(s): {sorted(unknown)}")
+        if mode in ("merge-on-read", "mor"):
+            return self._update_mor(pred, filter_str, assignments, txn_id)
 
         for attempt in range(COMMIT_MAX_RETRIES + 1):
             snap = self.log.snapshot()
@@ -994,6 +1103,100 @@ class LakehouseTable:
                 return version, n_match
             except CommitConflictError:
                 self._remove_adds(adds)
+                time.sleep(0.01 * (attempt + 1))
+        raise CommitRetriesExhausted(
+            f"update on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races"
+        )
+
+    def _update_mor(
+        self,
+        pred,
+        filter_str: str,
+        assignments: dict[str, str],
+        txn_id: str,
+    ) -> tuple[int | None, int]:
+        """Merge-on-read UPDATE body (Delta's DV UPDATE): the matched
+        live positions become deletion-vector entries over the old
+        files, and the rewritten rows (assignments applied) append as
+        fresh files — both in ONE OCC commit, so readers see the swap
+        atomically. Matches are computed on the dv-APPLIED scan, so a
+        previously MoR-deleted row can never be resurrected as an
+        'updated' copy. Same re-plan-per-attempt loop as
+        ``_delete_mor``; on conflict the fresh files AND the staged dv
+        are both reclaimed before the retry."""
+        from mini_lakehouse_control_plane_executor_spark.functions.filters import prune_files
+
+        for attempt in range(COMMIT_MAX_RETRIES + 1):
+            snap = self.log.snapshot()
+            candidates = prune_files(snap.files, filter_str, snap.schema)
+            if not candidates:
+                return None, 0
+            schema = to_spark_schema(snap.schema)
+            live, src_col, pos_col = self._scan_files(
+                candidates, schema, with_positions=True
+            )
+            matched = live.filter(pred)
+            out = matched.select(
+                *[
+                    F.expr(assignments[f.name])
+                    .cast(schema[f.name].dataType)
+                    .alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in snap.schema
+                ]
+            )
+            # Rewritten rows pass the same CHECK gate as insert; the
+            # dv'd old rows need none (they are being removed).
+            if self.constraints:
+                out = out.select(
+                    *self._constraint_guard(
+                        [out[f.name] for f in snap.schema], out
+                    )
+                )
+            dv_adds, new_counts, dv_abs = self._write_dv(
+                matched.select(
+                    F.col(src_col).alias("src"), F.col(pos_col).alias("pos")
+                ),
+                candidates,
+                f"{txn_id}-a{attempt}",
+            )
+            if not new_counts:
+                return None, 0
+            stage = os.path.join(self.tmp_dir, txn_id)
+            try:
+                # A failing rewrite (e.g. a CHECK-constraint violation
+                # raised while materializing ``out``) must not leak the
+                # already-written dv parquet — nothing referenced it yet.
+                out.coalesce(max(1, len(candidates))).write.mode(
+                    "overwrite"
+                ).parquet(stage)
+                adds = self._promote_staged(stage)
+            except BaseException:
+                if dv_abs is not None:
+                    try:
+                        os.remove(dv_abs)
+                    except OSError:
+                        pass
+                raise
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+            try:
+                version = self.log.commit(
+                    snap.version, txn_id, snap.schema, adds + dv_adds, []
+                )
+                self._auto_materialize_dvs()
+                return version, sum(new_counts.values())
+            except CommitConflictError:
+                # Fresh rewritten files are reclaimed; dv_adds point at
+                # live data files (metadata-only updates) so only the
+                # staged dv parquet itself is removed.
+                self._remove_adds(adds)
+                if dv_abs is not None:
+                    try:
+                        os.remove(dv_abs)
+                    except OSError:
+                        pass
                 time.sleep(0.01 * (attempt + 1))
         raise CommitRetriesExhausted(
             f"update on {self.name!r} lost {COMMIT_MAX_RETRIES + 1} OCC races"
@@ -1223,6 +1426,8 @@ class LakehouseTable:
                         adds + dv_adds,
                         [] if mor else [f.path for f in candidates],
                     )
+                    if mor and dv_adds:
+                        self._auto_materialize_dvs()
                     return version, n_updated, n_inserted
                 except CommitConflictError:
                     # Only FRESH files are reclaimed — dv_adds point at
@@ -1498,8 +1703,24 @@ class LakehouseTable:
         if dvd:
             df = _scan(dvd, True)
             dv = self._dv_rows(dvd)
+            # The dv side broadcasts only while it is broadcast-sane:
+            # pending (deleted-but-not-materialized) rows are tracked
+            # exactly in the log as dv_rows, so the bound costs no scan.
+            # Above DV_BROADCAST_MAX_ROWS the anti-join runs as a
+            # shuffled join instead of pushing an over-large build side
+            # through the driver — the self-enforcing half of the
+            # "compaction keeps it bounded" contract (the per-file
+            # bitmap application in sources/pydatasource.py is the
+            # fully task-local shape at Delta scale).
+            if sum(f.dv_rows for f in dvd) <= DV_BROADCAST_MAX_ROWS:
+                dv = F.broadcast(dv)
+            else:
+                # Explicit sort-merge: without the hint Catalyst's
+                # size estimate of the (tiny-on-disk, wide-in-memory)
+                # dv parquet could still pick a broadcast build.
+                dv = dv.hint("merge")
             df = df.join(
-                F.broadcast(dv),
+                dv,
                 (df[src_col] == dv["src"]) & (df[pos_col] == dv["pos"]),
                 "left_anti",
             )

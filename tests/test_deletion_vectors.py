@@ -444,3 +444,208 @@ def test_concurrent_mor_deletes_all_land(lake, spark):
         i * 10 <= k < i * 10 + 5 for i in range(5))]
     assert kept == expect
     assert sum(f.dv_rows for f in t.snapshot().files) == 25
+
+
+def test_dv_fraction_trigger_self_enforcing(lake, spark, monkeypatch):
+    """Flooding merge-on-read deletes WITHOUT ever calling compact must
+    keep the dv side bounded on its own: a file whose deleted fraction
+    crosses DV_MATERIALIZE_FRACTION is auto-rewritten right after the
+    MoR commit that crossed it (best-effort post-commit pass). Here
+    each 50-row file accumulates 6-row deletes; at 30/50 deleted the
+    trigger fires, so by the end NO dv survives at all — deletes alone
+    can only grow dv_rows, so pending == 0 proves the pass ran."""
+    import mini_lakehouse_control_plane_executor_spark.table.table as tt
+
+    monkeypatch.setattr(tt, "DV_MATERIALIZE_MIN_ROWS", 8)
+    lake.create_table("t", SCHEMA)
+    lake.insert("t", _df(spark, 0, 100).coalesce(2))  # 2 files x 50 rows
+    t = lake.table("t")
+    v_ins = t.versions()[-1]
+    for i in range(10):
+        t.delete(f"k >= {i * 10} AND k < {i * 10 + 6}", mode="mor")
+    kept = sorted(r.k for r in t.read().collect())
+    assert kept == [k for k in range(100) if k % 10 >= 6]
+    snap = t.snapshot()
+    assert not t._dv_flagged(snap)
+    assert sum(f.dv_rows for f in snap.files) == 0
+    assert sum(f.rows for f in snap.files) == 40
+    # time travel through the churn still works
+    assert t.read(version=v_ins).count() == 100
+
+
+def test_dv_budget_trigger_and_shuffled_read(lake, spark, monkeypatch):
+    """The table-wide pending-dv budget drafts the largest dv carriers
+    (fraction bar or not) until pending is back under budget; and a
+    read issued while pending exceeds the broadcast bound applies the
+    dv as a SHUFFLED anti-join (no broadcast build of an unbounded dv
+    side through the driver)."""
+    import mini_lakehouse_control_plane_executor_spark.table.table as tt
+
+    monkeypatch.setattr(tt, "DV_MATERIALIZE_FRACTION", 10.0)  # never
+    monkeypatch.setattr(tt, "DV_MATERIALIZE_MIN_ROWS", 10**9)  # never
+    monkeypatch.setattr(tt, "DV_PENDING_MAX_ROWS", 10)
+    lake.create_table("t", SCHEMA)
+    lake.insert("t", _df(spark, 0, 100).coalesce(4))  # 4 files x 25 rows
+    t = lake.table("t")
+    for i in range(4):
+        t.delete(f"k >= {i * 25} AND k < {i * 25 + 3}", mode="mor")
+    snap = t.snapshot()
+    # 12 rows were dv'd; the budget pass materialized carrier(s) until
+    # pending <= 10 (one 3-row carrier suffices: 12 - 3 = 9).
+    assert sum(f.dv_rows for f in snap.files) == 9
+    assert t.read().count() == 88
+    # broadcast bound: with pending (9) above the bound (0), the plan
+    # must not broadcast the dv side.
+    monkeypatch.setattr(tt, "DV_BROADCAST_MAX_ROWS", 0)
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert t.read().count() == 88  # and it still reads correctly
+    # under the bound the broadcast shape returns
+    monkeypatch.setattr(tt, "DV_BROADCAST_MAX_ROWS", 4_000_000)
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mor_update_basics(lake, spark):
+    """Merge-on-read UPDATE (Delta's DV UPDATE): the old rows are dv'd
+    in place — original data files stay byte-identical — and the
+    rewritten rows append as fresh files in the SAME commit; row-level
+    result equals the copy-on-write update, and time travel still sees
+    the pre-update values."""
+    t = _mk(lake, spark)
+    pre = t.snapshot()
+    sizes = {
+        f.path: os.path.getsize(os.path.join(t.dir, f.path)) for f in pre.files
+    }
+    v, n = t.update("k < 10", {"x": "x + 1000"}, mode="merge-on-read")
+    assert n == 10 and v == pre.version + 1
+    out = t.read()
+    assert out.count() == 100  # update never changes cardinality
+    assert out.filter((F.col("k") < 10) & (F.col("x") < 1000)).count() == 0
+    assert out.filter((F.col("k") >= 10) & (F.col("x") >= 1000)).count() == 0
+    # time travel: pre-update values intact
+    old = t.read(version=pre.version)
+    assert old.filter(F.col("x") >= 1000).count() == 0
+    post = t.snapshot()
+    assert {f.path for f in pre.files} < {f.path for f in post.files}
+    for f in post.files:
+        if f.path in sizes:  # originals byte-identical, dv attached
+            assert os.path.getsize(os.path.join(t.dir, f.path)) == sizes[f.path]
+    assert sum(f.dv_rows for f in post.files) == 10
+
+
+def test_mor_update_matches_cow_update(lake, spark):
+    """Mode equivalence pin: the same UPDATE through both modes yields
+    identical row-level state (the model test coin-flips this too; this
+    is the direct two-table comparison)."""
+    t1 = _mk(lake, spark, name="cowu")
+    t2 = _mk(lake, spark, name="moru")
+    args = ("k % 3 = 1", {"v": "concat(v, '!')", "x": "x * 2"})
+    _, n1 = t1.update(*args, mode="copy-on-write")
+    _, n2 = t2.update(*args, mode="merge-on-read")
+    assert n1 == n2 > 0
+    rows1 = sorted(tuple(r) for r in t1.read().collect())
+    rows2 = sorted(tuple(r) for r in t2.read().collect())
+    assert rows1 == rows2
+
+
+def test_mor_update_idempotent_no_match_and_null_pred(lake, spark):
+    t = _mk(lake, spark, n=20)
+    v1, n1 = t.update("k < 5", {"x": "x + 1"}, txn_id="u-1", mode="mor")
+    v2, n2 = t.update("k < 5", {"x": "x + 1"}, txn_id="u-1", mode="mor")
+    assert n1 == 5
+    assert (v2, n2) == (v1, 0)  # txn replay: same version, no-op
+    assert t.update("k > 1000", {"x": "0.0"}, mode="mor") == (None, 0)
+    # NULL-evaluating predicate rows are NOT updated (SQL semantics)
+    lake.create_table("tn", SCHEMA)
+    rows = [(1, "a", 1.0), (2, None, 2.0)]
+    lake.insert("tn", spark.createDataFrame(rows, "k long, v string, x double"))
+    tn = lake.table("tn")
+    _, n = tn.update("v = 'a'", {"x": "99.0"}, mode="mor")
+    assert n == 1
+    got = {r.k: r.x for r in tn.read().collect()}
+    assert got == {1: 99.0, 2: 2.0}
+
+
+def test_mor_update_respects_dv_and_compact_materializes(lake, spark):
+    """An MoR update after an MoR delete touches LIVE rows only (a
+    deleted row must never be resurrected as an 'updated' copy);
+    compaction then materializes all dvs and the state survives."""
+    t = _mk(lake, spark)
+    t.delete("k < 10", mode="mor")
+    _, n = t.update("k < 20", {"v": "'upd'"}, mode="mor")
+    assert n == 10  # k in [10, 20) only — the dv'd rows don't match
+    out = t.read()
+    assert out.count() == 90
+    assert out.filter(F.col("v") == "upd").count() == 10
+    t.compact()
+    post = t.snapshot()
+    assert all(f.dv_path is None for f in post.files)
+    out = t.read()
+    assert out.count() == 90
+    assert out.filter(F.col("v") == "upd").count() == 10
+    assert out.filter(F.col("k") < 10).count() == 0
+
+
+def test_mor_update_constraint_gate(lake, spark):
+    """Rewritten rows pass the CHECK gate: an assignment that would
+    violate a constraint fails atomically — no dv commit, no appended
+    file, state unchanged."""
+    t = _mk(lake, spark, n=10)
+    t.add_constraint("xcap", "x <= 10000")
+    with pytest.raises(Exception, match="xcap"):
+        t.update("k < 5", {"x": "x + 100000"}, mode="mor")
+    assert t.read().filter(F.col("x") > 10000).count() == 0
+    assert sum(f.dv_rows for f in t.snapshot().files) == 0
+
+
+def test_concurrent_mor_updates_all_land(lake, spark):
+    """Threaded merge-on-read updates on DISJOINT predicates: OCC
+    retries must make every update land with no row lost, duplicated,
+    or double-updated (mirrors the concurrent MoR-delete pin; same
+    typed-exhaustion resubmit contract)."""
+    import threading
+
+    from mini_lakehouse_control_plane_executor_spark.table.log import (
+        CommitRetriesExhausted,
+    )
+
+    t = _mk(lake, spark, n=100)
+    errs, results = [], {}
+
+    def worker(i):
+        try:
+            for _outer in range(4):
+                try:
+                    results[i] = t.update(
+                        f"k >= {i * 10} AND k < {i * 10 + 5}",
+                        {"v": f"'w{i}'", "x": "x + 1"},
+                        txn_id=f"cupd-{i}",
+                        mode="mor",
+                    )
+                    return
+                except CommitRetriesExhausted:
+                    continue
+            results[i] = t.update(
+                f"k >= {i * 10} AND k < {i * 10 + 5}",
+                {"v": f"'w{i}'", "x": "x + 1"},
+                txn_id=f"cupd-{i}",
+                mode="mor",
+            )
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert not errs, errs
+    assert sorted(n for _v, n in results.values()) == [5] * 5
+    rows = {r.k: (r.v, r.x) for r in t.read().collect()}
+    assert len(rows) == 100  # cardinality preserved
+    for i in range(5):
+        for k in range(i * 10, i * 10 + 5):
+            assert rows[k] == (f"w{i}", k * 1.5 + 1), k
+        for k in range(i * 10 + 5, i * 10 + 10):
+            assert rows[k] == (f"v{k}", k * 1.5), k
+    assert sum(f.dv_rows for f in t.snapshot().files) == 25

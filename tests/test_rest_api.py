@@ -697,6 +697,23 @@ def test_delete_update_rows_over_http(server, spark):
     })
     # 9 - 2 deleted = 7 rows remain
     assert res["rows"][0]["n"] == 7
+    # merge-on-read UPDATE over HTTP: old rows dv'd (dv_rows grows),
+    # rewritten rows append — row count unchanged, values updated.
+    out = _call(
+        server, "POST", "/tables/du/update",
+        {"filter": "category = 'Electronics'", "set": {"price": "price + 1"},
+         "mode": "merge-on-read"},
+    )
+    assert out["success"] and out["rows_updated"] == 4
+    snap = _call(
+        server, "GET", f"/tables/du/versions/{out['new_version']}/snapshot"
+    )
+    assert sum(f.get("dv_rows", 0) for f in snap["files"]) > 2
+    res = _call(server, "POST", "/query", {
+        "table_name": "du",
+        "aggregates": [{"function": "count", "column": "*", "alias": "n"}],
+    })
+    assert res["rows"][0]["n"] == 7
     # malformed bodies are 400s
     _call(server, "POST", "/tables/du/delete", {"filter": ""}, expect=400)
     _call(server, "POST", "/tables/du/delete",
@@ -705,3 +722,6 @@ def test_delete_update_rows_over_http(server, spark):
           {"filter": "price > 0", "set": {"price": 7}}, expect=400)
     _call(server, "POST", "/tables/du/update",
           {"filter": "price > 0", "set": {"nope": "'x'"}}, expect=400)
+    _call(server, "POST", "/tables/du/update",
+          {"filter": "price > 0", "set": {"price": "price"},
+           "mode": "bogus"}, expect=400)

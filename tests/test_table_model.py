@@ -124,8 +124,16 @@ def test_table_agrees_with_model(spark, tmp_path_factory, ops):
             assert n_del == len(model) - len(kept)
             model = kept
         elif op == "update":
-            # touches v/x only, so k-bounds can never be violated
-            t.update(f"k >= {a} AND k < {a + n}", {"v": f"'u{i}'", "x": "x + 1"})
+            # touches v/x only, so k-bounds can never be violated.
+            # Same coin-flip as delete/merge: copy-on-write and
+            # merge-on-read (dv old rows + append rewritten) UPDATE
+            # must be row-level equivalent under every interleaving.
+            umode = "merge-on-read" if a % 2 else "copy-on-write"
+            t.update(
+                f"k >= {a} AND k < {a + n}",
+                {"v": f"'u{i}'", "x": "x + 1"},
+                mode=umode,
+            )
             model = [
                 (r[0], f"u{i}", r[2] + 1) + r[3:] if a <= r[0] < a + n else r
                 for r in model
