@@ -721,9 +721,6 @@ def simhash_pairs(
     set (hamming is a function of the fingerprint alone); pinned on
     duplicate-heavy input in tests/test_operator_invariants.py."""
     half_bits = bits // 2
-    band_bits = bits // bands
-    mask = (1 << band_bits) - 1
-    chunks_per_half = half_bits // band_bits
     # Two-phase projection: materialize the two md5-derived hash arrays
     # once (ONE digest feeds both halves), then the 2x32 per-bit
     # majority sums reference them as column attributes. The signature
@@ -757,6 +754,29 @@ def simhash_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return hamming_pairs_from_halves(
+        sigs, max_hamming=max_hamming, bits=bits, bands=bands
+    )
+
+
+def hamming_pairs_from_halves(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """The Manku banding + verify + duplicate-skew machinery of
+    ``simhash_pairs``, factored over ANY 64-bit fingerprint stored as
+    two non-negative 32-bit halves ``(doc_id, sha, shb)`` — text
+    SimHash and image dHash/aHash share the identical pair geometry
+    (pigeonhole: hamming ≤ bands-1 pairs share a 16-bit chunk; chunk
+    equi-join; true-hamming verify; min-id representative election so
+    d identical fingerprints cost d, not d²). See ``simhash_pairs``
+    for the full scale rationale."""
+    half_bits = bits // 2
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    chunks_per_half = half_bits // band_bits
     w = Window.partitionBy("sha", "shb")
     vm = (
         sigs.select(

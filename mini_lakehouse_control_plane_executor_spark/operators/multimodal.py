@@ -340,3 +340,99 @@ def image_block_stats(
             yield pd.DataFrame(cols)
 
     return base.mapInPandas(run, schema=schema)
+
+
+DHASH_ASSET_DOCS = 4   # docs sharing one image asset (seed = doc_id // 4)
+DHASH_NOISE_MOD = 101  # ~1% of pixels perturbed per doc
+DHASH_NOISE_ADD = 16
+
+
+def synth_rgb_asset(seed: int, doc_id: int, w: int, h: int) -> bytes:
+    """Deterministic SHARED image asset with per-doc noise: the base
+    pixels derive from the ASSET seed (the CDN reality — many docs
+    embed the same image), and ~1/NOISE_MOD of pixels get +NOISE_ADD
+    (mod 256) keyed by the embedding doc — re-encode/watermark-grade
+    perturbation. Integer arithmetic throughout, so a SQL oracle
+    reproduces every byte (the ``synth_rgb`` discipline)."""
+    import numpy as np
+
+    h0 = int(hashlib.md5(str(seed).encode()).hexdigest()[:8], 16)
+    j = np.arange(w * h * 3, dtype=np.int64)
+    base = (h0 * (j + 1)) % IMG_PIX_MOD
+    noisy = np.where(
+        (doc_id * 131 + j) % DHASH_NOISE_MOD == 0,
+        (base + DHASH_NOISE_ADD) % IMG_PIX_MOD,
+        base,
+    )
+    return noisy.astype(np.uint8).tobytes()
+
+
+def image_dhash(docs_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit dHash (difference hash — the standard perceptual
+    near-dup fingerprint: krawetz.net dHash; same geometry as
+    pHash-family tools) through the real multimodal plumbing: per doc
+    the shared-asset image is synthesized (stand-in for a stored
+    binary image column), DECODED (np.frombuffer + HWC reshape),
+    grid-sampled to the canonical 8×9 grayscale (nearest-neighbor at
+    integer coordinates ``r*h//8, c*w//9`` — exact-integer resize so
+    the hash is engine-reproducible), and each of the 64 bits is the
+    horizontal gradient sign gray[r][c] > gray[r][c+1]. Output: the
+    fingerprint as TWO non-negative 32-bit halves (dha, dhb) — the
+    exact shape ``dedup.hamming_pairs_from_halves`` consumes, because
+    a perceptual hash's whole point is that near-duplicate images land
+    within a few bits.
+
+    Determinism contract: pixels are exact small ints, grayscale is
+    (R+G+B)//3 floor division, comparisons are strict — bit-for-bit
+    SQL-reproducible, so the pipeline is VALUE-checked end-to-end.
+
+    100 TB shape: one Arrow-batched ``mapInPandas`` narrow map — image
+    bytes never leave the executor and never shuffle; per-doc output
+    is one 3-column row (the 8-byte hash, not the image)."""
+    import numpy as np
+
+    base = docs_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(id_col) / DHASH_ASSET_DOCS).cast("long").alias("seed"),
+    ).select(
+        "doc_id",
+        "seed",
+        (8 + (F.col("seed") % 3) * 4).cast("int").alias("w"),
+        (8 + (F.col("seed") % 5) * 2).cast("int").alias("h"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("dha", T.LongType()),
+            T.StructField("dhb", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "dha": [], "dhb": []}
+            for doc_id, seed, w, h in zip(
+                pdf["doc_id"], pdf["seed"], pdf["w"], pdf["h"]
+            ):
+                doc_id, seed, w, h = int(doc_id), int(seed), int(w), int(h)
+                blob = synth_rgb_asset(seed, doc_id, w, h)
+                arr = (
+                    np.frombuffer(blob, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                )
+                ri = (np.arange(8) * h) // 8
+                ci = (np.arange(9) * w) // 9
+                gray = arr[np.ix_(ri, ci)].sum(axis=2) // 3  # 8x9 ints
+                bits = (gray[:, :-1] > gray[:, 1:]).astype(np.int64)  # 8x8
+                flat = bits.reshape(64)
+                weights = np.int64(1) << np.arange(64, dtype=np.int64)
+                dha = int((flat[:32] * weights[:32]).sum())
+                dhb = int((flat[32:] * weights[:32]).sum())
+                out["doc_id"].append(doc_id)
+                out["dha"].append(dha)
+                out["dhb"].append(dhb)
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(run, schema=schema)

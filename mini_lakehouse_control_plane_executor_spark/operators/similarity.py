@@ -1202,6 +1202,187 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_residual_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+) -> DataFrame:
+    """Residual-encoded IVF-PQ (FAISS's ``by_residual`` default for L2
+    indexes, Jégou 2011 §IV): PQ codes quantize ``v - centroid(assigned)``
+    instead of the raw vector, so the codebook covers the residual
+    cloud around each list's centroid — a finer quantizer at the
+    IDENTICAL code budget (same n_sub × n_codes) whenever lists are
+    tight around their centroids. Scoring RECONSTRUCTS
+    ĉ = centroid + decoded-residual and ranks by cosine(q, ĉ) — the
+    asymmetric-distance form of the same paper. Whether the residual
+    payoff materializes is an EMPIRICAL question per corpus/budget —
+    ``ann_recall_matrix`` measures it side-by-side with the raw-vector
+    variant (on the synthetic near-uniform embeddings with untrained
+    seed codebooks, raw wins; on clustered production embeddings with
+    k-means-trained books, residual is the published default for a
+    reason — ``kmeans_refine`` drops into both builds the same way).
+
+    Scale shape (same discipline as ``ivfpq_topk``): the centroid table
+    and residual codebook are each ONE broadcast row (the codebook
+    build adds one extra tiny seed job because residuals need the
+    assignment first — a build-time-only cost); encoding is one
+    map-only pass whose shared residual subexpression is LET-BOUND via
+    the single-element ``inline`` generator (CollapseProject would
+    otherwise re-evaluate the centroid argmax once per PQ code — the
+    r13 HOF trap); probes broadcast; the scoring join is the same
+    cent_id equi-join over codes; the only data shuffle is the
+    per-query top-k window."""
+    seed_c = (
+        df.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("sid"), _as_double(F.col(vec_col)).alias("sv"))
+        .withColumn("snrm", norm(F.col("sv")))
+    )
+    caux = seed_c.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("sid").alias("cent_id"),
+                    F.col("sv").alias("cent_vec"),
+                    F.col("snrm").alias("cent_nrm"),
+                )
+            )
+        ).alias("cents")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _nrm2(cv):
+        return F.aggregate(cv, F.lit(0.0), lambda acc, x: acc + x * x)
+
+    def _resid(v_col, nrm_col):
+        """v − cent_vec(argmax-cosine assignment), as one expression."""
+        cid = _nearest_centroid(v_col, nrm_col)
+        cv = F.element_at(F.col("cents"), (cid + F.lit(1)).cast("int"))["cent_vec"]
+        return F.zip_with(F.col(v_col), cv, lambda a, b: a - b)
+
+    # Residual codebook: code m = subvector m of the first n_codes
+    # vectors' RESIDUALS (the deterministic seeding discipline of
+    # pq_codebook, applied post-assignment so the build is exactly
+    # oracle-checkable).
+    baux = (
+        df.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("code_id"), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("c_nrm", norm(F.col("v")))
+        .crossJoin(F.broadcast(caux))
+        .select("code_id", _resid("v", "c_nrm").alias("r"))
+        .agg(
+            *[
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "code_id",
+                            _sub(F.col("r"), m, sub_dim).alias("cv"),
+                            _nrm2(_sub(F.col("r"), m, sub_dim)).alias("nrm2"),
+                        )
+                    )
+                ).alias(f"book{m}")
+                for m in range(n_sub)
+            ]
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base = _spread(
+        df.select(F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("v"))
+    ).withColumn("c_nrm", norm(F.col("v")))
+    # Encode pass: inline-of-one-struct materializes (cent_id, codes)
+    # exactly once per row — cent_id feeds the residual that feeds all
+    # n_sub code argmins, and without the generator barrier
+    # CollapseProject would inline the whole chain into every output
+    # column.
+    enc_struct = F.element_at(
+        F.transform(
+            F.array(F.struct(_nearest_centroid("v", "c_nrm").alias("cid"))),
+            lambda t: F.element_at(
+                F.transform(
+                    F.array(
+                        F.zip_with(
+                            F.col("v"),
+                            F.element_at(
+                                F.col("cents"), (t["cid"] + F.lit(1)).cast("int")
+                            )["cent_vec"],
+                            lambda a, b: a - b,
+                        )
+                    ),
+                    lambda r: F.struct(
+                        t["cid"].alias("cent_id"),
+                        *[
+                            _pq_code(_sub(r, m, sub_dim), F.col(f"book{m}")).alias(
+                                f"code{m}"
+                            )
+                            for m in range(n_sub)
+                        ],
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
+    enc = (
+        base.crossJoin(F.broadcast(caux))
+        .crossJoin(F.broadcast(baux))
+        .select("c_id", F.inline(F.array(enc_struct)))
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
+    probes = q.crossJoin(F.broadcast(caux)).select(
+        "q_id",
+        "q_vec",
+        "q_nrm",
+        F.explode(_probe_cent_ids("q_vec", "q_nrm", n_probe)).alias("cent_id"),
+    )
+    # ĉ = centroid + concat(decoded residual subvectors); sim is
+    # let-bound over the reconstruction so the 64-dim rebuild runs once
+    # per (query, candidate), not once per reference.
+    recon = F.zip_with(
+        F.element_at(F.col("cents"), (F.col("cent_id") + F.lit(1)).cast("int"))[
+            "cent_vec"
+        ],
+        F.concat(
+            *[
+                F.element_at(F.col(f"book{m}"), F.col(f"code{m}").cast("int") + 1)[
+                    "cv"
+                ]
+                for m in range(n_sub)
+            ]
+        ),
+        lambda a, b: a + b,
+    )
+    sim = F.element_at(
+        F.transform(
+            F.array(recon),
+            lambda r: F.round(
+                F.try_divide(dot(F.col("q_vec"), r), F.col("q_nrm") * norm(r)), 6
+            ),
+        ),
+        1,
+    )
+    scored = (
+        enc.join(F.broadcast(probes), "cent_id")
+        .crossJoin(F.broadcast(caux))
+        .crossJoin(F.broadcast(baux))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # embedding_covariance streams n·d² (i, j)-product rows through its
 # in-stage pair aggregate. At d = 64 that is a 2,144-key aggregate fed
 # by a per-row fanout of 2,080 — fine. The fanout grows QUADRATICALLY

@@ -5394,6 +5394,127 @@ def ann_cosine_ivfpq(spark, sf_dir):
     ).orderBy("q_id", "rank")
 
 
+def _ivfpq_residual_oracle(
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 8,
+) -> str:
+    dim = n_sub * sub_dim
+    subs = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {m} AS m, r[{m * sub_dim + 1}:{(m + 1) * sub_dim}] AS sv FROM resid"
+        for m in range(n_sub)
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM base WHERE vec_id < {n_centroids}),
+assigned AS (
+  SELECT vec_id AS c_id, cent_id FROM (
+    SELECT b.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.cent_id
+           ) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT b.vec_id, list_transform(range(1, {dim + 1}), i -> b.v[i] - c.cv[i]) AS r
+  FROM base b JOIN assigned a ON a.c_id = b.vec_id
+  JOIN cents c ON c.cent_id = a.cent_id
+),
+sub AS (
+  {subs}
+),
+cbook AS (SELECT vec_id AS code_id, m, sv AS cv FROM sub WHERE vec_id < {n_codes}),
+enc AS (
+  SELECT vec_id AS c_id, m, code_id FROM (
+    SELECT s.vec_id, s.m, c.code_id,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY round(list_sum(list_transform(range(1, {sub_dim + 1}),
+                        i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) ASC,
+                      c.code_id
+           ) AS rn
+    FROM sub s JOIN cbook c ON s.m = c.m
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, cent_id FROM (
+    SELECT b.vec_id AS q_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC, c.cent_id
+           ) AS rn
+    FROM base b CROSS JOIN cents c WHERE b.vec_id < 10
+  ) WHERE rn <= {n_probe}
+),
+dec AS (
+  SELECT e.c_id, flatten(list(cb.cv ORDER BY e.m)) AS dv
+  FROM enc e JOIN cbook cb ON cb.m = e.m AND cb.code_id = e.code_id
+  GROUP BY e.c_id
+),
+recon AS (
+  SELECT d.c_id, a.cent_id,
+         list_transform(range(1, {dim + 1}), i -> ct.cv[i] + d.dv[i]) AS rv
+  FROM dec d JOIN assigned a ON a.c_id = d.c_id
+  JOIN cents ct ON ct.cent_id = a.cent_id
+),
+r AS (
+  SELECT qb.vec_id AS q_id, rc.c_id,
+         round(list_cosine_similarity(qb.v, rc.rv), 6) AS sim,
+         CAST(row_number() OVER (
+           PARTITION BY qb.vec_id
+           ORDER BY round(list_cosine_similarity(qb.v, rc.rv), 6) DESC, rc.c_id
+         ) AS INT) AS rank
+  FROM recon rc
+  JOIN probes p ON p.cent_id = rc.cent_id
+  JOIN base qb ON qb.vec_id = p.q_id AND qb.vec_id != rc.c_id
+)
+SELECT q_id, c_id, sim, rank FROM r WHERE rank <= {k} ORDER BY q_id, rank
+"""
+
+
+@query("ann_cosine_ivfpq_residual", oracle=_ivfpq_residual_oracle())
+def ann_cosine_ivfpq_residual(spark, sf_dir):
+    """Residual-encoded IVF-PQ approximate top-5 — FAISS's
+    ``by_residual`` production default for L2 indexes (Jégou 2011
+    §IV): PQ quantizes ``v − centroid(assigned)`` so the same
+    4×8-code budget covers only the residual cloud around each list's
+    centroid, and scoring ranks by cosine against the RECONSTRUCTED
+    ĉ = centroid + decoded residual. The refinement diagnostic
+    ``embedding_ann_ivf_residual`` (r09) measures residual magnitudes;
+    this is the index built on them, and its ``ann_recall_matrix`` row
+    sits next to raw-vector ``ivfpq`` at the identical budget
+    (measured on the synthetic near-uniform corpus with untrained seed
+    codebooks: raw 0.28 vs residual 0.16 mean recall@5 — residual's
+    payoff needs tight lists, i.e. trained centroids/books; the matrix
+    is exactly the artifact that decides).
+
+    100 TB shape: both index parts are one-row broadcasts (the
+    residual codebook costs ONE extra tiny seed job, build-time only);
+    encode is a single map pass with the shared residual let-bound
+    through an ``inline`` generator barrier (the r13
+    CollapseProject/HOF trap); the only data shuffle is the per-query
+    top-k window."""
+    e = _load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return _sim.ivfpq_residual_topk(
+        e,
+        "vec_id",
+        "embedding",
+        queries,
+        k=5,
+        n_centroids=16,
+        n_probe=2,
+        n_sub=4,
+        sub_dim=16,
+        n_codes=8,
+    ).orderBy("q_id", "rank")
+
+
 _ANOMALY_SQL = """
 WITH daily AS (
   SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
@@ -5712,7 +5833,10 @@ WITH exact AS (SELECT q_id, c_id FROM ({_ANN_BRUTE_ORACLE}) x),
 lsh AS (SELECT 'lsh' AS method, q_id, c_id FROM ({_ann_lsh_oracle()}) a),
 pq AS (SELECT 'pq_adc' AS method, q_id, c_id FROM ({_pq_adc_oracle()}) b),
 ivfpq AS (SELECT 'ivfpq' AS method, q_id, c_id FROM ({_ivfpq_oracle()}) c),
-approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM pq UNION ALL SELECT * FROM ivfpq)
+ivfpqr AS (SELECT 'ivfpq_residual' AS method, q_id, c_id
+           FROM ({_ivfpq_residual_oracle()}) d),
+approx AS (SELECT * FROM lsh UNION ALL SELECT * FROM pq
+           UNION ALL SELECT * FROM ivfpq UNION ALL SELECT * FROM ivfpqr)
 SELECT a.method, e.q_id,
        CAST(count(ac.c_id) AS BIGINT) AS n_hits,
        round(count(ac.c_id) / {k}.0, 2) AS recall_at_{k}
@@ -5728,7 +5852,8 @@ ORDER BY a.method, e.q_id
 @query("ann_recall_matrix", oracle=_recall_matrix_oracle())
 def ann_recall_matrix(spark, sf_dir):
     """One tuning table for the whole ANN stack: recall@5 of every
-    approximate strategy (hyperplane-LSH, PQ-ADC, IVF-PQ) against the
+    approximate strategy (hyperplane-LSH, PQ-ADC, IVF-PQ, and r14's
+    residual-encoded IVF-PQ at the identical code budget) against the
     exact brute-force top-5, per query — the artifact an index-selection
     decision reads (speed/recall frontier in one frame). All operands
     are k-rows-per-query frames; the comparison joins are trivially
@@ -5746,6 +5871,12 @@ def ann_recall_matrix(spark, sf_dir):
             e, "vec_id", "embedding", queries, k=5, n_sub=4, sub_dim=16, n_codes=8
         ),
         "ivfpq": _sim.ivfpq_topk(
+            e, "vec_id", "embedding", queries,
+            k=5, n_centroids=16, n_probe=2, n_sub=4, sub_dim=16, n_codes=8,
+        ),
+        # identical code budget as ivfpq — the recall delta IS the
+        # residual-encoding payoff
+        "ivfpq_residual": _sim.ivfpq_residual_topk(
             e, "vec_id", "embedding", queries,
             k=5, n_centroids=16, n_probe=2, n_sub=4, sub_dim=16, n_codes=8,
         ),
@@ -8604,10 +8735,16 @@ def docs_pii_scan(spark, sf_dir):
     |sources|-row rollup with map-side combine; integer char counts
     and floor division keep every output engine-exact."""
     d = _scale_up(_load(spark, sf_dir, "documents"))
-    t = d.select("source", F.lower(F.col("text")).alias("txt")).filter(
-        F.length("txt") > 0
-    )
-    cols = [F.col("source"), F.length("txt").cast("long").alias("nc")]
+    # nc and the emptiness filter are computed from the ORIGINAL text,
+    # exactly as the oracle does — Unicode lowercase mappings can change
+    # codepoint count (e.g. U+0130 → "i" + combining dot), so deriving
+    # nc from lower(text) would diverge on non-ASCII docs (r13 ADVICE).
+    t = d.select(
+        "source",
+        F.length(F.col("text")).cast("long").alias("nc"),
+        F.lower(F.col("text")).alias("txt"),
+    ).filter(F.col("nc") > 0)
+    cols = [F.col("source"), F.col("nc")]
     for k, p in _PII_PATTERNS:
         # one regexp pass per pattern: count + matched-char sum, both
         # derived from the same let-bound match array. Spark SQL string
@@ -12812,6 +12949,104 @@ def multimodal_image_block_stats(spark, sf_dir):
     )
 
 
+def _dhash_pix_sql(j: str) -> str:
+    """One synthetic pixel as SQL (the synth_rgb_asset byte): base from
+    the ASSET seed hash, +16 noise on ~1% of positions keyed by the
+    embedding doc."""
+    return (
+        f"(((h0 * (({j}) + 1)) % 256"
+        f" + CASE WHEN (doc_id * 131 + ({j})) % 101 = 0"
+        f" THEN 16 ELSE 0 END) % 256)"
+    )
+
+
+_IMG_DHASH_J0 = "(3 * ((r * h // 8) * w + (c * w // 9)))"
+
+_IMG_DHASH_SQL = f"""
+WITH dd AS (
+  SELECT doc_id, doc_id // 4 AS seed FROM documents
+),
+d AS (
+  SELECT doc_id, seed,
+         CAST(8 + (seed % 3) * 4 AS BIGINT) AS w,
+         CAST(8 + (seed % 5) * 2 AS BIGINT) AS h,
+         ('0x' || substr(md5(CAST(seed AS VARCHAR)), 1, 8))::BIGINT AS h0
+  FROM dd
+),
+gray AS (
+  SELECT doc_id, t.i // 9 AS r, t.i % 9 AS c,
+         ({_dhash_pix_sql(_IMG_DHASH_J0)}
+          + {_dhash_pix_sql(_IMG_DHASH_J0 + " + 1")}
+          + {_dhash_pix_sql(_IMG_DHASH_J0 + " + 2")}) // 3 AS g
+  FROM d, unnest(range(72)) AS t(i)
+),
+bits AS (
+  SELECT a.doc_id, a.r * 8 + a.c AS b,
+         CASE WHEN a.g > n.g THEN 1 ELSE 0 END AS bit
+  FROM gray a
+  JOIN gray n ON n.doc_id = a.doc_id AND n.r = a.r AND n.c = a.c + 1
+  WHERE a.c < 8
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b)
+                  ELSE 0 END) AS BIGINT) AS dha,
+         CAST(sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32))
+                  ELSE 0 END) AS BIGINT) AS dhb
+  FROM bits GROUP BY 1
+),
+pairs AS (
+  SELECT s1.doc_id AS id1, s2.doc_id AS id2,
+         bit_count(xor(s1.dha, s2.dha)) + bit_count(xor(s1.dhb, s2.dhb))
+           AS hamming
+  FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+)
+SELECT CAST(hamming AS BIGINT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE hamming <= 3 GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("multimodal_image_phash_neardup", oracle=_IMG_DHASH_SQL)
+def multimodal_image_phash_neardup(spark, sf_dir):
+    """Image perceptual-hash near-duplicate detection — the first
+    CROSS-FAMILY member (multimodal × dedup), which is exactly what a
+    multimodal 100 TB pipeline runs: per doc a 64-bit dHash (gradient
+    sign over the canonical 8×9 grayscale grid — krawetz.net's
+    difference hash) is computed from the shared-asset synthetic image
+    bytes inside an Arrow ``mapInPandas`` (operators/multimodal.py::
+    image_dhash), then near-dup pairs at hamming ≤ 3 come from the
+    SAME Manku banding machinery text SimHash uses
+    (dedup.hamming_pairs_from_halves — 4×16-bit chunk pigeonhole,
+    EXACT at this threshold). Docs embedding the same asset differ
+    only by ~1% perturbed pixels, so their hashes land within a few
+    bits — the re-encode/watermark case perceptual hashing exists
+    for. Output: pair count per hamming distance.
+
+    100 TB shape: images never shuffle (the hash leaves the executor,
+    not the bytes); the pair join is a linear chunk-keyed equi-join
+    over min-id representatives (d identical hashes cost d, not d²);
+    the asset-class size is FIXED at 4 docs, so pair volume grows
+    linearly with the corpus. The brute-force O(n²) pair scan lives
+    only in the DuckDB oracle as the exactness canary."""
+    from mini_lakehouse_control_plane_executor_spark.operators import multimodal as _mm
+
+    d = _scale_up(_load(spark, sf_dir, "documents"))
+    sigs = (
+        _mm.image_dhash(d)
+        .select(
+            "doc_id", F.col("dha").alias("sha"), F.col("dhb").alias("shb")
+        )
+        .persist()
+    )
+    pairs = _dedup.hamming_pairs_from_halves(sigs, max_hamming=3)
+    return (
+        pairs.groupBy(F.col("hamming").cast("long").alias("hamming"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
 _CMS_ROLL_SQL = f"""
 WITH tcells AS (
   SELECT e.event_type, t.d,
@@ -16834,6 +17069,235 @@ def docs_exact_substring_savings(spark, sf_dir):
             .alias("keep_ratio_bp"),
         )
         .orderBy("doc_id")
+    )
+
+
+_ESDECON_SQL = rf"""
+WITH arr AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+),
+wins AS (
+  SELECT doc_id, source, i AS pos,
+         array_to_string(w[i:i + {_ESDUP_K - 1}], ' ') AS win
+  FROM arr, unnest(generate_series(1, len(w) - {_ESDUP_K} + 1)) AS t(i)
+  WHERE len(w) >= {_ESDUP_K}
+),
+keep AS (
+  SELECT win FROM (
+    SELECT win,
+           count(DISTINCT CASE WHEN source <> 'src0' THEN doc_id END) AS cdf,
+           count(DISTINCT CASE WHEN source = 'src0' THEN doc_id END) AS bdf
+    FROM wins GROUP BY 1
+  ) WHERE bdf >= 1 AND cdf BETWEEN 1 AND {_ESDUP_MAXDF}
+        AND bdf <= {_ESDUP_MAXDF}
+),
+p AS (
+  SELECT c.doc_id AS da, c.source, b.doc_id AS db, c.pos AS pa, b.pos AS pb
+  FROM (SELECT * FROM wins WHERE source <> 'src0') c
+  JOIN keep USING (win)
+  JOIN (SELECT * FROM wins WHERE source = 'src0') b USING (win)
+),
+r AS (
+  SELECT da, source, db, pa - pb AS diag, pa,
+         pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa)
+           AS island
+  FROM p
+),
+runs AS (
+  SELECT da, source, db, diag, island,
+         CAST(count(*) + {_ESDUP_K} - 1 AS BIGINT) AS run_tokens,
+         CAST(min(pa) AS BIGINT) AS pa_start
+  FROM r GROUP BY 1, 2, 3, 4, 5
+),
+spans AS (
+  SELECT DISTINCT da AS doc_id, source, pa_start AS s,
+         pa_start + run_tokens - 1 AS e
+  FROM runs
+),
+mx AS (
+  SELECT doc_id, source, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM spans
+),
+isl AS (
+  SELECT doc_id, source, s, e,
+         CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM mx
+),
+merged AS (
+  SELECT doc_id, source, island, min(s) AS ms, max(e) AS me
+  FROM isl GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(me - ms + 1) AS BIGINT) AS contam
+  FROM merged GROUP BY 1
+),
+corpus AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_tokens
+  FROM documents WHERE source <> 'src0'
+)
+SELECT c.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN coalesce(p.contam, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       CAST(sum(coalesce(p.n_spans, 0)) AS BIGINT) AS n_spans,
+       CAST(sum(coalesce(p.contam, 0)) AS BIGINT) AS contam_tokens,
+       CAST(sum(coalesce(p.contam, 0)) * 10000 // sum(c.n_tokens) AS BIGINT)
+         AS contam_bp
+FROM corpus c LEFT JOIN per_doc p USING (doc_id)
+GROUP BY c.source ORDER BY c.source
+"""
+
+
+@query("docs_exact_substring_decontam", oracle=_ESDECON_SQL)
+def docs_exact_substring_decontam(spark, sf_dir):
+    """ExactSubstr DECONTAMINATION (Lee et al. 2022 §4 run ExactSubstr
+    against the eval sets, not just intra-corpus): every maximal token
+    run of length ≥ K=8 that a training document shares VERBATIM with
+    the held-out benchmark ('src0', the bloom_decontaminate split) is a
+    contaminated span — the exact-substring complement of the
+    n-gram/Bloom/embedding decontamination family, catching the
+    leaked-answer-string case a shingle-overlap rate can blur. Output:
+    per training source, docs flagged, merged contaminated span count,
+    contaminated tokens, and contamination in basis points.
+
+    Mechanism: the _esdup_runs window/fingerprint/diagonal-islands
+    machinery made ASYMMETRIC — corpus-side windows equi-join BENCHMARK
+    windows only (sides are disjoint by the source split, so no
+    self-pair or a<b ordering is ever needed — the
+    incremental_dedup_newbatch discipline), runs merge per (train doc,
+    bench doc) diagonal, and per-doc overlapping spans from different
+    bench partners merge via the running-max interval sweep before the
+    source rollup (no token double-counted).
+
+    100 TB shape: the join key is the 16-byte md5 window fingerprint
+    (the r13 ExactSubstr form; the string-keyed oracle is the collision
+    canary); the df-gate keeps fingerprints in ≤MAXDF=8 corpus docs AND
+    ≤8 bench docs, so boilerplate windows hand off to
+    boilerplate_ngrams exactly as the intra-corpus pair query documents
+    — candidate fan-out is bounded by MAXDF² per fingerprint, never
+    quadratic in corpus multiplicity (the dup-ladder pin). The bench
+    side of a real deployment is a few MB however big the corpus is;
+    everything corpus-sized flows through linear shuffles only."""
+    d = _load(spark, sf_dir, "documents")
+    arr = _scale_up(d).select(
+        "doc_id", "source", _text.tokens(F.col("text")).alias("toks")
+    )
+    wins = (
+        arr.filter(F.size("toks") >= _ESDUP_K)
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_ESDUP_K} + 1), "
+                    f"i -> unhex(md5(array_join(slice(toks, i, {_ESDUP_K}), ' '))))"
+                )
+            ).alias("pos0", "fp"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (F.col("pos0") + 1).alias("pos"),
+            "fp",
+        )
+        .persist()
+    )
+    is_bench = F.col("source") == "src0"
+    keep = (
+        wins.groupBy("fp")
+        .agg(
+            F.count_distinct(F.when(~is_bench, F.col("doc_id"))).alias("cdf"),
+            F.count_distinct(F.when(is_bench, F.col("doc_id"))).alias("bdf"),
+        )
+        .filter(
+            (F.col("bdf") >= 1)
+            & (F.col("bdf") <= _ESDUP_MAXDF)
+            & (F.col("cdf") >= 1)
+            & (F.col("cdf") <= _ESDUP_MAXDF)
+        )
+        .select("fp")
+    )
+    corp = wins.filter(~is_bench).select(
+        "fp", F.col("doc_id").alias("da"), "source", F.col("pos").alias("pa")
+    )
+    bench = wins.filter(is_bench).select(
+        "fp", F.col("doc_id").alias("db"), F.col("pos").alias("pb")
+    )
+    p = corp.join(keep, "fp").join(bench, "fp")
+    wr = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    r = p.select(
+        "da",
+        "source",
+        "db",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        "pa",
+        (F.col("pa") - F.row_number().over(wr)).alias("island"),
+    )
+    runs = r.groupBy("da", "source", "db", "diag", "island").agg(
+        (F.count(F.lit(1)) + _ESDUP_K - 1).cast("long").alias("run_tokens"),
+        F.min("pa").cast("long").alias("pa_start"),
+    )
+    spans = runs.select(
+        F.col("da").alias("doc_id"),
+        F.col("pa_start").alias("s"),
+        (F.col("pa_start") + F.col("run_tokens") - 1).alias("e"),
+    ).distinct()
+    wm = Window.partitionBy("doc_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mx = spans.select("doc_id", "s", "e", F.max("e").over(wm).alias("pm"))
+    wi = Window.partitionBy("doc_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = mx.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(F.col("pm").isNull() | (F.col("s") > F.col("pm")), 1).otherwise(0)
+        )
+        .over(wi)
+        .cast("long")
+        .alias("island"),
+    )
+    merged = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans_d"),
+        F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("contam"),
+    )
+    corpus = d.filter(F.col("source") != "src0").select(
+        "doc_id",
+        "source",
+        F.size(_text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        corpus.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.coalesce(F.col("contam"), F.lit(0)) > 0).cast("long"))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum(F.coalesce(F.col("n_spans_d"), F.lit(0)))
+            .cast("long")
+            .alias("n_spans"),
+            F.sum(F.coalesce(F.col("contam"), F.lit(0)))
+            .cast("long")
+            .alias("contam_tokens"),
+            F.expr(
+                "cast(sum(coalesce(contam, 0)) * 10000 div sum(n_tokens) "
+                "AS BIGINT)"
+            ).alias("contam_bp"),
+        )
+        .orderBy("source")
     )
 
 

@@ -1918,6 +1918,48 @@ def test_exact_substring_savings_union_hand_computed(spark, tmp_path):
     assert sorted((k, *v) for k, v in got.items()) == ora
 
 
+def test_exact_substring_decontam_hand_computed(spark, tmp_path):
+    """docs_exact_substring_decontam on a planted-contamination fixture:
+    the benchmark doc (src0) holds c0..c19; train doc 10 (src1) shares
+    c0..c9 (one 10-token contaminated span), train doc 30 (src2) shares
+    c5..c19 (15 tokens). Docs 40/41 share a 10-token span WITH EACH
+    OTHER but not with the benchmark — the asymmetric join must ignore
+    intra-corpus duplication entirely. Per-source rollup and the DuckDB
+    string-window oracle must agree exactly."""
+    c = [f"c{i}" for i in range(20)]
+    e = [f"e{i}" for i in range(10)]
+    bench = "q0 q1 q2 " + " ".join(c) + " q3 q4"
+    a = "a0 a1 a2 " + " ".join(c[:10]) + " a3 a4 a5"          # 16 tokens
+    b = " ".join(f"b{i}" for i in range(10))                   # clean, 10
+    dd = "d0 d1 " + " ".join(e) + " d2"                        # 13
+    ee = "d3 d4 " + " ".join(e) + " d5"                        # 13
+    cc = "g0 " + " ".join(c[5:20]) + " g1 g2"                  # 18
+    rows = [
+        (0, bench, "en", "src0", len(bench)),
+        (10, a, "en", "src1", len(a)),
+        (20, b, "en", "src1", len(b)),
+        (40, dd, "en", "src1", len(dd)),
+        (41, ee, "en", "src1", len(ee)),
+        (30, cc, "en", "src2", len(cc)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        (r.source, r.n_docs, r.n_flagged, r.n_spans, r.contam_tokens, r.contam_bp)
+        for r in qlib._REGISTRY["docs_exact_substring_decontam"](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [
+        ("src1", 4, 1, 1, 10, 10 * 10000 // (16 + 10 + 13 + 13)),
+        ("src2", 1, 1, 1, 15, 15 * 10000 // 18),
+    ]
+    assert got == _oracle_rows(
+        "docs_exact_substring_decontam", str(tmp_path), ["documents"]
+    )
+
+
 def test_neyman_allocation_hand_computed(spark, tmp_path):
     """orders_neyman_allocation on a hand fixture with closed-form
     strata: A = {9.00, 11.00} x2 (n=4, sd 100 cents, w = 4*100 = 400),
