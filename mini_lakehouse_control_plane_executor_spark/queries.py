@@ -17860,74 +17860,21 @@ def orders_neyman_allocation(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # round 13 rotation (the r12 verdict's task 1). The driver verifies
-    # the FIRST 50 entries of queries(). Window layout: the 37 r08-stale
-    # names lead (4 rounds since last attestation), then the 4 NEW r13
-    # operators (every new operator gets a driver verdict in its landing
-    # round), then the 2 queries whose PLAN changed this round (the
-    # ExactSubstr pair now joins on the 128-bit md5 window fingerprint,
-    # BENCH_NOTES note 14), then 7 oldest-r09 names fill to 50
-    # (alphabetical within the cohort). The 40 leftover r09 names below
-    # the window marker are positioned to LEAD the r14 window. Tail
-    # follows in definition order (all locally oracle-checked every CI
-    # run). Boundary check: list(all_queries())[49] must be
-    # 'bloom_decontaminate' and [50] 'bm25_topk'.
-    # -- r08-stale (oldest verdicts; lead the window) --
-    "association_rules",
-    "bigram_pmi_top",
-    "boilerplate_ngrams",
-    "bootstrap_ci_mean_tokens",
-    "bpe_merge_learn",
-    "char_entropy_quality",
-    "cross_source_dup_matrix",
-    "dataset_card",
-    "decontamination_ngram_overlap",
-    "dedup_cluster_size_histogram",
-    "dedup_semdedup_prune",
-    "dedup_token_savings",
-    "docs_length_histogram",
-    "embedding_decontamination",
-    "embedding_jl_projection_distortion",
-    "embedding_neardup_lsh",
-    "embedding_pca_covariance",
-    "embedding_pca_power_iteration",
-    "embedding_quantization_error",
-    "event_attribution_touch",
-    "events_correlation",
-    "events_daily_anomaly",
-    "events_kmv_setops",
-    "events_sliding_window",
-    "events_transition_matrix",
-    "events_ttest_conversion",
-    "events_value_deciles",
-    "graph_connected_components",
-    "graph_kcore_peel",
-    "graph_label_propagation",
-    "graph_triangle_count",
-    "grouping_sets_orders",
-    "minhash_tuning_matrix",
-    "quality_ensemble_score",
-    "robust_trimmed_stats",
-    "tokenizer_fertility_stats",
-    "winnowing_dup_pairs",
-    # -- new in r13 (never driver-verified; locally oracle-green) --
-    "gopher_repetition_gates",
-    "unigram_lm_em_learn",
-    "events_seasonal_decomposition",
-    "quality_calibration_ece",
-    "docs_pii_scan",
-    # -- plan changed in r13 (prior verdicts attest the string-key plan) --
-    "docs_exact_substring_dup",
-    "docs_exact_substring_savings",
-    # -- r09-stale fill (oldest cohort; alphabetical) --
-    "ann_cosine_matmul",
-    "ann_cosine_pq_opq",
-    "balanced_sample_per_source",
-    "bigram_cond_entropy",
-    "bigram_lm_surprisal",
-    "bloom_decontaminate",
-    # ------- 50-slot window boundary (37 + 5 + 2 + 6) -------
-    # -- r09-stale leftovers: staged to lead the r14 window --
+    # round 14 rotation (the r13 verdict's task 1). The driver verifies
+    # the FIRST 50 entries of queries(). Window layout: the 41 r09-stale
+    # names lead (5 rounds since last attestation — the cohort staged
+    # below the r13 marker), then the 3 NEW r14 operators (every new
+    # operator gets a driver verdict in its landing round), then the 2
+    # queries whose PLAN changed this round (docs_pii_scan derives nc
+    # from the original text per the r13 ADVICE; ann_recall_matrix
+    # gained the ivfpq_residual method row), then 4 oldest-r10 names
+    # fill to 50 (alphabetical within the cohort). The 43 leftover r10
+    # names below the window marker are positioned to LEAD the r15
+    # window. Tail follows in definition order (all locally
+    # oracle-checked every CI run). Boundary check:
+    # list(all_queries())[49] must be 'dedup_weighted_jaccard_exact'
+    # and [50] 'dedup_weighted_minhash'.
+    # -- r09-stale (oldest verdicts; lead the window) --
     "bm25_topk",
     "ccnet_perplexity_buckets",
     "chunk_dedup_rate",
@@ -17969,4 +17916,61 @@ DRIVER_PRIORITY: list[str] = [
     "unigram_lm_surprisal",
     "vocab_growth_heaps",
     "zipf_slope_by_lang",
+    # -- new in r14 (never driver-verified; locally oracle-green) --
+    "ann_cosine_ivfpq_residual",
+    "docs_exact_substring_decontam",
+    "multimodal_image_phash_neardup",
+    # -- plan changed in r14 (prior verdicts attest the old plan) --
+    "docs_pii_scan",
+    "ann_recall_matrix",
+    # -- r10-stale fill (oldest cohort; alphabetical) --
+    "ann_cosine_sq8",
+    "ann_ivf_incremental_assign",
+    "dedup_band_marginal_recall",
+    "dedup_weighted_jaccard_exact",
+    # ------- 50-slot window boundary (41 + 3 + 2 + 4) -------
+    # -- r10-stale leftovers: staged to lead the r15 window --
+    "dedup_weighted_minhash",
+    "doc_dedup_suffix_ngram",
+    "docs_simhash_hamming_histogram",
+    "dsir_importance_weights",
+    "dup_span_fraction",
+    "embedding_label_centroids",
+    "embedding_norm_quality",
+    "embedding_outlier_centroid",
+    "embedding_silhouette",
+    "embedding_whitening_stats",
+    "events_asof_join",
+    "events_cms_rollup",
+    "events_cohort_retention",
+    "events_dedup_distinct",
+    "events_funnel",
+    "events_heavy_hitters_cms",
+    "events_hll_distinct",
+    "events_hll_distinct_rollup",
+    "events_value_quantile_rollup",
+    "gopher_quality_gates",
+    "hybrid_retrieval_rrf",
+    "join_order_stress",
+    "langid_confusion",
+    "length_trim_per_lang",
+    "multimodal_image_block_stats",
+    "part_cooccurrence",
+    "part_name_fuzzy_matches",
+    "pii_pattern_rates",
+    "q15_top_supplier",
+    "q16_supplier_part_cnt",
+    "q17_small_qty_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "quality_weighted_mix",
+    "rag_chunk_stats",
+    "range_join_value_bands",
+    "repetition_gate",
+    "source_similarity_jsd",
+    "split_leakage_neardup",
+    "supplier_part_pagerank",
+    "tfidf_top_terms",
+    "token_length_calibration",
+    "weighted_sample_aes",
 ]
