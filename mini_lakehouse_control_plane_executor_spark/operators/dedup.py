@@ -734,11 +734,11 @@ def simhash_pairs(
     # would pair with every other at hamming 0 — quadratic FALSE pairs
     # from unrelated short texts. The MinHash path already drops them
     # (no exploded rows); this makes SimHash consistent.
-    n_parts = max(
-        df.rdd.getNumPartitions(), df.sparkSession.sparkContext.defaultParallelism
-    )
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     sigs = (
-        df.repartition(n_parts)
+        df
         .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
         .select("doc_id", shingles_from_tokens(F.col("toks"), shingle_n).alias("shl"))
         .filter(F.size("shl") > 0)

@@ -55,11 +55,11 @@ def bigram_arrays(df, key_cols: list[str], text_col: str = "text"):
         ngrams_from_tokens,
     )
 
-    n_parts = max(
-        df.rdd.getNumPartitions(), df.sparkSession.sparkContext.defaultParallelism
-    )
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     return (
-        df.repartition(n_parts)
+        df
         .select(*key_cols, tokens(F.col(text_col)).alias("toks"))
         .select(*key_cols, ngrams_from_tokens(F.col("toks"), 2).alias("bgs"))
         .persist(StorageLevel.MEMORY_AND_DISK)

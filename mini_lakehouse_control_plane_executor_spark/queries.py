@@ -3636,9 +3636,8 @@ def decontamination_ngram_overlap(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     arr = (
-        d.repartition(n_parts)
+        _scale_up(d)
         .select("doc_id", "source", _text.tokens(F.col("text")).alias("ws"))
         .filter(F.size("ws") >= 5)
         .select(
@@ -4234,14 +4233,13 @@ def unigram_lm_surprisal(spark, sf_dir):
     # Size-aware repartition UP to cluster parallelism (never down) —
     # the exploded_shingles discipline for CPU-heavy tokenization over
     # highly-compressed small-file text tables.
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     # Token arrays persisted BEFORE the explode: a generator whose input
     # is an inline tokens() expression re-evaluates the regex per
     # emitted token (~2.7x measured at sf0.1); from a stored attribute
     # it runs once per doc — and the token stream here is consumed
     # twice (LM build + scoring).
     arr = (
-        d.repartition(n_parts)
+        _scale_up(d)
         .select("doc_id", _text.tokens(F.col("text")).alias("toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -4553,9 +4551,8 @@ def boilerplate_ngrams(spark, sf_dir):
     # re-evaluates the HOF chain per emitted row — O(shingles²) per doc
     # (measured 16s vs 1.3s at sf0.1). Repartition up to cluster
     # parallelism first (small-file single-core tokenize).
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     arr = (
-        d.repartition(n_parts)
+        _scale_up(d)
         .select("source", _text.tokens(F.col("text")).alias("toks"))
         .select("source", _dedup.shingles_from_tokens(F.col("toks"), 3).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -4781,10 +4778,9 @@ def vocab_growth_heaps(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     # Stored-attribute explode (see unigram_lm_surprisal).
     arr = (
-        d.repartition(n_parts)
+        _scale_up(d)
         .select("lang", _text.tokens(F.col("text")).alias("toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -4855,9 +4851,8 @@ def bigram_pmi_top(spark, sf_dir):
     # Size-aware repartition UP to cluster parallelism (never down) —
     # the exploded_shingles discipline: parquet text compresses ~10x,
     # so a small-file table otherwise tokenizes single-core.
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     toks = (
-        d.repartition(n_parts)
+        _scale_up(d)
         .select(_text.tokens(F.col("text")).alias("ws"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -5003,10 +4998,9 @@ def zipf_slope_by_lang(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     # Stored-attribute explode (see unigram_lm_surprisal).
     arr = (
-        d.repartition(n_parts)
+        _scale_up(d)
         .select("lang", _text.tokens(F.col("text")).alias("toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -6138,9 +6132,8 @@ def winnowing_dup_pairs(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     arr = (
-        d.repartition(n_parts)
+        _scale_up(d)
         .select("doc_id", _text.tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 4)
         .select(
@@ -7286,12 +7279,11 @@ def bloom_decontaminate(spark, sf_dir):
 
     m = 1 << 20
     d = _load(spark, sf_dir, "documents")
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     # Distinct-gram ARRAYS materialized once (size-aware spread +
     # persist — the shingle_arrays discipline; the array feeds the
     # filter build, the probe stream, AND the map-side per-doc totals).
     arr = (
-        d.repartition(n_parts)
+        _scale_up(d)
         .select("doc_id", "source", _text.tokens(F.col("text")).alias("ws"))
         .filter(F.size("ws") >= 3)
         .select(
@@ -8998,12 +8990,11 @@ def dsir_importance_weights(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     # Bigram ARRAYS are materialized (persisted) before the explode —
     # the shingle_arrays/bigram_lm discipline: a Generate whose input
     # is an inline HOF chain re-evaluates it per EMITTED row.
     arr = (
-        d.repartition(n_parts)
+        _scale_up(d)
         .select("doc_id", "source", _text.tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 2)
         .select(
@@ -9122,9 +9113,8 @@ def source_similarity_jsd(spark, sf_dir):
     on a micro .5 boundary at sf0.01), so distributed summation order
     cannot flip the hash."""
     d = _load(spark, sf_dir, "documents")
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     tok = (
-        d.repartition(n_parts)
+        _scale_up(d)
         .select("source", _text.tokens(F.col("text")).alias("toks"))
         .select("source", F.explode("toks").alias("t"))
     )
@@ -9242,9 +9232,8 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     arr = (
-        d.repartition(n_parts)
+        _scale_up(d)
         .select("doc_id", "lang", _text.tokens(F.col("text")).alias("toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -10022,9 +10011,8 @@ def char_entropy_quality(spark, sf_dir):
     nano-nat-quantized per (doc, char) BEFORE any sum (the JSD
     discipline), so distributed summation order cannot move a digit."""
     d = _load(spark, sf_dir, "documents")
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     ch = (
-        d.repartition(n_parts)
+        _scale_up(d)
         .select(
             "doc_id",
             "source",
@@ -11723,9 +11711,8 @@ def docs_idf_rarity_quality(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
-    n_parts = max(d.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism)
     arr = (
-        d.repartition(n_parts)
+        _scale_up(d)
         .select(
             "doc_id",
             "source",
