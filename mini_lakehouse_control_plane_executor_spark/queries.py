@@ -15236,28 +15236,36 @@ def docs_token_heavy_hitters_mg(spark, sf_dir):
     token qualifies as a true heavy hitter" (every exact count sits
     below the bound).
 
-    100 TB shape: one (node, token) count shuffle (map-side combinable);
-    the per-node rank window partitions by node; summaries are <=
-    nodes*k rows BY CONSTRUCTION, so the merge rank is a broadcast
-    triangular self-join over a 512-row relation — never a
-    SinglePartition window; exact counts for the <= k finalists come
-    from the vocab-sized count table. The streaming twin keeps the
+    100 TB shape: ONE corpus-sized pass — the (node, token) count
+    shuffle (map-side combinable) — persisted at vocab*|nodes| rows;
+    exact per-token counts AND the grand total are rollups of that
+    table (sum over nodes ≡ count over the stream, exact integers), so
+    the exploded token stream is never cached or re-aggregated (r14:
+    previously the stream was persisted and scanned three times — the
+    node counts, the exact counts, and the total each paid a
+    corpus-sized aggregate). The per-node rank window partitions by
+    node; summaries are <= nodes*k rows BY CONSTRUCTION, so the merge
+    rank is a broadcast triangular self-join over a 512-row relation —
+    never a SinglePartition window; exact counts for the <= k finalists
+    come from the vocab-sized rollup. The streaming twin keeps the
     (node, key) cells as unwindowed state and prunes at read time
     (tests/test_streaming.py)."""
     from mini_lakehouse_control_plane_executor_spark.operators import sketch as _sketch
 
     d = _load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(_text.tokens(F.col("text"))).alias("t")
+    tok = d.select("doc_id", F.explode(_text.tokens(F.col("text"))).alias("t"))
+    nc = _sketch.mg_node_counts(
+        tok, "t", _sketch.mg_node_hash(F.col("doc_id"), _MG_P)
     ).persist()
-    nc = _sketch.mg_node_counts(tok, "t", _sketch.mg_node_hash(F.col("doc_id"), _MG_P))
     summ = _sketch.mg_prune(nc, _MG_K)
     mrk = _sketch.mg_merge_ranked(summ, _MG_K)
     l2 = mrk.filter(F.col("rn") == _MG_K + 1).agg(
         F.coalesce(F.max("s"), F.lit(0)).cast("long").alias("l2")
     )
-    exact = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
-    n = tok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    exact = nc.groupBy(F.col("key").alias("t")).agg(
+        F.sum("c").cast("long").alias("exact_count")
+    )
+    n = nc.agg(F.sum("c").cast("long").alias("n"))
     est = F.col("s") - F.col("l2")
     out = (
         mrk.filter(F.col("rn") <= _MG_K)
