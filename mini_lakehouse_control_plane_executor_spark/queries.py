@@ -7502,10 +7502,13 @@ def bm25_topk(spark, sf_dir):
     join all operate on the ~|q| terms that matter rather than the full
     vocabulary; corpus-sized work is one tokenize pass plus one
     (doc_id, term) partial-agg shuffle of the matching tokens only.
-    Doc lengths ride the same token arrays (map-only) and join the
-    candidate rows on doc_id; N/avgdl is a 1-row broadcast. Per-term
-    scores are quantized to integer micro-units before the per-doc sum
-    so the result hashes identically to the oracle."""
+    Doc lengths RIDE the matched token rows into that same aggregate
+    (dl is constant per doc, so max(dl) recovers it exactly — r14:
+    previously dl was a separate doc-count-sized relation shuffle-joined
+    onto the candidates, a whole join removed for 8 bytes/matched-row);
+    N/avgdl is a 1-row broadcast off the map-only lengths pass.
+    Per-term scores are quantized to integer micro-units before the
+    per-doc sum so the result hashes identically to the oracle."""
     from pyspark.storagelevel import StorageLevel
 
     d = _load(spark, sf_dir, "documents")
@@ -7524,11 +7527,15 @@ def bm25_topk(spark, sf_dir):
         "query_id int, term string",
     )
     qdistinct = qterm.select("term").distinct()
-    tok = arr.select("doc_id", F.explode("toks").alias("term"))
+    tok = arr.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
     tf = (
         tok.join(F.broadcast(qdistinct), "term")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfr"))
     idf = F.round(
@@ -7549,7 +7556,6 @@ def bm25_topk(spark, sf_dir):
     scored = (
         tf.join(F.broadcast(qterm), "term")
         .join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", s_micro.alias("s_micro"))
     )
