@@ -73,6 +73,17 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # Deployment-specific overrides without code edits: every
+    # SPARK_GRAFT_CONF_<key> env var (key with '.' encoded as '__',
+    # e.g. SPARK_GRAFT_CONF_spark__sql__shuffle__partitions=512) is
+    # applied LAST, so cluster operators can retune any scale-dependent
+    # knob above (shuffle partitions, broadcast threshold, codec …)
+    # per environment while the local defaults stay bench-comparable.
+    for env_k, env_v in os.environ.items():
+        if env_k.startswith("SPARK_GRAFT_CONF_"):
+            builder = builder.config(
+                env_k[len("SPARK_GRAFT_CONF_"):].replace("__", "."), env_v
+            )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
