@@ -1395,6 +1395,130 @@ def ivfpq_residual_topk(
 COVARIANCE_MAX_DIM = 128
 
 
+def _gram_partials(batches):
+    """Per-task integer Gram partials for embedding_covariance: consume
+    the task's Arrow batches of (double-cast) vectors and emit ONE tiny
+    upper-triangle batch of (i, j, sxy_u, sx_u, n) integer sums —
+    d(d+1)/2 rows per task regardless of corpus size.
+
+    All hot arithmetic runs through pyarrow.compute kernels (multiply /
+    round / cast / sum on whole columns); NumPy appears only for
+    zero-copy buffer wraps and tiny offset math. Quantization is per
+    ROW ``round((v_i * v_j) * 1e6)`` with ``half_towards_infinity`` —
+    Arrow's name for round-half-away-from-zero on the exact binary
+    double, which matches Spark's BigDecimal HALF_UP because a double's
+    shortest-decimal form never straddles a .5 boundary relative to its
+    binary value (the power_iteration_topk arbiter argument) — applied
+    BEFORE any sum, in the identical operation order to the former JVM
+    expression, so partials are order-free exact integers and the merge
+    is a plain rollup.
+
+    Per-dim columns come from offset+take gathers, so ragged widths and
+    null LISTS fall out naturally (a missing position is a null index
+    -> null element -> excluded from n and skipped by sum — exactly the
+    posexplode semantics). Null ELEMENTS inside a vector raise loudly
+    rather than silently diverge from the JVM null-skipping aggregate.
+    Diagonal rows double as the per-dim moment table: sxy_u there IS
+    sum(round(v*v*1e6)) and the i==j emission carries sx_u / n."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    HALF_UP = "half_towards_infinity"
+    d_seen = 0
+    SXY = np.zeros((0, 0), dtype=object)
+    SX = np.zeros(0, dtype=object)
+    N = np.zeros(0, dtype=object)
+
+    def _grow(d):
+        nonlocal d_seen, SXY, SX, N
+        if d > d_seen:
+            g = np.zeros((d, d), dtype=object)
+            g[:d_seen, :d_seen] = SXY
+            sx = np.zeros(d, dtype=object)
+            sx[:d_seen] = SX
+            n2 = np.zeros(d, dtype=object)
+            n2[:d_seen] = N
+            SXY, SX, N, d_seen = g, sx, n2, d
+
+    for batch in batches:
+        col = batch.column(0)
+        n_rows = len(col)
+        if n_rows == 0:
+            continue
+        if isinstance(col, pa.ChunkedArray):  # defensive; batches are flat
+            col = col.combine_chunks()
+        if col.flatten().null_count:
+            raise ValueError(
+                "embedding_covariance: null element inside a vector — "
+                "clean the embedding column before the covariance pass"
+            )
+        # offsets index into the RAW child (col.values); flatten() would
+        # compact away null slots and break offset-based gathers. Null
+        # list slots have unspecified offset ranges — zero them out.
+        flat = col.values
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        starts = offs[:-1]
+        if col.null_count:
+            lens = np.where(
+                col.is_null().to_numpy(zero_copy_only=False), 0, lens
+            )
+        L = int(lens.max()) if n_rows else 0
+        if L == 0:
+            continue
+        _grow(L)
+        cols = []
+        counts = []
+        for i in range(L):
+            valid = lens > i
+            idx = pa.array(starts + i, mask=~valid)
+            cols.append(pc.take(flat, idx))
+            counts.append(int(valid.sum()))
+        for i in range(L):
+            N[i] += counts[i]
+            SX[i] += (
+                pc.sum(
+                    pc.cast(
+                        pc.round(pc.multiply(cols[i], 1e6), 0, round_mode=HALF_UP),
+                        pa.int64(),
+                    )
+                ).as_py()
+                or 0
+            )
+            for j in range(i, L):
+                s = pc.sum(
+                    pc.cast(
+                        pc.round(
+                            pc.multiply(pc.multiply(cols[i], cols[j]), 1e6),
+                            0,
+                            round_mode=HALF_UP,
+                        ),
+                        pa.int64(),
+                    )
+                ).as_py()
+                SXY[i, j] += s or 0
+
+    if d_seen == 0:
+        return
+    iu, ju = np.triu_indices(d_seen)
+    diag = iu == ju
+    yield pa.record_batch(
+        [
+            pa.array((iu + 1).astype(np.int32)),
+            pa.array((ju + 1).astype(np.int32)),
+            pa.array([int(SXY[a, b]) for a, b in zip(iu, ju)], type=pa.int64()),
+            pa.array(
+                [int(SX[a]) if d else 0 for a, d in zip(iu, diag)], type=pa.int64()
+            ),
+            pa.array(
+                [int(N[a]) if d else 0 for a, d in zip(iu, diag)], type=pa.int64()
+            ),
+        ],
+        names=["i", "j", "sxy_u", "sx_u", "n"],
+    )
+
+
 def embedding_covariance(
     df: DataFrame, id_col: str, vec_col: str, dim: int | None = None
 ) -> DataFrame:
@@ -1410,15 +1534,22 @@ def embedding_covariance(
     cov = (Sxy/1e6 - (Sx/1e6)(Sy/1e6)/n) / n is a handful of double ops
     over exact integers — engine-portable (the s_micro discipline).
 
-    100 TB shape: one posexplode of the stored vector column (64·n
-    rows), ONE id-keyed equi-self-join (unique keys — no skew) whose
-    output feeds the (i, j) partial aggregate in the same stage (the
-    pair stream is never materialized), and a 64-row per-dim moment
-    table broadcast twice onto the 2,144-row pair table. The
-    alternative zero-join shape — one keyless aggregate with dim(dim+1)/2
-    product columns — is the better plan only when Catalyst's codegen
-    handles the width; at dim 64 that is 2,144 aggregate expressions,
-    measured slower to compile than this join executes.
+    100 TB shape (r14): ZERO corpus-sized shuffles — one Arrow
+    ``mapInArrow`` pass computes each scan task's integer Gram partials
+    in vectorized NumPy (only the double-cast vector column crosses the
+    Python boundary; the heavy math runs on whole batches) and emits
+    d(d+1)/2 rows per task; the only exchange is the (i, j) rollup of
+    those ~17 KB partials, then the 64-row per-dim moment table (the
+    diagonal) broadcasts twice onto the 2,144-row pair table. Replaces
+    the posexplode + id-keyed self-join of the exploded 64·n-row
+    stream, which at scale shuffles the corpus twice (locally it
+    auto-broadcast, hiding the cost). The rejected alternative stands
+    as measured: a keyless aggregate with dim(dim+1)/2 product columns
+    compiles slower than it runs at dim 64 (2,144 expressions).
+    Bit-exactness with the former JVM expressions is preserved by
+    per-row Arrow half_towards_infinity quantization before any sum in
+    the identical op order (see _gram_partials) — pinned by the numpy
+    invariant test and the unchanged DuckDB oracle.
 
     ``dim`` (pass it when known — the queries layer probes it from the
     parquet footer for free) gates the n·d² pair fanout: dims above
@@ -1445,26 +1576,22 @@ def embedding_covariance(
             "block outer-product shape (tile dims into ~64-wide blocks, "
             "aggregate zip_with products per (block_i, block_j))."
         )
-    ex = (
-        df.select(
-            F.col(id_col).alias("vid"),
-            F.posexplode(_as_double(F.col(vec_col))).alias("p", "v"),
+    agg = (
+        df.select(_as_double(F.col(vec_col)).alias("v"))
+        .mapInArrow(_gram_partials, "i int, j int, sxy_u long, sx_u long, n long")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("sxy_u").alias("sxy_u"),
+            F.sum("sx_u").alias("sx_u"),
+            F.sum("n").alias("n"),
         )
-        .select("vid", (F.col("p") + 1).cast("int").alias("i"), "v")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dims = ex.groupBy("i").agg(
-        F.sum(F.round(F.col("v") * 1e6).cast("long")).alias("sx_u"),
-        F.sum(F.round(F.col("v") * F.col("v") * 1e6).cast("long")).alias("sxx_u"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    a = ex.select(F.col("vid"), F.col("i"), F.col("v").alias("va"))
-    b = ex.select(F.col("vid"), F.col("i").alias("j"), F.col("v").alias("vb"))
-    pairs = (
-        a.join(b, ["vid"])
-        .filter(F.col("j") >= F.col("i"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.round(F.col("va") * F.col("vb") * 1e6).cast("long")).alias("sxy_u"))
+    pairs = agg.select("i", "j", "sxy_u")
+    # Diagonal rows double as the per-dim moment table: sxy_u there IS
+    # sum(round(v*v*1e6)) and the i==j emission carries sx_u / n.
+    dims = agg.filter(F.col("i") == F.col("j")).select(
+        "i", "sx_u", F.col("sxy_u").alias("sxx_u"), "n"
     )
     da = dims.select("i", F.col("sx_u").alias("sxi_u"), F.col("sxx_u").alias("sxxi_u"), "n")
     db = dims.select(
