@@ -68,9 +68,10 @@ HEADLINE = [
     # fingerprinting — a doc-keyed window-min pass plus a df-gated
     # fingerprint join; no other headline exercises that shape).
     "winnowing_dup_pairs",
-    # late-r7: the distributed covariance pass under the PCA family —
-    # an id-keyed posexplode self-join feeding an in-stage (i,j)
-    # partial aggregate; embedding_pca_power_iteration rides it.
+    # late-r7 (reshaped r14): the distributed covariance pass under the
+    # PCA family — per-task Arrow Gram partials (mapInArrow +
+    # pyarrow.compute) feeding a dim^2-bounded (i,j) rollup;
+    # embedding_pca_power_iteration rides it.
     "embedding_pca_covariance",
     # r8: weighted MinHash — the heaviest new machinery this round (a
     # second count-aggregation layer + the unary weight expansion under
