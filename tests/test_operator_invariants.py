@@ -889,6 +889,66 @@ def test_embedding_covariance_matches_numpy(spark):
     assert abs(np.trace(M) - C.trace()) < 1e-4
 
 
+def test_embedding_covariance_gram_path_edge_inputs(spark):
+    """The r14 Arrow Gram path (_gram_partials) replaced posexplode +
+    self-join; its hand-rolled offset/take gathers must reproduce the
+    posexplode semantics on the inputs the old plan handled
+    structurally: ragged vector widths (a pair (i, j) exists only for
+    rows long enough to carry both positions, with per-dim n varying)
+    and null LISTS (contribute nothing). Expected sums are recomputed
+    here per definition; null ELEMENTS inside a vector must raise
+    loudly instead of silently diverging from the JVM null-skipping
+    aggregate."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pytest
+
+    from mini_lakehouse_control_plane_executor_spark.operators import (
+        similarity as S,
+    )
+
+    rows = [
+        (1, [1.25, -2.0, 0.5]),
+        (2, [3.5]),
+        (3, None),
+        (4, [0.125, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {(r.i, r.j): r for r in S.embedding_covariance(
+        df, "vec_id", "embedding", dim=3
+    ).collect()}
+
+    def rnd(x):
+        return int(Decimal(x).to_integral_value(rounding=ROUND_HALF_UP))
+
+    vecs = [v for _, v in rows if v is not None]
+    for i in range(3):
+        for j in range(i, 3):
+            both = [v for v in vecs if len(v) > j]
+            if not both:
+                assert (i + 1, j + 1) not in got
+                continue
+            n_i = len([v for v in vecs if len(v) > i])
+            sxy = sum(rnd((v[i] * v[j]) * 1e6) for v in both)
+            sx_i = sum(rnd(v[i] * 1e6) for v in vecs if len(v) > i)
+            sx_j = sum(rnd(v[j] * 1e6) for v in vecs if len(v) > j)
+            r = got[(i + 1, j + 1)]
+            # the operator's documented double-op sequence, verbatim
+            exp_cov = (sxy / 1e6 - (sx_i / 1e6) * (sx_j / 1e6) / n_i) / n_i
+            assert r.cov == exp_cov
+            if i == j:
+                exp_var = (sxy / 1e6 - (sx_i / 1e6) * (sx_i / 1e6) / n_i) / n_i
+                assert r.var_i == exp_var
+    # ragged pair count: (1,2),(1,3),(2,3) exist only where rows reach
+    assert set(got) == {(1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 3)}
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, None, 2.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="null element inside a vector"):
+        S.embedding_covariance(bad, "vec_id", "embedding", dim=3).collect()
+
+
 def test_power_iteration_recovers_planted_spikes(spark):
     """Power iteration must CONVERGE, not just terminate: on a planted
     two-spike matrix C = l1*u1*u1^T + l2*u2*u2^T + eps*I with known
