@@ -320,24 +320,27 @@ def mg_prune(nc: DataFrame, k: int = MG_K) -> DataFrame:
     undercount guarantee (est <= exact always; exact - est <= n/(k+1)).
 
     100 TB shape: the rank window partitions by node (per-node frames
-    are |keys present on that node|); the lambda table is |nodes| rows,
-    broadcast back. Output is <= |nodes|*k rows regardless of input."""
+    are |keys present on that node|); lambda — the (k+1)-th largest
+    count — comes from a SECOND window over the SAME node partitioning
+    (max over the full frame of the rn==k+1 row's count), so both ride
+    one node-keyed Exchange and the input is scanned ONCE. The r14
+    profile caught the former shape (a separate broadcast-lambda join)
+    re-scanning the node-count table twice per prune — and the query
+    layer recomputed the prune per consumer, 8 vocab-sized window
+    passes for one answer. Output is <= |nodes|*k rows regardless of
+    input."""
     from pyspark.sql import Window
 
     wn = Window.partitionBy("node").orderBy(F.desc("c"), "key")
-    ranked = nc.withColumn("rn", F.row_number().over(wn))
-    lam = ranked.filter(F.col("rn") == k + 1).select(
-        "node", F.col("c").alias("lam")
+    wp = Window.partitionBy("node")
+    lam = F.coalesce(
+        F.max(F.when(F.col("rn") == k + 1, F.col("c"))).over(wp), F.lit(0)
     )
     return (
-        ranked.filter(F.col("rn") <= k)
-        .join(F.broadcast(lam), "node", "left")
-        .select(
-            "node",
-            "key",
-            (F.col("c") - F.coalesce(F.col("lam"), F.lit(0))).alias("s"),
-        )
-        .filter(F.col("s") > 0)
+        nc.withColumn("rn", F.row_number().over(wn))
+        .withColumn("s", F.col("c") - lam)
+        .filter((F.col("rn") <= k) & (F.col("s") > 0))
+        .select("node", "key", "s")
     )
 
 
@@ -348,8 +351,14 @@ def mg_merge_ranked(summ: DataFrame, k: int = MG_K) -> DataFrame:
     global rank runs as a broadcast triangular self-join — never an
     Exchange SinglePartition window over data. Returns
     (key, s, rn); the caller applies the final prune with the
-    rn == k+1 counter as lambda."""
-    merged = summ.groupBy("key").agg(F.sum("s").cast("long").alias("s"))
+    rn == k+1 counter as lambda.
+
+    ``merged`` is persisted here (contract-bounded <= |nodes|*k rows,
+    the shingle_arrays internal-persist precedent): it feeds BOTH sides
+    of the triangular join, and without the cache each side re-ran the
+    whole summary lineage — including the upstream rank window over the
+    node-count table — once per side (the r14 profile finding)."""
+    merged = summ.groupBy("key").agg(F.sum("s").cast("long").alias("s")).persist()
     a = merged.select(F.col("key").alias("k1"), F.col("s").alias("s1"))
     b = merged.select(F.col("key").alias("k2"), F.col("s").alias("s2"))
     before = (F.col("s2") > F.col("s1")) | (

@@ -10289,8 +10289,14 @@ def unigram_lm_em_learn(spark, sf_dir):
             F.log(F.col("total").cast("double") / F.col("piece_count")) * 1000000
         ).cast("long")
     )
-    cnt_r = edge_base.groupBy("piece").agg(
-        F.sum("cnt").cast("long").alias("piece_count")
+    # Persisted like every later round's count table: the seed counts
+    # feed both the normalizer aggregate and the piece-cost broadcast,
+    # and without the cache the vocab-sized lattice aggregate ran twice
+    # (the r14 profile's identical stage pair).
+    cnt_r = (
+        edge_base.groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("piece_count"))
+        .persist()
     )
     outs = []
     for r in range(1, R + 1):
@@ -15263,8 +15269,14 @@ def docs_token_heavy_hitters_mg(spark, sf_dir):
     nc = _sketch.mg_node_counts(
         tok, "t", _sketch.mg_node_hash(F.col("doc_id"), _MG_P)
     ).persist()
+    # mrk is contract-bounded (<= |nodes|*k = 512 rows) and consumed
+    # twice (the lambda-2 aggregate AND the final projection); without
+    # the persist each consumer recomputed its whole lineage from nc —
+    # together with the merge-side cache in mg_merge_ranked and the
+    # one-pass prune, this is what collapsed the r14 profile's EIGHT
+    # identical vocab-sized rank-window passes (39 jobs) to one.
     summ = _sketch.mg_prune(nc, _MG_K)
-    mrk = _sketch.mg_merge_ranked(summ, _MG_K)
+    mrk = _sketch.mg_merge_ranked(summ, _MG_K).persist()
     l2 = mrk.filter(F.col("rn") == _MG_K + 1).agg(
         F.coalesce(F.max("s"), F.lit(0)).cast("long").alias("l2")
     )
@@ -16872,7 +16884,17 @@ def _esdup_runs(spark, sf_dir):
         .filter((F.col("dfc") >= 2) & (F.col("dfc") <= _ESDUP_MAXDF))
         .select("fp")
     )
-    g = wins.join(keep, "fp")
+    # Gated windows are repartitioned ON THE JOIN KEY and persisted (the
+    # r10 shingle_arrays discipline): both sides of the fp self-join
+    # read the one co-partitioned cache, so the join itself is
+    # exchange-free. The r14 profile caught the former shape computing
+    # the explode+md5 projection TWICE (once per join side) and paying
+    # TWO identical corpus-window-sized fp exchanges for one relation.
+    # The cache holds only df-gated windows (those shared by 2..MAXDF
+    # docs — the duplicated sliver of the corpus, not the corpus).
+    sc = spark.sparkContext
+    n_parts = max(warr.rdd.getNumPartitions(), sc.defaultParallelism)
+    g = wins.join(keep, "fp").repartition(n_parts, "fp").persist()
     a = g.select("fp", F.col("doc_id").alias("da"), F.col("pos").alias("pa"))
     b = g.select("fp", F.col("doc_id").alias("db"), F.col("pos").alias("pb"))
     p = a.join(b, "fp").filter(F.col("da") < F.col("db"))
