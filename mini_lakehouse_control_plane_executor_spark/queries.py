@@ -1266,8 +1266,18 @@ def minhash_estimate_error(spark, sf_dir):
     ex = _dedup.exploded_shingles(d, "doc_id", "text", 3, arrays=arr).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = _dedup.minhash_signatures(d, "doc_id", "text", 3, k, shingles=ex)
-    cands = _dedup.lsh_candidates(sigs, k, _dedup.MINHASH_BAND_ROWS)
+    # Both persisted (the r14 repeated-pass discipline): sigs (doc-count
+    # x k rows) feeds the candidate build AND both estimate sides — each
+    # consumer otherwise re-runs the signature aggregate over the
+    # shingle stream; cands (pair-bounded) feeds the estimate join AND
+    # the exact-intersection join — each otherwise re-runs the banded
+    # self-join.
+    sigs = _dedup.minhash_signatures(
+        d, "doc_id", "text", 3, k, shingles=ex
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = _dedup.lsh_candidates(sigs, k, _dedup.MINHASH_BAND_ROWS).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # Sizes map-side from the stored array (the r6 jaccard_pairs
     # discipline) — no union-size re-aggregation of the stream.
     sizes = arr.filter(F.size("sh") > 0).select(
@@ -10509,18 +10519,22 @@ def minhash_tuning_matrix(spark, sf_dir):
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    # Candidate and verified counts come out of ONE aggregate over a
+    # LEFT join against the (unique-pair) truth table: both sides emit
+    # unique (id1, id2) rows, so the join preserves candidate
+    # cardinality and count(marker) ≡ the former semi-join count. The
+    # r14 census caught the former two-aggregate shape re-running the
+    # whole banded self-join once per count — per setting.
+    marked = truth.withColumn("tt", F.lit(1))
     out = None
     for r in _TUNING_BAND_ROWS:
         cands = _dedup.lsh_candidates(sigs, 12, r)
-        n_cand = cands.agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates")
-        )
-        n_ver = cands.join(truth, ["id1", "id2"], "left_semi").agg(
-            F.count(F.lit(1)).cast("long").alias("n_verified")
+        stats = cands.join(marked, ["id1", "id2"], "left").agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count("tt").cast("long").alias("n_verified"),
         )
         row = (
-            n_cand.crossJoin(F.broadcast(n_ver))
-            .crossJoin(F.broadcast(n_true))
+            stats.crossJoin(F.broadcast(n_true))
             .select(
                 F.lit(r).alias("band_rows"),
                 F.lit(12 // r).alias("n_bands"),
@@ -13389,7 +13403,10 @@ def doremi_domain_weights(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(_text.tokens(F.col("text"))).alias("t"))
     st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n")).persist()
-    counts = st.groupBy("t").agg(F.sum("n").alias("c"))
+    # counts (vocab-sized), dom and ex (|domains| rows) are each
+    # multiply consumed; unpersisted, the census caught their lineages
+    # re-running from st once per consumer (counts 4x, dom 3x, ex 2x).
+    counts = st.groupBy("t").agg(F.sum("n").alias("c")).persist()
     tot = counts.agg(F.sum("c").alias("tot"))
     vocab = counts.filter(F.col("c") >= 5)
     s_micro = F.round(
@@ -13405,7 +13422,7 @@ def doremi_domain_weights(spark, sf_dir):
             F.sum(F.col("n").cast("decimal(19,0)") * s_micro.cast("decimal(19,0)"))
             .alias("s_micro"),
         )
-    )
+    ).persist()
     alltot = dom.agg(
         F.sum("n_tokens").cast("long").alias("nt"),
         F.sum("s_micro").alias("sm"),
@@ -13417,7 +13434,7 @@ def doremi_domain_weights(spark, sf_dir):
             F.col("s_micro").cast("double") / F.col("n_tokens") / 1000000
             - F.col("sm").cast("double") / F.col("nt") / 1000000
         ).alias("excess"),
-    )
+    ).persist()
     z = ex.agg(F.sum(F.exp("excess")).alias("z"))
     return (
         ex.crossJoin(F.broadcast(z))
@@ -14289,8 +14306,15 @@ def minhash_bbit_estimate_error(spark, sf_dir):
     ex = _dedup.exploded_shingles(d, "doc_id", "text", 3, arrays=arr).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = _dedup.minhash_signatures(d, "doc_id", "text", 3, k, shingles=ex)
-    cands = _dedup.lsh_candidates(sigs, k, _dedup.MINHASH_BAND_ROWS)
+    # Both persisted — same multiply-consumed shape (and fix) as
+    # minhash_estimate_error: sigs feeds cands + both estimate sides,
+    # cands feeds the estimate join + the exact-intersection join.
+    sigs = _dedup.minhash_signatures(
+        d, "doc_id", "text", 3, k, shingles=ex
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = _dedup.lsh_candidates(sigs, k, _dedup.MINHASH_BAND_ROWS).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = arr.filter(F.size("sh") > 0).select(
         "doc_id", F.size("sh").cast("long").alias("n_sh")
     )
