@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 CMS_D = 4
 CMS_W = 256
@@ -357,8 +358,19 @@ def mg_merge_ranked(summ: DataFrame, k: int = MG_K) -> DataFrame:
     the shingle_arrays internal-persist precedent): it feeds BOTH sides
     of the triangular join, and without the cache each side re-ran the
     whole summary lineage — including the upstream rank window over the
-    node-count table — once per side (the r14 profile finding)."""
-    merged = summ.groupBy("key").agg(F.sum("s").cast("long").alias("s")).persist()
+    node-count table — once per side (the r14 profile finding). Like
+    shingle_arrays, the cache is NOT unpersisted here (the operator
+    cannot know when the caller's last action ran); batch callers rely
+    on session teardown / ``clearCache`` between pipelines (bench.py's
+    protocol), and a long-lived per-trigger caller (the streaming-style
+    use mg_node_counts' docstring anticipates) must
+    ``spark.catalog.clearCache()`` or track-and-unpersist per trigger,
+    or it accumulates one <= |nodes|*k-row cache entry per call."""
+    merged = (
+        summ.groupBy("key")
+        .agg(F.sum("s").cast("long").alias("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = merged.select(F.col("key").alias("k1"), F.col("s").alias("s1"))
     b = merged.select(F.col("key").alias("k2"), F.col("s").alias("s2"))
     before = (F.col("s2") > F.col("s1")) | (

@@ -16916,6 +16916,13 @@ def _esdup_runs(spark, sf_dir):
     # TWO identical corpus-window-sized fp exchanges for one relation.
     # The cache holds only df-gated windows (those shared by 2..MAXDF
     # docs — the duplicated sliver of the corpus, not the corpus).
+    # The _ESDUP_MAXDF gate is WHY repartition-on-key is safe here: the
+    # per-fp fan-out is bounded at MAXDF rows, so no hot key can
+    # concentrate quadratic pair work in one static partition — the
+    # exact hazard that made the same keyed-cache shape a 2.7x sf1
+    # REGRESSION on the triangle wedge join (unbounded per-vertex
+    # degree, AQE skew-splitting forfeited). Re-evaluate this keyed
+    # cache before relaxing _ESDUP_MAXDF.
     sc = spark.sparkContext
     n_parts = max(warr.rdd.getNumPartitions(), sc.defaultParallelism)
     g = wins.join(keep, "fp").repartition(n_parts, "fp").persist()

@@ -2300,3 +2300,38 @@ def test_pii_scan_hand_computed(spark, tmp_path):
         for r in _oracle_rows("docs_pii_scan", str(tmp_path), ["documents"])
     }
     assert ora == got
+
+
+def test_jaccard_pairs_distinct_on_pair(spark):
+    """minhash_tuning_matrix derives n_candidates and n_verified from
+    ONE aggregate over a LEFT join against the jaccard_pairs truth
+    table (count(*) + count(marker)); that rewrite is equivalent to the
+    former count + left_semi pair ONLY while the truth side is unique
+    on (id1, id2) — a duplicate truth row would fan candidates out and
+    silently inflate both counts for every band setting. Pin the
+    invariant on a duplicate-heavy corpus (verbatim copies, so the
+    exact path emits plenty of qualifying pairs)."""
+    from mini_lakehouse_control_plane_executor_spark.operators import dedup as D
+
+    base = (
+        qlib._load(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    dup = base
+    for i in (1, 2):
+        dup = dup.unionByName(
+            base.select(
+                (F.col("doc_id") + F.lit(i * 10000)).cast("long").alias("doc_id"),
+                "text",
+            )
+        )
+    arrays = D.shingle_arrays(dup, "doc_id", "text", 3)
+    ex = D.exploded_shingles(dup, "doc_id", "text", 3, arrays=arrays)
+    truth = D.jaccard_pairs(
+        dup, "doc_id", "text", 3, 0.8, shingles=ex, arrays=arrays
+    ).select("id1", "id2")
+    n = truth.count()
+    # verbatim copies alone contribute 40 groups x C(3,2) = 120 pairs
+    assert n >= 120
+    assert truth.distinct().count() == n
