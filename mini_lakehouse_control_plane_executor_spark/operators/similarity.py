@@ -1655,9 +1655,21 @@ def power_iteration_topk(
     Returns (k, i, vu, eig_u): per component the final iterate per
     dimension plus the eigenvalue estimate ||C v||·1e6 (v is unit-norm
     after the last round, so the next image's norm IS the
-    Rayleigh-style estimate)."""
+    Rayleigh-style estimate).
+
+    The result relation is created from a pyarrow Table (r15): the
+    list-of-tuples ``createDataFrame`` path parallelizes PICKLED rows
+    over defaultParallelism partitions, so every downstream execution
+    of this dim·k-row relation launched one Python worker PER CORE just
+    to unpickle ~4 rows each — and the query's orderBy executes the
+    child twice (range-partitioner sampling), so the r15 profile read
+    2 × 32 zero-CPU ~270 ms tasks (~17 s executor occupancy) for 128
+    rows. The Arrow table decodes JVM-side in one partition: no Python
+    workers, no per-core fanout, at any scale."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow as pa
 
     def rnd(x: float) -> int:
         return int(Decimal(x).to_integral_value(rounding=ROUND_HALF_UP))
@@ -1689,7 +1701,14 @@ def power_iteration_topk(
             for i, lst in adj.items()
         }
     return cov.sparkSession.createDataFrame(
-        out, "k int, i int, vu long, eig_u long"
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in out], pa.int32()),
+                "i": pa.array([r[1] for r in out], pa.int32()),
+                "vu": pa.array([r[2] for r in out], pa.int64()),
+                "eig_u": pa.array([r[3] for r in out], pa.int64()),
+            }
+        )
     )
 
 
