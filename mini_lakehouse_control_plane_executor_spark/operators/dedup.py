@@ -370,15 +370,43 @@ def containment_pairs(
     miss = F.expr(f"n_sh * {threshold_den - threshold_num} div {threshold_den}")
     pref = ranked.filter(
         (F.col("n_sh") >= min_shingles) & (F.col("rn") <= miss + 1)
-    ).select(F.col("doc_id").alias("a_id"), "s", F.col("n_sh").alias("na"))
+    ).select(
+        F.col("doc_id").alias("a_id"),
+        "s",
+        F.col("n_sh").alias("na"),
+        F.col("rn").alias("ra"),
+    )
     bside = ranked.select(
-        F.col("doc_id").alias("b_id"), "s", F.col("n_sh").alias("nb")
+        F.col("doc_id").alias("b_id"),
+        "s",
+        F.col("n_sh").alias("nb"),
+        F.col("rn").alias("rb"),
+    )
+    # PPJoin POSITIONAL filter (r15; Xiao et al., WWW 2008 §3.2): a
+    # prefix match at ranks (ra, rb) bounds the achievable overlap at
+    # 1 + min(na - ra, nb - rb) — the c-1 other common shingles all
+    # rank AFTER it on both sides — so a match that cannot reach
+    # o_min = ceil(na·t) can never verify and is dropped BEFORE the
+    # distinct + verify joins. Complete by the first-common-shingle
+    # argument: for any truly-containing pair, its first common
+    # shingle in the global order lies in A's prefix (pigeonhole, as
+    # above) and every common shingle ranks at or after it on both
+    # sides, so THAT match row satisfies the bound and the pair
+    # survives. Output rows are untouched — only never-verifiable
+    # candidates die earlier (measured r15 at sf1: distinct candidates
+    # 811k -> far fewer feeding the 3-stage ~42s-CPU verify tail).
+    o_min = F.expr(
+        f"(na * {threshold_num} + {threshold_den - 1}) div {threshold_den}"
     )
     cand = (
         pref.join(bside, ["s"])
         .filter(
             (F.col("a_id") != F.col("b_id"))
             & (F.col("nb") * threshold_den >= F.col("na") * threshold_num)
+            & (
+                1 + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
+                >= o_min
+            )
         )
         .select("a_id", "b_id", "na")
         .distinct()
