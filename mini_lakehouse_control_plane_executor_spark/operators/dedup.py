@@ -351,14 +351,32 @@ def containment_pairs(
     # genuinely REP-level — the order the PPJoin docstring promises
     # (completeness holds under ANY fixed global order, so only the
     # candidate count can change, never the verified output).
+    # The candidate pipeline carries a 128-bit FINGERPRINT of each
+    # shingle (md5 halves via unhex — the ExactSubstr r13 discipline),
+    # never the raw shingle string (r15): the df aggregate, the rank
+    # window's sort key, the prefix join key and the window-rank
+    # re-exchange all ship 16 fixed bytes instead of a ~30-byte string,
+    # and the rank sort no longer BUILDS an md5 hex string per
+    # comparison — at 100 TB these are the corpus-sized exchanges of
+    # this query. The global prefix order (dfr, fp) is byte-identical
+    # to the former (dfr, md5-hex, s): hex encoding is monotonic in the
+    # digest bytes, and the trailing raw-string tiebreak only ever
+    # distinguished md5-colliding shingles. PPJoin completeness needs a
+    # fixed TOTAL order, so totality now rests on md5 injectivity over
+    # the corpus shingle set (the 2^-120-scale ExactSubstr argument);
+    # candidates are VERIFIED against the raw arrays either way, so a
+    # collision can only add a spurious candidate (killed by verify) or
+    # perturb ranks of the colliding pair — and the DuckDB oracle keeps
+    # raw-string semantics end-to-end as the collision canary.
     ex = (
         exploded_shingles(df, id_col, text_col, n, arrays=arr)
         .join(vm.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id")
+        .select("doc_id", F.unhex(F.md5("s")).alias("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("dfr"))
     w = Window.partitionBy("doc_id")
-    wo = w.orderBy("dfr", F.md5("s"), "s")
+    wo = w.orderBy("dfr", "s")
     # ONE window pass yields both the global-order rank and |doc|;
     # persisted because the prefix AND the container side read it.
     ranked = (
